@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink (full execution, no
+driver-side collect) — the time measured is the engine, not pandas
+conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_parts_by_revenue",
+    "q03_region_revenue",
+    "q04_stale_orders_anti_join",
+    "q08_distinct_pairs",
+    "q09_insert_if_absent",
+    "q10_array_roundtrip",
+    "q11_flatten_surrogate_ids",
+    "q12_running_customer_total",
+    "q14_sessionize",
+    "q15_hourly_rollup",
+    "q20_topk_sources",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from cardano_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sys.argv[1:] if n in qs and n not in HEADLINE
+    ]
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch overheads
+    qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

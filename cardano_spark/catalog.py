@@ -1,0 +1,73 @@
+"""Loaders for the driver's synthetic test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+At 100 TB these would be partitioned parquet/iceberg datasets; the
+loader is a thin seam so every operator reads through one place and a
+real deployment only swaps this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always broadcast-join these (SURVEY §2.4 J2).
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read the
+    nanos as a plain long (legacy conf) and convert losslessly to a
+    microsecond timestamp (``ts div 1000`` stays in 64-bit integer
+    arithmetic — a double division would lose precision above 2^53).
+
+    Scale note: predicates on the converted ``ts`` can't push down to
+    the parquet scan; at 100 TB the events dataset should be written
+    with microsecond timestamps (or date-partitioned) so pruning works.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,212 @@
+"""DuckDB oracle SQL for every query in ``cardano_spark.plans``.
+
+Each string is runnable by DuckDB against the pre-registered parquet
+views (region nation customer supplier part orders lineitem events
+documents embeddings) and must produce the same column names, row
+count, and canonical values as the Spark query of the same key.
+
+Dialect notes baked in (verified against duckdb in this container):
+- decimal casts mirror the Spark DecimalTypes exactly so stringified
+  scales match (e.g. DECIMAL(18,2) * DECIMAL(9,6) -> scale 8 on both);
+- double->int casts ROUND in DuckDB but TRUNCATE in Spark, so every
+  such conversion goes through floor() on both engines;
+- averages are CAST(decimal AS DOUBLE) / count on both engines.
+"""
+
+from __future__ import annotations
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(9,6)) AS DECIMAL(28,8))
+              * CAST(1 + l_tax AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+          count(*) AS count_order,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_top_parts_by_revenue": """
+        SELECT p.p_partkey, p.p_name, CAST(CAST(r.revenue AS VARCHAR) AS DOUBLE) AS revenue
+        FROM (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(9,6))) AS revenue
+          FROM lineitem GROUP BY l_partkey
+        ) r JOIN part p ON r.l_partkey = p.p_partkey
+        ORDER BY r.revenue DESC, p.p_partkey ASC
+        LIMIT 10
+    """,
+    "q03_region_revenue": """
+        SELECT
+          r_name, n_name,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+          count(DISTINCT o_orderkey) AS n_orders,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q04_stale_orders_anti_join": """
+        SELECT o_orderkey, o_orderdate, o_orderstatus
+        FROM orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        )
+    """,
+    "q05_active_customers_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 1000.0
+        )
+    """,
+    "q06_filter_pushdown": """
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'purchase' AND value > 100.0 AND props IS NOT NULL
+    """,
+    "q07_watermark_max": """
+        SELECT event_type,
+               max(ts) AS wm_ts,
+               coalesce(max(event_id), 0) AS wm_id,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "q08_distinct_pairs": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "q09_insert_if_absent": """
+        SELECT event_id, value
+        FROM events WHERE ts < TIMESTAMP '2024-03-01 00:00:00'
+        UNION ALL
+        SELECT event_id, value * 2 AS value
+        FROM events e
+        WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+          AND NOT EXISTS (
+            SELECT 1 FROM events x
+            WHERE x.ts < TIMESTAMP '2024-03-01 00:00:00'
+              AND x.event_id = e.event_id
+          )
+    """,
+    "q10_array_roundtrip": """
+        SELECT l_orderkey,
+               unnest(parts) AS part_key,
+               n_parts
+        FROM (
+          SELECT l_orderkey,
+                 list_sort(list(l_partkey)) AS parts,
+                 count(*) AS n_parts
+          FROM lineitem GROUP BY l_orderkey
+        )
+    """,
+    "q11_flatten_surrogate_ids": """
+        SELECT
+          sha256(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                                CAST(l_linenumber AS VARCHAR))) AS id,
+          l_orderkey, l_linenumber, l_partkey,
+          CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS quantity
+        FROM lineitem
+    """,
+    "q12_running_customer_total": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS order_seq,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q13_rollup_customer_balance": """
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "q14_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    "q15_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "q16_json_extract": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS null_k
+        FROM events GROUP BY event_type
+    """,
+    "q17_github_handles": """
+        SELECT regexp_extract(
+                 'https://github.com/' || source || '/repo' || CAST(doc_id AS VARCHAR),
+                 'github\\.com/([^/]+)', 1) AS handle,
+               count(*) AS n_repos
+        FROM documents GROUP BY 1
+    """,
+    "q18_unixtime_roundtrip": """
+        SELECT event_id,
+               epoch_us(ts) AS ts_us,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS ts_sec,
+               make_timestamp(epoch_us(ts)) AS ts_roundtrip
+        FROM events
+    """,
+    "q19_decimal38_quantities": """
+        SELECT l_returnflag,
+               CAST(CAST(sum(CAST(CAST(l_orderkey AS VARCHAR) || repeat('9', 15) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_big,
+               CAST(CAST(max(CAST(CAST(l_orderkey AS VARCHAR) || repeat('9', 15) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS max_big
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q20_topk_sources": """
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY n_docs DESC, source ASC, lang ASC
+        LIMIT 10
+    """,
+}

@@ -1,0 +1,410 @@
+"""The query inventory: one callable per operator family from
+SURVEY.md §2, expressed over the driver's synthetic tables
+(TESTDATA.md). Each callable takes ``(spark, sf_dir)`` and returns a
+DataFrame; ``cardano_spark.plans.oracles`` holds the DuckDB twin of
+every query.
+
+Determinism contract (so the driver's value-hash matches):
+- money sums in DecimalType, never raw-double sums (exact, order-free)
+- averages = CAST(decimal_sum AS DOUBLE) / count (single IEEE division)
+- every LIMIT is preceded by a total order (unique tiebreak column)
+- surrogate ids are sha2 content hashes, not uuid4 (SURVEY §7)
+
+Scale notes are inline per query; dimension tables are explicitly
+broadcast, fact-fact joins are left to Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from cardano_spark.catalog import table
+from cardano_spark.functions.scalars import (
+    dec,
+    dec6,
+    exact_double,
+    github_handle,
+    surrogate_id,
+)
+from cardano_spark.operators.relational import (
+    insert_if_absent,
+    missing_children,
+    topk,
+    with_running,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 A1-A5) + scans/projections (§2.1, §2.3)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate (A4 family): scan -> filter ->
+    groupBy. Catalyst pushes the shipdate filter and the 6-column
+    projection into the parquet scan; partial aggregation happens
+    map-side so the shuffle carries only group keys (4 groups)."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
+    charge = disc_price * dec6(1 + F.col("l_tax"))
+    out = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    # Final decimal -> double cast: sums stay exact (decimal) through the
+    # aggregation, and one correctly-rounded conversion at the end keeps
+    # the oracle comparison engine-agnostic (pandas float64 both sides).
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        exact_double(F.col("sum_qty")).alias("sum_qty"),
+        exact_double(F.col("sum_base_price")).alias("sum_base_price"),
+        exact_double(F.col("sum_disc_price")).alias("sum_disc_price"),
+        exact_double(F.col("sum_charge")).alias("sum_charge"),
+        "count_order",
+        (exact_double(F.col("sum_qty")) / F.col("count_order")).alias("avg_qty"),
+        (exact_double(F.col("sum_base_price")) / F.col("count_order")).alias("avg_price"),
+    )
+
+
+def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (O1/A4: the reference's top-10-protocols query shape,
+    README.md:103-109). Aggregate FIRST (reduces lineitem to one row
+    per part), broadcast-join the part dimension after, then
+    TakeOrderedAndProject — no full sort."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        l.groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("revenue"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", exact_double(F.col("revenue")).alias("revenue"))
+    )
+    return topk(rev, [F.desc("revenue"), F.asc("p_partkey")], 10)
+
+
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way FK equi-join chain (J2) + aggregate: the analytics
+    layer the reference ran in Hex against Postgres. lineitem-orders
+    is the only fact-fact join (shuffle on orderkey, AQE-managed);
+    customer/nation/region are broadcast."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("revenue_dec"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            exact_double(F.col("revenue_dec")).alias("revenue"),
+            "n_orders",
+            "n_items",
+        )
+    )
+
+
+def q04_stale_orders_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap anti-join (J1; reference README.md:117-121 finds
+    transactions with no ingested UTXO inputs via LEFT JOIN ... IS
+    NULL). Here: orders none of whose lineitems shipped after a date."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    gap = missing_children(
+        o, l.select(F.col("l_orderkey").alias("o_orderkey")), ["o_orderkey"]
+    )
+    return gap.select("o_orderkey", "o_orderdate", "o_orderstatus")
+
+
+def q05_active_customers_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = the reference's ``WHERE key IN (...)`` pushdown
+    pattern (P4, cardano_tx_utxo_to_s3_pipeline.py:95-98)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000.0)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q06_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown (P1/P3/P6): both the value
+    range and IS NOT NULL reach the parquet reader as PushedFilters;
+    ReadSchema is 3 columns."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 100.0)
+            & F.col("props").isNotNull()
+        )
+        .select("event_id", "user_id", "value")
+    )
+
+
+def q07_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark reads (A1/A2: ``SELECT coalesce(max(wm), 0) WHERE
+    table = :t`` in provider_to_s3_import_status_dao.py:56-69), grouped
+    over every 'table' at once instead of one scalar query per name."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max("ts").alias("wm_ts"),
+        F.coalesce(F.max("event_id"), F.lit(0)).alias("wm_id"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / dedup / merge (SURVEY §2.7 D1-D2)
+# --------------------------------------------------------------------------
+
+
+def q08_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-internal dedup (D2): distinct = shuffle on all output
+    columns with map-side partial dedup."""
+    return table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+def q09_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotency primitive (D1): replay-overlapping batch merged
+    with INSERT-if-absent semantics — existing rows win, matching
+    ``ON CONFLICT (pk) DO NOTHING`` (cardano_block_dao.py:145)."""
+    e = table(spark, sf_dir, "events")
+    existing = e.filter(F.col("ts") < F.lit("2024-03-01").cast("timestamp")).select(
+        "event_id", "value"
+    )
+    incoming = e.filter(F.col("ts") >= F.lit("2024-02-01").cast("timestamp")).select(
+        "event_id", (F.col("value") * 2).alias("value")
+    )
+    return insert_if_absent(existing, incoming, ["event_id"])
+
+
+# --------------------------------------------------------------------------
+# Arrays / flatten-normalize (SURVEY §2.8 F1-F4, §1.2 array column)
+# --------------------------------------------------------------------------
+
+
+def q10_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array column build + explode (F4 + J3): the
+    ``cardano_block_transactions.tx_hash ARRAY(String)`` pattern —
+    collect per-order part lists, then explode back to rows the way
+    the tx pipeline loops over each block's hashes
+    (cardano_transactions_to_s3_pipeline.py:104-107). sort_array makes
+    the list deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    arr = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    return arr.select(
+        "l_orderkey",
+        F.explode("parts").alias("part_key"),
+        F.size("parts").cast("long").alias("n_parts"),
+    )
+
+
+def q11_flatten_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature normalize (F1): child rows get deterministic
+    sha2 surrogate ids instead of the reference's driver-side uuid4
+    (cardano_transactions_utxo_dto.py:61-93) so retries/re-runs are
+    idempotent (SURVEY §7)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        surrogate_id("l_orderkey", "l_linenumber").alias("id"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        exact_double(dec("l_quantity")).alias("quantity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sessionization (batch analogue of §2.10 state)
+# --------------------------------------------------------------------------
+
+
+def q12_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal sum per customer over a total order."""
+    o = table(spark, sf_dir, "orders")
+    out = with_running(
+        o,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        dec("o_totalprice"),
+        "running_spend",
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return out.withColumn("order_seq", F.row_number().over(w)).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("order_seq").cast("long").alias("order_seq"),
+        exact_double(F.col("running_spend")).alias("running_spend"),
+    )
+
+
+def q13_rollup_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        exact_double(F.sum(dec("c_acctbal"))).alias("total_balance"),
+    )
+
+
+def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the batch form of
+    stateful stream processing (SURVEY §2.10 notes the reference's
+    watermark tables are the batch analogue of streaming state).
+    lag + conditional cumsum — one shuffle on user_id, both window
+    functions share the same sort."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = e.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        exact_double(F.sum(dec("value"))).alias("session_value"),
+    )
+
+
+def q15_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregate (hypertable-rollup style)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        exact_double(F.sum(dec("value"))).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.9 C1-C12)
+# --------------------------------------------------------------------------
+
+
+def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (C9: the reference json.load/dumps's raw
+    payloads; here the path-extract runs columnar)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k.isNull(), 1)).alias("null_k"),
+    )
+
+
+def q17_github_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL -> handle extraction (C10/C11, the scraper scalar ops) over
+    a synthesized URL column."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://github.com/"),
+        F.col("source"),
+        F.lit("/repo"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(github_handle(url).alias("handle"))
+        .groupBy("handle")
+        .agg(F.count("*").alias("n_repos"))
+    )
+
+
+def q18_unixtime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix-seconds <-> timestamp conversions (C1/C7: the reference
+    converts Blockfrost unix times at cardano_blocks.py:36)."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        us.alias("ts_us"),
+        F.floor(us / F.lit(1_000_000)).alias("ts_sec"),
+        F.timestamp_micros(us).alias("ts_roundtrip"),
+    )
+
+
+def q19_decimal38_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String -> DECIMAL(38,0) quantities (C8): the reference keeps
+    amounts as strings in raw and Numeric(38,0) in Postgres
+    (cardano_tables.py:112); >18-digit values exercise the wide path."""
+    l = table(spark, sf_dir, "lineitem")
+    big = F.concat(F.col("l_orderkey").cast("string"), F.lit("9" * 15)).cast(
+        T.DecimalType(38, 0)
+    )
+    return l.groupBy("l_returnflag").agg(
+        exact_double(F.sum(big)).alias("sum_big"),
+        exact_double(F.max(big)).alias("max_big"),
+    )
+
+
+def q20_topk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + ORDER BY count DESC LIMIT 10 — the exact shape of
+    the reference's top-10-protocols analytics query
+    (README.md:103-109) over the documents table."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    return topk(counts, [F.desc("n_docs"), F.asc("source"), F.asc("lang")], 10)
+
+
+RELATIONAL_QUERIES: dict[str, QueryFn] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_stale_orders_anti_join": q04_stale_orders_anti_join,
+    "q05_active_customers_semi_join": q05_active_customers_semi_join,
+    "q06_filter_pushdown": q06_filter_pushdown,
+    "q07_watermark_max": q07_watermark_max,
+    "q08_distinct_pairs": q08_distinct_pairs,
+    "q09_insert_if_absent": q09_insert_if_absent,
+    "q10_array_roundtrip": q10_array_roundtrip,
+    "q11_flatten_surrogate_ids": q11_flatten_surrogate_ids,
+    "q12_running_customer_total": q12_running_customer_total,
+    "q13_rollup_customer_balance": q13_rollup_customer_balance,
+    "q14_sessionize": q14_sessionize,
+    "q15_hourly_rollup": q15_hourly_rollup,
+    "q16_json_extract": q16_json_extract,
+    "q17_github_handles": q17_github_handles,
+    "q18_unixtime_roundtrip": q18_unixtime_roundtrip,
+    "q19_decimal38_quantities": q19_decimal38_quantities,
+    "q20_topk_sources": q20_topk_sources,
+}

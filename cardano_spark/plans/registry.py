@@ -1,0 +1,18 @@
+"""Aggregates every query family into the driver-facing registry."""
+
+from __future__ import annotations
+
+from cardano_spark.plans.oracles import RELATIONAL_ORACLES
+from cardano_spark.plans.queries import RELATIONAL_QUERIES, QueryFn
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(RELATIONAL_QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(RELATIONAL_ORACLES)
+    return out
