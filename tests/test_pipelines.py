@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests: E1 provider->raw, E2 raw->tables,
+E3 windowed full pipeline — against the deterministic fake transport."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardano_spark.pipelines import cardano
+from cardano_spark.watermark import DEFAULT_START_BLOCK
+from tests import fake_blockfrost
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return cardano.CardanoLake(spark, str(tmp_path / "lake"))
+
+
+BATCH = 40
+
+
+def test_blocks_end_to_end(lake):
+    window = cardano.blocks_to_raw(
+        lake, fake_blockfrost.transport, batch=BATCH, fetch_partitions=2
+    )
+    assert window == (DEFAULT_START_BLOCK, DEFAULT_START_BLOCK + BATCH - 1)
+    cardano.raw_blocks_to_table(lake)
+
+    blocks = lake.sink("cardano_blocks").read()
+    assert blocks.count() == BATCH
+    row = blocks.filter(F.col("height") == DEFAULT_START_BLOCK).collect()[0]
+    assert row["hash"] == fake_blockfrost.block_payload(DEFAULT_START_BLOCK)["hash"]
+    assert row["time"].year >= 2023  # unix -> timestamp conversion (C1)
+    assert row["created_at"] is not None
+
+    # watermark advanced -> second E1 run fetches the NEXT window
+    window2 = cardano.blocks_to_raw(
+        lake, fake_blockfrost.transport, batch=BATCH, fetch_partitions=2
+    )
+    assert window2[0] == window[1] + 1
+
+    # E2 replay is idempotent: re-merging the same raw files adds 0 rows
+    lake.s3_db_wm  # (watermark prevents re-read; force a full re-merge)
+    cardano.raw_blocks_to_table(lake)
+    total = lake.sink("cardano_blocks").read().count()
+    assert total == 2 * BATCH
+
+
+def test_block_transactions_gate_and_array_column(lake):
+    # child gated on parent: nothing to do before blocks ran
+    assert (
+        cardano.block_transactions_to_raw(lake, fake_blockfrost.transport, batch=BATCH)
+        is None
+    )
+    cardano.blocks_to_raw(lake, fake_blockfrost.transport, batch=BATCH)
+    w = cardano.block_transactions_to_raw(
+        lake, fake_blockfrost.transport, batch=BATCH, fetch_partitions=2
+    )
+    assert w is not None
+    cardano.raw_block_transactions_to_table(lake)
+    bt = lake.sink("cardano_block_transactions").read()
+    assert bt.count() == BATCH
+    row = bt.filter(F.col("block") == str(DEFAULT_START_BLOCK + 1)).collect()[0]
+    assert row["tx_hash"] == fake_blockfrost.tx_hashes_for_block(
+        DEFAULT_START_BLOCK + 1
+    )
+
+
+def test_full_tx_pipeline_five_tables(lake):
+    cardano.blocks_to_raw(lake, fake_blockfrost.transport, batch=BATCH)
+    cardano.block_transactions_to_raw(lake, fake_blockfrost.transport, batch=BATCH)
+    cardano.raw_block_transactions_to_table(lake)
+
+    start, end = DEFAULT_START_BLOCK, DEFAULT_START_BLOCK + BATCH - 1
+    cardano.full_tx_pipeline(
+        lake, fake_blockfrost.transport, start, end, window=BATCH
+    )
+
+    txs = lake.sink("cardano_transactions").read()
+    n_tx = txs.count()
+    expected_hashes = {
+        h
+        for height in range(start, end + 1)
+        for h in fake_blockfrost.tx_hashes_for_block(height)
+    }
+    assert n_tx == len(expected_hashes) > 0
+
+    # output_amount explode (the fixed §2.13 semantics): 2 per tx
+    out_amt = lake.sink("cardano_tx_output_amount").read()
+    assert out_amt.count() == 2 * n_tx
+
+    # 5-table flatten with FK integrity
+    parent = lake.sink("cardano_tx_utxo").read()
+    inputs = lake.sink("cardano_tx_utxo_input").read()
+    in_amt = lake.sink("cardano_tx_utxo_input_amount").read()
+    outputs = lake.sink("cardano_tx_utxo_output").read()
+    out_amt2 = lake.sink("cardano_tx_utxo_output_amount").read()
+    assert parent.count() == n_tx
+    assert inputs.count() > 0 and outputs.count() > 0
+    # FK: every child hash exists in transactions; every amount's
+    # parent_id exists in its parent table (FIXTURES.md invariants 1-2)
+    assert inputs.join(txs, "hash", "left_anti").count() == 0
+    assert (
+        in_amt.join(inputs.select(F.col("id").alias("parent_id")), "parent_id", "left_anti").count()
+        == 0
+    )
+    assert (
+        out_amt2.join(outputs.select(F.col("id").alias("parent_id")), "parent_id", "left_anti").count()
+        == 0
+    )
+    # Decimal(38,0) wide path survived (20-digit quantities)
+    assert (
+        in_amt.filter(
+            F.col("quantity") > F.lit(str(10**19)).cast("decimal(38,0)")
+        ).count()
+        > 0
+    )
+
+    # deterministic surrogate ids: re-running the full window produces
+    # identical ids -> merge adds zero rows anywhere
+    counts_before = {
+        t: lake.sink(t).read().count()
+        for t in (
+            "cardano_tx_utxo",
+            "cardano_tx_utxo_input",
+            "cardano_tx_utxo_input_amount",
+            "cardano_tx_utxo_output",
+            "cardano_tx_utxo_output_amount",
+        )
+    }
+    cardano.full_tx_pipeline(lake, fake_blockfrost.transport, start, end, window=BATCH)
+    for t, before in counts_before.items():
+        assert lake.sink(t).read().count() == before, t

@@ -1,0 +1,119 @@
+"""Unit tests: watermark store/gates, parquet merge sink, DB upsert
+sink (against duckdb as the ON CONFLICT database)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from cardano_spark.sinks.merge import DBUpsertSink, ParquetMergeSink
+from cardano_spark.watermark import (
+    DEFAULT_START_BLOCK,
+    ParquetWatermarkStore,
+    dependency_gate,
+    next_block_window,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def test_watermark_roundtrip(spark, tmp_path):
+    store = ParquetWatermarkStore(spark, str(tmp_path / "wm"), "block_height", T.LongType())
+    assert store.read_latest("cardano_blocks") is None
+    store.upsert("cardano_blocks", 100)
+    store.upsert("cardano_blocks", 200)
+    store.upsert("other_table", 999)
+    assert store.read_latest("cardano_blocks") == 200
+    # replayed upsert (PK dup) is harmless
+    store.upsert("cardano_blocks", 200)
+    assert store.read_latest("cardano_blocks") == 200
+
+
+def test_window_and_gate_logic():
+    assert next_block_window(None, 2000) == (DEFAULT_START_BLOCK, DEFAULT_START_BLOCK + 1999)
+    assert next_block_window(10, 5) == (11, 15)
+    assert dependency_gate(None, None) is None  # parent never ran
+    assert dependency_gate(None, 50) == (DEFAULT_START_BLOCK, 50) or dependency_gate(
+        None, DEFAULT_START_BLOCK + 50
+    ) == (DEFAULT_START_BLOCK, DEFAULT_START_BLOCK + 50)
+    assert dependency_gate(50, 50) is None  # caught up
+    assert dependency_gate(40, 50) == (41, 50)
+
+
+def test_parquet_merge_sink(spark, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    sink.merge(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    sink.merge(spark.createDataFrame([(2, "CHANGED"), (3, "c"), (3, "c2")], SCHEMA))
+    rows = {r.k: r.v for r in sink.read().collect()}
+    assert rows[1] == "a" and rows[2] == "b" and rows[3] in ("c", "c2")
+    assert len(rows) == 3
+
+
+def test_db_upsert_sink_on_conflict(spark, tmp_path):
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE target (k BIGINT PRIMARY KEY, v VARCHAR)")
+    con.execute("INSERT INTO target VALUES (1, 'existing')")
+    con.execute(
+        "CREATE TABLE wm (tbl VARCHAR, block_height BIGINT, created_at TIMESTAMP)"
+    )
+    con.close()
+
+    sink = DBUpsertSink(
+        connection_factory=lambda: duckdb.connect(db),
+        table="target",
+        columns=["k", "v"],
+        keys=["k"],
+    )
+    df = spark.createDataFrame([(1, "replayed"), (2, "new"), (2, "dup")], SCHEMA).withColumnRenamed("k", "k")
+    sink.merge(
+        df,
+        watermark_sql="INSERT INTO wm VALUES ('target', 2, now()::TIMESTAMP)",
+        via_driver=True,
+    )
+
+    con = duckdb.connect(db)
+    rows = dict(con.execute("SELECT k, v FROM target ORDER BY k").fetchall())
+    assert rows == {1: "existing", 2: "new"} or rows == {1: "existing", 2: "dup"}
+    assert con.execute("SELECT max(block_height) FROM wm").fetchone()[0] == 2
+    assert (
+        con.execute(
+            "SELECT count(*) FROM information_schema.tables WHERE table_name LIKE 'staging%'"
+        ).fetchone()[0]
+        == 0
+    )
+    con.close()
+
+
+def test_incremental_file_listing(spark, tmp_path):
+    """modifiedAfter semantics (S9/P3): only files newer than the
+    watermark are read."""
+    import json
+    import os
+    import time
+
+    from cardano_spark.sources.files import max_modified, read_json_zone
+
+    zone = tmp_path / "zone"
+    (zone / "old").mkdir(parents=True)
+    (zone / "new").mkdir(parents=True)
+    (zone / "old" / "a.json").write_text(json.dumps({"x": 1}))
+    old_mtime = time.time() - 3600
+    os.utime(zone / "old" / "a.json", (old_mtime, old_mtime))
+    (zone / "new" / "b.json").write_text(json.dumps({"x": 2}))
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    all_rows = read_json_zone(spark, str(zone / "*"), schema)
+    assert all_rows.count() == 2
+    wm = datetime.utcfromtimestamp(time.time() - 1800)
+    fresh = read_json_zone(spark, str(zone / "*"), schema, modified_after=wm)
+    assert [r.x for r in fresh.collect()] == [2]
+    assert max_modified(fresh) is not None
