@@ -1,0 +1,251 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+The reference's only dedup is insert-if-absent on primary keys
+(``ON CONFLICT DO NOTHING``, src/dao/cardano_block_dao.py:145 — see
+operators/relational.py). A 100 TB training corpus needs *content*
+dedup as well; these operators supply it Spark-first.
+
+Scale design (the part that matters at 1000 executors):
+- Nothing here is O(n^2) over the corpus. Pair generation always goes
+  through a *blocking key* (LSH band hash, SimHash band byte, or a
+  cheap attribute) so the self-join shuffles on the key and compares
+  only within buckets.
+- Signatures are pure column expressions (md5-based, see
+  functions/hashing.py) — computed map-side, codegen'd, no UDFs.
+- The candidate self-join is a plain shuffled equi-join: Catalyst/AQE
+  pick the strategy, and skewed buckets (a degenerate band value)
+  are handled by AQE skew-join splitting.
+- Verification (exact Jaccard on the candidate pairs) touches only
+  the candidates, never the corpus cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cardano_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    SIMHASH_BITS,
+    md5_long,
+    minhash_sig,
+)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: group by md5(text), keep the smallest id
+    as canonical. One hash-shuffle on the digest; map-side partial
+    aggregation makes the shuffle carry one row per distinct digest
+    per task."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays: one integer
+    intersection count, one IEEE division — deterministic everywhere."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_signature_cols(hashes: Column) -> list[Column]:
+    """The 16 MinHash signature values as columns sig0..sig15."""
+    return [
+        minhash_sig(hashes, a, b).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def lsh_band_cols() -> list[Column]:
+    """Band bucket ids: md5 over the '|'-joined signature slice of
+    each band (LSH_BANDS bands x LSH_ROWS rows)."""
+    out = []
+    for band in range(LSH_BANDS):
+        sigs = [
+            F.col(f"sig{j}").cast("string")
+            for j in range(band * LSH_ROWS, (band + 1) * LSH_ROWS)
+        ]
+        out.append(F.md5(F.concat_ws("|", *sigs)).alias(f"band{band}"))
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, shingles: Column, threshold: float
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
+
+    plan: signatures (map-side) -> explode to (band_idx, band_val)
+    -> self-join on the band bucket (shuffle on the bucket id, never
+    all-pairs) -> distinct candidate pair -> exact-Jaccard verify
+    against the (small) candidate set -> threshold filter.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        shingles.alias("_sh"),
+    ).select(
+        "_id",
+        "_sh",
+        *[
+            minhash_sig(md5_long_arr(F.col("_sh")), a, b).alias(f"sig{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig{j}").cast("string")
+                                    for j in range(
+                                        band * LSH_ROWS, (band + 1) * LSH_ROWS
+                                    )
+                                ],
+                            )
+                        ).alias("band_val"),
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_sh", "b.band_idx", "b.band_val")
+
+    left = banded.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def md5_long_arr(arr: Column) -> Column:
+    """Hash every array element to a 60-bit int (md5-based)."""
+    return F.transform(arr, md5_long)
+
+
+def simhash(hashes: Column) -> Column:
+    """SIMHASH_BITS-bit SimHash of a token-hash array: bit j is set
+    when more element hashes have bit j set than not. Expressed as
+    SIMHASH_BITS sequential integer folds — long codegen but pure
+    JVM expression, no shuffle, no UDF."""
+    def vote(j: int) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(hashes, F.lit(0).cast("long"), step)
+
+    fp = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(vote(j) > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_band(fp: Column, k: int) -> Column:
+    """k-th 8-bit band of a SimHash fingerprint (blocking key)."""
+    return F.shiftright(fp, 8 * k).bitwiseAND(F.lit(255))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, fp: Column, max_hamming: int
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the 4 byte-bands (a pair
+    within hamming<=max_hamming very likely agrees on >=1 full byte),
+    then verify with bit_count(xor) on candidates only."""
+    n_bands = SIMHASH_BITS // 8
+    based = df.select(F.col(id_col).alias("_id"), fp.alias("_fp")).select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        simhash_band(F.col("_fp"), k).alias("band_val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_fp", "b.band_idx", "b.band_val")
+    left = based.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band_idx", "band_val"
+    )
+    right = based.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    shingles: Column,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within cheap attribute blocks
+    (e.g. language): self-join shuffles on the block key; only
+    within-block pairs are compared."""
+    t = df.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), shingles.alias("_sh")
+    )
+    left = t.select(
+        F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a")
+    )
+    right = t.select(
+        F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_b")
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (`array<float>`):
+brute-force cosine top-k (the exactness baseline) and sign-LSH
+bucketed ANN (the scale path).
+
+Scale design:
+- The query set is small by construction (a handful of probe
+  vectors), so the brute-force path is a *broadcast* nested-loop
+  join: the corpus is scanned once, never shuffled.
+- The LSH path buckets both sides by an 8-bit random-hyperplane
+  signature; the join shuffles on the bucket id, so each corpus
+  vector is compared only against queries landing in its bucket.
+  At 100 TB you'd additionally probe multi-bucket (flip one bit);
+  the bucket assignment below is the deterministic core of that.
+- All float math is sequential-fold double arithmetic
+  (functions/hashing.fold_sum) so the DuckDB oracle reproduces
+  results bit-for-bit; float->double casts are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cardano_spark.functions.hashing import (
+    HYPERPLANES,
+    fold_sum,
+)
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (order-deterministic)."""
+    return fold_sum(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(fold_sum(F.transform(a, lambda x: x * x), F.lit(0.0)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """8-bit sign-LSH bucket: bit j = (vec . hyperplane_j) > 0."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(HYPERPLANES):
+        bucket = bucket + F.when(
+            dot(vec, plane_lit(plane)) > 0.0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k per query vector. ``queries`` must be small:
+    it is broadcast and the corpus is scanned exactly once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """ANN top-k: compare only within the query's sign-LSH bucket.
+    Recall < 1 by design; the bucket join replaces the corpus scan
+    per query with a shuffle on the 8-bit bucket id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def neardup_topk_per_block(
+    df: DataFrame, id_col: str, vec_col: str, block_col: str, k: int
+) -> DataFrame:
+    """Embedding-cosine near-dup: within each block (e.g. a cluster
+    label), the k highest-cosine pairs. The self-join shuffles on the
+    block key only."""
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("block"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    left = t.select(F.col("_id").alias("id_a"), "block", F.col("v").alias("va"))
+    right = t.select(F.col("_id").alias("id_b"), "block", F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("block").orderBy(
+        F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("block", "id_a", "id_b", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,480 @@
+"""Training-data pipeline queries (dedup / similarity / text /
+multimodal) over the ``documents`` and ``embeddings`` tables, with
+their DuckDB oracle twins co-located so the two dialects evolve in
+lockstep.
+
+These extend the reference's capability surface (its only dedup is
+PK insert-if-absent, src/dao/cardano_block_dao.py:145) with the
+content-level operations a 100 TB corpus pipeline needs. Pair
+queries run on deterministic ``doc_id % k`` demonstration slices —
+the operators themselves are blocking-key-based (never O(n^2), see
+operators/dedup.py scale notes); the slice only bounds oracle
+runtime at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from cardano_spark.catalog import table
+from cardano_spark.functions import text as TX
+from cardano_spark.functions.hashing import (
+    HYPERPLANES,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    POLY_MOD,
+    SIMHASH_BITS,
+    md5_long_sql,
+    minhash_sig_sql,
+    rolling_fingerprint,
+    rolling_fingerprint_sql,
+)
+from cardano_spark.operators import dedup as DD
+from cardano_spark.operators import multimodal as MM
+from cardano_spark.operators import similarity as SIM
+from cardano_spark.plans.queries import QueryFn
+
+# --------------------------------------------------------------------------
+# SQL text builders shared by several oracles
+# --------------------------------------------------------------------------
+
+_HASHES = f"list_transform(sh, s -> {md5_long_sql('s')})"
+
+
+def _sig_select() -> str:
+    """sig0..sig15 minhash columns over a shingle-hash list ``hs``."""
+    return ", ".join(
+        f"{minhash_sig_sql('hs', a, b)} AS sig{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+
+
+def _band_selects(src: str) -> str:
+    """UNION ALL of one SELECT per LSH band: (doc_id, band_idx, band_val)."""
+    parts = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(
+            f"sig{j}::VARCHAR" for j in range(band * LSH_ROWS, (band + 1) * LSH_ROWS)
+        )
+        parts.append(
+            f"SELECT doc_id, {band} AS band_idx, md5(concat_ws('|', {cols})) "
+            f"AS band_val FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _simhash_sql(hashes_expr: str) -> str:
+    """32-term SimHash expression (explicit per-bit folds — no nested
+    lambda reliance)."""
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform({hashes_expr}, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {1 << j}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_JACCARD = (
+    "len(list_filter(da.sh, x -> list_contains(db.sh, x)))::DOUBLE / "
+    "(len(da.sh) + len(db.sh) - len(list_filter(da.sh, x -> list_contains(db.sh, x))))::DOUBLE"
+)
+
+_COS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), "
+    "i -> va[i] * vb[i])), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(va, x -> x * x)), "
+    "(x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(vb, x -> x * x)), "
+    "(x, y) -> x + y)))"
+)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vec: str) -> str:
+    """8-bit sign-LSH bucket over a DOUBLE[] column expression."""
+    terms = []
+    for j, plane in enumerate(HYPERPLANES):
+        d = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            f"generate_series(1, 64), i -> {vec}[i] * ({_plane_sql(plane)})[i])), "
+            f"(x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {d} > 0.0 THEN {1 << j}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash-groupBy over the full corpus)."""
+    d = table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d, "doc_id", "text")
+
+
+def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 perms, 2 bands x 8 rows),
+    verified with exact unigram Jaccard >= 0.8."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return DD.minhash_lsh_pairs(
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    )
+
+
+def q23_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over the distinct-token hash set."""
+    d = table(spark, sf_dir, "documents")
+    hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
+    return d.select("doc_id", DD.simhash(hashes).alias("simhash"))
+
+
+def q24_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band blocking + hamming <= 8."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
+    withfp = d.select("doc_id", DD.simhash(hashes).alias("fp"))
+    return DD.simhash_pairs(withfp, "doc_id", F.col("fp"), max_hamming=8)
+
+
+def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard pairs within language blocks.
+    (The synthetic corpus shares vocabulary but not longer phrases:
+    3-gram Jaccard tops out at ~0.02, 2-gram at ~0.1 — the 0.05
+    threshold keeps the verification path non-trivially exercised.)"""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), threshold=0.05
+    )
+
+
+def q26_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-5 highest-cosine pairs per
+    cluster label (label = the blocking key)."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.neardup_topk_per_block(e, "vec_id", "embedding", "label", k=5)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def q27_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 8 probe vectors (broadcast NL join —
+    one corpus scan, no shuffle of the corpus)."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=10)
+
+
+def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5: compare only within the probe's
+    8-bit hyperplane bucket."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language scorer with deterministic argmax
+    (fixed lang order on ties)."""
+    d = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[TX.stopword_hits(toks, lg).cast("long").alias(f"s_{lg}") for lg in TX.LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(TX.LANGS):
+        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score")
+    )
+
+
+def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: fixed-order double formula over
+    stopword ratio, length score, punctuation ratio."""
+    d = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    s_en = TX.stopword_hits(toks, "en").cast("long")
+    punct = TX.punct_count(F.col("text")).cast("long")
+    stop_ratio = s_en.cast("double") / n_tok.cast("double")
+    len_score = F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    score = F.lit(0.5) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.2) * (
+        F.lit(1.0) - punct_ratio
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish regex tokenizations
+    plus mean token length (chars)."""
+    d = table(spark, sf_dir, "documents")
+    n_ws = F.size(TX.tokens(F.col("text"))).cast("long")
+    n_bpe = TX.token_count_regex(F.col("text")).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    avg_tok = (n_chars - (n_ws - F.lit(1))).cast("double") / n_ws.cast("double")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        avg_tok.alias("avg_token_chars"),
+    )
+
+
+def q32_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    d = table(spark, sf_dir, "documents")
+    hashes = DD.md5_long_arr(TX.tokens(F.col("text")))
+    return d.select("doc_id", rolling_fingerprint(hashes).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column -> Arrow-batched mapInPandas feature
+    extraction (deterministic fake decode; see operators/multimodal)."""
+    d = table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
+
+
+TRAININGDATA_QUERIES: dict[str, QueryFn] = {
+    "q21_exact_dedup": q21_exact_dedup,
+    "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
+    "q23_simhash_fingerprints": q23_simhash_fingerprints,
+    "q24_simhash_neardup_pairs": q24_simhash_neardup_pairs,
+    "q25_ngram_jaccard_pairs": q25_ngram_jaccard_pairs,
+    "q26_embedding_neardup_topk": q26_embedding_neardup_topk,
+    "q27_ann_brute_topk": q27_ann_brute_topk,
+    "q28_ann_lsh_topk": q28_ann_lsh_topk,
+    "q29_language_id": q29_language_id,
+    "q30_quality_score": q30_quality_score,
+    "q31_token_stats": q31_token_stats,
+    "q32_doc_fingerprint": q32_doc_fingerprint,
+    "q33_multimodal_features": q33_multimodal_features,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins
+# --------------------------------------------------------------------------
+
+def _langid_pred_sql() -> str:
+    pred = "NULL"
+    for lg in reversed(TX.LANGS):
+        pred = f"CASE WHEN s_{lg} = best THEN '{lg}' ELSE {pred} END"
+    return pred
+
+
+TRAININGDATA_ORACLES: dict[str, str] = {
+    "q21_exact_dedup": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "q22_minhash_lsh_neardup": f"""
+        WITH d AS (
+          SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+          FROM documents WHERE doc_id % 20 = 0
+        ), h AS (
+          SELECT doc_id, sh, {_HASHES} AS hs FROM d
+        ), sig AS (
+          SELECT doc_id, {_sig_select()} FROM h
+        ), bands AS (
+          {_band_selects('sig')}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_idx, band_val)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, {_JACCARD} AS jaccard
+        FROM cand
+        JOIN d da ON da.doc_id = cand.id_a
+        JOIN d db ON db.doc_id = cand.id_b
+        WHERE {_JACCARD} >= 0.8
+    """,
+    "q23_simhash_fingerprints": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({TX.distinct_tokens_sql('text')},
+                                s -> {md5_long_sql('s')}) AS hs
+          FROM documents
+        )
+        SELECT doc_id, {_simhash_sql('hs')} AS simhash FROM h
+    """,
+    "q24_simhash_neardup_pairs": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({TX.distinct_tokens_sql('text')},
+                                s -> {md5_long_sql('s')}) AS hs
+          FROM documents WHERE doc_id % 10 = 0
+        ), fp AS (
+          SELECT doc_id, {_simhash_sql('hs')} AS fp FROM h
+        ), bands AS (
+          SELECT doc_id, fp, 0 AS band_idx, (fp >> 0) & 255 AS band_val FROM fp
+          UNION ALL
+          SELECT doc_id, fp, 1, (fp >> 8) & 255 FROM fp
+          UNION ALL
+          SELECT doc_id, fp, 2, (fp >> 16) & 255 FROM fp
+          UNION ALL
+          SELECT doc_id, fp, 3, (fp >> 24) & 255 FROM fp
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+          FROM bands a JOIN bands b USING (band_idx, band_val)
+          WHERE a.doc_id < b.doc_id
+        ) WHERE hamming <= 8
+    """,
+    "q25_ngram_jaccard_pairs": f"""
+        WITH d AS (
+          SELECT doc_id, lang, {TX.ngram_shingles_sql('text', 2)} AS sh
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT da.doc_id AS id_a, db.doc_id AS id_b, {_JACCARD} AS jaccard
+        FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
+        WHERE {_JACCARD} >= 0.05
+    """,
+    "q26_embedding_neardup_topk": f"""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ), pairs AS (
+          SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_COS.replace('va', 'a.e').replace('vb', 'b.e')} AS cos_sim
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT block, id_a, id_b, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY block ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+          )::BIGINT AS rank FROM pairs
+        ) WHERE rank <= 5
+    """,
+    "q27_ann_brute_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 10
+    """,
+    "q28_ann_lsh_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 8
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "q29_language_id": f"""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 {', '.join(
+                     f"{TX.stopword_hits_sql(TX.tokens_sql('text'), lg)}::BIGINT AS s_{lg}"
+                     for lg in TX.LANGS
+                 )}
+          FROM documents
+        ), b AS (
+          SELECT *, greatest({', '.join('s_' + lg for lg in TX.LANGS)}) AS best FROM s
+        )
+        SELECT doc_id, lang, {_langid_pred_sql()} AS pred_lang, best AS best_score
+        FROM b
+    """,
+    "q30_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({TX.tokens_sql('text')})::BIGINT AS n_tok,
+                 length(text)::BIGINT AS n_chars,
+                 {TX.stopword_hits_sql(TX.tokens_sql('text'), 'en')}::BIGINT AS s_en,
+                 {TX.punct_count_sql('text')}::BIGINT AS punct
+          FROM documents
+        )
+        SELECT doc_id,
+               n_tok AS n_tokens,
+               punct AS n_punct,
+               s_en::DOUBLE / n_tok::DOUBLE AS stop_ratio,
+               0.5 * (s_en::DOUBLE / n_tok::DOUBLE)
+                 + 0.3 * (least(n_tok, 100)::DOUBLE / 100.0)
+                 + 0.2 * (1.0 - punct::DOUBLE / n_chars::DOUBLE) AS quality
+        FROM t
+    """,
+    "q31_token_stats": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({TX.tokens_sql('text')})::BIGINT AS n_ws,
+                 {TX.token_count_regex_sql('text')}::BIGINT AS n_bpe,
+                 length(text)::BIGINT AS n_chars
+          FROM documents
+        )
+        SELECT doc_id,
+               n_ws AS n_ws_tokens,
+               n_bpe AS n_bpe_tokens,
+               (n_chars - (n_ws - 1))::DOUBLE / n_ws::DOUBLE AS avg_token_chars
+        FROM t
+    """,
+    "q32_doc_fingerprint": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({TX.tokens_sql('text')},
+                                s -> {md5_long_sql('s')}) AS hs
+          FROM documents
+        )
+        SELECT doc_id, {rolling_fingerprint_sql('hs')} AS fingerprint FROM h
+    """,
+    "q33_multimodal_features": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               greatest(1, (octet_length(encode(text)) + 255) // 256)::BIGINT AS n_frames,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+}

@@ -1,0 +1,136 @@
+"""Behavioral tests for the training-data operators: the generic
+oracle-parity test (test_oracle_parity) checks engine equivalence;
+these check the operators do the *right thing* on planted inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardano_spark.functions import text as TX
+from cardano_spark.operators import dedup as DD
+from cardano_spark.operators import multimodal as MM
+from cardano_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1
+        (4, "completely different words about spark shuffles and partitions"),
+        (5, "another unrelated document mentioning catalyst and tungsten"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = DD.exact_dedup_groups(docs, "doc_id", "text").collect()
+    by_canon = {r.canonical_id: r.n_copies for r in out}
+    assert by_canon[1] == 2  # docs 1+2 collapse
+    assert by_canon[3] == 1 and by_canon[4] == 1 and by_canon[5] == 1
+
+
+def test_minhash_lsh_finds_planted_neardup(docs):
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # identical docs always collide
+    assert (1, 3) in found and (2, 3) in found  # planted near-dup
+    assert all({a, b} <= {1, 2, 3} for a, b in found)  # no false pairs
+    for r in pairs:
+        if (r.id_a, r.id_b) == (1, 2):
+            assert r.jaccard == 1.0
+
+
+def test_simhash_identical_and_distant(docs):
+    hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
+    fp = docs.select("doc_id", DD.simhash(hashes).alias("fp"))
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < 2**32
+    ham_13 = bin(vals[1] ^ vals[3]).count("1")
+    ham_14 = bin(vals[1] ^ vals[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated doc
+
+
+def test_simhash_pairs_blocking(docs):
+    hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
+    withfp = docs.select("doc_id", DD.simhash(hashes).alias("fp"))
+    pairs = DD.simhash_pairs(withfp, "doc_id", F.col("fp"), max_hamming=8)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found[(1, 2)] == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "en", "a b c d e f"),
+        (2, "en", "a b c d e g"),  # shares 4 of the 2-grams
+        (3, "en", "x y z w v u"),
+        (4, "de", "a b c d e f"),  # same text, different block -> not compared
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = DD.ngram_jaccard_pairs(
+        df, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 2) in found and found[(1, 2)] == pytest.approx(4 / 6)
+    assert (1, 4) not in found  # cross-block pair never generated
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.brute_force_topk(df, df.filter("vec_id = 0"), "vec_id", "embedding", k=3)
+    got = [(r.match_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert [m for m, _ in got] == [1, 2, 3]  # cos order: .994, 0, -1
+    assert all(m != 0 for m, _ in got)
+
+
+def test_lsh_bucket_groups_similar_vectors(spark):
+    rows = [
+        (0, [1.0] * 64),
+        (1, [1.0] * 63 + [0.9]),  # tiny perturbation -> same half-spaces
+        (2, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = df.select(
+        "vec_id", SIM.lsh_bucket(SIM.as_double(F.col("embedding"))).alias("bucket")
+    )
+    vals = {r.vec_id: r.bucket for r in b.collect()}
+    assert vals[0] == vals[1]
+    assert vals[2] == 255 - vals[0]  # -v flips every half-space: bit complement
+
+
+def test_multimodal_plumbing_and_stub(spark, docs):
+    payloads = MM.attach_payload(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = MM.extract_features(payloads, deterministic_fake=True)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[1].content_md5 == rows[2].content_md5
+    assert rows[1].n_bytes == len(rows[1].content_md5) * 0 + len(
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    assert rows[1].n_frames == 1
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"xx", "image/png", deterministic_fake=False)
+
+
+def test_language_id_scores_real_english(spark):
+    df = spark.createDataFrame(
+        [(1, "xx", "the cat is on the mat and it is happy")],
+        "doc_id long, lang string, text string",
+    )
+    toks = TX.tokens(F.col("text"))
+    hits = df.select(
+        *[TX.stopword_hits(toks, lg).alias(lg) for lg in TX.LANGS]
+    ).collect()[0]
+    assert hits["en"] > max(hits[lg] for lg in TX.LANGS if lg != "en")
