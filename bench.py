@@ -32,6 +32,15 @@ HEADLINE = [
     "q14_sessionize",
     "q15_hourly_rollup",
     "q20_topk_sources",
+    # training-data pipeline operators
+    "q21_exact_dedup",
+    "q22_minhash_lsh_neardup",
+    "q23_simhash_fingerprints",
+    "q26_embedding_neardup_topk",
+    "q27_ann_brute_topk",
+    "q29_language_id",
+    "q32_doc_fingerprint",
+    "q33_multimodal_features",
 ]
 
 

@@ -160,20 +160,39 @@ def md5_long_arr(arr: Column) -> Column:
 
 def simhash(hashes: Column) -> Column:
     """SIMHASH_BITS-bit SimHash of a token-hash array: bit j is set
-    when more element hashes have bit j set than not. Expressed as
-    SIMHASH_BITS sequential integer folds — long codegen but pure
-    JVM expression, no shuffle, no UDF."""
-    def vote(j: int) -> Column:
-        def step(acc: Column, h: Column) -> Column:
-            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    when more element hashes have bit j set than not.
 
-        return F.aggregate(hashes, F.lit(0).cast("long"), step)
-
-    fp = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        fp = fp + F.when(vote(j) > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-    return fp
+    Single-pass formulation: ONE fold over the hash array carrying a
+    SIMHASH_BITS-wide vote vector (nested higher-order lambdas --
+    zip_with inside aggregate), then one fold of the vote vector into
+    the fingerprint. The naive per-bit version (SIMHASH_BITS separate
+    ``aggregate`` calls) re-evaluates the element hashes once per bit
+    -- measured 5.6s vs ~0.6s on 5k docs at sf0.1. Integer votes are
+    identical either way, so the DuckDB oracle is unchanged."""
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda p: F.when(
+                    h.bitwiseAND(p) != 0, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_band(fp: Column, k: int) -> Column:

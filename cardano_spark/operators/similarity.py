@@ -66,19 +66,23 @@ def brute_force_topk(
     k: int,
 ) -> DataFrame:
     """Exact cosine top-k per query vector. ``queries`` must be small:
-    it is broadcast and the corpus is scanned exactly once."""
+    it is broadcast and the corpus is scanned exactly once. Norms are
+    computed per vector BEFORE the join (carried as a column through
+    the exchange) so each pair costs one dot product, not three."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -101,19 +105,29 @@ def lsh_topk(
     """ANN top-k: compare only within the query's sign-LSH bucket.
     Recall < 1 by design; the bucket join replaces the corpus scan
     per query with a shuffle on the 8-bit bucket id."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("qv")))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("cv")))
+        .withColumn("cn", norm(F.col("cv")))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
@@ -129,18 +143,30 @@ def neardup_topk_per_block(
 ) -> DataFrame:
     """Embedding-cosine near-dup: within each block (e.g. a cluster
     label), the k highest-cosine pairs. The self-join shuffles on the
-    block key only."""
+    block key only; per-vector norms are computed once before the
+    exchange, so each pair costs one dot product."""
     t = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("block"),
         as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    left = t.select(
+        F.col("_id").alias("id_a"), "block", F.col("v").alias("va"), F.col("n").alias("na")
     )
-    left = t.select(F.col("_id").alias("id_a"), "block", F.col("v").alias("va"))
-    right = t.select(F.col("_id").alias("id_b"), "block", F.col("v").alias("vb"))
+    right = t.select(
+        F.col("_id").alias("id_b"), "block", F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     pairs = (
         left.join(right, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("block", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("block").orderBy(
         F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")

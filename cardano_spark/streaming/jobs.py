@@ -1,0 +1,158 @@
+"""Structured Streaming layer.
+
+The reference is explicitly batch-only ("non-realtime",
+/root/reference/README.md:8-10); its two watermark tables
+(provider_to_s3 / s3_to_db import status,
+database_management/cardano/cardano_tables.py:220-244) are the batch
+analogue of streaming state. This module supplies the streaming
+forms Spark gives us natively:
+
+- a file-source stream over the events table (the streaming twin of
+  the S3-listing incremental scan, SURVEY §2.1 S9);
+- windowed/hourly aggregation (twin of the hypertable rollup q15);
+- a custom stateful operator via ``applyInPandasWithState`` that
+  tracks per-key ingest watermarks — the streaming re-expression of
+  the reference's import-status upserts (SURVEY §2.2 K5).
+
+Scale notes: file streams list incrementally (maxFilesPerTrigger
+bounds batch size); aggregations keep state in the state store
+(RocksDB on a real cluster); ``foreachBatch`` is the hook where the
+idempotent staging+merge sink (sinks/merge.py) plugs into a stream,
+giving the same exactly-once-per-key semantics the reference's
+``ON CONFLICT DO NOTHING`` load had.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: raw schema of events.parquet under nanosAsLong (ts is int64 nanos —
+#: see catalog._read_events for why).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_query_seq = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table. Globs the single
+    parquet file under ``sf_dir``; on a real deployment this is a
+    date-partitioned directory the stream lists incrementally."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Same aggregation as the batch q15 (hypertable-style rollup)
+    minus the distinct-user count: streaming aggregation state cannot
+    hold exact distincts (use ``approx_count_distinct`` when an
+    estimate is acceptable; exact distincts belong in a batch
+    compaction pass)."""
+    from cardano_spark.functions.scalars import dec, exact_double
+
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        exact_double(F.sum(dec("value"))).alias("total_value"),
+    )
+
+
+def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table; returns the final table as a batch DataFrame."""
+    spark = df.sparkSession
+    name = f"stream_out_{next(_query_seq)}_{hashlib.md5(df.schema.json().encode()).hexdigest()[:6]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: streaming ingest-watermark tracker
+# --------------------------------------------------------------------------
+
+WATERMARK_STATE_SCHEMA = "max_event_id LONG, n_events LONG"
+WATERMARK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("max_event_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _track_watermarks(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per event_type: fold each microbatch into (max_event_id,
+    n_events) state and emit the updated watermark row — the
+    streaming form of the reference's
+    ``INSERT ... ON CONFLICT`` import-status upsert
+    (src/dao/provider_to_s3_import_status_dao.py:38-49)."""
+    max_id, n = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        if len(pdf):
+            max_id = max(max_id, int(pdf["event_id"].max()))
+            n += len(pdf)
+    state.update((max_id, n))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "max_event_id": pd.Series([max_id], dtype="int64"),
+            "n_events": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+def watermark_tracker(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState over event_type: cumulative ingest
+    watermark per key, emitted every microbatch (update mode)."""
+    return (
+        events.select("event_id", "event_type")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _track_watermarks,
+            outputStructType=WATERMARK_OUTPUT_SCHEMA,
+            stateStructType=WATERMARK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

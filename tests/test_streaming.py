@@ -1,0 +1,81 @@
+"""Structured Streaming tests: stream/batch convergence and the
+custom stateful watermark-tracker operator (multi-batch)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardano_spark.catalog import table
+from cardano_spark.streaming.jobs import (
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    watermark_tracker,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_stream_hourly_rollup_equals_batch(spark):
+    streamed = run_to_memory(
+        hourly_rollup(read_events_stream(spark, SF_SMALL)), "complete"
+    ).orderBy("hour", "event_type")
+    batch = (
+        hourly_rollup(table(spark, SF_SMALL, "events"))
+        .orderBy("hour", "event_type")
+    )
+    assert streamed.collect() == batch.collect()
+
+
+@pytest.fixture()
+def two_file_events_dir(spark, tmp_path):
+    """Split the small events table into two parquet files so the
+    stream (maxFilesPerTrigger=1) runs two microbatches."""
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d, exist_ok=True)
+    ev = table(spark, SF_SMALL, "events")
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    # write raw long-nanos shape matching EVENTS_RAW_SCHEMA
+    for name, df in (("a", lo), ("b", hi)):
+        tmp = str(tmp_path / f"w_{name}")
+        df.withColumn("ts", (F.unix_micros("ts") * 1000)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(d, f"{name}_events.parquet"))
+    return d
+
+
+def test_watermark_tracker_cumulative_state(spark, two_file_events_dir):
+    from cardano_spark.streaming import jobs
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(two_file_events_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = run_to_memory(watermark_tracker(events), "update")
+    # update-mode memory sink appends one row per key per microbatch;
+    # state is cumulative (monotonic), so the max per key is the final
+    # state regardless of sink row order.
+    pdf = out.toPandas()
+    final = pdf.groupby("event_type").max()
+
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("max_event_id"), F.count("*").alias("n_events"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in batch.iterrows():
+        assert final.loc[et, "max_event_id"] == row["max_event_id"]
+        assert final.loc[et, "n_events"] == row["n_events"]
+    # multiple microbatches actually happened
+    assert len(pdf) > len(batch)
