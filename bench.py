@@ -38,6 +38,7 @@ HEADLINE = [
     "q23_simhash_fingerprints",
     "q26_embedding_neardup_topk",
     "q27_ann_brute_topk",
+    "q36_ann_ivf_topk",
     "q29_language_id",
     "q32_doc_fingerprint",
     "q33_multimodal_features",

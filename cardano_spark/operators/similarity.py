@@ -176,3 +176,82 @@ def neardup_topk_per_block(
         .filter(F.col("rank") <= k)
         .select("block", "id_a", "id_b", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    nprobe: int,
+    k: int,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists,
+    probe the ``nprobe`` nearest lists per query.
+
+    Centroids here are deterministically seeded (the first
+    ``n_centroids`` ids) so the DuckDB oracle can reproduce the
+    structure exactly; a production deployment trains them with
+    ``pyspark.ml.clustering.KMeans`` and broadcasts the model — the
+    assignment/probe/search plan below is identical either way.
+
+    Scale shape: assignment is a broadcast NL join against the tiny
+    centroid set (corpus scanned once, no shuffle); the probe->list
+    join shuffles on the centroid id only, so each query compares
+    against ~nprobe/n_centroids of the corpus.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    seeds = v.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+
+    def nearest(df: DataFrame, take: int, id_out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(seeds)).select(
+            F.col("vid"),
+            F.col("cid"),
+            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("c"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= take)
+            .select(F.col("vid").alias(id_out), "cid")
+        )
+
+    assign = nearest(v, 1, "match_id")
+    probes = nearest(
+        queries.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        ).withColumn("vn", norm(F.col("v"))),
+        nprobe,
+        "query_id",
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id")
+    )
+    qv = v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"))
+    mv = v.select(F.col("vid").alias("match_id"), F.col("v").alias("mv"), F.col("vn").alias("mn"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(mv, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("mv")) / (F.col("qn") * F.col("mn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )

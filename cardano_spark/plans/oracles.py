@@ -209,4 +209,17 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ORDER BY n_docs DESC, source ASC, lang ASC
         LIMIT 10
     """,
+    "q35_supplier_fulfillment": """
+        SELECT n_name,
+               count(DISTINCT regexp_extract(
+                 'https://www.' || lower(s_name) || '.example.com/home',
+                 '^(?:https?://)?(?:www\\.)?([^/.]+)', 1)) AS n_companies,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
 }

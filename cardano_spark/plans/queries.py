@@ -386,6 +386,38 @@ def q20_topk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(counts, [F.desc("n_docs"), F.asc("source"), F.asc("lang")], 10)
 
 
+def q35_supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side fulfillment rollup (J2 FK joins over the last
+    uncovered dimension table) + the C10 URL->company scalar
+    (reference ideascale/extract_company_from_company_link.py) over a
+    synthesized supplier homepage column. lineitem is the only fact;
+    supplier and nation broadcast."""
+    from cardano_spark.functions.scalars import company_from_url
+
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://www."), F.lower(F.col("s_name")), F.lit(".example.com/home")
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct(company_from_url(url)).alias("n_companies"),
+            F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("rev"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "n_name",
+            "n_companies",
+            exact_double(F.col("rev")).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -407,4 +439,5 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q18_unixtime_roundtrip": q18_unixtime_roundtrip,
     "q19_decimal38_quantities": q19_decimal38_quantities,
     "q20_topk_sources": q20_topk_sources,
+    "q35_supplier_fulfillment": q35_supplier_fulfillment,
 }

@@ -186,6 +186,16 @@ def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5)
 
 
+def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 10 seed centroids -> inverted lists -> probe
+    the 2 nearest lists per query -> exact top-5 within them."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return SIM.ivf_topk(
+        e, probes, "vec_id", "embedding", n_centroids=10, nprobe=2, k=5
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -278,6 +288,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q26_embedding_neardup_topk": q26_embedding_neardup_topk,
     "q27_ann_brute_topk": q27_ann_brute_topk,
     "q28_ann_lsh_topk": q28_ann_lsh_topk,
+    "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q29_language_id": q29_language_id,
     "q30_quality_score": q30_quality_score,
     "q31_token_stats": q31_token_stats,
@@ -405,6 +416,44 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                  {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
           FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
           WHERE q.vec_id < 8
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "q36_ann_ivf_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 10
+        ), assign AS (
+          SELECT vec_id AS match_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s
+          ) WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s WHERE v.vec_id < 8
+          ) WHERE rn <= 2
+        ), cand AS (
+          SELECT p.query_id, a.match_id
+          FROM probes p JOIN assign a USING (cid)
+          WHERE a.match_id <> p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'm.e')} AS cos_sim
+          FROM cand c
+          JOIN v q ON q.vec_id = c.query_id
+          JOIN v m ON m.vec_id = c.match_id
         )
         SELECT query_id, match_id, cos_sim, rank FROM (
           SELECT *, row_number() OVER (
