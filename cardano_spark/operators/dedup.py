@@ -137,19 +137,21 @@ def minhash_lsh_pairs(
         "band_idx",
         "band_val",
     )
-    cand = (
+    # Jaccard is computed BEFORE the pair-dedup: a pair colliding in
+    # both bands evaluates it twice map-side, but the dropDuplicates
+    # shuffle then carries only (id_a, id_b, jaccard) — never the
+    # shingle arrays. At corpus scale the array-free shuffle is the
+    # right trade (the double-collision fraction is small).
+    return (
         left.join(right, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.select(
+        .select(
             "id_a",
             "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -228,10 +230,11 @@ def simhash_pairs(
     right = based.select(
         F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band_idx", "band_val"
     )
+    # hamming filter runs before the pair-dedup so the distinct
+    # shuffle carries only surviving (id_a, id_b, hamming) rows.
     return (
         left.join(right, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
@@ -240,6 +243,7 @@ def simhash_pairs(
             ).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

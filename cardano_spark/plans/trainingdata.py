@@ -279,6 +279,22 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
 
 
+def q37_html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML scraping parse stage (C12): synthesize scraper-shaped
+    profile pages, extract applicant/team/company-link via the
+    Pandas-UDF parser (functions/html.py)."""
+    from cardano_spark.functions.html import parse_html_fields, synth_profile_html
+
+    d = table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        synth_profile_html(F.col("doc_id"), F.col("source"), F.col("lang")).alias(
+            "html"
+        ),
+    )
+    return parse_html_fields(pages)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -294,6 +310,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q31_token_stats": q31_token_stats,
     "q32_doc_fingerprint": q32_doc_fingerprint,
     "q33_multimodal_features": q33_multimodal_features,
+    "q37_html_field_extraction": q37_html_field_extraction,
 }
 
 
@@ -525,5 +542,21 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                greatest(1, (octet_length(encode(text)) + 255) // 256)::BIGINT AS n_frames,
                md5(text) AS content_md5
         FROM documents
+    """,
+    "q37_html_field_extraction": """
+        WITH pages AS (
+          SELECT doc_id,
+                 '<html><body><h1 class="applicant">user-' || doc_id::VARCHAR
+                 || '</h1><ul><li><span class="member">' || source
+                 || '</span></li><li><span class="member">' || lang
+                 || '</span></li></ul><a class="company" href="https://www.' || source
+                 || '.example.com">co</a></body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(html, '<h1 class="applicant">([^<]*)</h1>', 1) AS applicant,
+               regexp_extract_all(html, '<span class="member">([^<]*)</span>', 1) AS team,
+               regexp_extract(html, '<a class="company" href="([^"]*)"', 1) AS company_link
+        FROM pages
     """,
 }
