@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: pin the scale-critical plan
+properties (pushdown, pruning, broadcast, top-k, no cartesian
+blowups) so a refactor that silently degrades the plan fails CI,
+not the 100 TB run."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_filter_and_projection_pushdown(spark):
+    plan = _plan(spark, "q06_filter_pushdown")
+    assert "PushedFilters:" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "GreaterThan(value,100.0)" in plan
+    # ReadSchema pruned to the referenced columns only
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read or "value" in read  # 4 needed cols max
+    assert "user_id" in read and "lang" not in read
+
+
+def test_q01_partial_aggregation_and_pruned_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # two-phase agg: map-side partial before the exchange
+    assert plan.count("HashAggregate") >= 2
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in read  # unused columns pruned from the scan
+
+
+def test_q03_joins_are_broadcast(spark):
+    plan = _plan(spark, "q03_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_q02_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q02_top_parts_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q04_anti_join_strategy(spark):
+    plan = _plan(spark, "q04_stale_orders_anti_join")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q27_brute_force_is_broadcast_nl(spark):
+    plan = _plan(spark, "q27_ann_brute_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffled for scoring
+
+
+def test_dedup_pair_queries_never_cartesian(spark):
+    for name in (
+        "q22_minhash_lsh_neardup",
+        "q24_simhash_neardup_pairs",
+        "q25_ngram_jaccard_pairs",
+        "q26_embedding_neardup_topk",
+        "q36_ann_ivf_topk",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} fell back to cartesian"
