@@ -60,11 +60,17 @@ def main() -> None:
     # the plan, not first-touch overheads
     qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # best-of-N per query: the driver compares BENCH against BASELINE,
+    # so squeeze out GC/JIT noise (N=2 keeps total under a minute)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, repeat)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,92 @@
+"""Salted-join equivalence and randomized operator invariants
+(seeded — deterministic across runs)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cardano_spark.functions import text as TX
+from cardano_spark.operators import dedup as DD
+from cardano_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key (90% of fact rows)
+    fact = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dim = spark.range(300).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+    plain = fact.join(dim, "k").select("row_id", "k", "v", "name")
+    salted = salted_join(fact, dim, "k", F.col("row_id"), n_salts=8).select(
+        "row_id", "k", "v", "name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = spark.range(1000).select(
+        F.col("id").alias("row_id"), F.lit(7).alias("k")
+    )
+    n = (
+        fact.withColumn("_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n == 8  # the single hot key lands in all salt partitions
+
+
+def _random_docs(n: int, seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    return [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(n)
+    ]
+
+
+def test_jaccard_invariants_random(spark):
+    docs = spark.createDataFrame(_random_docs(60, seed=7), "doc_id long, text string")
+    pairs = DD.ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit(1)),
+        "doc_id",
+        "blk",
+        TX.distinct_tokens(F.col("text")),
+        threshold=0.0,
+    ).collect()
+    assert len(pairs) == 60 * 59 // 2  # threshold 0 keeps every pair
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+
+
+def test_simhash_depends_on_set_not_order(spark):
+    # simhash over DISTINCT tokens: permuting words changes nothing
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "e d c b a"), (3, "a b c d f")],
+        "doc_id long, text string",
+    )
+    fp = df.select(
+        "doc_id", DD.simhash(DD.md5_long_arr(TX.distinct_tokens(F.col("text")))).alias("fp")
+    )
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[1] == vals[2]
+    assert vals[1] != vals[3]
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    from cardano_spark.functions.hashing import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fp = df.select(
+        "doc_id",
+        rolling_fingerprint(DD.md5_long_arr(TX.tokens(F.col("text")))).alias("fp"),
+    )
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[1] != vals[2]
