@@ -79,3 +79,55 @@ def test_watermark_tracker_cumulative_state(spark, two_file_events_dir):
         assert final.loc[et, "n_events"] == row["n_events"]
     # multiple microbatches actually happened
     assert len(pdf) > len(batch)
+
+
+def test_stream_foreachbatch_into_merge_sink(spark, two_file_events_dir, tmp_path):
+    """The full incremental-pipeline story on a stream: each
+    microbatch lands through the idempotent merge sink, so replays
+    and overlapping batches cannot double-insert (the streaming form
+    of the reference's single-txn COPY + ON CONFLICT load)."""
+    from pyspark.sql import types as T
+
+    from cardano_spark.sinks.merge import ParquetMergeSink
+    from cardano_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    sink = ParquetMergeSink(spark, str(tmp_path / "events_table"), schema, ["event_id"])
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(two_file_events_dir)
+    )
+
+    def land(batch_df, _batch_id):
+        sink.merge(batch_df.select("event_id", "event_type"))
+
+    q = (
+        raw.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = table(spark, SF_SMALL, "events").count()
+    assert sink.read().count() == expected
+    # replaying the whole stream is a no-op (idempotent merge)
+    q2 = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(two_file_events_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert sink.read().count() == expected
