@@ -32,6 +32,8 @@ HEADLINE = [
     "q14_sessionize",
     "q15_hourly_rollup",
     "q20_topk_sources",
+    "q38_asof_prev_view",
+    "q39_range_join_clicks_before_error",
     # training-data pipeline operators
     "q21_exact_dedup",
     "q22_minhash_lsh_neardup",

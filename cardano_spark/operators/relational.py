@@ -48,6 +48,106 @@ def missing_children(
     return parents.join(children, list(on), "left_anti")
 
 
+def asof_join_prev(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    carry: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each ``left`` row, the latest ``right`` row with
+    the same ``on`` keys strictly earlier in ``order``. Spark has no
+    native ASOF JOIN; the naive form (inequality join + per-key top-1)
+    explodes to O(L×R) pairs per key. This is the scalable rewrite:
+    union both sides tagged, ONE shuffle on the key, and a single
+    window pass fills each left row with the last-seen right row's
+    carried columns (``last(..., ignorenulls)`` over an
+    UNBOUNDED PRECEDING .. 1 PRECEDING frame — the "1 PRECEDING"
+    makes the match strictly earlier and tie-safe, because ``order``
+    must be a total order within each key group).
+
+    ``carry`` columns are taken from ``right`` and returned as
+    ``prev_<name>`` on every ``left`` row (NULL when no earlier right
+    row exists). Both inputs must share the ``on`` + ``order`` columns;
+    ``left``'s other columns pass through.
+    """
+    from pyspark.sql import Window as W
+
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        *on, *order, *[F.col(c).alias(f"_carry_{c}") for c in carry]
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at identical order values so an
+    # exactly-tied right row is still "earlier" for deterministic output
+    w = (
+        W.partitionBy(*on)
+        .orderBy(*[F.col(c) for c in order], F.col("_side"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_carry_{c}"), ignorenulls=True).over(w).alias(f"prev_{c}")
+            for c in carry
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop(
+        "_side", *[f"_carry_{c}" for c in carry]
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_point_us: Column,
+    right_point_us: Column,
+    window_us: int,
+    out: str = "n_in_range",
+) -> DataFrame:
+    """Count, per ``left`` row, the ``right`` rows with equal ``on``
+    keys whose time point lies in ``[left_point - window, left_point)``.
+
+    A raw inequality join plans as BroadcastNestedLoop / O(L×R) per
+    key. The scale rewrite is *bin bucketing*: both sides are keyed by
+    ``floor(point / window)``; each left row probes its own bin and
+    the previous one (the interval spans at most two bins), so the
+    join is a plain equi shuffle join on (keys, bin) with 2× fan-out
+    of the left side only, then the exact range predicate filters
+    within buckets. Left rows with no matches are kept with count 0.
+    """
+    lt = left.withColumn("_p", left_point_us)
+    rt = right.select(
+        *on, right_point_us.alias("_q")
+    ).withColumn("_bin", F.floor(F.col("_q") / F.lit(window_us)))
+    probes = lt.withColumn(
+        "_bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("_p") / F.lit(window_us)) - 1,
+                F.floor(F.col("_p") / F.lit(window_us)),
+            )
+        ),
+    )
+    # a right row's single bin meets each left row at most once, so no
+    # pair dedup is needed after the 2-bin probe explode
+    hits = (
+        probes.join(rt, [*on, "_bin"], "inner")
+        .filter(
+            (F.col("_q") >= F.col("_p") - F.lit(window_us))
+            & (F.col("_q") < F.col("_p"))
+        )
+        .groupBy(*left.columns, "_p")
+        .agg(F.count("*").alias(out))
+    )
+    return (
+        lt.join(hits.select(*left.columns, out), list(left.columns), "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+        .drop("_p")
+    )
+
+
 def with_running(
     df: DataFrame,
     partition: Sequence[str],

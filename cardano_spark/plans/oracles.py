@@ -222,4 +222,43 @@ RELATIONAL_ORACLES: dict[str, str] = {
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # Mirrors the Spark union+window as-of rewrite verbatim (DuckDB's
+    # native ASOF JOIN leaves same-timestamp tie order unspecified, so
+    # the oracle re-states the exact construction instead).
+    "q38_asof_prev_view": """
+        WITH u AS (
+          SELECT event_id, user_id, ts, 1 AS side,
+                 NULL::BIGINT AS carry_id, NULL::TIMESTAMP AS carry_ts
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id, user_id, ts, 0 AS side, event_id, ts
+          FROM events WHERE event_type = 'view'
+        ),
+        filled AS (
+          SELECT event_id, user_id, ts, side,
+                 last_value(carry_id IGNORE NULLS) OVER w AS prev_view_id,
+                 last_value(carry_ts IGNORE NULLS) OVER w AS prev_view_ts
+          FROM u
+          WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts, event_id, side
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+          )
+        )
+        SELECT event_id AS click_id, user_id, ts AS click_ts,
+               prev_view_id, prev_view_ts
+        FROM filled WHERE side = 1
+    """,
+    "q39_range_join_clicks_before_error": """
+        SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+               count(c.event_id) AS n_clicks
+        FROM events e
+        LEFT JOIN events c
+          ON c.event_type = 'click'
+         AND c.user_id = e.user_id
+         AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+         AND epoch_us(c.ts) <  epoch_us(e.ts)
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.user_id, e.ts
+    """,
 }

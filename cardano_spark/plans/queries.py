@@ -32,8 +32,10 @@ from cardano_spark.functions.scalars import (
     surrogate_id,
 )
 from cardano_spark.operators.relational import (
+    asof_join_prev,
     insert_if_absent,
     missing_children,
+    range_join_count,
     topk,
     with_running,
 )
@@ -428,6 +430,64 @@ def q35_supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the user's latest
+    earlier view event. Spark lacks ASOF JOIN; the union+window
+    rewrite (operators/relational.py::asof_join_prev) does ONE
+    shuffle on user_id instead of an O(L x R)-per-key inequality
+    join — at 100 TB the naive form is a BroadcastNestedLoop that
+    never finishes; this form scales like any window aggregate."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
+    views = e.filter(F.col("event_type") == "view").drop("event_type")
+    joined = asof_join_prev(
+        clicks,
+        views,
+        on=["user_id"],
+        order=["ts", "event_id"],
+        carry=["event_id", "ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("prev_event_id").alias("prev_view_id"),
+        F.col("prev_ts").alias("prev_view_ts"),
+    )
+
+
+def q39_range_join_clicks_before_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join via bin bucketing: per error event, how many clicks
+    the same user made in the preceding 10 minutes. The bucketed
+    rewrite (operators/relational.py::range_join_count) turns the
+    inequality join into an equi shuffle join on (user, time-bin)
+    with 2x fan-out of the probe side only."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    errors = e.filter(F.col("event_type") == "error").drop("event_type")
+    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
+    counted = range_join_count(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_point_us=F.unix_micros(F.col("ts")),
+        right_point_us=F.unix_micros(F.col("ts")),
+        window_us=600 * 1_000_000,
+        out="n_clicks",
+    )
+    return counted.select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        "n_clicks",
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -450,4 +510,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q19_decimal38_quantities": q19_decimal38_quantities,
     "q20_topk_sources": q20_topk_sources,
     "q35_supplier_fulfillment": q35_supplier_fulfillment,
+    "q38_asof_prev_view": q38_asof_prev_view,
+    "q39_range_join_clicks_before_error": q39_range_join_clicks_before_error,
 }

@@ -39,3 +39,88 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     rows = topk(df, [F.desc("v"), F.asc("id")], 5).collect()
     assert len(rows) == 5 and rows[0].v == 6
+
+
+def test_asof_join_prev_picks_latest_earlier(spark):
+    from cardano_spark.operators.relational import asof_join_prev
+
+    left = spark.createDataFrame(
+        [(10, 1, 100), (11, 1, 200), (12, 2, 50)], "event_id long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 90), (2, 1, 150), (3, 1, 300), (4, 3, 10)],
+        "event_id long, k long, t long",
+    )
+    out = {
+        r.event_id: (r.prev_event_id, r.prev_t)
+        for r in asof_join_prev(
+            left, right, on=["k"], order=["t", "event_id"], carry=["event_id", "t"]
+        ).collect()
+    }
+    assert out[10] == (1, 90)  # only t=90 precedes t=100
+    assert out[11] == (2, 150)  # latest earlier, not the later t=300
+    assert out[12] == (None, None)  # no right rows for k=2
+
+
+def test_asof_join_prev_tie_is_earlier(spark):
+    """A right row at exactly the left row's order value counts as
+    earlier (right rows sort before left at ties via _side)."""
+    from cardano_spark.operators.relational import asof_join_prev
+
+    left = spark.createDataFrame([(10, 1, 100)], "event_id long, k long, t long")
+    right = spark.createDataFrame([(1, 1, 100)], "event_id long, k long, t long")
+    row = asof_join_prev(
+        left, right, on=["k"], order=["t"], carry=["event_id"]
+    ).collect()[0]
+    assert row.prev_event_id == 1
+
+
+def test_range_join_count_window_edges(spark):
+    from cardano_spark.operators.relational import range_join_count
+
+    left = spark.createDataFrame([(1, 1, 1000)], "event_id long, k long, us long")
+    right = spark.createDataFrame(
+        # window [900, 1000): 900 in, 999 in, 1000 (self-time) out, 899 out
+        [(1, 900), (1, 999), (1, 1000), (1, 899), (2, 950)], "k long, us long"
+    )
+    out = range_join_count(
+        left,
+        right,
+        on=["k"],
+        left_point_us=F.col("us"),
+        right_point_us=F.col("us"),
+        window_us=100,
+        out="n",
+    ).collect()
+    assert len(out) == 1 and out[0].n == 2
+
+
+def test_range_join_count_keeps_zero_match_rows(spark):
+    from cardano_spark.operators.relational import range_join_count
+
+    left = spark.createDataFrame([(1, 1, 1000), (2, 9, 1000)], "event_id long, k long, us long")
+    right = spark.createDataFrame([(1, 950)], "k long, us long")
+    out = {r.event_id: r.n for r in range_join_count(
+        left, right, on=["k"],
+        left_point_us=F.col("us"), right_point_us=F.col("us"),
+        window_us=100, out="n",
+    ).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of rewrite must not plan an inequality join: no
+    BroadcastNestedLoop / CartesianProduct anywhere."""
+    from cardano_spark.operators.relational import asof_join_prev
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 5).alias("k"), F.col("id").alias("t")
+    )
+    right = left.select("event_id", "k", (F.col("t") * 2).alias("t"))
+    plan = (
+        asof_join_prev(left, right, on=["k"], order=["t", "event_id"], carry=["t"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
