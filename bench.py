@@ -44,6 +44,7 @@ HEADLINE = [
     "q29_language_id",
     "q32_doc_fingerprint",
     "q33_multimodal_features",
+    "q40_trainingdata_pipeline",
 ]
 
 

@@ -295,6 +295,62 @@ def q37_html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_html_fields(pages)
 
 
+def q40_trainingdata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline a 100 TB training-data
+    job actually runs: exact dedup (keep the lowest doc_id per content
+    hash) -> language-ID gate (prediction must agree with the label)
+    -> quality-score gate -> per-(lang, source) corpus stats.
+
+    Scale shape: one shuffle on the content hash for dedup, one on
+    doc_id for the keep-list semi-join, then every scalar gate is a
+    narrow projection (no shuffle), and the final aggregate shuffles
+    only group keys. Aggregates are order-free on purpose (long sums,
+    min/max of doubles) — never a float sum across rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    canon = (
+        d.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = d.join(canon, "doc_id", "semi")
+
+    toks = TX.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    punct = TX.punct_count(F.col("text")).cast("long")
+    stop_ratio = TX.stopword_hits(toks, "en").cast("long").cast("double") / n_tok.cast(
+        "double"
+    )
+    # identical operation order to q30 so the per-row doubles match
+    quality = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * (F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct.cast("double") / n_chars.cast("double"))
+    )
+    staged = kept.select(
+        "lang",
+        "source",
+        n_tok.alias("n_tok"),
+        quality.alias("quality"),
+        *[TX.stopword_hits(toks, lg).cast("long").alias(f"s_{lg}") for lg in TX.LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(TX.LANGS):
+        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return (
+        staged.filter((pred == F.col("lang")) & (F.col("quality") >= 0.40))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -311,6 +367,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q32_doc_fingerprint": q32_doc_fingerprint,
     "q33_multimodal_features": q33_multimodal_features,
     "q37_html_field_extraction": q37_html_field_extraction,
+    "q40_trainingdata_pipeline": q40_trainingdata_pipeline,
 }
 
 
@@ -558,5 +615,35 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                regexp_extract_all(html, '<span class="member">([^<]*)</span>', 1) AS team,
                regexp_extract(html, '<a class="company" href="([^"]*)"', 1) AS company_link
         FROM pages
+    """,
+    "q40_trainingdata_pipeline": f"""
+        WITH canon AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), kept AS (
+          SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM canon)
+        ), t AS (
+          SELECT lang, source,
+                 len({TX.tokens_sql('text')})::BIGINT AS n_tok,
+                 length(text)::BIGINT AS n_chars,
+                 {TX.punct_count_sql('text')}::BIGINT AS punct,
+                 {', '.join(
+                     f"{TX.stopword_hits_sql(TX.tokens_sql('text'), lg)}::BIGINT AS s_{lg}"
+                     for lg in TX.LANGS
+                 )}
+          FROM kept
+        ), b AS (
+          SELECT *, greatest({', '.join('s_' + lg for lg in TX.LANGS)}) AS best,
+                 0.5 * (s_en::DOUBLE / n_tok::DOUBLE)
+                   + 0.3 * (least(n_tok, 100)::DOUBLE / 100.0)
+                   + 0.2 * (1.0 - punct::DOUBLE / n_chars::DOUBLE) AS quality
+          FROM t
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               min(quality) AS min_quality,
+               max(quality) AS max_quality
+        FROM b
+        WHERE {_langid_pred_sql()} = lang AND quality >= 0.40
+        GROUP BY lang, source
     """,
 }
