@@ -112,3 +112,20 @@ def rolling_fingerprint_sql(hashes_expr: str) -> str:
         f"list_reduce(list_prepend(0::BIGINT, {hashes_expr}), "
         f"(acc, h) -> (acc * 31 + (h % {POLY_MOD})) % {POLY_MOD})"
     )
+
+
+def hash_bucket(col: Column, n_buckets: int, salt: str = "split") -> Column:
+    """Deterministic content-hash bucket in [0, n_buckets): the
+    primitive for reproducible train/val/test splits and hash-based
+    sampling. Unlike ``rand()`` / ``TABLESAMPLE``, the assignment is a
+    pure function of the key, so it survives task retries, re-runs,
+    and repartitioning — the same properties that forced sha2
+    surrogate ids over uuid4 (SURVEY §7). The salt decorrelates
+    independent splits over the same keys."""
+    return md5_long(F.concat(F.lit(salt + "|"), col.cast("string"))) % F.lit(n_buckets)
+
+
+def hash_bucket_sql(expr: str, n_buckets: int, salt: str = "split") -> str:
+    """DuckDB text twin of :func:`hash_bucket`."""
+    keyed = f"'{salt}|' || ({expr})::VARCHAR"
+    return f"{md5_long_sql(keyed)} % {n_buckets}"

@@ -27,6 +27,8 @@ from cardano_spark.functions.hashing import (
     MINHASH_PERMS,
     POLY_MOD,
     SIMHASH_BITS,
+    hash_bucket,
+    hash_bucket_sql,
     md5_long_sql,
     minhash_sig_sql,
     rolling_fingerprint,
@@ -351,6 +353,20 @@ def q40_trainingdata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via content-hash
+    bucketing (functions/hashing.py::hash_bucket). Pure projection —
+    no shuffle, no sample(): the assignment is a function of the key,
+    so it is stable under retries, re-runs, and repartitioning, and
+    any shard of a 100 TB corpus can be split independently."""
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", b.alias("bucket"), split.alias("split"))
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -368,6 +384,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q33_multimodal_features": q33_multimodal_features,
     "q37_html_field_extraction": q37_html_field_extraction,
     "q40_trainingdata_pipeline": q40_trainingdata_pipeline,
+    "q41_stratified_split": q41_stratified_split,
 }
 
 
@@ -645,5 +662,16 @@ TRAININGDATA_ORACLES: dict[str, str] = {
         FROM b
         WHERE {_langid_pred_sql()} = lang AND quality >= 0.40
         GROUP BY lang, source
+    """,
+    "q41_stratified_split": f"""
+        SELECT doc_id, lang, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, lang,
+                 {hash_bucket_sql('doc_id', 100)} AS bucket
+          FROM documents
+        )
     """,
 }
