@@ -272,3 +272,54 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup-cluster resolution: connected components over a
+    near-dup pair graph, by iterative min-label propagation.
+
+    ``nodes`` has one ``id_col`` column; ``edges`` has (``a``, ``b``)
+    undirected pairs (either orientation). Returns (``node``,
+    ``cluster_id``) where ``cluster_id`` is the minimum member id —
+    deterministic, so retry/re-run stable.
+
+    Scale notes: each iteration is one shuffle-join on the edge key
+    plus a min-aggregate; lineage is cut per iteration with
+    ``localCheckpoint`` so plans don't grow. Converges in O(diameter)
+    iterations — near-dup clusters are shallow (shared-signal stars),
+    so 2-4 passes in practice; for adversarial long chains switch the
+    iteration body to alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which is
+    O(log d) with the same per-round shape.
+    """
+    sym = edges.select(F.col("a"), F.col("b")).union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels, sym["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "cluster_id")
+        new = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "_old"), "node")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -261,4 +261,16 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WHERE e.event_type = 'error'
         GROUP BY e.event_id, e.user_id, e.ts
     """,
+    "q43_topn_per_group": """
+        SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+                 ) AS rn
+          FROM lineitem
+        )
+        WHERE rn <= 3
+    """,
 }

@@ -488,6 +488,24 @@ def q39_range_join_clicks_before_error(
     )
 
 
+def q43_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items per return flag by price: the row_number
+    partition-window form of per-group top-k. One shuffle on the
+    group key; the full sort is per-partition only, so the pattern
+    scales with group cardinality, not table size. Tie-broken to a
+    total order (price desc, orderkey, linenumber) so LIMIT-like
+    semantics are deterministic cross-engine."""
+    l = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -512,4 +530,5 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q35_supplier_fulfillment": q35_supplier_fulfillment,
     "q38_asof_prev_view": q38_asof_prev_view,
     "q39_range_join_clicks_before_error": q39_range_join_clicks_before_error,
+    "q43_topn_per_group": q43_topn_per_group,
 }

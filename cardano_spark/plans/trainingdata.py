@@ -353,6 +353,45 @@ def q40_trainingdata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster resolution: union two blocking signals (shared
+    20-char text prefix, shared 20-char suffix) into a pair graph,
+    then connected components via iterative min-label propagation
+    (operators/dedup.py::connected_components). This is the union-
+    find step every multi-signal dedup pipeline needs before keeping
+    one canonical doc per cluster; cluster_id = min doc_id, so the
+    output is deterministic. The oracle re-states reachability as a
+    DuckDB recursive CTE."""
+    d = table(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("pre"),
+        F.right(F.col("text"), F.lit(20)).alias("suf"),
+    )
+    edges = None
+    for k in ("pre", "suf"):
+        a = keys.select(F.col("doc_id").alias("a"), F.col(k).alias("_k"))
+        b = keys.select(F.col("doc_id").alias("b"), F.col(k).alias("_k"))
+        e = a.join(b, "_k").filter(F.col("a") < F.col("b")).select("a", "b")
+        edges = e if edges is None else edges.union(e)
+    comp = DD.connected_components(
+        d.select("doc_id"), edges.dropDuplicates(["a", "b"]), id_col="doc_id"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def q42_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens, global term frequencies,
+    top-50 — the first step of any tokenizer/BPE training run. The
+    explode shuffles once on the token key with map-side partial
+    aggregation, then TakeOrderedAndProject; no driver-side
+    collection, so the same plan holds at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(50)
+
+
 def q41_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split via content-hash
     bucketing (functions/hashing.py::hash_bucket). Pure projection —
@@ -385,6 +424,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q37_html_field_extraction": q37_html_field_extraction,
     "q40_trainingdata_pipeline": q40_trainingdata_pipeline,
     "q41_stratified_split": q41_stratified_split,
+    "q42_vocab_topk": q42_vocab_topk,
+    "q44_dedup_clusters": q44_dedup_clusters,
 }
 
 
@@ -662,6 +703,32 @@ TRAININGDATA_ORACLES: dict[str, str] = {
         FROM b
         WHERE {_langid_pred_sql()} = lang AND quality >= 0.40
         GROUP BY lang, source
+    """,
+    "q44_dedup_clusters": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, substr(text, 1, 20) AS pre, right(text, 20) AS suf
+              FROM documents),
+        e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.pre = y.pre AND x.doc_id <> y.doc_id
+          UNION
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.suf = y.suf AND x.doc_id <> y.doc_id
+        ),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+        )
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM walk GROUP BY node
+    """,
+    "q42_vocab_topk": """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 50
     """,
     "q41_stratified_split": f"""
         SELECT doc_id, lang, bucket,
