@@ -134,3 +134,15 @@ def test_language_id_scores_real_english(spark):
         *[TX.stopword_hits(toks, lg).alias(lg) for lg in TX.LANGS]
     ).collect()[0]
     assert hits["en"] > max(hits[lg] for lg in TX.LANGS if lg != "en")
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a 4-node chain (diameter > 1 forces multiple propagation
+    # rounds), a separate pair, and an isolated node
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 6)], "a long, b long"
+    )
+    out = DD.connected_components(nodes, edges, id_col="doc_id")
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
