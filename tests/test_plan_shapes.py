@@ -68,3 +68,22 @@ def test_dedup_pair_queries_never_cartesian(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} fell back to cartesian"
+
+
+def test_q42_vocab_topk_partial_agg_then_take_ordered(spark):
+    plan = _plan(spark, "q42_vocab_topk")
+    assert plan.count("HashAggregate") >= 2  # map-side partial count
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read and "lang" not in read  # scan pruned to text
+
+
+def test_q43_topn_per_group_single_shuffle(spark):
+    plan = _plan(spark, "q43_topn_per_group")
+    assert plan.count("Exchange") == 1  # one shuffle on the group key
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_q41_split_is_shuffle_free(spark):
+    plan = _plan(spark, "q41_stratified_split")
+    assert "Exchange" not in plan  # pure projection over the scan
