@@ -283,8 +283,10 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q37_html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML scraping parse stage (C12): synthesize scraper-shaped
-    profile pages, extract applicant/team/company-link via the
-    Pandas-UDF parser (functions/html.py)."""
+    profile pages, extract applicant / team / company-link /
+    feasibility-text via built-in regexp functions (functions/html.py
+    — the Pandas-UDF path exists only behind the BS4 gate). ``team``
+    is a '|'-joined scalar on both engines so results hash-compare."""
     from cardano_spark.functions.html import parse_html_fields, synth_profile_html
 
     d = table(spark, sf_dir, "documents")
@@ -665,13 +667,18 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                  || '</h1><ul><li><span class="member">' || source
                  || '</span></li><li><span class="member">' || lang
                  || '</span></li></ul><a class="company" href="https://www.' || source
-                 || '.example.com">co</a></body></html>' AS html
+                 || '.example.com">co</a><div class="feasibility">Feasibility: '
+                 || lang || ' rollout via ' || source
+                 || '</div></body></html>' AS html
           FROM documents
         )
         SELECT doc_id,
                regexp_extract(html, '<h1 class="applicant">([^<]*)</h1>', 1) AS applicant,
-               regexp_extract_all(html, '<span class="member">([^<]*)</span>', 1) AS team,
-               regexp_extract(html, '<a class="company" href="([^"]*)"', 1) AS company_link
+               array_to_string(
+                 regexp_extract_all(html, '<span class="member">([^<]*)</span>', 1),
+                 '|') AS team,
+               regexp_extract(html, '<a class="company" href="([^"]*)"', 1) AS company_link,
+               regexp_extract(html, '<div class="feasibility">([^<]*)</div>', 1) AS feasibility
         FROM pages
     """,
     "q40_trainingdata_pipeline": f"""

@@ -87,3 +87,13 @@ def test_q43_topn_per_group_single_shuffle(spark):
 def test_q41_split_is_shuffle_free(spark):
     plan = _plan(spark, "q41_stratified_split")
     assert "Exchange" not in plan  # pure projection over the scan
+
+
+def test_q37_html_parse_is_jvm_side(spark):
+    """The default (regex) parse path must be built-in expressions —
+    no Python evaluation node (mapInPandas is reserved for the
+    BS4-gated real-HTML branch)."""
+    plan = _plan(spark, "q37_html_field_extraction")
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert node not in plan
+    assert "Exchange" not in plan  # narrow projection, shuffle-free
