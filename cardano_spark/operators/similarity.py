@@ -235,20 +235,22 @@ def ivf_topk(
             .select(F.col("vid").alias(id_out), "cid")
         )
 
+    q = queries.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
     assign = nearest(v, 1, "match_id")
-    probes = nearest(
-        queries.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-        ).withColumn("vn", norm(F.col("v"))),
-        nprobe,
-        "query_id",
-    )
+    probes = nearest(q, nprobe, "query_id")
     cand = (
         probes.join(assign, "cid")
         .filter(F.col("match_id") != F.col("query_id"))
         .select("query_id", "match_id")
     )
-    qv = v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"))
+    # query vectors come from the (small-by-contract) queries frame —
+    # NEVER from the corpus: broadcasting a corpus-derived frame here
+    # would OOM the executors at scale even though ids overlap locally.
+    qv = q.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
     mv = v.select(F.col("vid").alias("match_id"), F.col("v").alias("mv"), F.col("vn").alias("mn"))
     scored = (
         cand.join(F.broadcast(qv), "query_id")

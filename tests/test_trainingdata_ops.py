@@ -95,6 +95,32 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     assert all(m != 0 for m, _ in got)
 
 
+def test_ivf_topk_external_queries(spark):
+    """Query vectors must come from the queries frame, not the corpus:
+    probes whose ids do NOT exist in the corpus still resolve (the
+    round-1 corpus-broadcast formulation returned nothing here, and
+    would OOM broadcasting a corpus-derived frame at scale)."""
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.1, 0.9, 0.0]),
+            (4, [0.95, 0.0, 0.05]),
+            (5, [0.0, 0.95, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.99, 0.01, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = SIM.ivf_topk(
+        corpus, queries, "vec_id", "embedding", n_centroids=2, nprobe=1, k=2
+    )
+    got = [(r.query_id, r.match_id) for r in out.orderBy("rank").collect()]
+    assert got == [(100, 0), (100, 4)]  # probe lands in centroid-0's list
+
+
 def test_lsh_bucket_groups_similar_vectors(spark):
     rows = [
         (0, [1.0] * 64),
