@@ -85,15 +85,20 @@ def minhash_lsh_pairs(
 
     plan: signatures (map-side) -> explode to (band_idx, band_val)
     -> self-join on the band bucket (shuffle on the bucket id, never
-    all-pairs) -> distinct candidate pair -> exact-Jaccard verify
-    against the (small) candidate set -> threshold filter.
+    all-pairs) -> distinct candidate id-pairs -> re-join the shingle
+    arrays by id -> exact-Jaccard verify -> threshold filter.
+
+    The band self-join and the candidate dedup shuffle carry ONLY
+    (id, band) / (id_a, id_b) rows — never the shingle arrays. At
+    corpus scale the array-bearing exchange dominated the old plan
+    (each doc's array traveled once per band on both sides); now
+    each array travels at most once per candidate-pair membership,
+    and only after banding has pruned the pair space. Pinned by
+    tests/test_plan_shapes.py (no array type in the band exchanges).
     """
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        shingles.alias("_sh"),
-    ).select(
+    t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+    sig = t.select(
         "_id",
-        "_sh",
         *[
             minhash_sig(md5_long_arr(F.col("_sh")), a, b).alias(f"sig{j}")
             for j, (a, b) in enumerate(MINHASH_PERMS)
@@ -101,7 +106,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -123,35 +127,27 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("_id", "_sh", "b.band_idx", "b.band_val")
+    ).select("_id", "b.band_idx", "b.band_val")
 
-    left = banded.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sh").alias("sh_a"),
-        "band_idx",
-        "band_val",
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sh").alias("sh_b"),
-        "band_idx",
-        "band_val",
-    )
-    # Jaccard is computed BEFORE the pair-dedup: a pair colliding in
-    # both bands evaluates it twice map-side, but the dropDuplicates
-    # shuffle then carries only (id_a, id_b, jaccard) — never the
-    # shingle arrays. At corpus scale the array-free shuffle is the
-    # right trade (the double-collision fraction is small).
-    return (
+    left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
+    right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val")
+    cand = (
         left.join(right, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = t.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -89,6 +89,31 @@ def test_q41_split_is_shuffle_free(spark):
     assert "Exchange" not in plan  # pure projection over the scan
 
 
+def test_q22_band_exchanges_carry_no_shingle_arrays(spark):
+    """The LSH band self-join must shuffle only (id, band) rows; the
+    shingle arrays join back by id AFTER candidate dedup. An
+    array-bearing band exchange is the 100-TB scale liability this
+    pins against."""
+    df = QUERIES["q22_minhash_lsh_neardup"](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    txt = df._jdf.queryExecution().explainString(mode)
+    band_nodes = 0
+    for block in txt.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head and "Join" not in head:
+            continue
+        lines = [
+            ln for ln in block.splitlines() if ln.startswith(("Input", "Arguments"))
+        ]
+        joined = " ".join(lines)
+        if "band_val" in joined:
+            band_nodes += 1
+            assert "_sh" not in joined and "sh_a" not in joined and "sh_b" not in joined
+    assert band_nodes >= 1  # the band self-join exchange/join exists
+
+
 def test_q37_html_parse_is_jvm_side(spark):
     """The default (regex) parse path must be built-in expressions —
     no Python evaluation node (mapInPandas is reserved for the
