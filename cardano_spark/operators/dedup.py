@@ -243,6 +243,48 @@ def simhash_pairs(
     )
 
 
+def prefix_blocking_keys(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    shingles: Column,
+    threshold: float,
+) -> DataFrame:
+    """Exploded (``_id``, ``_blk``, ``_pk``) prefix-filter blocking
+    frame for :func:`ngram_jaccard_pairs` (exposed so tests can audit
+    block sizes).
+
+    Classic prefix filtering (Chaudhuri et al. 2006 / PPJoin):
+    order each shingle *set* by a global total order (md5 hash here),
+    keep the first ``|X| - ceil(t*|X|) + 1`` elements. Any pair with
+    Jaccard >= t shares at least ``ceil(t*max(|A|,|B|))`` elements,
+    so the globally-smallest common element sits within BOTH prefixes
+    — the blocking is lossless, and the oracle can stay a plain
+    all-pairs-within-block statement.
+
+    ``shingles`` must be distinct-element arrays (ngram_shingles /
+    distinct_tokens guarantee this); duplicates would inflate the
+    position math.
+    """
+    srt = F.array_sort(
+        F.transform(shingles, lambda s: F.struct(md5_long(s).alias("h"), s.alias("s")))
+    )
+    n = F.size(srt)
+    p = (
+        n
+        - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int")
+        + F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            F.explode(F.slice(srt, F.lit(1), p)).alias("_e"),
+        )
+        .select("_id", "_blk", F.col("_e.h").alias("_pk"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -250,21 +292,38 @@ def ngram_jaccard_pairs(
     shingles: Column,
     threshold: float,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs within cheap attribute blocks
-    (e.g. language): self-join shuffles on the block key; only
-    within-block pairs are compared."""
+    """Exact n-gram Jaccard pairs within attribute blocks, candidate-
+    pruned by *prefix filtering* so block size is bounded by shingle
+    document-frequency, not by the attribute's value count.
+
+    Round-1 shape (self-join on the attribute alone, e.g. language)
+    was O(n^2) within each of ~5 language blocks — all-pairs in
+    disguise at corpus scale. The compound key here is
+    ``(block, prefix-shingle-hash)``: candidates must share the
+    attribute AND a prefix element, which is provably complete for
+    the threshold (see :func:`prefix_blocking_keys`) — results are
+    IDENTICAL to the naive form, so the DuckDB oracle keeps the plain
+    within-block statement. Candidates travel as id-pairs only; the
+    shingle arrays re-join by id for the exact-Jaccard verification
+    (same de-arrayed shuffle discipline as minhash_lsh_pairs).
+    """
     t = df.select(
         F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), shingles.alias("_sh")
     )
-    left = t.select(
-        F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a")
-    )
-    right = t.select(
-        F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_b")
-    )
-    return (
-        left.join(right, "_blk")
+    keys = prefix_blocking_keys(df, id_col, block_col, shingles, threshold)
+    left = keys.select(F.col("_id").alias("id_a"), "_blk", "_pk")
+    right = keys.select(F.col("_id").alias("id_b"), "_blk", "_pk")
+    cand = (
+        left.join(right, ["_blk", "_pk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = t.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

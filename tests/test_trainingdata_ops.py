@@ -81,6 +81,65 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 4) not in found  # cross-block pair never generated
 
 
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """Prefix blocking must return EXACTLY the naive all-pairs-within-
+    block result for any threshold (the completeness theorem, checked
+    on a seeded random corpus)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, rng.choice(["en", "de"]), " ".join(rng.choice(vocab) for _ in range(12)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for threshold in (0.05, 0.3, 0.6):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs(
+                df, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), threshold
+            ).collect()
+        }
+        # naive reference computed in python
+        shing = {
+            r.doc_id: (r.lang, set(r.sh))
+            for r in df.select(
+                "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2).alias("sh")
+            ).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(shing), 2):
+            (la, sa), (lb, sb) = shing[a], shing[b]
+            if la != lb or not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                want[(a, b)] = j
+        assert set(got) == set(want), f"threshold {threshold}"
+        for k in want:
+            assert got[k] == pytest.approx(want[k])
+
+
+def test_ngram_prefix_blocks_are_bounded(spark):
+    """Scale audit: on the q25 corpus slice the compound
+    (lang, prefix-shingle) blocks stay small — far below the
+    lang-only block size that made round 1's shape all-pairs."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 10 == 0)
+    keys = DD.prefix_blocking_keys(
+        d, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), 0.05
+    )
+    sizes = keys.groupBy("_blk", "_pk").count()
+    max_block = sizes.agg(F.max("count")).first()[0]
+    max_lang = d.groupBy("lang").count().agg(F.max("count")).first()[0]
+    assert max_block <= 8
+    assert max_block < max_lang
+
+
 def test_brute_force_topk_self_excluded_and_ranked(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
