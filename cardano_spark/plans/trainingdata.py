@@ -127,8 +127,8 @@ def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 perms, 2 bands x 8 rows),
-    verified with exact unigram Jaccard >= 0.8."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    verified with exact unigram Jaccard >= 0.8 (doc_id %% 8 slice)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
     return DD.minhash_lsh_pairs(
         d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
     )
@@ -143,7 +143,7 @@ def q23_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-band blocking + hamming <= 8."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
     withfp = d.select("doc_id", DD.simhash(hashes).alias("fp"))
     return DD.simhash_pairs(withfp, "doc_id", F.col("fp"), max_hamming=8)
@@ -154,7 +154,7 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The synthetic corpus shares vocabulary but not longer phrases:
     3-gram Jaccard tops out at ~0.02, 2-gram at ~0.1 — the 0.05
     threshold keeps the verification path non-trivially exercised.)"""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     return DD.ngram_jaccard_pairs(
         d, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), threshold=0.05
     )
@@ -452,7 +452,7 @@ TRAININGDATA_ORACLES: dict[str, str] = {
     "q22_minhash_lsh_neardup": f"""
         WITH d AS (
           SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
-          FROM documents WHERE doc_id % 20 = 0
+          FROM documents WHERE doc_id % 8 = 0
         ), h AS (
           SELECT doc_id, sh, {_HASHES} AS hs FROM d
         ), sig AS (
@@ -484,7 +484,7 @@ TRAININGDATA_ORACLES: dict[str, str] = {
           SELECT doc_id,
                  list_transform({TX.distinct_tokens_sql('text')},
                                 s -> {md5_long_sql('s')}) AS hs
-          FROM documents WHERE doc_id % 10 = 0
+          FROM documents WHERE doc_id % 4 = 0
         ), fp AS (
           SELECT doc_id, {_simhash_sql('hs')} AS fp FROM h
         ), bands AS (
@@ -506,7 +506,7 @@ TRAININGDATA_ORACLES: dict[str, str] = {
     "q25_ngram_jaccard_pairs": f"""
         WITH d AS (
           SELECT doc_id, lang, {TX.ngram_shingles_sql('text', 2)} AS sh
-          FROM documents WHERE doc_id % 10 = 0
+          FROM documents WHERE doc_id % 4 = 0
         )
         SELECT da.doc_id AS id_a, db.doc_id AS id_b, {_JACCARD} AS jaccard
         FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
