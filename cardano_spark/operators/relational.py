@@ -56,7 +56,10 @@ def asof_join_prev(
     carry: Sequence[str],
 ) -> DataFrame:
     """As-of join: for each ``left`` row, the latest ``right`` row with
-    the same ``on`` keys strictly earlier in ``order``. Spark has no
+    the same ``on`` keys at-or-before it in ``order`` (an exactly tied
+    right row counts as earlier — pandas ``merge_asof``'s
+    ``allow_exact_matches=True`` semantics, pinned by
+    test_asof_join_prev_tie_is_earlier). Spark has no
     native ASOF JOIN; the naive form (inequality join + per-key top-1)
     explodes to O(L×R) pairs per key. This is the scalable rewrite:
     union both sides tagged, ONE shuffle on the key, and a single
@@ -116,8 +119,14 @@ def range_join_count(
     join is a plain equi shuffle join on (keys, bin) with 2× fan-out
     of the left side only, then the exact range predicate filters
     within buckets. Left rows with no matches are kept with count 0.
+
+    Counts aggregate on an internal per-row id (not the left row's
+    columns), so duplicate ``left`` rows each report their own true
+    match count instead of multiplicity × count.
     """
-    lt = left.withColumn("_p", left_point_us)
+    lt = left.withColumn("_p", left_point_us).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
     rt = right.select(
         *on, right_point_us.alias("_q")
     ).withColumn("_bin", F.floor(F.col("_q") / F.lit(window_us)))
@@ -138,13 +147,15 @@ def range_join_count(
             (F.col("_q") >= F.col("_p") - F.lit(window_us))
             & (F.col("_q") < F.col("_p"))
         )
-        .groupBy(*left.columns, "_p")
+        .groupBy("_rid")
         .agg(F.count("*").alias(out))
     )
+    # both join branches re-derive _rid from the same deterministic
+    # scan partitioning, so the ids line up across evaluations
     return (
-        lt.join(hits.select(*left.columns, out), list(left.columns), "left")
+        lt.join(hits, "_rid", "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit(0)))
-        .drop("_p")
+        .drop("_p", "_rid")
     )
 
 

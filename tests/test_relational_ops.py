@@ -108,6 +108,24 @@ def test_range_join_count_keeps_zero_match_rows(spark):
     assert out == {1: 1, 2: 0}
 
 
+def test_range_join_count_duplicate_left_rows(spark):
+    """Duplicate left rows are a multiset: each copy reports its own
+    TRUE count (round 1 collapsed copies into one group and reported
+    multiplicity x count)."""
+    from cardano_spark.operators.relational import range_join_count
+
+    left = spark.createDataFrame(
+        [(1, 1000), (1, 1000), (1, 1000)], "k long, us long"
+    )
+    right = spark.createDataFrame([(1, 950), (1, 960)], "k long, us long")
+    out = range_join_count(
+        left, right, on=["k"],
+        left_point_us=F.col("us"), right_point_us=F.col("us"),
+        window_us=100, out="n",
+    ).collect()
+    assert [r.n for r in out] == [2, 2, 2]  # not 6
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The as-of rewrite must not plan an inequality join: no
     BroadcastNestedLoop / CartesianProduct anywhere."""
