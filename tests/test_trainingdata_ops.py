@@ -231,3 +231,55 @@ def test_connected_components_chain_and_islands(spark):
     out = DD.connected_components(nodes, edges, id_col="doc_id")
     got = {r.node: r.cluster_id for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Adversarial 200-hop chain: large-star/small-star must converge
+    in O(log diameter) rounds (min-label propagation needed one round
+    per hop and silently truncated at max_iter=20)."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    stars, rounds, converged = DD._cc_star_rounds(edges, max_iter=20)
+    assert converged
+    assert rounds <= 12  # ~log2(200) + slack, NOT ~200
+    centers = {r.lo for r in stars.collect()}
+    assert centers == {0}  # single component, min id is the center
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(nodes, edges, id_col="doc_id", max_iter=1)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check on seeded random graphs vs a python union-find."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 60
+        m = rng.randrange(20, 80)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        got = {
+            r.node: r.cluster_id
+            for r in DD.connected_components(nodes, edges, id_col="doc_id").collect()
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        want = {i: min(comp[find(i)]) for i in range(n)}
+        assert got == want, f"trial {trial}"
