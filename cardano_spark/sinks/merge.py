@@ -24,45 +24,111 @@ import shutil
 import uuid
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 class ParquetMergeSink:
-    """Managed parquet table with INSERT-if-absent merge semantics."""
+    """Managed parquet table with INSERT-if-absent merge semantics,
+    hash-bucketed on the merge key so a merge touches only the
+    buckets containing incoming keys.
 
-    def __init__(self, spark: SparkSession, path: str, schema: T.StructType, keys: Sequence[str]):
+    Layout: ``path/_bucket=K/*.parquet`` with
+    ``K = pmod(xxhash64(*keys), n_buckets)`` — a pure function of the
+    key, so an existing row and any incoming duplicate of it land in
+    the same bucket and the anti-join stays correct bucket-locally.
+
+    Merge I/O is O(touched buckets), not O(table): round 1 re-read
+    and rewrote the WHOLE snapshot per merge, which is a scale-killer
+    for an incremental load path (a 100 TB table absorbing a 100 GB
+    batch rewrote 100 TB). Untouched bucket directories are never
+    opened or rewritten (their files stay byte-identical — pinned by
+    tests/test_watermark_and_sinks.py).
+
+    Crash safety: each touched bucket is rewritten to a tmp dir and
+    atomically swapped. Cross-bucket atomicity is NOT needed because
+    the merge is insert-if-absent idempotent — a crash between bucket
+    swaps re-runs to the same converged state (already-swapped
+    buckets anti-join incoming to nothing). At 100 TB you'd use an
+    Iceberg/Delta table and its transactional MERGE INTO; the plan
+    per bucket is identical.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        keys: Sequence[str],
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.schema = schema
         self.keys = list(keys)
+        self.n_buckets = n_buckets
 
     def exists(self) -> bool:
         return os.path.isdir(self.path)
 
+    def _bucket_col(self) -> Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _bucket_dir(self, b: int) -> str:
+        return os.path.join(self.path, f"_bucket={b}")
+
     def read(self) -> DataFrame:
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(self.path)
+        return (
+            self.spark.read.schema(self.schema).parquet(self.path)
+        )
+
+    def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
+        dirs = [self._bucket_dir(b) for b in buckets if os.path.isdir(self._bucket_dir(b))]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
 
     def merge(self, incoming: DataFrame) -> None:
         """Append rows whose key is absent; existing rows win
         (ON CONFLICT DO NOTHING). Batch-internal dups collapse first
-        (D2). The swap is write-new-then-rename so a failed job never
-        leaves a half-merged table — same crash-safety the reference
-        gets from its single transaction."""
-        fresh = incoming.dropDuplicates(self.keys)
-        if not self.exists():
-            fresh.write.mode("overwrite").parquet(self.path)
+        (D2). Only buckets containing incoming keys are read,
+        anti-joined, rewritten, and swapped."""
+        fresh = incoming.dropDuplicates(self.keys).withColumn(
+            "_bucket", self._bucket_col()
+        )
+        os.makedirs(self.path, exist_ok=True)
+        # touched-bucket ids: <= n_buckets scalars, driver-side by design
+        touched = sorted(
+            r._bucket for r in fresh.select("_bucket").distinct().collect()
+        )
+        if not touched:
             return
-        existing = self.read()
-        merged = existing.unionByName(fresh.join(existing, self.keys, "left_anti"))
+        existing = self._read_buckets(touched).withColumn(
+            "_bucket", self._bucket_col()
+        )
+        merged = existing.unionByName(
+            fresh.join(existing.select(*self.keys), self.keys, "left_anti")
+        )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        for b in touched:
+            src = os.path.join(tmp, f"_bucket={b}")
+            dst = self._bucket_dir(b)
+            if not os.path.isdir(src):
+                continue  # pragma: no cover - bucket emptied is impossible
+            old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+                os.rename(src, dst)
+                shutil.rmtree(old)
+            else:
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
 
 
 class DBUpsertSink:

@@ -57,6 +57,47 @@ def test_parquet_merge_sink(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_parquet_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """Merge I/O must be O(touched buckets): bucket files whose keys
+    are disjoint from the incoming batch stay BYTE-IDENTICAL (never
+    re-read or rewritten) — the property that makes an incremental
+    merge into a 100 TB table affordable."""
+    import hashlib
+    import os
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, ["k"], n_buckets=8)
+    sink.merge(spark.createDataFrame([(i, f"v{i}") for i in range(40)], SCHEMA))
+    before = snapshot(path)
+
+    # incoming batch: one replayed key + one new key -> <=2 buckets touched
+    sink.merge(spark.createDataFrame([(3, "REPLAY"), (1000, "new")], SCHEMA))
+    after = snapshot(path)
+
+    from pyspark.sql import functions as F
+
+    bucket_of = lambda k: spark.createDataFrame([(k,)], "k long").select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+    ).first().b
+    touched = {f"_bucket={bucket_of(3)}", f"_bucket={bucket_of(1000)}"}
+
+    untouched_before = {p: h for p, h in before.items() if p.split(os.sep)[0] not in touched}
+    untouched_after = {p: h for p, h in after.items() if p.split(os.sep)[0] not in touched}
+    assert untouched_before and untouched_before == untouched_after
+
+    rows = {r.k: r.v for r in sink.read().collect()}
+    assert rows[3] == "v3" and rows[1000] == "new" and len(rows) == 41
+
+
 def test_db_upsert_sink_on_conflict(spark, tmp_path):
     db = str(tmp_path / "t.duckdb")
     con = duckdb.connect(db)
