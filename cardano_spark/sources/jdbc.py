@@ -1,0 +1,106 @@
+"""JDBC source/sink seam (SURVEY §2.1 S12–S13, §2.2 K3/K4): the
+reference's analytical home is Postgres — its pipelines read keyed
+slices over SQLAlchemy/asyncpg (reference
+src/etl_pipelines/cardano_tx_utxo_to_s3_pipeline.py:95-103,
+cardano_transactions_to_s3_pipeline.py:93-107) and load via staging +
+merge. Spark-side the same shapes are ``spark.read.jdbc`` with
+Catalyst pushing the key predicate into the remote scan, and the
+Spark JDBC writer for the staging append.
+
+The sandbox has no Postgres; the integration test
+(tests/test_jdbc_roundtrip.py) exercises the REAL
+``spark.read.jdbc`` / ``DataFrameWriter.jdbc`` paths against embedded
+Apache Derby (shipped in Spark's jars), including predicate pushdown
+(`PushedFilters` visible in the scan). Engine-specific dialect
+concerns stay in this module.
+
+Postgres ``ARRAY(String)`` columns (reference
+database_management/cardano/cardano_tables.py:56 stores tx hash
+lists) don't survive generic JDBC cleanly, so the documented dialect
+strategy is the standard text round-trip: arrays travel as PG array
+literals (``{"a","b"}``) in a text column and decode back to
+``array<string>`` on read. Both directions are pure column
+expressions (JVM-side, codegen'd) and oracle-checked (q45).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def jdbc_keyed_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    key_col: str,
+    keys: Sequence,
+    properties: dict | None = None,
+) -> DataFrame:
+    """S12: read only the requested key slice of a JDBC table. The
+    ``isin`` predicate is declared on the DataFrame so Catalyst pushes
+    it into the remote scan (`PushedFilters: [In(...)]`) — the
+    database sends only matching rows, mirroring the reference's
+    ``WHERE tx_hash IN :hashes`` queries."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load().filter(F.col(key_col).isin(list(keys)))
+
+
+def jdbc_append(
+    df: DataFrame, url: str, table: str, properties: dict | None = None
+) -> None:
+    """K3 staging append via the Spark JDBC writer: executors open
+    their own connections and write partitions in parallel (the
+    distributed answer to the reference's single asyncpg COPY,
+    src/dao/cardano_block_dao.py:122-137). The merge statement stays
+    a driver-side transaction (sinks/merge.DBUpsertSink)."""
+    df.write.jdbc(url, table, mode="append", properties=properties or {})
+
+
+def encode_pg_text_array(arr: Column) -> Column:
+    """array<string> -> Postgres array literal text (`{"a","b"}`).
+    Every element is double-quoted with backslash escaping of ``\\``
+    and ``\"`` — the unambiguous PG literal form, safe for elements
+    containing commas/braces/quotes. NULL arrays encode to NULL."""
+    quoted = F.transform(
+        arr,
+        lambda s: F.concat(
+            F.lit('"'),
+            F.regexp_replace(
+                F.regexp_replace(s, r"\\", r"\\\\"), '"', r'\\"'
+            ),
+            F.lit('"'),
+        ),
+    )
+    return F.concat(F.lit("{"), F.concat_ws(",", quoted), F.lit("}"))
+
+
+def decode_pg_text_array(lit: Column) -> Column:
+    """Postgres array literal text (all-elements-quoted form, as
+    produced by :func:`encode_pg_text_array`) -> array<string>.
+    Extracts quoted elements then unescapes ``\\x -> x`` in one
+    pass."""
+    elems = F.regexp_extract_all(lit, F.lit(r'"((?:[^"\\]|\\.)*)"'), F.lit(1))
+    return F.transform(elems, lambda e: F.regexp_replace(e, r"\\(.)", r"$1"))
+
+
+def encode_pg_text_array_sql(expr: str) -> str:
+    """DuckDB text twin of :func:`encode_pg_text_array`."""
+    return (
+        "'{' || array_to_string(list_transform(" + expr + ", "
+        "s -> '\"' || replace(replace(s, '\\', '\\\\'), '\"', '\\\"') || '\"'"
+        "), ',') || '}'"
+    )
+
+
+def decode_pg_text_array_sql(expr: str) -> str:
+    """DuckDB text twin of :func:`decode_pg_text_array`."""
+    return (
+        "list_transform(regexp_extract_all(" + expr + ", "
+        "'\"((?:[^\"\\\\]|\\\\.)*)\"', 1), "
+        "e -> regexp_replace(e, '\\\\(.)', '\\1', 'g'))"
+    )
