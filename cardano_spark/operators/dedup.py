@@ -260,7 +260,10 @@ def prefix_blocking_keys(
     Jaccard >= t shares at least ``ceil(t*max(|A|,|B|))`` elements,
     so the globally-smallest common element sits within BOTH prefixes
     — the blocking is lossless, and the oracle can stay a plain
-    all-pairs-within-block statement.
+    all-pairs-within-block statement. The proof needs ``t > 0``:
+    at t=0 the required overlap is zero, and a zero-overlap pair has
+    no common element for the prefixes to share (callers handle t<=0
+    via the all-pairs fallback in :func:`ngram_jaccard_pairs`).
 
     ``shingles`` must be distinct-element arrays (ngram_shingles /
     distinct_tokens guarantee this); duplicates would inflate the
@@ -301,24 +304,41 @@ def ngram_jaccard_pairs(
     disguise at corpus scale. The compound key here is
     ``(block, prefix-shingle-hash)``: candidates must share the
     attribute AND a prefix element, which is provably complete for
-    the threshold (see :func:`prefix_blocking_keys`) — results are
-    IDENTICAL to the naive form, so the DuckDB oracle keeps the plain
-    within-block statement. Candidates travel as id-pairs only; the
+    any ``threshold > 0`` (see :func:`prefix_blocking_keys`) — results
+    are IDENTICAL to the naive form, so the DuckDB oracle keeps the
+    plain within-block statement. For ``threshold <= 0`` the contract
+    ("every pair with jaccard >= t") includes zero-overlap pairs that
+    no shared-element blocking can emit, so the operator falls back to
+    the plain within-block self-join (all-pairs is what t<=0 *means*). Candidates travel as id-pairs only; the
     shingle arrays re-join by id for the exact-Jaccard verification
     (same de-arrayed shuffle discipline as minhash_lsh_pairs).
     """
     t = df.select(
         F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), shingles.alias("_sh")
     )
-    keys = prefix_blocking_keys(df, id_col, block_col, shingles, threshold)
-    left = keys.select(F.col("_id").alias("id_a"), "_blk", "_pk")
-    right = keys.select(F.col("_id").alias("id_b"), "_blk", "_pk")
-    cand = (
-        left.join(right, ["_blk", "_pk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if threshold > 0:
+        keys = prefix_blocking_keys(df, id_col, block_col, shingles, threshold)
+        left = keys.select(F.col("_id").alias("id_a"), "_blk", "_pk")
+        right = keys.select(F.col("_id").alias("id_b"), "_blk", "_pk")
+        cand = (
+            left.join(right, ["_blk", "_pk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        # threshold <= 0 keeps EVERY within-block pair, including pairs
+        # with disjoint shingle sets (jaccard=0) that prefix filtering
+        # can never generate (candidates must share a prefix element).
+        # Fall back to the plain within-block self-join — inherently
+        # all-pairs because the *semantics* are all-pairs at t<=0.
+        ids = t.select("_id", "_blk")
+        cand = (
+            ids.select(F.col("_id").alias("id_a"), "_blk")
+            .join(ids.select(F.col("_id").alias("id_b"), "_blk"), "_blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
     sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = t.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
