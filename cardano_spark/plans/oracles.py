@@ -273,4 +273,32 @@ RELATIONAL_ORACLES: dict[str, str] = {
         )
         WHERE rn <= 3
     """,
+    # q45: the DuckDB twins live beside the Spark codec in
+    # sources/jdbc.py; the SQL is assembled below to keep the two
+    # dialects' escaping rules in ONE reviewed place each.
+    "q45_pg_array_codec": None,  # filled in at import time below
 }
+
+
+def _q45_oracle() -> str:
+    from cardano_spark.sources.jdbc import (
+        decode_pg_text_array_sql,
+        encode_pg_text_array_sql,
+    )
+
+    enc = encode_pg_text_array_sql("arr")
+    dec = decode_pg_text_array_sql(enc)
+    return f"""
+        SELECT p_partkey,
+               {enc} AS pg_literal,
+               array_to_string({dec}, chr(31)) AS decoded_joined,
+               {dec} = arr AS roundtrip_ok
+        FROM (
+          SELECT p_partkey,
+                 [p_name, 'q"' || p_brand, 'b\\' || p_type, CAST(p_size AS VARCHAR)] AS arr
+          FROM part
+        )
+    """
+
+
+RELATIONAL_ORACLES["q45_pg_array_codec"] = _q45_oracle()

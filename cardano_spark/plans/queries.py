@@ -506,6 +506,35 @@ def q43_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_pg_array_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 dialect seam: the Postgres array text codec
+    (sources/jdbc.py) round-tripped over escaping-hostile synthetic
+    elements built from part attributes — quotes, backslashes, commas
+    and braces all ride inside quoted PG literal elements. Both
+    directions are pure column expressions (JVM-side, codegen'd); the
+    reference stores the same shape as ``tx_hash ARRAY(String)``
+    (database_management/cardano/cardano_tables.py:56)."""
+    from cardano_spark.sources.jdbc import (
+        decode_pg_text_array,
+        encode_pg_text_array,
+    )
+
+    p = table(spark, sf_dir, "part")
+    arr = F.array(
+        F.col("p_name"),
+        F.concat(F.lit('q"'), F.col("p_brand")),
+        F.concat(F.lit("b\\"), F.col("p_type")),
+        F.col("p_size").cast("string"),
+    )
+    enc = encode_pg_text_array(arr)
+    return p.select(
+        "p_partkey",
+        enc.alias("pg_literal"),
+        F.concat_ws("\x1f", decode_pg_text_array(enc)).alias("decoded_joined"),
+        (decode_pg_text_array(enc) == arr).alias("roundtrip_ok"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -531,4 +560,5 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q38_asof_prev_view": q38_asof_prev_view,
     "q39_range_join_clicks_before_error": q39_range_join_clicks_before_error,
     "q43_topn_per_group": q43_topn_per_group,
+    "q45_pg_array_codec": q45_pg_array_codec,
 }
