@@ -53,6 +53,17 @@ class ParquetMergeSink:
     buckets anti-join incoming to nothing). At 100 TB you'd use an
     Iceberg/Delta table and its transactional MERGE INTO; the plan
     per bucket is identical.
+
+    The displaced live bucket is parked OUTSIDE the table root
+    (``{path}.old-b{K}-*``, a sibling dir) — never under ``path`` —
+    so a crash mid-swap can't leave stale rows readable: Spark's
+    hidden-path filter skips only ``_``/``.``-prefixed names, and
+    ``_bucket=K.old-...`` contains ``=`` so it would be picked up as
+    a partition dir. ``_recover_partial_swaps`` (run before every
+    read and merge) finishes the job deterministically: an ``.old``
+    whose bucket dir is missing is restored (the swap never
+    completed); one whose bucket dir exists is garbage from after a
+    completed swap and is dropped.
     """
 
     def __init__(
@@ -80,9 +91,30 @@ class ParquetMergeSink:
     def _bucket_dir(self, b: int) -> str:
         return os.path.join(self.path, f"_bucket={b}")
 
+    def _old_dir(self, b: int) -> str:
+        return f"{self.path}.old-b{b}-{uuid.uuid4().hex[:8]}"
+
+    def _recover_partial_swaps(self) -> None:
+        """Re-converge any swap interrupted between the two renames:
+        restore the parked bucket if the new one never landed, drop it
+        if the swap completed. Idempotent; scalar driver-side I/O."""
+        parent, base = os.path.split(self.path.rstrip("/"))
+        prefix = f"{base}.old-b"
+        for name in os.listdir(parent or "."):
+            if not name.startswith(prefix):
+                continue
+            bucket = name[len(prefix):].split("-", 1)[0]
+            old = os.path.join(parent, name)
+            dst = self._bucket_dir(int(bucket))
+            if os.path.isdir(dst):
+                shutil.rmtree(old)  # swap completed; parked copy is garbage
+            else:
+                os.rename(old, dst)  # swap never completed; restore
+
     def read(self) -> DataFrame:
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
+        self._recover_partial_swaps()
         return (
             self.spark.read.schema(self.schema).parquet(self.path)
         )
@@ -102,6 +134,7 @@ class ParquetMergeSink:
             "_bucket", self._bucket_col()
         )
         os.makedirs(self.path, exist_ok=True)
+        self._recover_partial_swaps()
         # touched-bucket ids: <= n_buckets scalars, driver-side by design
         touched = sorted(
             r._bucket for r in fresh.select("_bucket").distinct().collect()
@@ -121,7 +154,7 @@ class ParquetMergeSink:
             dst = self._bucket_dir(b)
             if not os.path.isdir(src):
                 continue  # pragma: no cover - bucket emptied is impossible
-            old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            old = self._old_dir(b)  # parked OUTSIDE the table root
             if os.path.isdir(dst):
                 os.rename(dst, old)
                 os.rename(src, dst)
@@ -139,6 +172,12 @@ class DBUpsertSink:
     answer to the reference's single asyncpg COPY), and the driver
     opens one for the DDL + merge + watermark transaction.
 
+    ``staging_parallelism=None`` (the default) keeps the incoming
+    frame's partitioning — every executor writes its partition
+    concurrently, which is the only default that survives a 100 TB
+    staging load. Pass an int to bound concurrent DB connections
+    (``1`` = the single-writer path for embedded/file databases).
+
     For engines with COPY (Postgres), pass ``copy_partition`` to
     replace executemany with the bulk path — same structure the
     reference uses (asyncpg ``copy_to_table``,
@@ -151,7 +190,7 @@ class DBUpsertSink:
         table: str,
         columns: Sequence[str],
         keys: Sequence[str],
-        staging_parallelism: int = 1,
+        staging_parallelism: int | None = None,
     ):
         self.connection_factory = connection_factory
         self.table = table
@@ -230,9 +269,14 @@ class DBUpsertSink:
                 if hasattr(c, "commit"):
                     c.commit()
 
-            # staging_parallelism bounds concurrent DB connections;
-            # with a real server raise it to the cluster write concurrency.
-            df.coalesce(self.staging_parallelism).foreachPartition(write_partition)
+            # staging_parallelism (when set) bounds concurrent DB
+            # connections; the None default writes all partitions.
+            staged = (
+                df
+                if self.staging_parallelism is None
+                else df.coalesce(self.staging_parallelism)
+            )
+            staged.foreachPartition(write_partition)
 
         try:
             if hasattr(con, "begin"):

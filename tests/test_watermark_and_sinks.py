@@ -57,6 +57,38 @@ def test_parquet_merge_sink(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_parquet_merge_sink_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames must not lose rows or
+    duplicate them: the parked bucket lives OUTSIDE the table root
+    (invisible to read()), and the next read/merge re-converges."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, ["k"], n_buckets=4)
+    sink.merge(spark.createDataFrame([(i, f"v{i}") for i in range(20)], SCHEMA))
+    want = {r.k: r.v for r in sink.read().collect()}
+
+    # crash case A: dst renamed away, new bucket never landed
+    bucket = next(d for d in os.listdir(path) if d.startswith("_bucket="))
+    b = int(bucket.split("=")[1])
+    parked = f"{path}.old-b{b}-deadbeef"
+    os.rename(os.path.join(path, bucket), parked)
+    assert {r.k: r.v for r in sink.read().collect()} == want  # restored
+    assert not os.path.isdir(parked)
+
+    # crash case B: swap completed but parked copy never deleted —
+    # the stale copy must NOT be readable (it sits outside the root)
+    shutil.copytree(os.path.join(path, bucket), f"{path}.old-b{b}-cafe0000")
+    assert {r.k: r.v for r in sink.read().collect()} == want
+    assert not os.path.isdir(f"{path}.old-b{b}-cafe0000")  # swept
+
+    # and a replayed merge after recovery stays idempotent
+    sink.merge(spark.createDataFrame([(3, "REPLAY"), (100, "new")], SCHEMA))
+    rows = {r.k: r.v for r in sink.read().collect()}
+    assert rows[3] == "v3" and rows[100] == "new" and len(rows) == 21
+
+
 def test_parquet_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
     """Merge I/O must be O(touched buckets): bucket files whose keys
     are disjoint from the incoming batch stay BYTE-IDENTICAL (never
@@ -132,6 +164,49 @@ def test_db_upsert_sink_on_conflict(spark, tmp_path):
         == 0
     )
     con.close()
+
+
+def test_db_upsert_sink_parallel_staging(spark, tmp_path):
+    """The scale default (staging_parallelism=None) must write staging
+    partitions executor-parallel: one connection per partition, no
+    coalesce(1) funnel. sqlite file locking serializes writers safely,
+    so it stands in for a server DB here."""
+    import os
+    import sqlite3
+    import uuid as _uuid
+
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE target (k INTEGER PRIMARY KEY, v TEXT)")
+    con.execute("INSERT INTO target VALUES (1, 'existing')")
+    con.commit()
+    con.close()
+
+    marks = tmp_path / "conns"
+    marks.mkdir()
+
+    def factory():
+        # one marker file per opened connection = per staged partition
+        (marks / f"{os.getpid()}-{_uuid.uuid4().hex}").touch()
+        c = sqlite3.connect(db, timeout=60)
+        c.execute("PRAGMA busy_timeout=60000")
+        return c
+
+    sink = DBUpsertSink(
+        connection_factory=factory, table="target", columns=["k", "v"], keys=["k"]
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 101)], SCHEMA
+    ).repartition(4)
+    sink.merge(df)
+
+    con = sqlite3.connect(db)
+    rows = dict(con.execute("SELECT k, v FROM target ORDER BY k").fetchall())
+    con.close()
+    assert rows[1] == "existing" and len(rows) == 100
+    # 4 staging partitions + 1 driver connection => >= 5 connections;
+    # the old coalesce(1) default would open exactly 2
+    assert len(list(marks.iterdir())) >= 5
 
 
 def test_incremental_file_listing(spark, tmp_path):
