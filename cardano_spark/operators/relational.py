@@ -122,11 +122,17 @@ def range_join_count(
 
     Counts aggregate on an internal per-row id (not the left row's
     columns), so duplicate ``left`` rows each report their own true
-    match count instead of multiplicity × count.
+    match count instead of multiplicity × count. The id-stamped left
+    frame feeds TWO plan branches (probe and final join), so it is
+    pinned with ``localCheckpoint`` — ``monotonically_increasing_id``
+    re-evaluated over a nondeterministic upstream (any shuffle output)
+    would otherwise assign different ids per branch and silently
+    attach counts to the wrong rows (pinned by
+    test_range_join_count_survives_shuffled_input).
     """
     lt = left.withColumn("_p", left_point_us).withColumn(
         "_rid", F.monotonically_increasing_id()
-    )
+    ).localCheckpoint(eager=False)
     rt = right.select(
         *on, right_point_us.alias("_q")
     ).withColumn("_bin", F.floor(F.col("_q") / F.lit(window_us)))
@@ -150,8 +156,6 @@ def range_join_count(
         .groupBy("_rid")
         .agg(F.count("*").alias(out))
     )
-    # both join branches re-derive _rid from the same deterministic
-    # scan partitioning, so the ids line up across evaluations
     return (
         lt.join(hits, "_rid", "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit(0)))

@@ -126,6 +126,42 @@ def test_range_join_count_duplicate_left_rows(spark):
     assert [r.n for r in out] == [2, 2, 2]  # not 6
 
 
+def test_range_join_count_survives_shuffled_input(spark):
+    """The left frame's internal row ids must stay consistent across
+    the probe and final-join branches even when the left input carries
+    an upstream shuffle whose row order is nondeterministic (groupBy
+    output here). Without the localCheckpoint pin, the two branches
+    could re-derive different ids and attach counts to wrong rows."""
+    from cardano_spark.operators.relational import range_join_count
+
+    base = spark.range(500).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 37 % 1000).alias("us")
+    )
+    # shuffled upstream: aggregate output order is not scan order
+    left = base.groupBy("k", "us").agg(F.count("*").alias("m")).repartition(13)
+    right = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") % 997).alias("us")
+    )
+    out = range_join_count(
+        left, right, on=["k"],
+        left_point_us=F.col("us"), right_point_us=F.col("us"),
+        window_us=100, out="n",
+    )
+    got = sorted((r.k, r.us, r.n) for r in out.collect())
+    # oracle: per-row correlated count computed driver-side
+    lrows = left.collect()
+    rrows = right.collect()
+    want = sorted(
+        (
+            lr.k,
+            lr.us,
+            sum(1 for rr in rrows if rr.k == lr.k and lr.us - 100 <= rr.us < lr.us),
+        )
+        for lr in lrows
+    )
+    assert got == want
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The as-of rewrite must not plan an inequality join: no
     BroadcastNestedLoop / CartesianProduct anywhere."""
