@@ -146,32 +146,67 @@ def lsh_topk(
 
 
 def neardup_topk_per_block(
-    df: DataFrame, id_col: str, vec_col: str, block_col: str, k: int, n_salts: int = 16
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    k: int,
+    n_salts: int = 16,
+    lsh_prefilter: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: within each block (e.g. a cluster
     label), the k highest-cosine pairs. Per-vector norms are computed
     once before the exchange, so each pair costs one dot product.
 
-    The self-join is *salted* (``(block, salt)`` key, left side salted
-    by id, right side replicated): block keys are few (a cluster label
-    has low cardinality by construction), so an unsalted join would
-    run the O(B^2) dot-product stage on at most |blocks| cores. AQE's
-    skew splitting never fires here — the skew is compute fan-out, not
-    shuffle bytes. Salting spreads each block over n_salts partitions;
-    the later top-k window shuffles only the slim scored rows."""
+    ``lsh_prefilter=False`` (exact): the self-join is *salted*
+    (``(block, salt)`` key, left side salted by id, right side
+    replicated): block keys are few (a cluster label has low
+    cardinality by construction), so an unsalted join would run the
+    O(B^2) dot-product stage on at most |blocks| cores. AQE's skew
+    splitting never fires here — the skew is compute fan-out, not
+    shuffle bytes. Salting spreads each block over n_salts partitions
+    but does NOT shrink the O(B^2) pair count.
+
+    ``lsh_prefilter=True`` (the 100 TB path): candidates must also
+    share the 8-bit sign-LSH bucket (:func:`lsh_bucket`), so the pair
+    count per block drops from C(B,2) to sum over buckets of C(b,2) —
+    bounded by the bucket occupancy, not the block size — and the
+    equi-join key ``(block, bucket)`` spreads the work without
+    salting. RECALL < 1 by design: a pair is generated only when all
+    8 hyperplanes agree, which is near-certain for true near-dups
+    (per-plane agreement ~ 1 - angle/pi, so cos >= 0.99 retains
+    ~0.96 of pairs) and unlikely for unrelated vectors — exactly the
+    pairs a near-dup pass exists to skip. The bucket expression is
+    deterministic fold math, so the DuckDB oracle reproduces the
+    blocking bit-for-bit."""
     t = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("block"),
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", norm(F.col("v")))
-    left = t.select(
-        F.col("_id").alias("id_a"), "block", F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    right = t.select(
-        F.col("_id").alias("id_b"), "block", F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
+    if lsh_prefilter:
+        t = t.withColumn("bkt", lsh_bucket(F.col("v")))
+        left = t.select(
+            F.col("_id").alias("id_a"), "block", "bkt",
+            F.col("v").alias("va"), F.col("n").alias("na"),
+        )
+        right = t.select(
+            F.col("_id").alias("id_b"), "block", "bkt",
+            F.col("v").alias("vb"), F.col("n").alias("nb"),
+        )
+        joined = left.join(right, ["block", "bkt"])
+    else:
+        left = t.select(
+            F.col("_id").alias("id_a"), "block", F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        right = t.select(
+            F.col("_id").alias("id_b"), "block", F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        joined = salted_join(
+            left, right, "block", salt_source=F.col("id_a"), n_salts=n_salts
+        )
     pairs = (
-        salted_join(left, right, "block", salt_source=F.col("id_a"), n_salts=n_salts)
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "block",

@@ -162,9 +162,15 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q26_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-5 highest-cosine pairs per
-    cluster label (label = the blocking key)."""
+    cluster label, candidate-pruned by the sign-LSH bucket as a
+    secondary blocking key — the pair count per label is bounded by
+    bucket occupancy instead of C(label_size, 2). Recall < 1 by
+    design (see neardup_topk_per_block); the oracle mirrors the
+    bucket blocking exactly."""
     e = table(spark, sf_dir, "embeddings")
-    return SIM.neardup_topk_per_block(e, "vec_id", "embedding", "label", k=5)
+    return SIM.neardup_topk_per_block(
+        e, "vec_id", "embedding", "label", k=5, lsh_prefilter=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -514,11 +520,15 @@ TRAININGDATA_ORACLES: dict[str, str] = {
     """,
     "q26_embedding_neardup_topk": f"""
         WITH v AS (
-          SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+          SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                 {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+          FROM embeddings
         ), pairs AS (
           SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
                  {_COS.replace('va', 'a.e').replace('vb', 'b.e')} AS cos_sim
-          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+          FROM v a JOIN v b
+            ON a.label = b.label AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
         )
         SELECT block, id_a, id_b, cos_sim, rank FROM (
           SELECT *, row_number() OVER (

@@ -140,6 +140,32 @@ def test_ngram_prefix_blocks_are_bounded(spark):
     assert max_block < max_lang
 
 
+def test_neardup_lsh_prefilter_bounds_candidates(spark):
+    """Scale audit for the q26 shape: with the sign-LSH secondary key
+    the candidate pair count equals the sum over (label, bucket)
+    occupancies of C(n,2) — strictly below the exact variant's
+    per-label C(B,2) — so no quadratic pair generator remains."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    # all scored pairs (k large enough to disable the top-k cut)
+    pruned = SIM.neardup_topk_per_block(
+        e, "vec_id", "embedding", "label", k=10**9, lsh_prefilter=True
+    ).count()
+    bucketed = e.select(
+        F.col("label"), SIM.lsh_bucket(SIM.as_double(F.col("embedding"))).alias("b")
+    ).groupBy("label", "b").count()
+    want = bucketed.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("s")
+    ).first().s
+    assert pruned == want
+    exact = e.groupBy("label").count().select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("s")
+    ).first().s
+    assert pruned < exact
+
+
 def test_brute_force_topk_self_excluded_and_ranked(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
