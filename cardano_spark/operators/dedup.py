@@ -79,7 +79,11 @@ def lsh_band_cols() -> list[Column]:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, shingles: Column, threshold: float
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float,
+    est_prefilter: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -95,6 +99,19 @@ def minhash_lsh_pairs(
     each array travels at most once per candidate-pair membership,
     and only after banding has pruned the pair space. Pinned by
     tests/test_plan_shapes.py (no array type in the band exchanges).
+
+    ``est_prefilter`` (optional): before the array re-join, score
+    each candidate with the MinHash *estimated* Jaccard (fraction of
+    the 16 signature components that agree — 16 ints per side, far
+    slimmer than the token arrays) and keep only pairs with estimate
+    >= the cutoff. Band collisions with low true similarity estimate
+    near 0.5 (one band is known-equal, the rest are ~independent), so
+    a cutoff between 0.5 and ``threshold`` drops most false
+    candidates before their arrays ever travel. LOSSY by a
+    quantified margin: a true pair at jaccard=t survives with
+    P(Bin(16 - rows_per_band, t) clearing the cutoff) — e.g. ~99% at
+    t=0.8 with cutoff 0.75. The DuckDB oracle mirrors the estimate
+    exactly, so results stay bit-reproducible.
     """
     t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
     sig = t.select(
@@ -137,6 +154,29 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if est_prefilter is not None:
+        n_perms = len(MINHASH_PERMS)
+        sigv = sig.select(
+            "_id", F.array(*[F.col(f"sig{j}") for j in range(n_perms)]).alias("_sigv")
+        )
+        matches = F.aggregate(
+            F.zip_with(
+                F.col("_sa"),
+                F.col("_sb"),
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        )
+        cand = (
+            cand.join(sigv.select(F.col("_id").alias("id_a"), F.col("_sigv").alias("_sa")), "id_a")
+            .join(sigv.select(F.col("_id").alias("id_b"), F.col("_sigv").alias("_sb")), "id_b")
+            .filter(
+                matches.cast("double") / F.lit(float(n_perms))
+                >= F.lit(float(est_prefilter))
+            )
+            .select("id_a", "id_b")
+        )
     sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = t.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
