@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -53,6 +53,45 @@ def read_csv_zone(
         reader = reader.option("modifiedAfter", _fmt(modified_after))
     df = reader.csv(path)
     return df.select("*", F.col("_metadata.file_modification_time").alias("_modified"))
+
+
+def cast_to_schema(
+    df: DataFrame,
+    target: T.StructType,
+    using: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Cast-on-read schema evolution: project any raw-zone vintage
+    onto the DECLARED StructType (schemas.py stays the single source
+    of truth — the Spark twin of the reference's Alembic migration
+    chain, database_management/versions/).
+
+    Policy (documented in README "Schema evolution"):
+    - ``mergeSchema`` stays OFF. Schema-on-read inference across
+      mixed-vintage files is nondeterministic under type conflicts;
+      each vintage is read with its own explicit schema and projected
+      here.
+    - Additive columns: fields absent from ``df`` materialize as
+      typed NULLs (the parquet equivalent of ``ADD COLUMN``).
+    - Dropped/renamed-away columns: anything not in ``target`` is
+      discarded.
+    - Type migrations a plain cast can't express go in ``using`` —
+      e.g. the reference's int→timestamp migration
+      (versions/b0673669b6c8_*.py:21-31,
+      ``postgresql_using="to_timestamp(block_time)"``) becomes
+      ``{"block_time": F.timestamp_seconds(F.col("block_time"))}``.
+
+    Pure projection — no shuffle, fully codegen'd, and column pruning
+    still reaches the scan because the select is declarative.
+    """
+    cols = []
+    for field in target.fields:
+        if using is not None and field.name in using:
+            cols.append(using[field.name].cast(field.dataType).alias(field.name))
+        elif field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
 
 
 def max_modified(df: DataFrame) -> datetime | None:

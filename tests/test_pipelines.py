@@ -131,3 +131,47 @@ def test_full_tx_pipeline_five_tables(lake):
     cardano.full_tx_pipeline(lake, fake_blockfrost.transport, start, end, window=BATCH)
     for t, before in counts_before.items():
         assert lake.sink(t).read().count() == before, t
+
+
+def test_cast_on_read_evolved_raw_zone(spark, tmp_path):
+    """Schema evolution (README "Schema evolution"): a raw zone with
+    files written under an OLD schema (block_time = unix-seconds int,
+    no tx_count) and a NEW schema (timestamp + tx_count) reads back
+    through one declared StructType — the Spark twin of the Alembic
+    int->timestamp migration (reference
+    database_management/versions/b0673669b6c8, to_timestamp)."""
+    from pyspark.sql import types as T
+
+    from cardano_spark.sources.files import cast_to_schema
+
+    old_dir = str(tmp_path / "v1")
+    new_dir = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, 1_700_000_000), (2, 1_700_000_060)], "block_id long, block_time long"
+    ).write.parquet(old_dir)
+    spark.createDataFrame(
+        [(3, "2023-11-14 22:15:00", 7)],
+        "block_id long, block_time string, tx_count long",
+    ).select(
+        "block_id", F.col("block_time").cast("timestamp").alias("block_time"), "tx_count"
+    ).write.parquet(new_dir)
+
+    declared = T.StructType(
+        [
+            T.StructField("block_id", T.LongType()),
+            T.StructField("block_time", T.TimestampType()),
+            T.StructField("tx_count", T.LongType()),
+        ]
+    )
+    old = cast_to_schema(
+        spark.read.parquet(old_dir),
+        declared,
+        using={"block_time": F.timestamp_seconds(F.col("block_time"))},
+    )
+    new = cast_to_schema(spark.read.parquet(new_dir), declared)
+    both = old.unionByName(new)
+    assert both.schema == declared
+    rows = {r.block_id: (str(r.block_time), r.tx_count) for r in both.collect()}
+    assert rows[1] == ("2023-11-14 22:13:20", None)  # epoch converted, NULL-filled
+    assert rows[3] == ("2023-11-14 22:15:00", 7)
+    assert len(rows) == 3
