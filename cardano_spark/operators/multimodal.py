@@ -5,12 +5,14 @@ struct alongside; decode / feature-extract runs as Arrow-batched
 ``mapInPandas`` (the Spark-idiomatic shape for per-blob Python work
 — one Python worker call per ~10k-row Arrow batch, never per row).
 
-The actual codec step is STUBBED: the container has no image/audio
-libraries, so :func:`decode_stub` raises ``NotImplementedError``
-unless ``deterministic_fake=True``, in which case features are
-computed from the raw bytes (length, md5, frame count) so the
-Spark-side plumbing — schema, batching, partitioning — is fully
-real and oracle-checkable.
+Codec status: PNG and WAV decode FOR REAL via the stdlib
+(:func:`decode_media` — full chunk walk, IHDR parse, IDAT zlib
+decompression with scanline-length validation; ``wave`` for WAV).
+Formats needing external codec libraries (mp4, jpeg, ...) raise
+``NotImplementedError`` — :func:`decode_stub` keeps the
+deterministic-fake path for them so the Spark-side plumbing —
+schema, batching, partitioning — stays fully real and
+oracle-checkable either way (q33 = fake path, q46 = real path).
 
 Scale notes: payloads never pass through the driver; Arrow transfers
 them batch-wise to Python workers. At 100 TB you'd store payloads in
@@ -21,7 +23,11 @@ partitioned by media type so each task decodes one co-located batch.
 from __future__ import annotations
 
 import hashlib
+import io
 import math
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -75,6 +81,190 @@ def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool):
         "n_frames": max(1, math.ceil(len(payload) / FRAME_BYTES)),
         "content_md5": hashlib.md5(payload).hexdigest(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs (PNG, WAV) + deterministic synthesizers
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+MEDIA_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def synthesize_png(width: int, height: int, byte_val: int) -> bytes:
+    """A fully valid 8-bit RGB PNG (signature, IHDR, one zlib IDAT of
+    filter-0 scanlines, IEND) — a real file any viewer opens."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes([byte_val]) * (width * 3) for _ in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_wav(n_channels: int, sample_rate: int, n_frames: int) -> bytes:
+    """A valid 16-bit PCM WAV of silence (stdlib ``wave`` writer)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * (n_frames * n_channels))
+    return buf.getvalue()
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """REAL decode for the formats the stdlib can parse.
+
+    - ``image/png``: validates the signature, walks the chunk stream,
+      parses IHDR (width/height/bit-depth/color-type), zlib-inflates
+      the concatenated IDAT stream and checks it holds exactly
+      ``height`` filter-prefixed scanlines — a malformed or truncated
+      payload raises instead of returning garbage features.
+    - ``audio/wav``: stdlib ``wave`` (RIFF header + fmt chunk).
+    - anything else: ``NotImplementedError`` (external codec needed;
+      use :func:`decode_stub`'s deterministic fake for plumbing).
+    """
+    if media_type == "image/png":
+        if payload[:8] != _PNG_SIG:
+            raise ValueError("bad PNG signature")
+        width = height = bit_depth = color_type = None
+        idat = b""
+        off = 8
+        while off + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[off : off + 4])
+            tag = payload[off + 4 : off + 8]
+            data = payload[off + 8 : off + 8 + length]
+            if tag == b"IHDR":
+                width, height, bit_depth, color_type = struct.unpack(
+                    ">IIBB", data[:10]
+                )
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            off += 12 + length  # len + tag + data + crc
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        if bit_depth == 8:
+            raw = zlib.decompress(idat)
+            expect = height * (1 + width * _PNG_CHANNELS[color_type])
+            if len(raw) != expect:
+                raise ValueError(
+                    f"PNG pixel stream {len(raw)}B != expected {expect}B"
+                )
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": _PNG_CHANNELS[color_type],
+            "sample_rate": None,
+            "n_samples": None,
+        }
+    if media_type == "audio/wav":
+        with wave.open(io.BytesIO(payload)) as w:
+            return {
+                "width": None,
+                "height": None,
+                "n_channels": w.getnchannels(),
+                "sample_rate": w.getframerate(),
+                "n_samples": w.getnframes(),
+            }
+    raise NotImplementedError(
+        f"no stdlib decoder for {media_type}; external codec required"
+    )
+
+
+def synthesize_media(ids: DataFrame) -> DataFrame:
+    """Deterministic synthetic media source: even doc_ids get a real
+    PNG (width 1+id%16, height 1+id%8, RGB), odd ones a real WAV
+    (mono, rate 8000+(id%5)*1000, 100+id%50 frames). Runs as
+    Arrow-batched mapInPandas — payload bytes are born executor-side
+    and never visit the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    rows.append(
+                        (
+                            did,
+                            "image/png",
+                            synthesize_png(1 + did % 16, 1 + did % 8, did * 7 % 256),
+                        )
+                    )
+                else:
+                    rows.append(
+                        (
+                            did,
+                            "audio/wav",
+                            synthesize_wav(1, 8000 + (did % 5) * 1000, 100 + did % 50),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return ids.select("doc_id").mapInPandas(
+        run, "doc_id long, media_type string, payload binary"
+    )
+
+
+def decode_media_features(df: DataFrame) -> DataFrame:
+    """Real-decode feature extraction over (doc_id, media_type,
+    payload) via Arrow-batched mapInPandas; output MEDIA_DECODE_SCHEMA
+    (format-inapplicable fields are typed NULLs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": pd.array([f["width"] for f in feats], dtype="Int64"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int64"),
+                    "n_channels": pd.array(
+                        [f["n_channels"] for f in feats], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [f["sample_rate"] for f in feats], dtype="Int64"
+                    ),
+                    "n_samples": pd.array(
+                        [f["n_samples"] for f in feats], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, MEDIA_DECODE_SCHEMA)
 
 
 def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:

@@ -300,6 +300,17 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
 
 
+def q46_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (no fake): synthesize valid PNG/WAV blobs
+    executor-side (deterministic per doc_id), then decode them with
+    the stdlib codecs — full PNG chunk walk + IDAT inflation, RIFF
+    parse for WAV. The oracle states the expected dimensions directly
+    from the synthesis rule, so a decode bug (wrong endianness, bad
+    chunk offsets, mis-read fmt) hash-mismatches immediately."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return MM.decode_media_features(MM.synthesize_media(d))
+
+
 def q37_html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML scraping parse stage (C12): synthesize scraper-shaped
     profile pages, extract applicant / team / company-link /
@@ -442,6 +453,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q31_token_stats": q31_token_stats,
     "q32_doc_fingerprint": q32_doc_fingerprint,
     "q33_multimodal_features": q33_multimodal_features,
+    "q46_multimodal_real_decode": q46_multimodal_real_decode,
     "q37_html_field_extraction": q37_html_field_extraction,
     "q40_trainingdata_pipeline": q40_trainingdata_pipeline,
     "q41_stratified_split": q41_stratified_split,
@@ -690,6 +702,17 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                greatest(1, (octet_length(encode(text)) + 255) // 256)::BIGINT AS n_frames,
                md5(text) AS content_md5
         FROM documents
+    """,
+    "q46_multimodal_real_decode": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'audio/wav' END AS media_type,
+               CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 END::BIGINT AS width,
+               CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8 END::BIGINT AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END::BIGINT AS n_channels,
+               CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 1000 END::BIGINT AS sample_rate,
+               CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 END::BIGINT AS n_samples
+        FROM documents WHERE doc_id % 5 = 0
     """,
     "q37_html_field_extraction": """
         WITH pages AS (

@@ -235,6 +235,34 @@ def test_multimodal_plumbing_and_stub(spark, docs):
         MM.decode_stub(b"xx", "image/png", deterministic_fake=False)
 
 
+def test_real_media_decode_roundtrip_and_validation(spark):
+    """The stdlib codecs decode what the synthesizers produce, and
+    REJECT corrupt payloads instead of returning garbage features."""
+    import pytest as _pytest
+
+    png = MM.synthesize_png(5, 3, 42)
+    got = MM.decode_media(png, "image/png")
+    assert (got["width"], got["height"], got["n_channels"]) == (5, 3, 3)
+
+    wav = MM.synthesize_wav(2, 16000, 123)
+    got = MM.decode_media(wav, "audio/wav")
+    assert (got["n_channels"], got["sample_rate"], got["n_samples"]) == (2, 16000, 123)
+
+    with _pytest.raises(ValueError):
+        MM.decode_media(b"notapng" + png, "image/png")
+    # truncated IDAT: pixel stream length check fires
+    with _pytest.raises(Exception):
+        MM.decode_media(png[:-20], "image/png")
+    with _pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+    # distributed path: synth + decode via mapInPandas
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in MM.decode_media_features(MM.synthesize_media(ids)).collect()}
+    assert out[4].width == 5 and out[4].height == 5 and out[4].sample_rate is None
+    assert out[7].sample_rate == 10000 and out[7].n_samples == 107 and out[7].width is None
+
+
 def test_language_id_scores_real_english(spark):
     df = spark.createDataFrame(
         [(1, "xx", "the cat is on the mat and it is happy")],
