@@ -107,11 +107,16 @@ def minhash_lsh_pairs(
     >= the cutoff. Band collisions with low true similarity estimate
     near 0.5 (one band is known-equal, the rest are ~independent), so
     a cutoff between 0.5 and ``threshold`` drops most false
-    candidates before their arrays ever travel. LOSSY by a
-    quantified margin: a true pair at jaccard=t survives with
-    P(Bin(16 - rows_per_band, t) clearing the cutoff) — e.g. ~99% at
-    t=0.8 with cutoff 0.75. The DuckDB oracle mirrors the estimate
-    exactly, so results stay bit-reproducible.
+    candidates before exact verification computes over their arrays.
+    LOSSY by a quantified margin: a true pair at jaccard=t survives
+    with P(Bin(16 - rows_per_band, t) clearing the cutoff) — e.g.
+    ~99% at t=0.8 with cutoff 0.75. Measured trade (round 3, sf0.1):
+    the two candidate-side joins cost ~20% of q22 wall time locally,
+    so it's OFF by default — enable when the false-candidate rate x
+    array size makes exact verify the dominant term. A cutoff of
+    ``rows_per_band/16`` (0.5 here) is provably a no-op: every band
+    collision already agrees on one full band (pinned by
+    test_minhash_est_prefilter_semantics).
     """
     t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
     sig = t.select(
@@ -121,6 +126,12 @@ def minhash_lsh_pairs(
             for j, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
+    if est_prefilter is not None:
+        # the slim (id, 16 longs) signature frame feeds THREE plan
+        # branches (banding + both prefilter joins); materialize it
+        # once so the md5 minhash folds over the token arrays don't
+        # re-run per branch
+        sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         F.explode(

@@ -54,15 +54,6 @@ def _sig_select() -> str:
     )
 
 
-def _est_match_sql() -> str:
-    """Count of agreeing signature components between sig rows aliased
-    ``sa`` and ``sb`` (the DuckDB twin of the Spark zip_with fold)."""
-    return " + ".join(
-        f"CASE WHEN sa.sig{j} = sb.sig{j} THEN 1 ELSE 0 END"
-        for j in range(len(MINHASH_PERMS))
-    )
-
-
 def _band_selects(src: str) -> str:
     """UNION ALL of one SELECT per LSH band: (doc_id, band_idx, band_val)."""
     parts = []
@@ -136,14 +127,20 @@ def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 perms, 2 bands x 8 rows),
-    estimate-prefiltered at 0.75 then verified with exact unigram
-    Jaccard >= 0.8 (doc_id % 8 slice). The prefilter compares 16-int
-    signatures so most band-collision false candidates are dropped
-    before their token arrays travel to the verify join."""
+    verified with exact unigram Jaccard >= 0.8 (doc_id % 8 slice).
+
+    Conscious perf note (round 3): the operator's ``est_prefilter``
+    (16-int estimated-Jaccard gate before exact verification) was
+    benched here at sf0.1 and costs ~20% wall time — two extra
+    candidate-side joins whose fixed stage overhead exceeds the
+    verify compute they save at this scale, since the corpus token
+    arrays travel once per verify-join side regardless of candidate
+    count. Left OFF for this query; enable it when banding's
+    false-candidate rate x array size makes exact verification the
+    dominant term (the unit tests pin its semantics either way)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
     return DD.minhash_lsh_pairs(
-        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8,
-        est_prefilter=0.75,
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
     )
 
 
@@ -494,19 +491,11 @@ TRAININGDATA_ORACLES: dict[str, str] = {
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b USING (band_idx, band_val)
           WHERE a.doc_id < b.doc_id
-        ), cand2 AS (
-          -- minhash estimated-Jaccard prefilter, mirroring the Spark
-          -- 16-int signature comparison (est >= 0.75)
-          SELECT id_a, id_b
-          FROM cand
-          JOIN sig sa ON sa.doc_id = cand.id_a
-          JOIN sig sb ON sb.doc_id = cand.id_b
-          WHERE ({_est_match_sql()}) / {len(MINHASH_PERMS)}.0 >= 0.75
         )
         SELECT id_a, id_b, {_JACCARD} AS jaccard
-        FROM cand2
-        JOIN d da ON da.doc_id = cand2.id_a
-        JOIN d db ON db.doc_id = cand2.id_b
+        FROM cand
+        JOIN d da ON da.doc_id = cand.id_a
+        JOIN d db ON db.doc_id = cand.id_b
         WHERE {_JACCARD} >= 0.8
     """,
     "q23_simhash_fingerprints": f"""

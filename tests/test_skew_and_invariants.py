@@ -81,6 +81,32 @@ def test_jaccard_prefix_filter_is_lossless_for_positive_threshold(spark):
     assert len(want) > 0  # the corpus actually produces pairs at this t
 
 
+def test_minhash_est_prefilter_semantics(spark):
+    """est_prefilter contracts: rows_per_band/16 (=0.5) is a no-op
+    (any band collision already agrees on 8 of 16 sig components);
+    1.0 keeps only pairs whose FULL signatures agree — a subset."""
+    docs = spark.createDataFrame(_random_docs(50, seed=3), "doc_id long, text string")
+    sh = TX.distinct_tokens(F.col("text"))
+    base = sorted(
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(docs, "doc_id", sh, threshold=0.3).collect()
+    )
+    noop = sorted(
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", sh, threshold=0.3, est_prefilter=0.5
+        ).collect()
+    )
+    assert noop == base
+    strict = sorted(
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", sh, threshold=0.3, est_prefilter=1.0
+        ).collect()
+    )
+    assert set(strict) <= set(base)
+
+
 def test_simhash_depends_on_set_not_order(spark):
     # simhash over DISTINCT tokens: permuting words changes nothing
     df = spark.createDataFrame(
