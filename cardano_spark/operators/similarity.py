@@ -108,10 +108,21 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: compare only within the query's sign-LSH bucket.
     Recall < 1 by design; the bucket join replaces the corpus scan
-    per query with a shuffle on the 8-bit bucket id."""
+    per query with a shuffle on the 8-bit bucket id.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's (one hyperplane flipped — the buckets
+    a borderline vector most likely lands in), trading a 9x fan-out
+    of the (tiny) query side for substantially higher recall. The
+    corpus side is untouched either way: each corpus vector sits in
+    exactly ONE bucket, so no pair dedup is needed and corpus bytes
+    never replicate — the scale-right direction for asymmetric
+    cardinalities."""
+    n_bits = len(HYPERPLANES)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -119,6 +130,21 @@ def lsh_topk(
         .withColumn("bucket", lsh_bucket(F.col("qv")))
         .withColumn("qn", norm(F.col("qv")))
     )
+    if multiprobe == 1:
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                        for j in range(n_bits)
+                    ],
+                )
+            ),
+        )
+    elif multiprobe != 0:
+        raise ValueError("multiprobe must be 0 or 1 (flip-one-bit probing)")
     c = (
         corpus.select(
             F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")

@@ -204,6 +204,15 @@ def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5)
 
 
+def q47_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN top-5: each probe searches its own
+    bucket plus the 8 one-bit-flip neighbors (9x fan-out of the tiny
+    query side only; the corpus stays in single buckets)."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5, multiprobe=1)
+
+
 def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: 10 seed centroids -> inverted lists -> probe
     the 2 nearest lists per query -> exact top-5 within them."""
@@ -444,6 +453,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q26_embedding_neardup_topk": q26_embedding_neardup_topk,
     "q27_ann_brute_topk": q27_ann_brute_topk,
     "q28_ann_lsh_topk": q28_ann_lsh_topk,
+    "q47_ann_multiprobe_topk": q47_ann_multiprobe_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q29_language_id": q29_language_id,
     "q30_quality_score": q30_quality_score,
@@ -581,6 +591,25 @@ TRAININGDATA_ORACLES: dict[str, str] = {
           SELECT q.vec_id AS query_id, c.vec_id AS match_id,
                  {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
           FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 8
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "q47_ann_multiprobe_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM v q JOIN v c
+            ON bit_count(xor(q.bucket, c.bucket)) <= 1
+           AND c.vec_id <> q.vec_id
           WHERE q.vec_id < 8
         )
         SELECT query_id, match_id, cos_sim, rank FROM (

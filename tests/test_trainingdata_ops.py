@@ -206,6 +206,35 @@ def test_ivf_topk_external_queries(spark):
     assert got == [(100, 0), (100, 4)]  # probe lands in centroid-0's list
 
 
+def test_multiprobe_lsh_supersets_single_bucket_candidates(spark):
+    """multiprobe=1 must consider every single-bucket candidate plus
+    the 1-bit-flip neighborhoods — candidate sets strictly grow, and
+    recall vs brute force can only improve."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    probes = e.filter(F.col("vec_id") < 4)
+    big = 10**9  # disable the top-k cut: compare raw candidate sets
+    single = {
+        (r.query_id, r.match_id)
+        for r in SIM.lsh_topk(e, probes, "vec_id", "embedding", k=big).collect()
+    }
+    multi = {
+        (r.query_id, r.match_id)
+        for r in SIM.lsh_topk(
+            e, probes, "vec_id", "embedding", k=big, multiprobe=1
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)  # the flip-1 buckets are non-empty
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5, multiprobe=2)
+
+
 def test_lsh_bucket_groups_similar_vectors(spark):
     rows = [
         (0, [1.0] * 64),
