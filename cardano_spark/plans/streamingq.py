@@ -16,6 +16,7 @@ from cardano_spark.streaming.jobs import (
     hourly_rollup,
     read_events_stream,
     run_to_memory,
+    stream_exact_dedup,
 )
 
 
@@ -24,8 +25,20 @@ def q34_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(hourly_rollup(events), output_mode="complete")
 
 
+def q48_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (state-backed dropDuplicates) run to
+    completion; oracle = the batch DISTINCT — stream/batch
+    convergence, same guarantee as q34."""
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        stream_exact_dedup(events, ["user_id", "event_type"]),
+        output_mode="append",
+    )
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
+    "q48_stream_exact_dedup": q48_stream_exact_dedup,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -38,5 +51,8 @@ STREAMING_ORACLES: dict[str, str] = {
                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "q48_stream_exact_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
 }

@@ -87,6 +87,23 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_exact_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
+    """State-backed exact dedup on a stream — the streaming twin of
+    the batch insert-if-absent (D1/D2): ``dropDuplicates`` keeps one
+    state-store entry per key and emits only first occurrences.
+    Output is the key columns alone so the result is independent of
+    arrival order (which physical row "wins" is not deterministic
+    across engines; which KEYS exist is).
+
+    Scale note: without an event-time watermark the dedup state grows
+    with distinct-key cardinality forever. On an unbounded 100 TB
+    stream use ``dropDuplicatesWithinWatermark`` after
+    ``withWatermark`` so the store evicts keys older than the lateness
+    bound — exact global dedup over all time belongs in the batch
+    compaction pass (operators/dedup.py)."""
+    return events.select(*keys).dropDuplicates(keys)
+
+
 def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory table; returns the final table as a batch DataFrame."""

@@ -122,3 +122,24 @@ def test_q37_html_parse_is_jvm_side(spark):
     for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
         assert node not in plan
     assert "Exchange" not in plan  # narrow projection, shuffle-free
+
+
+def test_q45_codec_is_shuffle_free_projection(spark):
+    """The PG-array codec round-trip is pure column expressions: no
+    exchange, no Python nodes, scan pruned to the used columns."""
+    plan = _plan(spark, "q45_pg_array_codec")
+    assert "Exchange" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "p_retailprice" not in read  # unused column pruned
+
+
+def test_q47_multiprobe_is_bucket_equijoin(spark):
+    """Multi-probe LSH must stay a bucket equi-join (query side
+    broadcast, 9x fan-out on the tiny side only) — never a nested
+    loop over the corpus."""
+    plan = _plan(spark, "q47_ann_multiprobe_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

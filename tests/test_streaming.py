@@ -131,3 +131,32 @@ def test_stream_foreachbatch_into_merge_sink(spark, two_file_events_dir, tmp_pat
     )
     q2.awaitTermination()
     assert sink.read().count() == expected
+
+
+def test_stream_dedup_emits_each_key_once_across_microbatches(spark, two_file_events_dir):
+    """Dedup state must persist ACROSS triggers: a key seen in
+    microbatch 1 is suppressed in microbatch 2, and the emitted key
+    set equals the batch DISTINCT."""
+    from cardano_spark.streaming import jobs
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(two_file_events_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = run_to_memory(
+        jobs.stream_exact_dedup(events, ["user_id", "event_type"]), "append"
+    ).toPandas()
+    # no key appears twice even though both microbatches contain it
+    assert not out.duplicated(["user_id", "event_type"]).any()
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    got = set(map(tuple, out.itertuples(index=False)))
+    want = set(map(tuple, batch.itertuples(index=False)))
+    assert got == want
