@@ -271,10 +271,20 @@ def ivf_topk(
     ``pyspark.ml.clustering.KMeans`` and broadcasts the model — the
     assignment/probe/search plan below is identical either way.
 
-    Scale shape: assignment is a broadcast NL join against the tiny
-    centroid set (corpus scanned once, no shuffle); the probe->list
-    join shuffles on the centroid id only, so each query compares
-    against ~nprobe/n_centroids of the corpus.
+    Scale shape: scoring is a broadcast NL join against the tiny
+    centroid set (corpus scanned once); corpus->centroid assignment
+    then reduces with ``max(struct(c, -cid))`` — a two-phase
+    aggregate whose map-side partial collapses the 10x row fan-out
+    BEFORE the exchange, so the assignment shuffle carries ONE slim
+    row per corpus vector and nothing sorts (the previous window-rank
+    form shuffled all n_centroids scored rows per vector, then
+    sorted). Deterministic ties: max over (c, -cid) = best cosine,
+    then smallest cid — bit-identical to the window form, and an
+    inline-literal argmax was measured 3x SLOWER here (10 fold
+    expressions per row exceed codegen limits; same pitfall as the
+    unrolled dot product, see :func:`dot`). The probe->list join
+    shuffles on the centroid id only, so each query compares against
+    ~nprobe/n_centroids of the corpus.
     """
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
@@ -283,24 +293,34 @@ def ivf_topk(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
     )
 
-    def nearest(df: DataFrame, take: int, id_out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(seeds)).select(
+    def scored_against_seeds(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(seeds)).select(
             F.col("vid"),
             F.col("cid"),
             (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("c"),
-        )
-        w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= take)
-            .select(F.col("vid").alias(id_out), "cid")
         )
 
     q = queries.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
-    assign = nearest(v, 1, "match_id")
-    probes = nearest(q, nprobe, "query_id")
+    # corpus side: partial-agg argmax, 1 row per vector on the wire
+    assign = (
+        scored_against_seeds(v)
+        .groupBy("vid")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))).alias("b"))
+        .select(
+            F.col("vid").alias("match_id"),
+            (-F.col("b.negcid")).cast("long").alias("cid"),
+        )
+    )
+    # query side: nprobe nearest lists via window top-k (tiny frame)
+    w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
+    probes = (
+        scored_against_seeds(q)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), "cid")
+    )
     cand = (
         probes.join(assign, "cid")
         .filter(F.col("match_id") != F.col("query_id"))
