@@ -44,21 +44,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read the
-    nanos as a plain long (legacy conf) and convert losslessly to a
-    microsecond timestamp (``ts div 1000`` stays in 64-bit integer
-    arithmetic — a double division would lose precision above 2^53).
+    """Normalize ``events.ts`` to a session-UTC ``TimestampType``
+    regardless of how the parquet was written. The driver has shipped
+    two physical shapes across rounds:
 
-    Scale note: predicates on the converted ``ts`` can't push down to
-    the parquet scan; at 100 TB the events dataset should be written
-    with microsecond timestamps (or date-partitioned) so pruning works.
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL), so we read the nanos as a plain long
+      (legacy conf) and convert losslessly — ``ts div 1000`` stays in
+      64-bit integer arithmetic; a double division would lose
+      precision above 2^53.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+      TIMESTAMP_NTZ; the session timezone is pinned to UTC
+      (session.py), so the cast to TimestampType is wall-clock
+      preserving and downstream comparisons against UTC literals are
+      unchanged.
+
+    Scale note: for the long-nanos shape, predicates on the converted
+    ``ts`` can't push down to the parquet scan; at 100 TB the events
+    dataset should be written with microsecond timestamps (or
+    date-partitioned) so pruning works. The micros shape pushes down
+    fine.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        ts = F.col("ts").cast(T.TimestampType())
+    else:
+        ts = F.col("ts")
+    return df.withColumn("ts", ts).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 

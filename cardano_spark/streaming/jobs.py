@@ -35,18 +35,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: raw schema of events.parquet under nanosAsLong (ts is int64 nanos —
-#: see catalog._read_events for why).
+#: raw schema of events.parquet: ts is TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) -> TIMESTAMP_NTZ (see catalog._read_events
+#: for the session-UTC normalization contract).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """NTZ -> session-UTC TimestampType, matching the batch loader so
+    stream and batch plans agree on literal comparisons and windows."""
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 _query_seq = itertools.count()
 
@@ -57,7 +64,6 @@ def read_events_stream(
     """File-source stream over the events table. Globs the single
     parquet file under ``sf_dir``; on a real deployment this is a
     date-partitioned directory the stream lists incrementally."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -66,7 +72,7 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+    return normalize_event_ts(raw).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 

@@ -39,10 +39,10 @@ def two_file_events_dir(spark, tmp_path):
     ev = table(spark, SF_SMALL, "events")
     lo = ev.filter(F.col("event_id") % 2 == 0)
     hi = ev.filter(F.col("event_id") % 2 == 1)
-    # write raw long-nanos shape matching EVENTS_RAW_SCHEMA
+    # write the raw NTZ-micros shape matching EVENTS_RAW_SCHEMA
     for name, df in (("a", lo), ("b", hi)):
         tmp = str(tmp_path / f"w_{name}")
-        df.withColumn("ts", (F.unix_micros("ts") * 1000)).select(
+        df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         ).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -59,7 +59,7 @@ def test_watermark_tracker_cumulative_state(spark, two_file_events_dir):
         .option("maxFilesPerTrigger", "1")
         .load(two_file_events_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = jobs.normalize_event_ts(raw)
     out = run_to_memory(watermark_tracker(events), "update")
     # update-mode memory sink appends one row per key per microbatch;
     # state is cumulative (monotonic), so the max per key is the final
@@ -145,7 +145,7 @@ def test_stream_dedup_emits_each_key_once_across_microbatches(spark, two_file_ev
         .option("maxFilesPerTrigger", "1")
         .load(two_file_events_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = jobs.normalize_event_ts(raw)
     out = run_to_memory(
         jobs.stream_exact_dedup(events, ["user_id", "event_type"]), "append"
     ).toPandas()
