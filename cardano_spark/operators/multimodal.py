@@ -200,6 +200,189 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     )
 
 
+def synthesize_png_gradient(did: int) -> bytes:
+    """A valid 8-bit RGB PNG whose pixel at (x, y) has all three
+    channels equal to ``(did*7 + x*3 + y*5) %% 256`` — non-constant so
+    a resample that reads the wrong source pixel changes the checksum.
+    Dims follow the q46 rule: width ``1 + did%%16``, height
+    ``1 + did%%8``."""
+    width, height = 1 + did % 16, 1 + did % 8
+    raw = b"".join(
+        b"\x00"
+        + bytes(
+            v
+            for x in range(width)
+            for v in [(did * 7 + x * 3 + y * 5) % 256] * 3
+        )
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_wav_pcm(did: int) -> bytes:
+    """A valid 16-bit mono PCM WAV with a deterministic non-silent
+    signal: sample ``i`` is ``(did*31 + i*7) %% 32768`` (always
+    non-negative, so int16 round-trips exactly). Rate/length follow
+    the q46 rule: rate ``8000 + (did%%5)*1000``, ``100 + did%%50``
+    frames."""
+    n = 100 + did % 50
+    pcm = struct.pack(
+        "<%dh" % n, *((did * 31 + i * 7) % 32768 for i in range(n))
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000 + (did % 5) * 1000)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit PNG into raw pixels: (width, height, channels,
+    row-major sample bytes). Only filter type 0 (None) scanlines are
+    supported — the synthesizers emit exactly that; a real corpus
+    needs Paeth/Sub/Up unfiltering from a codec library, which is the
+    documented NotImplementedError boundary."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    width = height = color_type = None
+    idat = b""
+    off = 8
+    while off + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            if bit_depth != 8:
+                raise NotImplementedError("only 8-bit PNGs supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        off += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(idat)
+    stride = 1 + width * channels
+    if len(raw) != height * stride:
+        raise ValueError("PNG pixel stream length mismatch")
+    out = bytearray()
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise NotImplementedError(
+                f"PNG filter type {row[0]} needs a codec library"
+            )
+        out += row[1:]
+    return width, height, channels, bytes(out)
+
+
+def resize_image_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize: decode the PNG to pixels, map
+    output pixel (u, v) to source pixel ``(u*w_src // out_w,
+    v*h_src // out_h)`` (floor mapping — the convention the oracle
+    reproduces arithmetically), re-encode as PNG."""
+    w, h, ch, px = _png_pixels(payload)
+    rows = []
+    for v in range(out_h):
+        y = v * h // out_h
+        row = bytearray(b"\x00")
+        for u in range(out_w):
+            x = u * w // out_w
+            base = (y * w + x) * ch
+            row += px[base : base + ch]
+        rows.append(bytes(row))
+    ihdr = struct.pack(">IIBBBBB", out_w, out_h, 8, 2 if ch == 3 else 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def image_resize_features(ids: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Synthesize gradient PNGs executor-side, resize for real
+    (decode -> NN resample -> re-encode), then RE-DECODE the resized
+    bytes and checksum the pixels (``px_sum`` = sum of every sample
+    byte). A wrong index mapping, a bad re-encode, or a corrupt IDAT
+    all change ``px_sum`` — the oracle predicts it arithmetically from
+    the synthesis rule. Arrow-batched mapInPandas; payloads never
+    visit the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                resized = resize_image_nn(
+                    synthesize_png_gradient(did), out_w, out_h
+                )
+                w, h, ch, px = _png_pixels(resized)
+                rows.append((did, w, h, ch, sum(px)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "px_sum"]
+            )
+
+    return ids.select("doc_id").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+
+def audio_frame_sample_features(ids: DataFrame, stride: int) -> DataFrame:
+    """Synthesize PCM WAVs executor-side, then REALLY frame-sample:
+    RIFF/fmt parse via the stdlib ``wave`` reader, int16 decode of the
+    payload, keep every ``stride``-th frame, and sum the kept
+    amplitudes. The oracle reproduces ``amp_sum`` from the synthesis
+    rule with a generate_series sum, so endianness or off-by-one
+    stride bugs hash-mismatch. Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                with wave.open(io.BytesIO(synthesize_wav_pcm(did))) as w:
+                    rate = w.getframerate()
+                    frames = w.readframes(w.getnframes())
+                samples = struct.unpack("<%dh" % (len(frames) // 2), frames)
+                kept = samples[::stride]
+                rows.append((did, rate, len(kept), sum(kept)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_sampled", "amp_sum"]
+            )
+
+    return ids.select("doc_id").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
 def synthesize_media(ids: DataFrame) -> DataFrame:
     """Deterministic synthetic media source: even doc_ids get a real
     PNG (width 1+id%16, height 1+id%8, RGB), odd ones a real WAV

@@ -16,6 +16,7 @@ from cardano_spark.streaming.jobs import (
     hourly_rollup,
     read_events_stream,
     run_to_memory,
+    sessionize_stream,
     stream_exact_dedup,
 )
 
@@ -36,9 +37,18 @@ def q48_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window merging-state aggregation run to
+    completion; oracle = batch lag() sessionization with the strict
+    gap boundary (see sessionize_stream docstring)."""
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(sessionize_stream(events), output_mode="complete")
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q48_stream_exact_dedup": q48_stream_exact_dedup,
+    "q51_stream_sessionize": q51_stream_sessionize,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -54,5 +64,30 @@ STREAMING_ORACLES: dict[str, str] = {
     """,
     "q48_stream_exact_dedup": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # lag() sessionize with session_window's STRICT boundary (diff
+    # >= gap starts a new session; the batch q14 uses > — see
+    # jobs.sessionize_stream docstring for why they differ)
+    "q51_stream_sessionize": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_last,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_no
     """,
 }

@@ -317,6 +317,28 @@ def q46_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media_features(MM.synthesize_media(d))
 
 
+def q49_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (decode -> nearest-neighbor resample ->
+    re-encode -> re-decode -> pixel checksum) over synthesized
+    gradient PNGs. The synthesis rule makes every post-resize pixel an
+    arithmetic function of doc_id, so the oracle predicts ``px_sum``
+    exactly — wrong source-index mapping, bad filter bytes, or a
+    corrupt re-encode all hash-mismatch. Brief capability: multimodal
+    resize as an Arrow-batched Pandas-UDF stage."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return MM.image_resize_features(d, out_w=8, out_h=4)
+
+
+def q50_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame-sampling (RIFF parse -> int16 PCM decode ->
+    every-4th-frame stride -> amplitude sum) over synthesized
+    non-silent WAVs; oracle reproduces the sampled-amplitude sum via
+    generate_series. Brief capability: multimodal frame-sample as an
+    Arrow-batched Pandas-UDF stage."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return MM.audio_frame_sample_features(d, stride=4)
+
+
 def q37_html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML scraping parse stage (C12): synthesize scraper-shaped
     profile pages, extract applicant / team / company-link /
@@ -461,6 +483,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q32_doc_fingerprint": q32_doc_fingerprint,
     "q33_multimodal_features": q33_multimodal_features,
     "q46_multimodal_real_decode": q46_multimodal_real_decode,
+    "q49_image_resize": q49_image_resize,
+    "q50_audio_frame_sample": q50_audio_frame_sample,
     "q37_html_field_extraction": q37_html_field_extraction,
     "q40_trainingdata_pipeline": q40_trainingdata_pipeline,
     "q41_stratified_split": q41_stratified_split,
@@ -731,6 +755,41 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 1000 END::BIGINT AS sample_rate,
                CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 END::BIGINT AS n_samples
         FROM documents WHERE doc_id % 5 = 0
+    """,
+    # Post-resize pixel (u,v) = source pixel (u*w//8, v*h//4) whose
+    # value is (doc_id*7 + x*3 + y*5) % 256 on each of 3 channels —
+    # see multimodal.synthesize_png_gradient / resize_image_nn.
+    "q49_image_resize": """
+        WITH src AS (
+          SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h
+          FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT doc_id,
+               8::BIGINT AS width,
+               4::BIGINT AS height,
+               3::BIGINT AS n_channels,
+               (3 * sum((doc_id*7 + ((u * w) // 8)*3 + ((v * h) // 4)*5) % 256))::BIGINT
+                 AS px_sum
+        FROM src, generate_series(0, 7) s1(u), generate_series(0, 3) s2(v)
+        GROUP BY doc_id
+    """,
+    # Sampled frame j is PCM sample i=4j with value (doc_id*31 + i*7)
+    # % 32768; max n_sampled is ceil(149/4)=38 so the fixed series
+    # 0..37 with the j-filter covers every doc (generate_series can't
+    # be laterally correlated in DuckDB).
+    "q50_audio_frame_sample": """
+        WITH src AS (
+          SELECT doc_id, 100 + doc_id % 50 AS n,
+                 8000 + (doc_id % 5) * 1000 AS rate
+          FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT doc_id,
+               rate::BIGINT AS sample_rate,
+               ((n + 3) // 4)::BIGINT AS n_sampled,
+               sum((doc_id*31 + j*28) % 32768)::BIGINT AS amp_sum
+        FROM src, generate_series(0, 37) t(j)
+        WHERE j < (n + 3) // 4
+        GROUP BY doc_id, rate, n
     """,
     "q37_html_field_extraction": """
         WITH pages AS (

@@ -93,6 +93,29 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via the native ``session_window``
+    merging-state aggregation — the streaming twin of the batch lag()
+    sessionize (q14). Boundary semantics are session_window's:
+    an event exactly ``gap`` after the previous one starts a NEW
+    session (windows are half-open [ts, ts+gap), so they don't
+    overlap), whereas the batch q14 keeps diff == gap in-session;
+    the q51 oracle mirrors the strict form.
+
+    Scale note: session state merges map-side per key and evicts on
+    watermark expiry in append mode; run_to_memory uses complete mode
+    here only because the bounded test corpus must emit trailing
+    sessions — an unbounded deployment adds ``withWatermark`` and
+    append mode."""
+    return events.groupBy(
+        F.session_window(F.col("ts"), gap), F.col("user_id")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_last"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "session_start", "session_last", "n_events")
+
+
 def stream_exact_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
     """State-backed exact dedup on a stream — the streaming twin of
     the batch insert-if-absent (D1/D2): ``dropDuplicates`` keeps one

@@ -135,6 +135,32 @@ def test_q45_codec_is_shuffle_free_projection(spark):
     assert "p_retailprice" not in read  # unused column pruned
 
 
+def test_q49_q50_media_transforms_single_python_stage_no_shuffle(spark):
+    """Media resize / frame-sample are one Arrow-batched mapInPandas
+    over a pruned scan — exactly one Python stage, zero exchanges
+    (payloads are born and consumed executor-side, never reshuffled
+    or driver-collected)."""
+    for name in ("q49_image_resize", "q50_audio_frame_sample"):
+        plan = _plan(spark, name)
+        assert plan.count("MapInPandas") == 1, name
+        assert "Exchange" not in plan, name
+        read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "text" not in read, name  # only doc_id scanned
+
+
+def test_q51_batch_sessionize_is_single_shuffle_session_window(spark):
+    """The session_window aggregation (batch twin of the streaming
+    q51) must shuffle once on user_id and merge sessions map-side —
+    no extra exchange, no sort-based fallback re-shuffle."""
+    from cardano_spark.catalog import table
+    from cardano_spark.streaming.jobs import sessionize_stream
+
+    df = sessionize_stream(table(spark, SF_SMALL, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_q47_multiprobe_is_bucket_equijoin(spark):
     """Multi-probe LSH must stay a bucket equi-join (query side
     broadcast, 9x fan-out on the tiny side only) — never a nested

@@ -133,6 +133,29 @@ def test_stream_foreachbatch_into_merge_sink(spark, two_file_events_dir, tmp_pat
     assert sink.read().count() == expected
 
 
+def test_stream_sessionize_merges_across_microbatches(spark, two_file_events_dir):
+    """session_window state must MERGE sessions split across
+    microbatches (the even/odd event_id file split interleaves every
+    user's timeline over both files): streamed complete-mode output
+    must equal the batch session_window over the same data."""
+    from cardano_spark.streaming import jobs
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(two_file_events_dir)
+    )
+    streamed = run_to_memory(
+        jobs.sessionize_stream(jobs.normalize_event_ts(raw)), "complete"
+    )
+    batch = jobs.sessionize_stream(table(spark, SF_SMALL, "events"))
+    cols = ["user_id", "session_start", "session_last", "n_events"]
+    assert sorted(map(tuple, streamed.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+
+
 def test_stream_dedup_emits_each_key_once_across_microbatches(spark, two_file_events_dir):
     """Dedup state must persist ACROSS triggers: a key seen in
     microbatch 1 is suppressed in microbatch 2, and the emitted key

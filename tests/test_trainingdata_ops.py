@@ -292,6 +292,66 @@ def test_real_media_decode_roundtrip_and_validation(spark):
     assert out[7].sample_rate == 10000 and out[7].n_samples == 107 and out[7].width is None
 
 
+def test_image_resize_real_pixels(spark):
+    """Nearest-neighbor resize reads the floor-mapped source pixel
+    (verified per-pixel, not just via checksum) and re-encodes a PNG
+    the decoder accepts; unsupported scanline filters are rejected."""
+    # a 4x2 gradient: pixel (x,y) = 10 + x*3 + y*5 on all channels
+    src = MM.synthesize_png_gradient(did=0)  # dims 1x1 value 0
+    w, h, ch, px = MM._png_pixels(src)
+    assert (w, h, ch, px) == (1, 1, 3, b"\x00\x00\x00")
+
+    src = MM.synthesize_png_gradient(did=3)  # 4x4, base 21
+    resized = MM.resize_image_nn(src, 8, 2)
+    w, h, ch, px = MM._png_pixels(resized)
+    assert (w, h, ch) == (8, 2, 3)
+    for v in range(2):
+        for u in range(8):
+            sx, sy = u * 4 // 8, v * 4 // 2
+            want = (3 * 7 + sx * 3 + sy * 5) % 256
+            got = px[(v * 8 + u) * 3]
+            assert got == want, (u, v, got, want)
+
+    # upscale and downscale round dims exactly
+    assert MM._png_pixels(MM.resize_image_nn(src, 1, 1))[:2] == (1, 1)
+
+    # a filter-type-1 (Sub) scanline is a documented decode boundary
+    bad_raw = b"\x01" + bytes(4 * 3)
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0)
+    bad = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", _zlib.compress(bad_raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM._png_pixels(bad)
+
+
+def test_audio_frame_sample_stride_semantics(spark):
+    """Frame-sampling keeps frames 0, k, 2k, ... (including frame 0)
+    and sums real decoded int16 amplitudes."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    wav = MM.synthesize_wav_pcm(did=1)  # 101 frames, rate 9000
+    with _wave.open(_io.BytesIO(wav)) as w:
+        assert w.getframerate() == 9000 and w.getnframes() == 101
+        frames = w.readframes(101)
+    samples = _struct.unpack("<101h", frames)
+    assert samples[0] == 31 and samples[1] == 38  # (1*31 + i*7)
+
+    ids = spark.createDataFrame([(1,), (5,)], "doc_id long")
+    out = {r.doc_id: r for r in MM.audio_frame_sample_features(ids, stride=4).collect()}
+    assert out[1].n_sampled == 26  # ceil(101/4)
+    assert out[1].amp_sum == sum(samples[::4])
+    assert out[5].sample_rate == 8000
+
+
 def test_language_id_scores_real_english(spark):
     df = spark.createDataFrame(
         [(1, "xx", "the cat is on the mat and it is happy")],
