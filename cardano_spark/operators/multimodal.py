@@ -202,10 +202,10 @@ def decode_media(payload: bytes, media_type: str) -> dict:
 
 def synthesize_png_gradient(did: int) -> bytes:
     """A valid 8-bit RGB PNG whose pixel at (x, y) has all three
-    channels equal to ``(did*7 + x*3 + y*5) %% 256`` — non-constant so
+    channels equal to ``(did*7 + x*3 + y*5) % 256`` — non-constant so
     a resample that reads the wrong source pixel changes the checksum.
-    Dims follow the q46 rule: width ``1 + did%%16``, height
-    ``1 + did%%8``."""
+    Dims follow the q46 rule: width ``1 + did%16``, height
+    ``1 + did%8``."""
     width, height = 1 + did % 16, 1 + did % 8
     raw = b"".join(
         b"\x00"
@@ -227,9 +227,9 @@ def synthesize_png_gradient(did: int) -> bytes:
 
 def synthesize_wav_pcm(did: int) -> bytes:
     """A valid 16-bit mono PCM WAV with a deterministic non-silent
-    signal: sample ``i`` is ``(did*31 + i*7) %% 32768`` (always
+    signal: sample ``i`` is ``(did*31 + i*7) % 32768`` (always
     non-negative, so int16 round-trips exactly). Rate/length follow
-    the q46 rule: rate ``8000 + (did%%5)*1000``, ``100 + did%%50``
+    the q46 rule: rate ``8000 + (did%5)*1000``, ``100 + did%50``
     frames."""
     n = 100 + did % 50
     pcm = struct.pack(

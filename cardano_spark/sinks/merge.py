@@ -125,11 +125,25 @@ class ParquetMergeSink:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
-    def merge(self, incoming: DataFrame) -> None:
-        """Append rows whose key is absent; existing rows win
-        (ON CONFLICT DO NOTHING). Batch-internal dups collapse first
-        (D2). Only buckets containing incoming keys are read,
-        anti-joined, rewritten, and swapped."""
+    def merge(self, incoming: DataFrame, mode: str = "insert") -> None:
+        """Key-merge a batch into the table, touching only the buckets
+        containing incoming keys (read, anti-join, rewrite, swap).
+
+        - ``mode="insert"``: rows whose key is absent are appended;
+          existing rows win (ON CONFLICT DO NOTHING — the reference's
+          idempotency primitive, D1).
+        - ``mode="upsert"``: incoming rows REPLACE existing rows with
+          the same key (ON CONFLICT DO UPDATE). This is the
+          incremental-materialized-view path: a streaming update-mode
+          aggregation emits re-computed aggregate rows per key each
+          microbatch, and upserting them keeps the stored rollup equal
+          to the full recompute. Idempotent for replayed batches as
+          long as replays carry the same values (update-mode streaming
+          state guarantees that).
+
+        Batch-internal dups collapse first (D2)."""
+        if mode not in ("insert", "upsert"):
+            raise ValueError(f"mode must be insert|upsert, got {mode!r}")
         fresh = incoming.dropDuplicates(self.keys).withColumn(
             "_bucket", self._bucket_col()
         )
@@ -144,9 +158,14 @@ class ParquetMergeSink:
         existing = self._read_buckets(touched).withColumn(
             "_bucket", self._bucket_col()
         )
-        merged = existing.unionByName(
-            fresh.join(existing.select(*self.keys), self.keys, "left_anti")
-        )
+        if mode == "insert":
+            merged = existing.unionByName(
+                fresh.join(existing.select(*self.keys), self.keys, "left_anti")
+            )
+        else:
+            merged = fresh.unionByName(
+                existing.join(fresh.select(*self.keys), self.keys, "left_anti")
+            )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         for b in touched:

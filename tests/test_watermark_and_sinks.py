@@ -57,6 +57,84 @@ def test_parquet_merge_sink(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_parquet_merge_sink_upsert_mode(spark, tmp_path):
+    """upsert: incoming rows replace same-key rows, absent keys
+    append, and replaying the same batch is a no-op."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    sink.merge(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    sink.merge(spark.createDataFrame([(2, "B2"), (3, "c")], SCHEMA), mode="upsert")
+    rows = {r.k: r.v for r in sink.read().collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+    sink.merge(spark.createDataFrame([(2, "B2"), (3, "c")], SCHEMA), mode="upsert")
+    assert {r.k: r.v for r in sink.read().collect()} == {1: "a", 2: "B2", 3: "c"}
+    with pytest.raises(ValueError):
+        sink.merge(spark.createDataFrame([], SCHEMA), mode="replace")
+
+
+def test_stream_update_rollup_upsert_is_incremental_matview(spark, tmp_path):
+    """Incremental materialized view: an update-mode streaming
+    aggregation emits re-computed (hour, event_type) aggregate rows
+    per microbatch; upserting each emission into the bucketed sink
+    converges the stored rollup to the full batch recompute — the
+    hypertable-continuous-aggregate pattern with merge I/O bounded by
+    touched buckets, not table size."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cardano_spark.catalog import table as cat_table
+    from cardano_spark.streaming import jobs
+    from tests.conftest import SF_SMALL
+
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    ev = cat_table(spark, SF_SMALL, "events")
+    for name, part in (("a", ev.filter(F.col("event_id") % 2 == 0)),
+                       ("b", ev.filter(F.col("event_id") % 2 == 1))):
+        tmp = str(tmp_path / f"w_{name}")
+        part.withColumn("ts", F.col("ts").cast("timestamp_ntz")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, f), os.path.join(d, f"{name}_events.parquet"))
+
+    rollup_schema = T.StructType(
+        [
+            T.StructField("hour", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "rollup"), rollup_schema, ["hour", "event_type"]
+    )
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    agg = jobs.hourly_rollup(jobs.normalize_event_ts(raw))
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: sink.merge(b, mode="upsert"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, sink.read().select(*[f.name for f in rollup_schema]).collect())
+    )
+    want = sorted(map(tuple, jobs.hourly_rollup(ev).collect()))
+    assert got == want
+
+
 def test_parquet_merge_sink_recovers_interrupted_swap(spark, tmp_path):
     """A crash between the two swap renames must not lose rows or
     duplicate them: the parked bucket lives OUTSIDE the table root
