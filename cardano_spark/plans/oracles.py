@@ -302,3 +302,64 @@ def _q45_oracle() -> str:
 
 
 RELATIONAL_ORACLES["q45_pg_array_codec"] = _q45_oracle()
+
+RELATIONAL_ORACLES["q52_market_share"] = """
+    WITH asia AS (
+      SELECT c_custkey, n_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), rev AS (
+      SELECT year(o_orderdate) AS o_year,
+             n_name,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(9,6)) AS r
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN asia   ON o_custkey = c_custkey
+    ), agg AS (
+      SELECT o_year,
+             CAST(CAST(sum(CASE WHEN n_name = 'NATION_2' THEN r
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS VARCHAR) AS DOUBLE) AS nation_rev,
+             CAST(CAST(sum(r) AS VARCHAR) AS DOUBLE) AS total_rev
+      FROM rev GROUP BY o_year
+    )
+    SELECT o_year, nation_rev, total_rev,
+           nation_rev / total_rev AS mkt_share
+    FROM agg
+"""
+
+RELATIONAL_ORACLES["q53_large_orders"] = """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 135
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+"""
+
+# 16^15 = 1152921504606846976 (md5_long's 60-bit hash space); the
+# estimator arithmetic mirrors q54 op-for-op so the IEEE doubles agree
+RELATIONAL_ORACLES["q54_kmv_distinct_sketch"] = """
+    WITH h AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), kmin AS (
+      SELECT h FROM h ORDER BY h ASC LIMIT 64
+    )
+    SELECT max(h) AS kth_min_hash,
+           CAST(floor(63.0 / (max(h)::DOUBLE / 1152921504606846976.0))
+                AS BIGINT) AS est_distinct,
+           64::BIGINT AS k
+    FROM kmin
+"""

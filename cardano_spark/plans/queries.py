@@ -535,6 +535,128 @@ def q45_pg_array_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_2's share of ASIA revenue
+    per order year. Exercises Catalyst on a 5-table join with
+    conditional aggregation. Plan: aggregate-before-join collapses
+    lineitem to per-order revenue (one shuffle), the dimension chain
+    broadcasts, the region filter prunes 4/5 of customers BEFORE the
+    fact join (pushed through the broadcast), and the year group-by
+    shuffles 7 rows. Share = one IEEE division of two exact
+    (decimal-summed, string-routed) doubles, so both engines agree
+    bitwise."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("o_rev")
+    )
+    asia_cust = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    zero = F.lit(0).cast(T.DecimalType(18, 2))
+    return (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == "NATION_2", F.col("o_rev")).otherwise(zero)
+            ).alias("nation_rev"),
+            F.sum(F.col("o_rev")).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            exact_double(F.col("nation_rev")).alias("nation_rev"),
+            exact_double(F.col("total_rev")).alias("total_rev"),
+            (
+                exact_double(F.col("nation_rev")) / exact_double(F.col("total_rev"))
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped "large orders": orders whose total lineitem
+    quantity exceeds a threshold, with their customer. Shape:
+    aggregate -> HAVING filter -> fact join -> broadcast dim ->
+    total-order top-k. The HAVING collapses lineitem to ~1 row per
+    300 orders BEFORE any join, so the join input is tiny; the final
+    TakeOrderedAndProject never global-sorts."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(135))
+    )
+    out = (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            exact_double(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+    return topk(out, [F.desc("total_qty"), F.asc("o_orderkey")], 100)
+
+
+#: KMV sketch size (number of minimum hash values retained)
+KMV_K = 64
+#: size of md5_long's hash space: 16^15 (60-bit)
+_KMV_SPACE = float(16**15)
+
+
+def q54_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over
+    events.user_id — the mergeable cardinality sketch pattern
+    (same family as HLL, but with an engine-independent deterministic
+    estimate, so the DuckDB oracle can verify the ESTIMATE itself,
+    not just plumbing). Estimator: E = (k-1) / R_k where R_k is the
+    k-th smallest hash normalized to [0,1).
+
+    Plan shape: hash map-side -> partial hash-agg dedup (the dedup
+    exchange carries per-partition DISTINCT hashes, never raw rows)
+    -> ``TakeOrderedAndProject`` (per-partition k-smallest, k rows
+    per partition into the final merge). The distinct must precede
+    the top-k: duplicate hash values may not occupy sketch slots. At
+    extreme skew a ``mapPartitions`` local dedup+top-k would bound
+    the dedup exchange to k rows per partition too; the built-in
+    partial agg is the right default. Both engines run identical
+    IEEE double ops, so the estimate itself hash-matches."""
+    from cardano_spark.functions.hashing import md5_long
+
+    e = table(spark, sf_dir, "events")
+    hashes = (
+        e.select(md5_long(F.col("user_id").cast("string")).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    kmin = hashes.orderBy(F.asc("h")).limit(KMV_K)
+    kth = kmin.agg(F.max("h").alias("kth_min_hash"))
+    return kth.select(
+        "kth_min_hash",
+        F.floor(
+            F.lit(float(KMV_K - 1))
+            / (F.col("kth_min_hash").cast("double") / F.lit(_KMV_SPACE))
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        F.lit(KMV_K).cast("long").alias("k"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -561,4 +683,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q39_range_join_clicks_before_error": q39_range_join_clicks_before_error,
     "q43_topn_per_group": q43_topn_per_group,
     "q45_pg_array_codec": q45_pg_array_codec,
+    "q52_market_share": q52_market_share,
+    "q53_large_orders": q53_large_orders,
+    "q54_kmv_distinct_sketch": q54_kmv_distinct_sketch,
 }

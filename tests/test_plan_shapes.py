@@ -161,6 +161,27 @@ def test_q51_batch_sessionize_is_single_shuffle_session_window(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q52_market_share_broadcasts_dimension_chain(spark):
+    """The 5-table market-share join must broadcast every dimension
+    (no fact-side SortMergeJoin) — one shuffle for the per-order
+    collapse, one for the 7-row year group-by."""
+    plan = _plan(spark, "q52_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q54_kmv_sketch_is_dedup_then_takeordered(spark):
+    """The KMV sketch must dedup via partial hash-agg (exchange
+    carries distinct hashes only) and pick the k minima with
+    TakeOrderedAndProject — never a global sort of the corpus."""
+    plan = _plan(spark, "q54_kmv_distinct_sketch")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial dedup
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "user_id" in read and "props" not in read
+
+
 def test_q47_multiprobe_is_bucket_equijoin(spark):
     """Multi-probe LSH must stay a bucket equi-join (query side
     broadcast, 9x fan-out on the tiny side only) — never a nested
