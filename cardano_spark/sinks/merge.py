@@ -168,7 +168,12 @@ class ParquetMergeSink:
             )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
-        for b in touched:
+        self._swap_buckets(tmp, touched)
+
+    def _swap_buckets(self, tmp: str, buckets: Sequence[int]) -> None:
+        """Atomically swap freshly-written bucket dirs from ``tmp``
+        into the table root (displaced buckets parked outside it)."""
+        for b in buckets:
             src = os.path.join(tmp, f"_bucket={b}")
             dst = self._bucket_dir(b)
             if not os.path.isdir(src):
@@ -181,6 +186,49 @@ class ParquetMergeSink:
             else:
                 os.rename(src, dst)
         shutil.rmtree(tmp)
+
+    def compact(self, max_files_per_bucket: int = 1) -> list[int]:
+        """Small-files maintenance: every incremental merge appends a
+        file set to each touched bucket, so a long-running table
+        accumulates files that degrade scan planning (one task per
+        tiny file at 100 TB). Rewrite each over-threshold bucket
+        to ONE file and swap it atomically — same crash-safe swap and
+        recovery path as merge, so an interrupted compaction
+        re-converges. Untouched buckets are never opened. Returns the
+        compacted bucket ids (driver-side scalars, <= n_buckets).
+
+        At 100 TB a bucket outgrows one file; there the rewrite would
+        target a file SIZE (repartition each bucket by a size-derived
+        salt). One-file-per-bucket is the right contract at managed-
+        table scale, where a bucket is sized to a core's working
+        set."""
+        if not self.exists():
+            return []
+        self._recover_partial_swaps()
+        fat = [
+            b
+            for b in range(self.n_buckets)
+            if os.path.isdir(self._bucket_dir(b))
+            and sum(
+                1
+                for f in os.listdir(self._bucket_dir(b))
+                if f.endswith(".parquet")
+            )
+            > max_files_per_bucket
+        ]
+        if not fat:
+            return []
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        (
+            self._read_buckets(fat)
+            .withColumn("_bucket", self._bucket_col())
+            .repartition(len(fat), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        self._swap_buckets(tmp, fat)
+        return fat
 
 
 class DBUpsertSink:

@@ -135,6 +135,32 @@ def test_stream_update_rollup_upsert_is_incremental_matview(spark, tmp_path):
     assert got == want
 
 
+def test_parquet_merge_sink_compact(spark, tmp_path):
+    """Repeated merges accumulate files per bucket; compact rewrites
+    each fat bucket to one file with identical contents and skips
+    already-compact buckets."""
+    import os
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=4)
+    for i in range(4):
+        sink.merge(
+            spark.createDataFrame([(j, f"v{j}") for j in range(i * 20, i * 20 + 20)], SCHEMA)
+        )
+    before = {r.k: r.v for r in sink.read().select("k", "v").collect()}
+
+    def files_in(b):
+        d = os.path.join(str(tmp_path / "t"), f"_bucket={b}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert any(len(files_in(b)) > 1 for b in range(4))
+    compacted = sink.compact()
+    assert compacted  # something was fat
+    for b in range(4):
+        assert len(files_in(b)) == 1
+    assert {r.k: r.v for r in sink.read().select("k", "v").collect()} == before
+    assert sink.compact() == []  # second pass: nothing left to do
+
+
 def test_parquet_merge_sink_recovers_interrupted_swap(spark, tmp_path):
     """A crash between the two swap renames must not lose rows or
     duplicate them: the parked bucket lives OUTSIDE the table root
