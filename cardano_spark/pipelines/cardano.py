@@ -24,6 +24,7 @@ from collections.abc import Callable
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cardano_spark import schemas
@@ -47,6 +48,8 @@ class CardanoLake:
         self.root = root
         self.provider_wm = provider_to_s3_store(spark, os.path.join(root, "_state"))
         self.s3_db_wm = s3_to_db_store(spark, os.path.join(root, "_state"))
+        #: per-table row counts observed during the last E2 load (A5)
+        self.last_load_counts: dict[str, int] = {}
 
     def raw_zone(self, entity: str) -> str:
         return os.path.join(self.root, "cardano", entity, "raw")
@@ -246,18 +249,29 @@ def _load_zone(
     merges to zero new rows, so a crash between merge and watermark
     upsert costs one harmless re-merge (the reference needed a DB
     transaction for the same guarantee)."""
+    from pyspark.sql import Observation
+
     wm = lake.s3_db_wm.read_latest(wm_name)
     path = os.path.join(lake.raw_zone(zone), "*")
     raw = read_json_zone(lake.spark, path, raw_schema, modified_after=wm)
     if raw.isEmpty():
         return None
     raw = raw.cache()
+    counts: dict[str, int] = {}
     try:
         new_wm = max_modified(raw)
         for table, df in build_tables(raw.drop("_modified")).items():
-            lake.sink(table).merge(df)
+            # A5 (transform_cardano_tx_utxo_dto_to_df.py:93-96 logs
+            # per-table row counts): df.observe rides the merge's own
+            # actions — no extra count() job over the lineage.
+            obs = Observation(f"load_{table}")
+            lake.sink(table).merge(
+                df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+            )
+            counts[table] = obs.get["n_rows"]
     finally:
         raw.unpersist()
+    lake.last_load_counts = counts
     if new_wm is not None:
         lake.s3_db_wm.upsert(wm_name, new_wm)
     return new_wm

@@ -28,6 +28,9 @@ def test_blocks_end_to_end(lake):
 
     blocks = lake.sink("cardano_blocks").read()
     assert blocks.count() == BATCH
+    # A5: per-table row counts observed during the load (df.observe
+    # rides the merge actions; no extra count job)
+    assert lake.last_load_counts == {"cardano_blocks": BATCH}
     row = blocks.filter(F.col("height") == DEFAULT_START_BLOCK).collect()[0]
     assert row["hash"] == fake_blockfrost.block_payload(DEFAULT_START_BLOCK)["hash"]
     assert row["time"].year >= 2023  # unix -> timestamp conversion (C1)
