@@ -133,6 +133,23 @@ def stream_exact_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.select(*keys).dropDuplicates(keys)
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, keys: list[str], delay: str = "2 hours"
+) -> DataFrame:
+    """The bounded-state dedup for unbounded streams:
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    event-time watermark passes its timestamp + ``delay``, so the
+    store holds only the lateness window instead of all history. The
+    guarantee weakens accordingly — a key recurring AFTER eviction is
+    re-emitted — which is the correct contract when upstream
+    duplicates are caused by bounded-lateness retries (at-least-once
+    sources), and the downstream merge sink's insert-if-absent absorbs
+    any post-eviction repeats (sinks/merge.py)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        [*keys]
+    )
+
+
 def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory table; returns the final table as a batch DataFrame."""

@@ -133,6 +133,40 @@ def test_stream_foreachbatch_into_merge_sink(spark, two_file_events_dir, tmp_pat
     assert sink.read().count() == expected
 
 
+def test_stream_dedup_within_watermark_suppresses_in_window_dups(
+    spark, two_file_events_dir
+):
+    """dropDuplicatesWithinWatermark with a delay wider than the
+    corpus time-span behaves like exact dedup (nothing evicts), and
+    keys duplicated across microbatches are still suppressed —
+    state survives the trigger boundary. (The eviction path itself is
+    lateness-timing-dependent; its contract — post-eviction repeats —
+    is documented and absorbed by the insert-if-absent sink.)"""
+    from cardano_spark.streaming import jobs
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(two_file_events_dir)
+    )
+    events = jobs.normalize_event_ts(raw)
+    out = run_to_memory(
+        jobs.stream_dedup_within_watermark(
+            events, ["user_id", "event_type"], delay="3650 days"
+        ),
+        "append",
+    ).toPandas()
+    assert not out.duplicated(["user_id", "event_type"]).any()
+    want = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(out) == want
+
+
 def test_stream_sessionize_merges_across_microbatches(spark, two_file_events_dir):
     """session_window state must MERGE sessions split across
     microbatches (the even/odd event_id file split interleaves every
