@@ -1,0 +1,58 @@
+"""Partition pruning: the reference's height/date-keyed S3 layout
+(SURVEY §4 "partition-keyed layout") maps to `partitionBy` writes
+whose directory keys Catalyst prunes at planning time. Pins that a
+selective filter on the partition column reaches the scan as a
+PartitionFilter and that only the matching directories are read —
+the difference between scanning 1 day and 1 year at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cardano_spark.catalog import table
+from tests.conftest import SF_SMALL
+
+
+def test_date_partitioned_events_prune_to_filtered_days(spark, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    ev = table(spark, SF_SMALL, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    ev.write.partitionBy("d").parquet(out)
+
+    one_day = spark.read.parquet(out).filter(F.col("d") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(d" in plan or "d#" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # physical proof, not just plan text: the pruned scan reads only
+    # the matching partition's files
+    scan_files = one_day.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    assert scan_files and all("d=2024-01-03" in r.f for r in scan_files)
+
+    # values identical to a post-scan filter over the unpartitioned table
+    want = ev.filter(F.col("d") == "2024-01-03").count()
+    assert one_day.count() == want
+
+
+def test_partition_pruning_composes_with_pushed_filters(spark, tmp_path):
+    """A query filtering on partition key AND a data column gets BOTH
+    prunings: directory-level (PartitionFilters) and row-group-level
+    (PushedFilters)."""
+    out = str(tmp_path / "events_by_day2")
+    ev = table(spark, SF_SMALL, "events").withColumn("d", F.to_date("ts"))
+    ev.write.partitionBy("d").parquet(out)
+
+    q = (
+        spark.read.parquet(out)
+        .filter((F.col("d") == "2024-01-05") & (F.col("event_type") == "purchase"))
+        .select("event_id", "user_id")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters", 1)[1][:300]
+    assert "2024-01-05" in part or "19727" in part  # date literal (or its epoch-day)
+    assert "EqualTo(event_type,purchase)" in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read and "value" not in read
