@@ -452,6 +452,48 @@ def q42_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(50)
 
 
+def q55_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the canonical corpus
+    relevance score, with a RATIONAL idf (n_docs/df, no log) so both
+    engines run the same IEEE ops and the scores hash-match bitwise
+    (libm log implementations differ across engines by ulps).
+
+    Plan: explode -> (doc_id, token) count [shuffle 1] -> doc
+    frequency as count() over a token window [shuffle 2 — attaches
+    df to every tf row WITHOUT a join; a broadcast of the vocabulary
+    would not survive a 100M-term corpus] -> broadcast the 1-row
+    corpus count -> score -> per-doc window top-3 [shuffle 3 on
+    doc_id]. Every shuffle carries counted rows, never raw text;
+    same plan at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
 def q41_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split via content-hash
     bucketing (functions/hashing.py::hash_bucket). Pure projection —
@@ -488,6 +530,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q37_html_field_extraction": q37_html_field_extraction,
     "q40_trainingdata_pipeline": q40_trainingdata_pipeline,
     "q41_stratified_split": q41_stratified_split,
+    "q55_tfidf_top_terms": q55_tfidf_top_terms,
     "q42_vocab_topk": q42_vocab_topk,
     "q44_dedup_clusters": q44_dedup_clusters,
 }
@@ -755,6 +798,33 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 1000 END::BIGINT AS sample_rate,
                CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 END::BIGINT AS n_samples
         FROM documents WHERE doc_id % 5 = 0
+    """,
+    # tf-idf with rational idf (n_docs/df, no log) — identical IEEE
+    # multiply/divide on both engines; ties broken by token asc
+    "q55_tfidf_top_terms": """
+        WITH tf AS (
+          SELECT doc_id, t.tok AS token, count(*) AS tf
+          FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+          GROUP BY doc_id, t.tok
+        ), withdf AS (
+          SELECT doc_id, token, tf,
+                 count(*) OVER (PARTITION BY token) AS df
+          FROM tf
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tf, df,
+               CAST(tf AS DOUBLE)
+                 * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+               rank
+        FROM (
+          SELECT doc_id, token, tf, df, n_docs,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE)
+                            * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                            token ASC) AS rank
+          FROM withdf, n
+        )
+        WHERE rank <= 3
     """,
     # Post-resize pixel (u,v) = source pixel (u*w//8, v*h//4) whose
     # value is (doc_id*7 + x*3 + y*5) % 256 on each of 3 channels —
