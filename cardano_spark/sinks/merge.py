@@ -282,28 +282,47 @@ class DBUpsertSink:
         ph = ", ".join(["?"] * len(self.columns))
         return f"INSERT INTO {self.staging_name()} ({cols}) VALUES ({ph})"
 
-    def merge_sql(self) -> str:
-        """INSERT ... SELECT DISTINCT ON key ... ON CONFLICT DO NOTHING
-        (cardano_block_dao.py:138-148)."""
+    def merge_sql(self, mode: str = "insert") -> str:
+        """INSERT ... SELECT DISTINCT ON key ... ON CONFLICT DO
+        NOTHING (cardano_block_dao.py:138-148), or with
+        ``mode="upsert"`` DO UPDATE SET (the incremental-
+        materialized-view twin of ParquetMergeSink.merge(upsert))."""
+        if mode not in ("insert", "upsert"):
+            raise ValueError(f"mode must be insert|upsert, got {mode!r}")
         cols = ", ".join(self.columns)
         keys = ", ".join(self.keys)
+        if mode == "insert":
+            conflict = "DO NOTHING"
+        else:
+            non_keys = [c for c in self.columns if c not in self.keys]
+            if not non_keys:
+                conflict = "DO NOTHING"  # key-only table: nothing to update
+            else:
+                sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+                conflict = f"DO UPDATE SET {sets}"
         return (
             f"INSERT INTO {self.table} ({cols}) "
             f"SELECT {cols} FROM ("
             f"  SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {keys}) AS rn"
             f"  FROM {self.staging_name()}"
             f") dedup WHERE rn = 1 "
-            f"ON CONFLICT ({keys}) DO NOTHING"
+            f"ON CONFLICT ({keys}) {conflict}"
         )
 
     def drop_staging_sql(self) -> str:
         return f"DROP TABLE IF EXISTS {self.staging_name()}"
 
     def merge(
-        self, df: DataFrame, watermark_sql: str | None = None, via_driver: bool = False
+        self,
+        df: DataFrame,
+        watermark_sql: str | None = None,
+        via_driver: bool = False,
+        mode: str = "insert",
     ) -> None:
         """Stage rows, then run merge (+ optional watermark update)
-        in one driver transaction.
+        in one driver transaction. ``mode="upsert"`` replaces
+        same-key rows (ON CONFLICT DO UPDATE) instead of skipping
+        them.
 
         ``via_driver=True`` streams partitions through the driver
         (``toLocalIterator`` — bounded memory, one partition at a
@@ -348,7 +367,7 @@ class DBUpsertSink:
         try:
             if hasattr(con, "begin"):
                 con.begin()
-            cur.execute(self.merge_sql())
+            cur.execute(self.merge_sql(mode))
             if watermark_sql:
                 cur.execute(watermark_sql)
             if hasattr(con, "commit"):

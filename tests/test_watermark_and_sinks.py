@@ -270,6 +270,40 @@ def test_db_upsert_sink_on_conflict(spark, tmp_path):
     con.close()
 
 
+def test_db_upsert_sink_do_update_mode(spark, tmp_path):
+    """mode='upsert' generates ON CONFLICT DO UPDATE: same-key rows
+    are replaced, absent keys insert — the DB-side twin of the
+    parquet sink's incremental-materialized-view path."""
+    db = str(tmp_path / "u.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE target (k BIGINT PRIMARY KEY, v VARCHAR)")
+    con.execute("INSERT INTO target VALUES (1, 'old'), (3, 'keep')")
+    con.close()
+
+    sink = DBUpsertSink(
+        connection_factory=lambda: duckdb.connect(db),
+        table="target",
+        columns=["k", "v"],
+        keys=["k"],
+    )
+    df = spark.createDataFrame([(1, "NEW"), (2, "ins")], SCHEMA)
+    sink.merge(df, via_driver=True, mode="upsert")
+
+    con = duckdb.connect(db)
+    assert dict(con.execute("SELECT k, v FROM target ORDER BY k").fetchall()) == {
+        1: "NEW",
+        2: "ins",
+        3: "keep",
+    }
+    con.close()
+    assert "DO UPDATE SET v = excluded.v" in sink.merge_sql("upsert")
+    with pytest.raises(ValueError):
+        sink.merge_sql("replace")
+    # key-only tables degrade to DO NOTHING (nothing to update)
+    keyonly = DBUpsertSink(lambda: None, "t", ["k"], ["k"])
+    assert "DO NOTHING" in keyonly.merge_sql("upsert")
+
+
 def test_db_upsert_sink_parallel_staging(spark, tmp_path):
     """The scale default (staging_parallelism=None) must write staging
     partitions executor-parallel: one connection per partition, no
