@@ -182,6 +182,20 @@ def test_q54_kmv_sketch_is_dedup_then_takeordered(spark):
     assert "user_id" in read and "props" not in read
 
 
+def test_q55_tfidf_three_hash_exchanges_no_vocab_broadcast_join(spark):
+    """tf-idf must shuffle exactly three times — (doc_id, token)
+    agg, token window for df, doc_id window for top-3 — with the
+    corpus count as the only broadcast (1 row). A vocabulary
+    broadcast-join would OOM the driver at a 100M-term corpus."""
+    import re
+
+    plan = _plan(spark, "q55_tfidf_top_terms")
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 3, hashes
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan  # df comes from the window, not a join
+
+
 def test_q47_multiprobe_is_bucket_equijoin(spark):
     """Multi-probe LSH must stay a bucket equi-join (query side
     broadcast, 9x fan-out on the tiny side only) — never a nested
