@@ -178,3 +178,46 @@ def test_cast_on_read_evolved_raw_zone(spark, tmp_path):
     assert rows[1] == ("2023-11-14 22:13:20", None)  # epoch converted, NULL-filled
     assert rows[3] == ("2023-11-14 22:15:00", 7)
     assert len(rows) == 3
+
+
+def test_events_loader_normalizes_both_ts_generations(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as TIMESTAMP(NANOS)
+    (read as int64 under nanosAsLong) and as TIMESTAMP(MICROS, ntz) in
+    different rounds; catalog._read_events must normalize BOTH to the
+    same session-UTC TimestampType rows (the loader-level face of the
+    cast-on-read evolution story)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    canonical = table(spark, SF_SMALL, "events")
+    want = sorted(
+        map(tuple, canonical.select("event_id", "ts", "user_id").collect())
+    )
+
+    def roundtrip(df, name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(d, "events.parquet"))
+        got = table(spark, d, "events")
+        assert dict(got.dtypes)["ts"] == "timestamp"
+        return sorted(map(tuple, got.select("event_id", "ts", "user_id").collect()))
+
+    # old generation: ts as int64 nanoseconds
+    old = canonical.withColumn("ts", F.unix_micros("ts") * F.lit(1000)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    assert roundtrip(old, "old_nanos") == want
+
+    # new generation: ts as TIMESTAMP_NTZ micros
+    new = canonical.withColumn("ts", F.col("ts").cast("timestamp_ntz")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    assert roundtrip(new, "new_ntz") == want
