@@ -339,16 +339,73 @@ def prefix_blocking_keys(
     )
 
 
+def _count_based_jaccard_pairs(
+    t: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard pairs via overlap COUNTING (the MapReduce
+    set-similarity join of Vernica et al., VLDB 2010): explode every
+    shingle, equi-join on (block, shingle-hash), and let a map-side
+    partially-aggregated ``groupBy(id_a, id_b).count()`` produce the
+    intersection size directly. ``|A|``/``|B|`` travel inside the
+    join rows, so jaccard = c / (na + nb - c) needs no array re-join
+    and no candidate-dedup exchange — the multiplicity that prefix
+    blocking pays for in its candidate shuffle is collapsed by the
+    partial agg before the wire.
+
+    Complete for threshold > 0 (jaccard >= t > 0 implies overlap >= 1,
+    so every qualifying pair appears in the join). A block-universal
+    shingle makes its (block, hash) key quadratic — inherent to the
+    low-threshold semantics (those pairs must be emitted anyway);
+    AQE's skew splitting spreads that bucket at runtime."""
+    k = t.select(
+        "_id",
+        "_blk",
+        F.size("_sh").alias("_n"),
+        F.explode(F.transform("_sh", md5_long)).alias("_h"),
+    )
+    ka = k.select(
+        F.col("_id").alias("id_a"), "_blk", F.col("_n").alias("na"), "_h"
+    )
+    kb = k.select(
+        F.col("_id").alias("id_b"), "_blk", F.col("_n").alias("nb"), "_h"
+    )
+    ov = (
+        ka.join(kb, ["_blk", "_h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+    )
+    return ov.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     block_col: str,
     shingles: Column,
     threshold: float,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within attribute blocks, candidate-
     pruned by *prefix filtering* so block size is bounded by shingle
     document-frequency, not by the attribute's value count.
+
+    ``strategy``: ``"prefix"`` (candidate generation by prefix
+    filtering + array verify — wins at high thresholds where prefixes
+    are short), ``"count"`` (overlap counting, no array re-join —
+    wins at low thresholds where prefixes approach the full set and
+    the candidate shuffle carries per-shared-shingle multiplicity;
+    see :func:`_count_based_jaccard_pairs`), or ``"auto"``
+    (prefix for t >= 0.5, count below — the prefix keeps < half the
+    set exactly when t >= 0.5, the natural crossover). All three are
+    EXACT — same rows, same oracle; only the physical plan differs.
 
     Round-1 shape (self-join on the attribute alone, e.g. language)
     was O(n^2) within each of ~5 language blocks — all-pairs in
@@ -364,9 +421,15 @@ def ngram_jaccard_pairs(
     shingle arrays re-join by id for the exact-Jaccard verification
     (same de-arrayed shuffle discipline as minhash_lsh_pairs).
     """
+    if strategy not in ("auto", "prefix", "count"):
+        raise ValueError(f"strategy must be auto|prefix|count, got {strategy!r}")
     t = df.select(
         F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), shingles.alias("_sh")
     )
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.5 else "count"
+    if threshold > 0 and strategy == "count":
+        return _count_based_jaccard_pairs(t, threshold)
     if threshold > 0:
         keys = prefix_blocking_keys(df, id_col, block_col, shingles, threshold)
         left = keys.select(F.col("_id").alias("id_a"), "_blk", "_pk")

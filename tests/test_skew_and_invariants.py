@@ -64,21 +64,25 @@ def test_jaccard_invariants_random(spark):
         assert r.id_a < r.id_b
 
 
-def test_jaccard_prefix_filter_is_lossless_for_positive_threshold(spark):
-    # prefix-filter blocking (t>0 path) must return exactly the pairs
-    # the all-pairs path (t<=0 fallback) keeps above the threshold
+def test_jaccard_strategies_are_lossless_for_positive_threshold(spark):
+    # BOTH physical strategies (prefix-filter blocking and count-based
+    # overlap join) must return exactly the pairs the all-pairs path
+    # (t<=0 fallback) keeps above the threshold
     docs = spark.createDataFrame(_random_docs(60, seed=11), "doc_id long, text string")
     blk = docs.withColumn("blk", F.lit(1))
     sh = TX.distinct_tokens(F.col("text"))
     t = 0.15
-    filtered = DD.ngram_jaccard_pairs(blk, "doc_id", "blk", sh, threshold=t)
     naive = DD.ngram_jaccard_pairs(blk, "doc_id", "blk", sh, threshold=0.0).filter(
         F.col("jaccard") >= t
     )
-    got = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in filtered.collect())
     want = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in naive.collect())
-    assert got == want
     assert len(want) > 0  # the corpus actually produces pairs at this t
+    for strategy in ("prefix", "count", "auto"):
+        out = DD.ngram_jaccard_pairs(
+            blk, "doc_id", "blk", sh, threshold=t, strategy=strategy
+        )
+        got = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in out.collect())
+        assert got == want, strategy
 
 
 def test_minhash_est_prefilter_semantics(spark):
