@@ -412,14 +412,25 @@ def q35_supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.lit("https://www."), F.lower(F.col("s_name")), F.lit(".example.com/home")
     )
+    # Aggregate-before-join (same trick as q03): collapse lineitem to
+    # one row per supplier FIRST — the shuffle carries (suppkey,
+    # decimal, count) partials instead of 600k joined rows, and the
+    # countDistinct's two-phase expand runs over ~|supplier| rows
+    # post-join rather than row-level company strings per item.
+    # Decimal sums re-associate exactly; inner-join semantics are
+    # preserved (every supplier surviving the join has >= 1 item).
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("s_rev"),
+        F.count("*").alias("s_items"),
+    )
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_supp.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.countDistinct(company_from_url(url)).alias("n_companies"),
-            F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("rev"),
-            F.count("*").alias("n_items"),
+            F.sum(F.col("s_rev")).alias("rev"),
+            F.sum(F.col("s_items")).alias("n_items"),
         )
         .select(
             "n_name",
