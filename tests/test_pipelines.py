@@ -221,3 +221,34 @@ def test_events_loader_normalizes_both_ts_generations(spark, tmp_path):
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     assert roundtrip(new, "new_ntz") == want
+
+
+def test_cli_blocks_and_full_tx(spark, tmp_path, capsys, monkeypatch):
+    """python -m cardano_spark parity with the reference's click CLIs:
+    the gated blocks pipeline and the windowed full-tx pipeline run
+    end-to-end through main() with an injected transport."""
+    from cardano_spark import __main__ as cli
+    from cardano_spark.watermark import DEFAULT_START_BLOCK as S
+
+    # main() builds its own session via get_spark — same master, so it
+    # reuses the active one (getOrCreate); no second JVM.
+    root = str(tmp_path / "lake")
+    rc = cli.main(["--root", root, "blocks"], transport=fake_blockfrost.transport)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"processed blocks [{S}," in out
+    assert "cardano_blocks:" in out and "2000 rows" in out
+
+    rc = cli.main(["--root", root, "block-tx"], transport=fake_blockfrost.transport)
+    assert rc == 0
+    rc = cli.main(
+        [
+            "--root", root, "full-tx",
+            "--start-block", str(S), "--end-block", str(S + 39), "--window", "20",
+        ],
+        transport=fake_blockfrost.transport,
+    )
+    assert rc == 0
+    lake = cardano.CardanoLake(spark, root)
+    assert lake.sink("cardano_transactions").read().count() > 0
+    assert lake.sink("cardano_tx_utxo_input_amount").read().count() > 0
