@@ -112,11 +112,16 @@ class ParquetMergeSink:
                 os.rename(old, dst)  # swap never completed; restore
 
     def read(self) -> DataFrame:
+        """The table under exactly the declared schema (the `_bucket`
+        partition directory key is an internal layout detail, not a
+        column — partition discovery would otherwise append it)."""
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
         self._recover_partial_swaps()
         return (
-            self.spark.read.schema(self.schema).parquet(self.path)
+            self.spark.read.schema(self.schema)
+            .parquet(self.path)
+            .select(*[f.name for f in self.schema.fields])
         )
 
     def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
