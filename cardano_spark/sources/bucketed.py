@@ -1,8 +1,11 @@
 """Bucketed warehouse layout: the shuffle-free co-located join path.
 
-The reference delegates join strategy entirely to Postgres
-(SURVEY §2.4/§4); at 100 TB the fact-fact joins (orders ⋈ lineitem on
-orderkey, tx ⋈ utxo on hash) are the dominant shuffle. Spark's answer
+The reference delegates join strategy entirely to Postgres (its FK
+equi-joins live in the table DDL,
+/root/reference/database_management/cardano/cardano_tables.py:138-141,
+and run in Hex; SURVEY §2.4 J2, §4); at 100 TB the fact-fact joins
+(orders ⋈ lineitem on orderkey, tx ⋈ utxo on hash) are the dominant
+shuffle. Spark's answer
 is catalog-registered bucketing: both tables are written
 ``bucketBy(N, key)`` so rows co-locate by ``hash(key) % N`` at WRITE
 time, and Catalyst's EnsureRequirements recognizes the matching
