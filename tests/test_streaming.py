@@ -260,3 +260,74 @@ def test_stream_foreachbatch_into_db_upsert_sink(spark, two_file_events_dir, tmp
     con = duckdb.connect(db)
     assert con.execute("SELECT count(*) FROM target").fetchone()[0] == expected
     con.close()
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Late-data handling (the reason watermarks exist): a windowed
+    append-mode aggregation persists its event-time watermark in the
+    checkpoint; a restart that feeds events OLDER than the restored
+    watermark must drop them — the already-finalized window's counts
+    do not change and no duplicate window row is emitted."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+    from cardano_spark.streaming import jobs
+
+    def write_events(dirname, rows):
+        d = str(tmp_path / dirname)
+        os.makedirs(d, exist_ok=True)
+        tmp = str(tmp_path / f"w_{dirname}_{len(rows)}")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(d, f"{len(os.listdir(d))}_ev.parquet"))
+        return d
+
+    from datetime import datetime as DT
+
+    def ev(i, hour, minute=0):
+        return (i, DT(2024, 1, 1, hour, minute), 1, "view", 1.0, "{}")
+
+    # run 1: events in hours 2 and 10 -> watermark lands at 09:00
+    d = write_events("late_src", [ev(1, 2), ev(2, 2, 30), ev(3, 10)])
+    ckpt = str(tmp_path / "late_ckpt")
+    emitted: list[tuple] = []
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = (
+            agg(jobs.normalize_event_ts(raw))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: emitted.extend(map(tuple, b.collect())))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    hour2 = [r for r in emitted if r[0].hour == 2]
+    assert hour2 and hour2[0][1] == 2  # window [02:00,03:00) finalized with 2 events
+
+    # run 2, same checkpoint: a LATE hour-2 event (watermark ~09:00)
+    write_events("late_src", [ev(4, 2, 45), ev(5, 12)])
+    run_once()
+    hour2_after = [r for r in emitted if r[0].hour == 2]
+    assert hour2_after == hour2  # late event dropped: no re-emit, no recount
