@@ -171,6 +171,67 @@ def lsh_topk(
     )
 
 
+# Measured at sf0.1 (corpus = 2,000 vectors, local[32], warmed best-of-2):
+# brute wins at <=64 probes (0.78-1.03 s vs 1.34-1.41 s), bucketed
+# multi-probe wins at >=128 (1.34 s vs 1.65 s) and stays flat while brute
+# grows linearly (512 probes: 1.56 s vs 5.79 s).  Cost model: per corpus
+# vector, brute pays |Q| dot products; bucketed pays |planes| hyperplane
+# dots plus the expected bucket collisions (multiprobe: 9*|Q|/2^bits) —
+# both sides scale linearly with the corpus, so the crossover in |Q| is
+# roughly corpus-size-independent; at much larger corpora the fixed
+# shuffle/window constants amortize and the crossover drifts DOWN toward
+# the pure dot-count ratio (~10).  96 is the measured local crossover and
+# a conservative upper bound for cluster scale.
+ANN_AUTO_CROSSOVER = 96
+
+
+def choose_ann_strategy(
+    n_queries: int, crossover: int = ANN_AUTO_CROSSOVER
+) -> str:
+    """The brute/bucket decision, exposed for testing: ``"brute"`` at or
+    below the crossover probe count, ``"lsh"`` above."""
+    return "brute" if n_queries <= crossover else "lsh"
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    strategy: str = "auto",
+    multiprobe: int = 1,
+    crossover: int = ANN_AUTO_CROSSOVER,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """ANN top-k with an explicit, measured strategy choice — the same
+    discipline as ``ngram_jaccard_pairs``' threshold-adaptive selection.
+
+    ``strategy="auto"`` picks brute-force (exact, broadcast NL join, one
+    corpus scan) when the probe count is at or below ``crossover``, else
+    the bucketed sign-LSH join (``multiprobe`` controls flip-one-bit
+    probing).  The probe count comes from ``n_queries`` when the caller
+    already knows it; otherwise a single ``count()`` job runs over the
+    queries frame, which is small by contract (probes, not corpus).
+
+    Output contract is identical across strategies — columns
+    ``(query_id, match_id, cos_sim, rank)`` with deterministic
+    tie-breaking — but recall differs by design: brute is exact, the
+    bucketed path returns only same-bucket (or one-bit-adjacent, with
+    multiprobe) candidates.  Callers needing exactness regardless of
+    probe count should pass ``strategy="brute"`` explicitly."""
+    if strategy == "auto":
+        nq = queries.count() if n_queries is None else n_queries
+        strategy = choose_ann_strategy(nq, crossover)
+    if strategy == "brute":
+        return brute_force_topk(corpus, queries, id_col, vec_col, k)
+    if strategy == "lsh":
+        return lsh_topk(
+            corpus, queries, id_col, vec_col, k, multiprobe=multiprobe
+        )
+    raise ValueError(f"unknown ANN strategy: {strategy!r}")
+
+
 def neardup_topk_per_block(
     df: DataFrame,
     id_col: str,

@@ -180,6 +180,56 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     assert all(m != 0 for m, _ in got)
 
 
+def test_ann_topk_auto_selects_measured_strategy(spark):
+    """strategy="auto" must pick the brute broadcast-NL plan at or below
+    the measured crossover probe count and the bucketed equi-join above
+    it — asserted on the PHYSICAL plan, not just the python branch."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    assert SIM.choose_ann_strategy(SIM.ANN_AUTO_CROSSOVER) == "brute"
+    assert SIM.choose_ann_strategy(SIM.ANN_AUTO_CROSSOVER + 1) == "lsh"
+
+    e = table(spark, SF_SMALL, "embeddings")
+    probes = e.filter(F.col("vec_id") < 4)
+    below = SIM.ann_topk(e, probes, "vec_id", "embedding", k=3, n_queries=4)
+    plan = below._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # brute: one corpus scan
+    above = SIM.ann_topk(
+        e, probes, "vec_id", "embedding", k=3,
+        n_queries=SIM.ANN_AUTO_CROSSOVER + 1,
+    )
+    plan = above._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan  # bucketed sign-LSH equi-join
+
+    # identical output contract across strategies
+    assert below.columns == above.columns == [
+        "query_id", "match_id", "cos_sim", "rank"
+    ]
+
+
+def test_ann_topk_auto_counts_queries_when_no_hint(spark):
+    """Without an n_queries hint, auto counts the (tiny) probe frame and
+    still picks brute below the crossover; explicit strategies bypass the
+    count. Unknown strategy raises."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    probes = e.filter(F.col("vec_id") < 2)
+    auto = SIM.ann_topk(e, probes, "vec_id", "embedding", k=3)
+    brute = SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=3)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SIM.ann_topk(e, probes, "vec_id", "embedding", k=3, strategy="ivf")
+
+
 def test_ivf_topk_external_queries(spark):
     """Query vectors must come from the queries frame, not the corpus:
     probes whose ids do NOT exist in the corpus still resolve (the
