@@ -65,9 +65,12 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     date-partitioned) so pruning works. The micros shape pushes down
     fine.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    from cardano_spark.session import ensure_nanos_compat
+
+    ensure_nanos_compat(spark)  # no-op for get_spark() sessions
 
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType

@@ -322,15 +322,19 @@ def ivf_topk(
     n_centroids: int,
     nprobe: int,
     k: int,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     probe the ``nprobe`` nearest lists per query.
 
-    Centroids here are deterministically seeded (the first
+    Centroids default to deterministic seeds (the first
     ``n_centroids`` ids) so the DuckDB oracle can reproduce the
-    structure exactly; a production deployment trains them with
-    ``pyspark.ml.clustering.KMeans`` and broadcasts the model — the
-    assignment/probe/search plan below is identical either way.
+    structure exactly.  A production deployment passes ``centroids``
+    — a small frame ``(cid long, centroid array<float/double>)``,
+    e.g. ``pyspark.ml.clustering.KMeans`` cluster centers — and the
+    assignment/probe/search plan is IDENTICAL either way: the
+    centroid frame is broadcast as the quantization model and
+    ``n_centroids`` is ignored (list count = |centroids|).
 
     Scale shape: scoring is a broadcast NL join against the tiny
     centroid set (corpus scanned once); corpus->centroid assignment
@@ -350,9 +354,15 @@ def ivf_topk(
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
-    seeds = v.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
-    )
+    if centroids is not None:
+        seeds = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            as_double(F.col("centroid")).alias("cv"),
+        ).withColumn("cn", norm(F.col("cv")))
+    else:
+        seeds = v.filter(F.col("vid") < n_centroids).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+        )
 
     def scored_against_seeds(df: DataFrame) -> DataFrame:
         return df.crossJoin(F.broadcast(seeds)).select(
@@ -413,3 +423,32 @@ def ivf_topk(
             "query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with Spark MLlib KMeans and return them in
+    the ``(cid, centroid)`` shape :func:`ivf_topk` accepts.  The model
+    itself is tiny (n_centroids × dim doubles) — exactly what gets
+    broadcast in the assignment stage — while training is the usual
+    distributed Lloyd iteration, so this scales to any corpus MLlib
+    does."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    feats = df.select(
+        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cid long, centroid array<double>")

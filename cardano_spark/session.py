@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet has shipped as TIMESTAMP(NANOS) in some data
+        # drops; the vectorized reader rejects that type outright, so
+        # sessions read nanos as long and catalog._read_events converts
+        # losslessly. Harmless for micros-shaped data.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -52,3 +57,11 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_nanos_compat(spark: SparkSession) -> None:
+    """Set the nanos-as-long reader conf on a session NOT built by
+    :func:`get_spark` (the correctness driver constructs its own bare
+    session). All session-config mutation lives in this module; the
+    readers call this instead of touching ``spark.conf`` themselves."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

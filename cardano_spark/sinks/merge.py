@@ -24,9 +24,30 @@ import shutil
 import uuid
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from cardano_spark.sinks.ddl import create_table_sql, quote_ident
+
+
+def dedup_by_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Batch-internal dedup (D2) with a DETERMINISTIC survivor: among
+    same-key rows the one with the smallest non-key column tuple wins
+    (nulls first — Spark's ascending default).  ``dropDuplicates``
+    keeps an arbitrary row, which is harmless for identical-value
+    replays but silently nondeterministic when a batch carries
+    conflicting values per key; this pins the choice so upsert output
+    is a pure function of the batch contents."""
+    non_keys = [c for c in df.columns if c not in keys]
+    if not non_keys:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in non_keys])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 class ParquetMergeSink:
@@ -146,10 +167,13 @@ class ParquetMergeSink:
           long as replays carry the same values (update-mode streaming
           state guarantees that).
 
-        Batch-internal dups collapse first (D2)."""
+        Batch-internal dups collapse first (D2) with a deterministic
+        survivor (:func:`dedup_by_key` — smallest non-key tuple), so a
+        batch carrying conflicting values per key upserts a
+        well-defined row."""
         if mode not in ("insert", "upsert"):
             raise ValueError(f"mode must be insert|upsert, got {mode!r}")
-        fresh = incoming.dropDuplicates(self.keys).withColumn(
+        fresh = dedup_by_key(incoming, self.keys).withColumn(
             "_bucket", self._bucket_col()
         )
         os.makedirs(self.path, exist_ok=True)
@@ -236,6 +260,34 @@ class ParquetMergeSink:
         return fat
 
 
+def pg_copy_sql(table: str, columns: Sequence[str]) -> str:
+    """The PG bulk-load statement for a staging table:
+    ``COPY "t" ("a","b") FROM STDIN WITH (FORMAT text)``."""
+    cols = ", ".join(quote_ident(c) for c in columns)
+    return f"COPY {quote_ident(table)} ({cols}) FROM STDIN WITH (FORMAT text)"
+
+
+def encode_copy_text_row(values: Sequence) -> str:
+    """One row in PG COPY text format (PostgreSQL docs, COPY "Text
+    Format"): tab-separated fields, ``\\N`` for NULL, and backslash
+    escapes for the four metacharacters (backslash, tab, newline,
+    carriage return). No trailing newline — the caller frames rows."""
+    out = []
+    for v in values:
+        if v is None:
+            out.append(r"\N")
+            continue
+        s = v if isinstance(v, str) else str(v)
+        s = (
+            s.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+        out.append(s)
+    return "\t".join(out)
+
+
 class DBUpsertSink:
     """Staging-table + merge-statement upsert into a SQL database.
 
@@ -253,7 +305,12 @@ class DBUpsertSink:
     For engines with COPY (Postgres), pass ``copy_partition`` to
     replace executemany with the bulk path — same structure the
     reference uses (asyncpg ``copy_to_table``,
-    cardano_block_dao.py:122-137).
+    cardano_block_dao.py:122-137). It is called per staged partition
+    as ``copy_partition(conn, sql, payload)`` where ``sql`` is
+    :func:`pg_copy_sql` for the staging table and ``payload`` is the
+    newline-framed :func:`encode_copy_text_row` text; a psycopg
+    implementation is one line
+    (``conn.cursor().copy_expert(sql, io.StringIO(payload))``).
     """
 
     def __init__(
@@ -263,14 +320,65 @@ class DBUpsertSink:
         columns: Sequence[str],
         keys: Sequence[str],
         staging_parallelism: int | None = None,
+        copy_partition: Callable[[object, str, str], None] | None = None,
     ):
         self.connection_factory = connection_factory
         self.table = table
         self.columns = list(columns)
         self.keys = list(keys)
         self.staging_parallelism = staging_parallelism
+        self.copy_partition = copy_partition
 
-    # -- SQL builders (dialect: ANSI + ON CONFLICT, works for PG/DuckDB) --
+    @classmethod
+    def from_schema(
+        cls,
+        connection_factory: Callable[[], object],
+        table: str,
+        schema: T.StructType | None = None,
+        keys: Sequence[str] | None = None,
+        staging_parallelism: int | None = None,
+    ) -> "DBUpsertSink":
+        """Build the sink straight from a StructType — columns and keys
+        derive from ``cardano_spark.schemas`` (``TARGET_SCHEMAS`` /
+        ``PRIMARY_KEYS``) when not given, mirroring how the reference's
+        DAOs derive their column lists from SQLAlchemy metadata."""
+        from cardano_spark import schemas as _schemas
+
+        if schema is None:
+            schema = _schemas.TARGET_SCHEMAS[table]
+        if keys is None:
+            keys = _schemas.PRIMARY_KEYS[table]
+        sink = cls(
+            connection_factory,
+            table,
+            schema.fieldNames(),
+            keys,
+            staging_parallelism=staging_parallelism,
+        )
+        sink.schema = schema
+        return sink
+
+    def ensure_target(self, dialect: str = "ansi") -> None:
+        """Idempotent CREATE TABLE IF NOT EXISTS for the target from
+        its StructType (requires ``from_schema`` construction — the
+        plain constructor has no type information). The Alembic-
+        equivalent bootstrap step."""
+        schema = getattr(self, "schema", None)
+        if schema is None:
+            raise ValueError(
+                "ensure_target needs a StructType: construct via from_schema"
+            )
+        con = self.connection_factory()
+        cur = con.cursor() if hasattr(con, "cursor") else con
+        cur.execute(
+            create_table_sql(self.table, schema, self.keys, dialect=dialect)
+        )
+        if hasattr(con, "commit"):
+            con.commit()
+
+    # -- SQL builders (dialect: ANSI + ON CONFLICT, works for PG/DuckDB;
+    #    identifiers double-quoted so reserved-word columns — the
+    #    watermark tables' `table` — survive every dialect) --
 
     def staging_name(self) -> str:
         return f"staging_{self.table}"
@@ -278,44 +386,57 @@ class DBUpsertSink:
     def create_staging_sql(self) -> str:
         # LIKE-less portable form: copy structure from target
         return (
-            f"CREATE TABLE {self.staging_name()} AS "
-            f"SELECT * FROM {self.table} WHERE 1=0"
+            f"CREATE TABLE {quote_ident(self.staging_name())} AS "
+            f"SELECT * FROM {quote_ident(self.table)} WHERE 1=0"
         )
 
     def insert_sql(self) -> str:
-        cols = ", ".join(self.columns)
+        cols = ", ".join(quote_ident(c) for c in self.columns)
         ph = ", ".join(["?"] * len(self.columns))
-        return f"INSERT INTO {self.staging_name()} ({cols}) VALUES ({ph})"
+        return (
+            f"INSERT INTO {quote_ident(self.staging_name())} ({cols}) "
+            f"VALUES ({ph})"
+        )
 
     def merge_sql(self, mode: str = "insert") -> str:
         """INSERT ... SELECT DISTINCT ON key ... ON CONFLICT DO
         NOTHING (cardano_block_dao.py:138-148), or with
         ``mode="upsert"`` DO UPDATE SET (the incremental-
-        materialized-view twin of ParquetMergeSink.merge(upsert))."""
+        materialized-view twin of ParquetMergeSink.merge(upsert)).
+
+        The staging dedup window orders by the NON-key columns, so the
+        surviving row among same-key staging rows is deterministic
+        (smallest non-key tuple under the engine's default sort) —
+        same contract as :func:`dedup_by_key` on the parquet sink."""
         if mode not in ("insert", "upsert"):
             raise ValueError(f"mode must be insert|upsert, got {mode!r}")
-        cols = ", ".join(self.columns)
-        keys = ", ".join(self.keys)
+        cols = ", ".join(quote_ident(c) for c in self.columns)
+        keys = ", ".join(quote_ident(k) for k in self.keys)
+        non_keys = [c for c in self.columns if c not in self.keys]
+        order = (
+            ", ".join(quote_ident(c) for c in non_keys) if non_keys else keys
+        )
         if mode == "insert":
             conflict = "DO NOTHING"
+        elif not non_keys:
+            conflict = "DO NOTHING"  # key-only table: nothing to update
         else:
-            non_keys = [c for c in self.columns if c not in self.keys]
-            if not non_keys:
-                conflict = "DO NOTHING"  # key-only table: nothing to update
-            else:
-                sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
-                conflict = f"DO UPDATE SET {sets}"
+            sets = ", ".join(
+                f"{quote_ident(c)} = excluded.{quote_ident(c)}"
+                for c in non_keys
+            )
+            conflict = f"DO UPDATE SET {sets}"
         return (
-            f"INSERT INTO {self.table} ({cols}) "
+            f"INSERT INTO {quote_ident(self.table)} ({cols}) "
             f"SELECT {cols} FROM ("
-            f"  SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {keys}) AS rn"
-            f"  FROM {self.staging_name()}"
+            f"  SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS rn"
+            f"  FROM {quote_ident(self.staging_name())}"
             f") dedup WHERE rn = 1 "
             f"ON CONFLICT ({keys}) {conflict}"
         )
 
     def drop_staging_sql(self) -> str:
-        return f"DROP TABLE IF EXISTS {self.staging_name()}"
+        return f"DROP TABLE IF EXISTS {quote_ident(self.staging_name())}"
 
     def merge(
         self,
@@ -338,6 +459,8 @@ class DBUpsertSink:
         cols = self.columns
         factory = self.connection_factory
         insert = self.insert_sql()
+        copy_fn = self.copy_partition
+        copy_stmt = pg_copy_sql(self.staging_name(), cols)
 
         con = factory()
         cur = con.cursor() if hasattr(con, "cursor") else con
@@ -345,10 +468,17 @@ class DBUpsertSink:
         cur.execute(self.create_staging_sql())
 
         def write_rows(conn, rows) -> None:
-            k = conn.cursor() if hasattr(conn, "cursor") else conn
             batch = [tuple(r[col] for col in cols) for r in rows]
-            if batch:
-                k.executemany(insert, batch)
+            if not batch:
+                return
+            if copy_fn is not None:
+                payload = "".join(
+                    encode_copy_text_row(b) + "\n" for b in batch
+                )
+                copy_fn(conn, copy_stmt, payload)
+                return
+            k = conn.cursor() if hasattr(conn, "cursor") else conn
+            k.executemany(insert, batch)
 
         if via_driver:
             write_rows(con, list(df.toLocalIterator()))

@@ -62,38 +62,58 @@ def jdbc_append(
 
 
 def encode_pg_text_array(arr: Column) -> Column:
-    """array<string> -> Postgres array literal text (`{"a","b"}`).
-    Every element is double-quoted with backslash escaping of ``\\``
-    and ``\"`` — the unambiguous PG literal form, safe for elements
-    containing commas/braces/quotes. NULL arrays encode to NULL."""
+    """array<string> -> Postgres array literal text (`{"a","b"}`),
+    following PG's documented output quoting (PostgreSQL docs §8.15.6
+    "Array Input and Output Syntax"): every non-null element is
+    double-quoted with backslash escaping of ``\\`` and ``\"`` — the
+    unambiguous form, safe for elements containing commas, braces,
+    quotes, or the empty string (``""``) — and a NULL element is the
+    unquoted word ``NULL``. A NULL *array* encodes to SQL NULL (a
+    missing value, not ``{}``); the empty array is ``{}``."""
     quoted = F.transform(
         arr,
-        lambda s: F.concat(
-            F.lit('"'),
-            F.regexp_replace(
-                F.regexp_replace(s, r"\\", r"\\\\"), '"', r'\\"'
-            ),
-            F.lit('"'),
+        lambda s: F.when(s.isNull(), F.lit("NULL")).otherwise(
+            F.concat(
+                F.lit('"'),
+                F.regexp_replace(
+                    F.regexp_replace(s, r"\\", r"\\\\"), '"', r'\\"'
+                ),
+                F.lit('"'),
+            )
         ),
     )
-    return F.concat(F.lit("{"), F.concat_ws(",", quoted), F.lit("}"))
+    return F.when(arr.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("{"), F.concat_ws(",", quoted), F.lit("}"))
+    )
 
 
 def decode_pg_text_array(lit: Column) -> Column:
-    """Postgres array literal text (all-elements-quoted form, as
-    produced by :func:`encode_pg_text_array`) -> array<string>.
-    Extracts quoted elements then unescapes ``\\x -> x`` in one
-    pass."""
-    elems = F.regexp_extract_all(lit, F.lit(r'"((?:[^"\\]|\\.)*)"'), F.lit(1))
-    return F.transform(elems, lambda e: F.regexp_replace(e, r"\\(.)", r"$1"))
+    """Postgres array literal text (all-non-null-elements-quoted form,
+    as produced by :func:`encode_pg_text_array`) -> array<string>.
+    Tokenizes quoted elements and unquoted ``NULL`` words, then maps
+    ``NULL`` -> null and unescapes ``\\x -> x`` in one pass."""
+    toks = F.regexp_extract_all(
+        lit, F.lit(r'"(?:[^"\\]|\\.)*"|NULL'), F.lit(0)
+    )
+    return F.transform(
+        toks,
+        lambda e: F.when(e == "NULL", F.lit(None).cast("string")).otherwise(
+            F.regexp_replace(
+                e.substr(F.lit(2), F.length(e) - 2), r"\\(.)", r"$1"
+            )
+        ),
+    )
 
 
 def encode_pg_text_array_sql(expr: str) -> str:
-    """DuckDB text twin of :func:`encode_pg_text_array`."""
+    """DuckDB text twin of :func:`encode_pg_text_array` (NB duckdb's
+    ``array_to_string([]) IS NULL``, hence the coalesce)."""
     return (
-        "'{' || array_to_string(list_transform(" + expr + ", "
-        "s -> '\"' || replace(replace(s, '\\', '\\\\'), '\"', '\\\"') || '\"'"
-        "), ',') || '}'"
+        "CASE WHEN " + expr + " IS NULL THEN NULL ELSE "
+        "'{' || coalesce(array_to_string(list_transform(" + expr + ", "
+        "s -> CASE WHEN s IS NULL THEN 'NULL' ELSE "
+        "'\"' || replace(replace(s, '\\', '\\\\'), '\"', '\\\"') || '\"' END"
+        "), ','), '') || '}' END"
     )
 
 
@@ -101,6 +121,7 @@ def decode_pg_text_array_sql(expr: str) -> str:
     """DuckDB text twin of :func:`decode_pg_text_array`."""
     return (
         "list_transform(regexp_extract_all(" + expr + ", "
-        "'\"((?:[^\"\\\\]|\\\\.)*)\"', 1), "
-        "e -> regexp_replace(e, '\\\\(.)', '\\1', 'g'))"
+        "'\"(?:[^\"\\\\]|\\\\.)*\"|NULL', 0), "
+        "e -> CASE WHEN e = 'NULL' THEN NULL ELSE "
+        "regexp_replace(substr(e, 2, length(e) - 2), '\\\\(.)', '\\1', 'g') END)"
     )

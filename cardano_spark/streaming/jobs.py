@@ -35,25 +35,77 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: raw schema of events.parquet: ts is TIMESTAMP(MICROS,
-#: isAdjustedToUTC=false) -> TIMESTAMP_NTZ (see catalog._read_events
-#: for the session-UTC normalization contract).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: default raw schema of events.parquet: ts as TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) -> TIMESTAMP_NTZ. The data drops have
+#: oscillated between this and TIMESTAMP(NANOS) across rounds —
+#: :func:`events_raw_schema` sniffs the actual footer; use it over
+#: this constant whenever a path is at hand (the batch twin is
+#: catalog._read_events, which sniffs via the inferred batch schema).
+EVENTS_RAW_SCHEMA = _events_schema(T.TimestampNTZType())
+
+
+def events_raw_schema(sf_dir: str) -> T.StructType:
+    """Sniff the physical ``ts`` type from the parquet footer and
+    return the matching declared stream schema:
+
+    - TIMESTAMP(NANOS) -> LongType (read raw nanos; the vectorized
+      reader rejects the nanos logical type, and sessions carry the
+      nanos-as-long conf — session.py);
+    - TIMESTAMP(MICROS, no tz) -> TimestampNTZType;
+    - anything else (tz-adjusted micros) -> TimestampType.
+
+    ``normalize_event_ts`` converts all three to session-UTC
+    TimestampType, so downstream jobs never see the difference."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    candidates = sorted(
+        _glob.glob(_os.path.join(sf_dir, "events.parquet"))
+        or _glob.glob(_os.path.join(sf_dir, "*.parquet"))
+    )
+    if not candidates:
+        return EVENTS_RAW_SCHEMA
+    ts = _pq.read_schema(candidates[0]).field("ts").type
+    import pyarrow as _pa
+
+    if not _pa.types.is_timestamp(ts):
+        return EVENTS_RAW_SCHEMA
+    if ts.unit == "ns":
+        return _events_schema(T.LongType())
+    if ts.tz is None:
+        return _events_schema(T.TimestampNTZType())
+    return _events_schema(T.TimestampType())
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """NTZ -> session-UTC TimestampType, matching the batch loader so
-    stream and batch plans agree on literal comparisons and windows."""
-    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    """Any raw ``ts`` shape -> session-UTC TimestampType, matching the
+    batch loader (catalog._read_events) so stream and batch plans
+    agree on literal comparisons and windows: long nanos convert in
+    64-bit integer arithmetic (``div 1000``), NTZ casts wall-clock
+    preserving under the UTC session pin."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        ts = F.col("ts").cast(T.TimestampType())
+    else:
+        ts = F.col("ts")
+    return df.withColumn("ts", ts)
 
 _query_seq = itertools.count()
 
@@ -63,9 +115,11 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events table. Globs the single
     parquet file under ``sf_dir``; on a real deployment this is a
-    date-partitioned directory the stream lists incrementally."""
+    date-partitioned directory the stream lists incrementally. The
+    declared schema comes from :func:`events_raw_schema` (footer
+    sniff), so either historical ``ts`` shape streams correctly."""
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )

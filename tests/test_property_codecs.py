@@ -26,12 +26,17 @@ _pg_text = st.text(
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
-        st.lists(_pg_text, min_size=0, max_size=5), min_size=10, max_size=30
+        st.lists(
+            st.one_of(st.none(), _pg_text), min_size=0, max_size=5
+        ),
+        min_size=10,
+        max_size=30,
     )
 )
 def test_pg_array_codec_roundtrip_property(spark, arrays):
     """decode(encode(arr)) == arr for arbitrary text elements —
-    quotes, backslashes, braces, commas, empty strings, unicode."""
+    quotes, backslashes, braces, commas, empty strings, unicode, and
+    NULL elements (PG's unquoted NULL word, docs §8.15.6)."""
     df = spark.createDataFrame(
         [(i, a) for i, a in enumerate(arrays)], "i long, arr array<string>"
     )
@@ -89,3 +94,93 @@ def test_resize_checksum_matches_arithmetic_property(did, out_w, out_h):
         for v in range(out_h)
     )
     assert sum(px) == pred
+
+
+def test_pg_array_codec_documented_edge_cases(spark):
+    """Pinned examples of PG's documented literal forms (docs
+    §8.15.6): empty array, empty-string element, NULL element vs the
+    literal string 'NULL', and every metacharacter class."""
+    cases = [
+        (0, [], "{}"),
+        (1, [""], '{""}'),
+        (2, [None], "{NULL}"),
+        (3, ["NULL"], '{"NULL"}'),  # string 'NULL' must stay a string
+        (4, ['a"b', "c\\d", "e,f", "{g}"], None),  # escaping round-trip
+        (5, [None, "", "x"], '{NULL,"","x"}'),
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a, _ in cases], "i long, arr array<string>"
+    )
+    from cardano_spark.sources.jdbc import (
+        decode_pg_text_array,
+        encode_pg_text_array,
+    )
+
+    out = {
+        r.i: (r.lit, r.rt)
+        for r in df.select(
+            "i",
+            encode_pg_text_array(F.col("arr")).alias("lit"),
+            decode_pg_text_array(
+                encode_pg_text_array(F.col("arr"))
+            ).alias("rt"),
+        ).collect()
+    }
+    for i, arr, want_lit in cases:
+        lit, rt = out[i]
+        if want_lit is not None:
+            assert lit == want_lit, (i, lit)
+        assert rt == arr, (i, arr, rt)
+
+
+def test_pg_array_codec_spark_duckdb_twins_agree(spark):
+    """The DuckDB SQL twins must stay bit-identical with the Spark
+    expressions (the q45 oracle depends on it), including NULLs."""
+    import duckdb
+
+    from cardano_spark.sources.jdbc import (
+        decode_pg_text_array_sql,
+        encode_pg_text_array,
+        encode_pg_text_array_sql,
+    )
+
+    rows = [
+        (0, ["a", None, 'q"x', "b\\c", "", "{d,e}"]),
+        (1, []),
+        (2, [None]),
+        (3, ["NULL", "plain"]),
+    ]
+    df = spark.createDataFrame(rows, "i long, arr array<string>")
+    spark_lit = {
+        r.i: r.lit
+        for r in df.select(
+            "i", encode_pg_text_array(F.col("arr")).alias("lit")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, %s)"
+            % (
+                i,
+                "["
+                + ", ".join(
+                    "NULL" if e is None else "'" + e.replace("'", "''") + "'"
+                    for e in arr
+                )
+                + "]",
+            )
+            for i, arr in rows
+        )
+        + ") v(i, arr)"
+    )
+    enc = encode_pg_text_array_sql("arr")
+    duck = dict(
+        con.execute(f"SELECT i, {enc} FROM t ORDER BY i").fetchall()
+    )
+    assert duck == spark_lit
+    dec = decode_pg_text_array_sql(f"({enc})")
+    rt = dict(con.execute(f"SELECT i, {dec} FROM t ORDER BY i").fetchall())
+    assert rt == {i: arr for i, arr in rows}
+    con.close()

@@ -229,16 +229,21 @@ def test_stream_foreachbatch_into_db_upsert_sink(spark, two_file_events_dir, tmp
     from cardano_spark.sinks.merge import DBUpsertSink
     from cardano_spark.streaming import jobs
 
+    from pyspark.sql import types as T
+
     db = str(tmp_path / "s.duckdb")
-    con = duckdb.connect(db)
-    con.execute("CREATE TABLE target (event_id BIGINT PRIMARY KEY, event_type VARCHAR)")
-    con.close()
-    sink = DBUpsertSink(
+    sink = DBUpsertSink.from_schema(
         connection_factory=lambda: duckdb.connect(db),
         table="target",
-        columns=["event_id", "event_type"],
+        schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+            ]
+        ),
         keys=["event_id"],
     )
+    sink.ensure_target()
 
     def land(batch_df, _id):
         sink.merge(batch_df.select("event_id", "event_type"), via_driver=True)
@@ -331,3 +336,75 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     run_once()
     hour2_after = [r for r in emitted if r[0].hour == 2]
     assert hour2_after == hour2  # late event dropped: no re-emit, no recount
+
+
+def test_events_raw_schema_sniffs_all_ts_shapes(spark, tmp_path):
+    """The stream's declared schema must follow the parquet footer:
+    the data drops have shipped ts as TIMESTAMP(NANOS) in some rounds
+    and TIMESTAMP(MICROS, ntz) in others — a hard-coded schema breaks
+    the whole streaming layer when the shape flips. All shapes must
+    normalize to identical session-UTC timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from cardano_spark.streaming.jobs import (
+        events_raw_schema,
+        normalize_event_ts,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    base = 1_700_000_000  # seconds
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    shapes = {
+        "nanos": pa.array(
+            [base * 10**9, (base + 60) * 10**9], pa.timestamp("ns")
+        ),
+        "ntz": pa.array(
+            [base * 10**6, (base + 60) * 10**6], pa.timestamp("us")
+        ),
+        "utc": pa.array(
+            [base * 10**6, (base + 60) * 10**6], pa.timestamp("us", tz="UTC")
+        ),
+    }
+    want_decl = {
+        "nanos": T.LongType(),
+        "ntz": T.TimestampNTZType(),
+        "utc": T.TimestampType(),
+    }
+    results = {}
+    for name, ts_arr in shapes.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table({**{"event_id": rows["event_id"]}, "ts": ts_arr,
+                        **{k: rows[k] for k in ("user_id", "event_type", "value", "props")}})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        decl = events_raw_schema(str(d))
+        assert decl["ts"].dataType == want_decl[name], name
+        out = run_to_memory(
+            read_events_stream(spark, str(d)), output_mode="append"
+        )
+        assert out.schema["ts"].dataType == T.TimestampType(), name
+        results[name] = sorted((r.event_id, r.ts) for r in out.collect())
+    assert results["nanos"] == results["ntz"] == results["utc"]
+
+    # empty dir falls back to the default NTZ schema
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert events_raw_schema(str(empty))["ts"].dataType == T.TimestampNTZType()
+    # batch normalizer handles the same three shapes (shared helper)
+    for name in shapes:
+        df = spark.read.schema(events_raw_schema(str(tmp_path / name))).parquet(
+            str(tmp_path / name / "events.parquet")
+        )
+        got = sorted(
+            (r.event_id, r.ts) for r in normalize_event_ts(df).collect()
+        )
+        assert got == results[name], name

@@ -256,6 +256,60 @@ def test_ivf_topk_external_queries(spark):
     assert got == [(100, 0), (100, 4)]  # probe lands in centroid-0's list
 
 
+def test_ivf_topk_trained_centroids(spark):
+    """The trained-model path: an explicit (cid, centroid) frame —
+    KMeans output shape — must drive the IDENTICAL plan (broadcast
+    quantization model), and passing the seed vectors AS the explicit
+    centroids must reproduce the seeded variant bit-for-bit."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    probes = e.filter(F.col("vec_id") >= 1995)
+    seeded = SIM.ivf_topk(
+        e, probes, "vec_id", "embedding", n_centroids=10, nprobe=2, k=5
+    )
+    explicit = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    trained_path = SIM.ivf_topk(
+        e, probes, "vec_id", "embedding",
+        n_centroids=999,  # ignored when centroids are given
+        nprobe=2, k=5, centroids=explicit,
+    )
+    assert sorted(map(tuple, seeded.collect())) == sorted(
+        map(tuple, trained_path.collect())
+    )
+    plan = trained_path._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # centroid model broadcast
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    """Real MLlib-trained centroids flow through ivf_topk: on a
+    corpus with two obvious clusters, a 2-centroid model routes each
+    probe to its own cluster's list."""
+    rows = (
+        [(i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(5)]
+        + [(10 + i, [0.0, 1.0 + 0.01 * i, 0.0]) for i in range(5)]
+    )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(corpus, "embedding", n_centroids=2, seed=7)
+    assert cents.columns == ["cid", "centroid"] and cents.count() == 2
+    probes = spark.createDataFrame(
+        [(100, [0.99, 0.0, 0.0]), (200, [0.0, 0.99, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.ivf_topk(
+        corpus, probes, "vec_id", "embedding",
+        n_centroids=2, nprobe=1, k=3, centroids=cents,
+    )
+    got = {(r.query_id, r.match_id) for r in out.collect()}
+    assert all(m < 10 for q, m in got if q == 100)
+    assert all(m >= 10 for q, m in got if q == 200)
+    assert len([1 for q, _ in got if q == 100]) == 3
+    assert len([1 for q, _ in got if q == 200]) == 3
+
+
 def test_multiprobe_lsh_supersets_single_bucket_candidates(spark):
     """multiprobe=1 must consider every single-bucket candidate plus
     the 1-bit-flip neighborhoods — candidate sets strictly grow, and

@@ -235,32 +235,44 @@ def test_parquet_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
 
 
 def test_db_upsert_sink_on_conflict(spark, tmp_path):
+    """Tables are bootstrapped FROM the StructTypes (no hand-written
+    DDL): the target via from_schema + ensure_target, the watermark
+    table via ddl.ensure_tables on the real
+    provider_to_s3_import_status schema — whose `table` column is a
+    reserved word, exercising identifier quoting end-to-end."""
+    from cardano_spark.sinks import ddl
+
     db = str(tmp_path / "t.duckdb")
-    con = duckdb.connect(db)
-    con.execute("CREATE TABLE target (k BIGINT PRIMARY KEY, v VARCHAR)")
-    con.execute("INSERT INTO target VALUES (1, 'existing')")
-    con.execute(
-        "CREATE TABLE wm (tbl VARCHAR, block_height BIGINT, created_at TIMESTAMP)"
+    factory = lambda: duckdb.connect(db)  # noqa: E731
+
+    sink = DBUpsertSink.from_schema(
+        connection_factory=factory, table="target", schema=SCHEMA, keys=["k"]
     )
+    sink.ensure_target()
+    ddl.ensure_tables(factory(), tables=["provider_to_s3_import_status"])
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO target VALUES (1, 'existing')")
     con.close()
 
-    sink = DBUpsertSink(
-        connection_factory=lambda: duckdb.connect(db),
-        table="target",
-        columns=["k", "v"],
-        keys=["k"],
-    )
     df = spark.createDataFrame([(1, "replayed"), (2, "new"), (2, "dup")], SCHEMA).withColumnRenamed("k", "k")
     sink.merge(
         df,
-        watermark_sql="INSERT INTO wm VALUES ('target', 2, now()::TIMESTAMP)",
+        watermark_sql=(
+            "INSERT INTO provider_to_s3_import_status "
+            "VALUES ('target', 2, now()::TIMESTAMP)"
+        ),
         via_driver=True,
     )
 
     con = duckdb.connect(db)
     rows = dict(con.execute("SELECT k, v FROM target ORDER BY k").fetchall())
     assert rows == {1: "existing", 2: "new"} or rows == {1: "existing", 2: "dup"}
-    assert con.execute("SELECT max(block_height) FROM wm").fetchone()[0] == 2
+    assert (
+        con.execute(
+            "SELECT max(block_height) FROM provider_to_s3_import_status"
+        ).fetchone()[0]
+        == 2
+    )
     assert (
         con.execute(
             "SELECT count(*) FROM information_schema.tables WHERE table_name LIKE 'staging%'"
@@ -275,17 +287,16 @@ def test_db_upsert_sink_do_update_mode(spark, tmp_path):
     are replaced, absent keys insert — the DB-side twin of the
     parquet sink's incremental-materialized-view path."""
     db = str(tmp_path / "u.duckdb")
-    con = duckdb.connect(db)
-    con.execute("CREATE TABLE target (k BIGINT PRIMARY KEY, v VARCHAR)")
-    con.execute("INSERT INTO target VALUES (1, 'old'), (3, 'keep')")
-    con.close()
-
-    sink = DBUpsertSink(
+    sink = DBUpsertSink.from_schema(
         connection_factory=lambda: duckdb.connect(db),
         table="target",
-        columns=["k", "v"],
+        schema=SCHEMA,
         keys=["k"],
     )
+    sink.ensure_target()
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO target VALUES (1, 'old'), (3, 'keep')")
+    con.close()
     df = spark.createDataFrame([(1, "NEW"), (2, "ins")], SCHEMA)
     sink.merge(df, via_driver=True, mode="upsert")
 
@@ -296,7 +307,7 @@ def test_db_upsert_sink_do_update_mode(spark, tmp_path):
         3: "keep",
     }
     con.close()
-    assert "DO UPDATE SET v = excluded.v" in sink.merge_sql("upsert")
+    assert 'DO UPDATE SET "v" = excluded."v"' in sink.merge_sql("upsert")
     with pytest.raises(ValueError):
         sink.merge_sql("replace")
     # key-only tables degrade to DO NOTHING (nothing to update)
@@ -313,9 +324,11 @@ def test_db_upsert_sink_parallel_staging(spark, tmp_path):
     import sqlite3
     import uuid as _uuid
 
+    from cardano_spark.sinks.ddl import create_table_sql
+
     db = str(tmp_path / "t.sqlite")
     con = sqlite3.connect(db)
-    con.execute("CREATE TABLE target (k INTEGER PRIMARY KEY, v TEXT)")
+    con.execute(create_table_sql("target", SCHEMA, ["k"]))
     con.execute("INSERT INTO target VALUES (1, 'existing')")
     con.commit()
     con.close()
@@ -371,3 +384,107 @@ def test_incremental_file_listing(spark, tmp_path):
     fresh = read_json_zone(spark, str(zone / "*"), schema, modified_after=wm)
     assert [r.x for r in fresh.collect()] == [2]
     assert max_modified(fresh) is not None
+
+
+# --------------------------------------------------------------------------
+# StructType -> DDL bootstrap (sinks/ddl.py)
+# --------------------------------------------------------------------------
+
+
+def test_ddl_bootstrap_creates_full_warehouse(tmp_path):
+    """The Alembic-equivalent: every target + watermark table springs
+    from its StructType, idempotently (IF NOT EXISTS), with the
+    reserved-word `table` column quoted — verified by actually
+    creating and querying the warehouse on duckdb."""
+    from cardano_spark import schemas
+    from cardano_spark.sinks import ddl
+
+    con = duckdb.connect(str(tmp_path / "wh.duckdb"))
+    ddl.ensure_tables(con)
+    ddl.ensure_tables(con)  # idempotent second run must not raise
+
+    made = {
+        r[0]
+        for r in con.execute(
+            "SELECT table_name FROM information_schema.tables"
+        ).fetchall()
+    }
+    assert made >= set(schemas.TARGET_SCHEMAS)
+
+    # reserved-word column round-trips through quoting
+    con.execute(
+        "INSERT INTO provider_to_s3_import_status VALUES"
+        " ('cardano_blocks', 7, now()::TIMESTAMP)"
+    )
+    assert (
+        con.execute(
+            'SELECT "table", block_height FROM provider_to_s3_import_status'
+        ).fetchone()[0]
+        == "cardano_blocks"
+    )
+    # PK enforcement came from PRIMARY_KEYS
+    with pytest.raises(duckdb.ConstraintException):
+        con.execute(
+            "INSERT INTO cardano_blocks (time, height, hash, slot,"
+            " slot_leader, size, tx_count, confirmations, created_at)"
+            " VALUES (now()::TIMESTAMP, 1, 'h', 1, 'l', 1, 1, 1,"
+            " now()::TIMESTAMP),"
+            " (now()::TIMESTAMP, 1, 'h2', 2, 'l', 1, 1, 1, now()::TIMESTAMP)"
+        )
+    con.close()
+
+
+def test_ddl_dialect_mapping():
+    from cardano_spark import schemas
+    from cardano_spark.sinks import ddl
+
+    arr = T.ArrayType(T.StringType())
+    assert ddl.sql_type(arr, "postgres") == "TEXT[]"
+    assert ddl.sql_type(arr, "ansi") == "VARCHAR"  # text-codec column
+    assert ddl.sql_type(T.DecimalType(38, 0), "postgres") == "NUMERIC(38,0)"
+    assert ddl.sql_type(T.BinaryType(), "postgres") == "BYTEA"
+    assert ddl.sql_type(T.DoubleType(), "postgres") == "DOUBLE PRECISION"
+    with pytest.raises(ValueError):
+        ddl.sql_type(T.StringType(), "oracle")
+    with pytest.raises(ValueError):
+        ddl.sql_type(T.MapType(T.StringType(), T.StringType()))
+
+    sql = ddl.create_table_sql(
+        "cardano_block_transactions",
+        schemas.CARDANO_BLOCK_TRANSACTIONS,
+        schemas.PRIMARY_KEYS["cardano_block_transactions"],
+        dialect="postgres",
+    )
+    assert '"tx_hash" TEXT[] NOT NULL' in sql
+    assert 'PRIMARY KEY ("block")' in sql
+
+    with pytest.raises(ValueError):
+        ddl.create_table_sql("t", schemas.CARDANO_BLOCKS, keys=["nope"])
+
+
+def test_dedup_by_key_deterministic_survivor(spark):
+    """Conflicting same-key rows collapse to the smallest non-key
+    tuple (nulls first) — the batch-internal dedup is a pure function
+    of batch contents, not of partition scheduling."""
+    from cardano_spark.sinks.merge import dedup_by_key
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, None), (2, "z")], SCHEMA
+    ).repartition(7)
+    got = {(r.k, r.v) for r in dedup_by_key(df, ["k"]).collect()}
+    assert got == {(1, None), (2, "z")}
+
+    # key-only frames fall back to plain dropDuplicates
+    ids = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    assert dedup_by_key(ids, ["k"]).count() == 2
+
+
+def test_parquet_merge_upsert_deterministic_with_conflicting_batch(spark, tmp_path):
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "t"), SCHEMA, keys=["k"], n_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [(1, "x"), (1, "w"), (2, "q")], SCHEMA
+    ).repartition(5)
+    sink.merge(batch, mode="upsert")
+    assert {(r.k, r.v) for r in sink.read().collect()} == {(1, "w"), (2, "q")}
