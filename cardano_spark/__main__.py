@@ -24,7 +24,10 @@ from collections.abc import Callable
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cardano_spark")
-    p.add_argument("--root", required=True, help="lake root (dir or s3a:// URI)")
+    p.add_argument(
+        "--root",
+        help="lake root (dir or s3a:// URI); required for pipeline commands",
+    )
     p.add_argument(
         "--base-url",
         default="https://cardano-mainnet.example/api/v0",
@@ -37,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     full.add_argument("--start-block", type=int, required=True)
     full.add_argument("--end-block", type=int, required=True)
     full.add_argument("--window", type=int, default=1000)
+    norm = sub.add_parser(
+        "normalize-events",
+        help="one-shot rewrite of a nanos-ts events dataset to "
+        "pushdown-friendly micros parquet",
+    )
+    norm.add_argument("--src", required=True, help="events parquet path")
+    norm.add_argument("--dest", required=True, help="output parquet path")
     return p
 
 
@@ -53,6 +63,14 @@ def main(
     from cardano_spark.sources.http_fetch import default_transport
 
     spark = get_spark("cardano-spark-cli")
+    if args.cmd == "normalize-events":
+        from cardano_spark.catalog import normalize_events
+
+        n = normalize_events(spark, args.src, args.dest)
+        print(f"normalized {n} events -> {args.dest}")
+        return 0
+    if not args.root:
+        build_parser().error("--root is required for pipeline commands")
     lake = cardano.CardanoLake(spark, args.root)
     t = transport or default_transport
 

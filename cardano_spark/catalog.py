@@ -85,6 +85,23 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def normalize_events(
+    spark: SparkSession, src: str, dest: str
+) -> int:
+    """One-shot maintenance rewrite closing the documented pushdown
+    gap (see :func:`_read_events`): events whose ``ts`` shipped as
+    TIMESTAMP(NANOS) — unreadable by the vectorized reader and opaque
+    to predicate pushdown once converted on the fly — are rewritten
+    once to session-UTC micros ``TimestampType`` parquet. Reads over
+    ``dest`` then push ``ts`` predicates into the scan and prune
+    row groups normally. Idempotent: micros-shaped input round-trips
+    unchanged. Returns the row count written (one job, no shuffle —
+    the rewrite is a projection)."""
+    df = _read_events(spark, src)
+    df.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).count()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

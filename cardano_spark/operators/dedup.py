@@ -356,7 +356,22 @@ def _count_based_jaccard_pairs(
     so every qualifying pair appears in the join). A block-universal
     shingle makes its (block, hash) key quadratic — inherent to the
     low-threshold semantics (those pairs must be emitted anyway);
-    AQE's skew splitting spreads that bucket at runtime."""
+    AQE's skew splitting spreads that bucket at runtime.
+
+    Exactness fine print (unlike the prefix path, which re-verifies
+    candidates on the real arrays):
+
+    - Intersection sizes are counted from 60-bit :func:`md5_long`
+      EQUALITY, never re-checked against the shingle strings, so two
+      DISTINCT shingles colliding within one block inflate ``c``.
+      Expected spurious co-counts are ~ S^2 / 2^61 for S distinct
+      shingles per block (~5e-10 at S=1M) — accepted by design; a
+      caller needing collision-proof exactness uses
+      ``strategy="prefix"``.
+    - ``_sh`` must be DISTINCT-element arrays (ngram_shingles /
+      distinct_tokens guarantee this — same precondition as
+      :func:`prefix_blocking_keys`): duplicate elements would
+      multiply-count both ``c`` and ``|A|``/``|B|``."""
     k = t.select(
         "_id",
         "_blk",
@@ -404,8 +419,12 @@ def ngram_jaccard_pairs(
     the candidate shuffle carries per-shared-shingle multiplicity;
     see :func:`_count_based_jaccard_pairs`), or ``"auto"``
     (prefix for t >= 0.5, count below — the prefix keeps < half the
-    set exactly when t >= 0.5, the natural crossover). All three are
-    EXACT — same rows, same oracle; only the physical plan differs.
+    set exactly when t >= 0.5, the natural crossover). All three
+    produce the same rows against the same oracle; ``prefix`` and the
+    all-pairs fallback verify on the real arrays, while ``count`` is
+    exact up to 60-bit shingle-hash collisions (vanishing but nonzero
+    — see :func:`_count_based_jaccard_pairs` for the bound and the
+    distinct-element precondition both paths share).
 
     Round-1 shape (self-join on the attribute alone, e.g. language)
     was O(n^2) within each of ~5 language blocks — all-pairs in

@@ -99,7 +99,34 @@ class ParquetMergeSink:
         self.path = path
         self.schema = schema
         self.keys = list(keys)
-        self.n_buckets = n_buckets
+        # a live table's bucket count is TABLE state, not caller
+        # opinion: honor the persisted meta when present (written at
+        # first merge / updated by rebucket), else the argument is the
+        # creation default. A stale constructor arg after a rebucket
+        # would otherwise mis-route every future merge.
+        self.n_buckets = self._read_meta() or n_buckets
+
+    _META = "_table_meta.json"  # leading "_": invisible to Spark scans
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, self._META)
+
+    def _read_meta(self) -> int | None:
+        try:
+            import json
+
+            with open(self._meta_path()) as f:
+                return int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_meta(self, n_buckets: int) -> None:
+        import json
+
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+        os.replace(tmp, self._meta_path())  # atomic on POSIX
 
     def exists(self) -> bool:
         return os.path.isdir(self.path)
@@ -116,16 +143,43 @@ class ParquetMergeSink:
         return f"{self.path}.old-b{b}-{uuid.uuid4().hex[:8]}"
 
     def _recover_partial_swaps(self) -> None:
-        """Re-converge any swap interrupted between the two renames:
-        restore the parked bucket if the new one never landed, drop it
-        if the swap completed. Idempotent; scalar driver-side I/O."""
+        """Re-converge any swap interrupted between renames — per-bucket
+        merge swaps AND whole-table rebucket swaps. Idempotent; scalar
+        driver-side I/O.
+
+        Rebucket invariant: the table root is renamed away only AFTER
+        the new layout is fully written, so `path` missing + a
+        ``.rebucket-new`` sibling present always means the new layout
+        is complete — promote it. `path` present means any rebucket
+        siblings are garbage (completed swap's parked copy, or an
+        aborted write)."""
         parent, base = os.path.split(self.path.rstrip("/"))
+        if not os.path.isdir(parent or "."):
+            return
+        names = os.listdir(parent or ".")
+        # --- whole-table rebucket swaps -----------------------------
+        news = sorted(n for n in names if n.startswith(f"{base}.rebucket-new-"))
+        olds = sorted(n for n in names if n.startswith(f"{base}.rebucket-old-"))
+        if os.path.isdir(self.path):
+            for n in news + olds:
+                shutil.rmtree(os.path.join(parent, n))
+        elif news or olds:
+            promote = news[0] if news else olds[0]
+            os.rename(os.path.join(parent, promote), self.path)
+            for n in news + olds:
+                p = os.path.join(parent, n)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            self.n_buckets = self._read_meta() or self.n_buckets
+        # --- per-bucket merge swaps ---------------------------------
         prefix = f"{base}.old-b"
-        for name in os.listdir(parent or "."):
+        for name in names:
             if not name.startswith(prefix):
                 continue
             bucket = name[len(prefix):].split("-", 1)[0]
             old = os.path.join(parent, name)
+            if not os.path.isdir(old):
+                continue  # already consumed by the rebucket pass
             dst = self._bucket_dir(int(bucket))
             if os.path.isdir(dst):
                 shutil.rmtree(old)  # swap completed; parked copy is garbage
@@ -136,9 +190,9 @@ class ParquetMergeSink:
         """The table under exactly the declared schema (the `_bucket`
         partition directory key is an internal layout detail, not a
         column — partition discovery would otherwise append it)."""
+        self._recover_partial_swaps()  # may restore a missing root
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
-        self._recover_partial_swaps()
         return (
             self.spark.read.schema(self.schema)
             .parquet(self.path)
@@ -173,11 +227,15 @@ class ParquetMergeSink:
         well-defined row."""
         if mode not in ("insert", "upsert"):
             raise ValueError(f"mode must be insert|upsert, got {mode!r}")
+        # recovery BEFORE the bucket expression: a pending rebucket
+        # promote may change n_buckets
+        self._recover_partial_swaps()
+        os.makedirs(self.path, exist_ok=True)
+        if self._read_meta() is None:
+            self._write_meta(self.n_buckets)
         fresh = dedup_by_key(incoming, self.keys).withColumn(
             "_bucket", self._bucket_col()
         )
-        os.makedirs(self.path, exist_ok=True)
-        self._recover_partial_swaps()
         # touched-bucket ids: <= n_buckets scalars, driver-side by design
         touched = sorted(
             r._bucket for r in fresh.select("_bucket").distinct().collect()
@@ -216,48 +274,128 @@ class ParquetMergeSink:
                 os.rename(src, dst)
         shutil.rmtree(tmp)
 
-    def compact(self, max_files_per_bucket: int = 1) -> list[int]:
+    def _bucket_stats(self, b: int) -> tuple[int, int]:
+        """(parquet file count, total bytes) for one bucket dir."""
+        d = self._bucket_dir(b)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        return len(files), sum(
+            os.path.getsize(os.path.join(d, f)) for f in files
+        )
+
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        target_file_bytes: int | None = None,
+    ) -> list[int]:
         """Small-files maintenance: every incremental merge appends a
         file set to each touched bucket, so a long-running table
         accumulates files that degrade scan planning (one task per
-        tiny file at 100 TB). Rewrite each over-threshold bucket
-        to ONE file and swap it atomically — same crash-safe swap and
-        recovery path as merge, so an interrupted compaction
-        re-converges. Untouched buckets are never opened. Returns the
-        compacted bucket ids (driver-side scalars, <= n_buckets).
+        tiny file at 100 TB). Rewrite each over-threshold bucket and
+        swap it atomically — same crash-safe swap and recovery path as
+        merge, so an interrupted compaction re-converges. Untouched
+        buckets are never opened. Returns the compacted bucket ids
+        (driver-side scalars, <= n_buckets).
 
-        At 100 TB a bucket outgrows one file; there the rewrite would
-        target a file SIZE (repartition each bucket by a size-derived
-        salt). One-file-per-bucket is the right contract at managed-
-        table scale, where a bucket is sized to a core's working
-        set."""
+        ``target_file_bytes=None``: one file per bucket — the right
+        contract when a bucket is sized to a core's working set.
+        At 100 TB a bucket outgrows one file: pass
+        ``target_file_bytes`` and each bucket is rewritten to
+        ``ceil(bucket_bytes / target)`` files via a key-hash salt, so
+        files land near the target size and a bucket is over-threshold
+        only when its file count exceeds that ideal."""
+        self._recover_partial_swaps()
         if not self.exists():
             return []
-        self._recover_partial_swaps()
-        fat = [
-            b
-            for b in range(self.n_buckets)
-            if os.path.isdir(self._bucket_dir(b))
-            and sum(
-                1
-                for f in os.listdir(self._bucket_dir(b))
-                if f.endswith(".parquet")
-            )
-            > max_files_per_bucket
-        ]
+        want: dict[int, int] = {}  # bucket -> target file count
+        for b in range(self.n_buckets):
+            if not os.path.isdir(self._bucket_dir(b)):
+                continue
+            n_files, n_bytes = self._bucket_stats(b)
+            if target_file_bytes is None:
+                ideal, threshold = 1, max_files_per_bucket
+            else:
+                ideal = max(1, -(-n_bytes // target_file_bytes))
+                # +1 hysteresis: a just-compacted bucket whose bytes
+                # shrank under recompression must not re-trigger
+                threshold = ideal + 1
+            if n_files > threshold:
+                want[b] = ideal
+        fat = sorted(want)
         if not fat:
             return []
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        (
-            self._read_buckets(fat)
-            .withColumn("_bucket", self._bucket_col())
-            .repartition(len(fat), "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(tmp)
-        )
+        df = self._read_buckets(fat).withColumn("_bucket", self._bucket_col())
+        if target_file_bytes is None:
+            out = df.repartition(len(fat), "_bucket")
+        else:
+            # per-bucket salt in [0, ideal): ceil(bytes/target) files
+            # per bucket, spread by a second key hash
+            salt_mod = F.lit(1)
+            for b, n in want.items():
+                salt_mod = F.when(F.col("_bucket") == b, F.lit(n)).otherwise(
+                    salt_mod
+                )
+            out = (
+                df.withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(*[F.col(k) for k in self.keys], F.lit(7)),
+                        salt_mod,
+                    ).cast("int"),
+                )
+                .repartition(sum(want.values()), "_bucket", "_salt")
+                .drop("_salt")
+            )
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         self._swap_buckets(tmp, fat)
         return fat
+
+    def rebucket(self, new_n: int) -> None:
+        """Bucket-count evolution: rewrite the WHOLE table into
+        ``new_n`` hash buckets (a growing table's per-bucket working
+        set eventually outgrows a core; a shrinking one wastes tasks).
+        Reuses the crash-safe sibling-swap discipline: the new layout
+        (with its meta) is fully written to a ``.rebucket-new`` sibling
+        first, the live root is parked as ``.rebucket-old``, the new
+        root is promoted, and ``_recover_partial_swaps`` re-converges
+        any interruption deterministically from whichever rename the
+        crash fell between. Rows are byte-identical — only the
+        directory a row lives in changes.
+
+        This is O(table) I/O by nature (every row changes bucket with
+        probability ~1 - 1/max(old,new)); at lakehouse scale the same
+        operation is an Iceberg/Delta partition-spec evolution +
+        rewrite."""
+        if new_n < 1:
+            raise ValueError(f"new_n must be >= 1, got {new_n}")
+        self._recover_partial_swaps()
+        if not self.exists():
+            self.n_buckets = new_n  # nothing on disk yet
+            return
+        if new_n == self.n_buckets:
+            return
+        token = uuid.uuid4().hex[:8]
+        new_dir = f"{self.path}.rebucket-new-{token}"
+        old_dir = f"{self.path}.rebucket-old-{token}"
+        new_bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(new_n)
+        ).cast("int")
+        (
+            self.read()
+            .withColumn("_bucket", new_bucket)
+            .repartition(min(new_n, 64), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(new_dir)
+        )
+        import json
+
+        with open(os.path.join(new_dir, self._META), "w") as f:
+            json.dump({"n_buckets": new_n}, f)
+        os.rename(self.path, old_dir)
+        os.rename(new_dir, self.path)
+        shutil.rmtree(old_dir)
+        self.n_buckets = new_n
 
 
 def pg_copy_sql(table: str, columns: Sequence[str]) -> str:

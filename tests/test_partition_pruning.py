@@ -56,3 +56,53 @@ def test_partition_pruning_composes_with_pushed_filters(spark, tmp_path):
     assert "EqualTo(event_type,purchase)" in plan
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "props" not in read and "value" not in read
+
+
+def test_normalize_events_restores_ts_pushdown(spark, tmp_path):
+    """The one-shot nanos->micros rewrite (catalog.normalize_events):
+    a TIMESTAMP(NANOS) events file — whose on-the-fly conversion hides
+    ts from the scan — becomes a micros dataset where a ts predicate
+    reaches PushedFilters, with identical row content. Idempotent on
+    already-micros input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cardano_spark.catalog import _read_events, normalize_events
+
+    base = 1_700_000_000
+    src = tmp_path / "nanos"
+    src.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pa.array(
+                [(base + i * 60) * 10**9 for i in range(3)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": [10, 20, 30],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pq.write_table(tbl, str(src / "events.parquet"))
+
+    dest = str(tmp_path / "micros")
+    assert normalize_events(spark, str(src), dest) == 3
+
+    out = spark.read.parquet(dest)
+    want = sorted(map(tuple, _read_events(spark, str(src)).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+
+    plan = (
+        out.filter(F.col("ts") > "2023-11-14 22:14:00")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts" in plan
+
+    # idempotent: normalizing the normalized dataset round-trips
+    dest2 = str(tmp_path / "micros2")
+    assert normalize_events(spark, dest, dest2) == 3
+    assert sorted(map(tuple, spark.read.parquet(dest2).collect())) == want

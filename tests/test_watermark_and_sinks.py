@@ -488,3 +488,96 @@ def test_parquet_merge_upsert_deterministic_with_conflicting_batch(spark, tmp_pa
     ).repartition(5)
     sink.merge(batch, mode="upsert")
     assert {(r.k, r.v) for r in sink.read().collect()} == {(1, "w"), (2, "q")}
+
+
+# --------------------------------------------------------------------------
+# Bucket-count evolution (rebucket) + size-targeted compaction
+# --------------------------------------------------------------------------
+
+
+def test_rebucket_grows_table_byte_identical(spark, tmp_path):
+    """Grow a live table 4 -> 8 buckets: row content is identical,
+    the new layout is real (8 bucket dirs), the bucket count persists
+    in table meta (a NEW sink built with a stale constructor arg picks
+    up 8), and post-rebucket merges keep working bucket-locally."""
+    import os
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, keys=["k"], n_buckets=4)
+    sink.merge(spark.createDataFrame([(i, f"v{i}") for i in range(50)], SCHEMA))
+    before = sorted(map(tuple, sink.read().collect()))
+
+    sink.rebucket(8)
+    assert sink.n_buckets == 8
+    dirs = {d for d in os.listdir(path) if d.startswith("_bucket=")}
+    assert len(dirs) > 4  # keys actually spread over the new space
+    assert sorted(map(tuple, sink.read().collect())) == before
+
+    stale = ParquetMergeSink(spark, path, SCHEMA, keys=["k"], n_buckets=4)
+    assert stale.n_buckets == 8  # meta wins over the constructor arg
+    stale.merge(spark.createDataFrame([(100, "new"), (3, "dup")], SCHEMA))
+    rows = {r.k: r.v for r in stale.read().collect()}
+    assert rows[100] == "new" and rows[3] == "v3" and len(rows) == 51
+
+    # no-op and validation paths
+    sink.rebucket(8)
+    with pytest.raises(ValueError):
+        sink.rebucket(0)
+
+
+def test_rebucket_interrupted_swap_recovers(spark, tmp_path):
+    """Crash between the two whole-table renames (root parked as
+    .rebucket-old, new layout not yet promoted): the next read must
+    promote the completed new layout and adopt its bucket count."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, keys=["k"], n_buckets=2)
+    sink.merge(spark.createDataFrame([(i, f"v{i}") for i in range(20)], SCHEMA))
+    before = sorted(map(tuple, sink.read().collect()))
+
+    # manufacture the mid-rebucket crash state by hand: fully-written
+    # new layout sibling + parked old root, no live root
+    fresh = ParquetMergeSink(spark, path + ".stage", SCHEMA, ["k"], n_buckets=5)
+    fresh.merge(spark.createDataFrame([(i, f"v{i}") for i in range(20)], SCHEMA))
+    os.rename(path + ".stage", path + ".rebucket-new-deadbeef")
+    os.rename(path, path + ".rebucket-old-deadbeef")
+
+    recovered = ParquetMergeSink(spark, path, SCHEMA, keys=["k"], n_buckets=2)
+    assert sorted(map(tuple, recovered.read().collect())) == before
+    assert recovered.n_buckets == 5  # from the promoted layout's meta
+    assert not os.path.isdir(path + ".rebucket-old-deadbeef")
+    assert not os.path.isdir(path + ".rebucket-new-deadbeef")
+
+    # aborted-write state (root still live, orphan new sibling): the
+    # orphan is garbage-collected, the live root wins
+    shutil.copytree(path, path + ".rebucket-new-cafe")
+    again = ParquetMergeSink(spark, path, SCHEMA, keys=["k"])
+    assert sorted(map(tuple, again.read().collect())) == before
+    assert not os.path.isdir(path + ".rebucket-new-cafe")
+
+
+def test_compact_size_targeted(spark, tmp_path):
+    """target_file_bytes splits a fat bucket into ~ceil(bytes/target)
+    files instead of one; content unchanged."""
+    import os
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, keys=["k"], n_buckets=1)
+    for batch in range(6):  # 6 merges -> many files in bucket 0
+        sink.merge(
+            spark.createDataFrame(
+                [(batch * 100 + i, "x" * 200) for i in range(50)], SCHEMA
+            )
+        )
+    before = sorted(map(tuple, sink.read().collect()))
+    n_files, n_bytes = sink._bucket_stats(0)
+    assert n_files >= 6
+    target = max(1, n_bytes // 3)  # aim for ~3 files
+    assert sink.compact(target_file_bytes=target) == [0]
+    after_files, _ = sink._bucket_stats(0)
+    assert 1 < after_files <= 6
+    assert sorted(map(tuple, sink.read().collect())) == before
+    # already-compacted bucket is left alone on a second pass
+    assert sink.compact(target_file_bytes=target) == []
