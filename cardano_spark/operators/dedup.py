@@ -498,7 +498,8 @@ def _cc_star_rounds(
         .dropDuplicates(["lo", "hi"])
         .localCheckpoint(eager=True)
     )
-    converged = e.isEmpty()
+    n_e = e.count()
+    converged = n_e == 0
     rounds = 0
     while not converged and rounds < max_iter:
         rounds += 1
@@ -532,9 +533,15 @@ def _cc_star_rounds(
             .dropDuplicates(["lo", "hi"])
             .localCheckpoint(eager=True)  # cut lineage every round
         )
-        # fixed point = identical edge set (both sides are distinct)
-        converged = new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
-        e = new_e
+        # fixed point = identical edge set (both sides are distinct).
+        # The previous round's count is carried instead of recounted
+        # (one job per round, not two), and the exact exceptAll check
+        # runs only when counts agree — i.e. in practice only on the
+        # terminal round, so a steady-state round costs one scan of
+        # the freshly-checkpointed edges.
+        n_new = new_e.count()
+        converged = n_new == n_e and new_e.exceptAll(e).isEmpty()
+        e, n_e = new_e, n_new
     return e, rounds, converged
 
 

@@ -25,6 +25,8 @@ _DEFERRED = [
     "q17_github_handles",     # scalar regex projection; pytest golden
     "q18_unixtime_roundtrip", # pure unixtime round-trip; pytest golden
     "q29_language_id",        # pure column expressions; pytest-pinned
+    "q30_quality_score",      # pure column expressions; pytest-pinned
+    "q31_token_stats",        # pure column expressions; pytest-pinned
     "q32_doc_fingerprint",    # pure column expressions; pytest-pinned
     "q41_stratified_split",   # shuffle-free hash projection; plan-shape pin
 ]

@@ -223,6 +223,35 @@ def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strategy="auto" ANN: 4 probes sit below the measured crossover
+    (similarity.ANN_AUTO_CROSSOVER), so the selector takes the exact
+    brute-force broadcast path — the oracle is therefore the plain
+    exact top-k statement."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    return SIM.ann_topk(
+        e, probes, "vec_id", "embedding", k=10, strategy="auto", n_queries=4
+    )
+
+
+def q57_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF path: an explicit (cid, centroid) model
+    frame — vectors 10..19 standing in for KMeans output, re-labeled
+    cid 0..9 — drives the same broadcast-assignment/probe/search plan
+    as the seeded q36."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    cents = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        (F.col("vec_id") - 10).alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    return SIM.ivf_topk(
+        e, probes, "vec_id", "embedding",
+        n_centroids=10, nprobe=2, k=5, centroids=cents,
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -519,6 +548,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q28_ann_lsh_topk": q28_ann_lsh_topk,
     "q47_ann_multiprobe_topk": q47_ann_multiprobe_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
+    "q56_ann_auto_topk": q56_ann_auto_topk,
+    "q57_ann_ivf_trained": q57_ann_ivf_trained,
     "q29_language_id": q29_language_id,
     "q30_quality_score": q30_quality_score,
     "q31_token_stats": q31_token_stats,
@@ -690,6 +721,60 @@ TRAININGDATA_ORACLES: dict[str, str] = {
           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
         ), seeds AS (
           SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 10
+        ), assign AS (
+          SELECT vec_id AS match_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s
+          ) WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s WHERE v.vec_id < 8
+          ) WHERE rn <= 2
+        ), cand AS (
+          SELECT p.query_id, a.match_id
+          FROM probes p JOIN assign a USING (cid)
+          WHERE a.match_id <> p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'm.e')} AS cos_sim
+          FROM cand c
+          JOIN v q ON q.vec_id = c.query_id
+          JOIN v m ON m.vec_id = c.match_id
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "q56_ann_auto_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM v q JOIN v c
+            ON q.vec_id >= 8 AND q.vec_id < 12 AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 10
+    """,
+    "q57_ann_ivf_trained": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), seeds AS (
+          SELECT vec_id - 10 AS cid, e AS ce FROM v
+          WHERE vec_id >= 10 AND vec_id < 20
         ), assign AS (
           SELECT vec_id AS match_id, cid FROM (
             SELECT v.vec_id, s.cid, row_number() OVER (
