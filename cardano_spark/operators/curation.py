@@ -1,0 +1,179 @@
+"""Corpus-curation operators a large-scale training-data pipeline
+needs beyond dedup: benchmark decontamination, repetition scoring
+(Gopher-style), and sequence packing. All JVM-side DataFrame plans —
+no Python in any hot path — with DuckDB-oracle-compatible semantics.
+
+The reference has no analogue (its pipelines stop at warehouse load,
+src/etl_pipelines/); these extend the training-data surface the same
+way operators/dedup.py and operators/similarity.py do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    shingles: Column,
+    bench_shingles: Column,
+) -> DataFrame:
+    """Per-document contamination against a benchmark/eval set: the
+    fraction of the document's distinct n-gram shingles that occur
+    anywhere in the benchmark corpus (the standard n-gram-overlap
+    decontamination test applied before training).
+
+    Scale shape: the benchmark shingle UNIVERSE is small by contract
+    (eval sets are thousands of documents, not billions), so it is
+    collected into one distinct frame and BROADCAST; each exploded
+    document shingle probes it map-side (left semi via a broadcast
+    join, no corpus shuffle on the join), and the per-document
+    hit/total counts reduce with a map-side partial aggregate — one
+    hash exchange on ``doc_id`` total. Documents with zero shingles
+    report 0.0 contamination.
+
+    Returns (``id_col``, n_shingles, n_hits, contamination) with
+    contamination = n_hits / n_shingles as double."""
+    b = (
+        bench.select(F.explode(bench_shingles).alias("_s"))
+        .distinct()
+    )
+    d = docs.select(F.col(id_col), F.explode_outer(shingles).alias("_s"))
+    hit = F.broadcast(b.withColumn("_hit", F.lit(1)))
+    per_doc = (
+        d.join(hit, "_s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_s").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.when(F.col("n_shingles") > 0,
+               F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.3 use duplicate-line and top-n-gram fractions to drop
+    degenerate documents):
+
+    - ``dup_line_frac``: 1 - distinct_lines / lines (lines split on
+      ``\\n``);
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigram occurrences (0.0 for docs with < 2
+      tokens); only the COUNT of the mode is used, so ties cannot
+      affect the output.
+
+    Both are PURE per-row array expressions — line stats via
+    array_distinct, the bigram mode via a sort + linear fold over the
+    doc's own bigrams — so the plan is shuffle-free (no explode, no
+    groupBy): a projection over the corpus scan, embarrassingly
+    parallel at any scale."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - F.lit(1)
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    # mode of a sorted array in one fold: track (current run, best)
+    srt = F.array_sort(grams)
+    fold = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("cur"),
+            F.lit(0).cast("long").alias("cur_n"),
+            F.lit(0).cast("long").alias("best_n"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("cur"),
+            F.when(g == acc.cur, acc.cur_n + 1).otherwise(F.lit(1).cast("long")).alias("cur_n"),
+            F.greatest(
+                acc.best_n,
+                F.when(g == acc.cur, acc.cur_n + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best_n"),
+        ),
+    )
+    n_lines = F.size(lines)
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / n_lines.cast("double")
+        ).alias("dup_line_frac"),
+        F.size(grams).cast("long").alias("n_bigrams"),
+        F.when(
+            F.size(grams) > 0,
+            fold.best_n.cast("double") / F.size(grams).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    budget: int,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic concat-then-chunk sequence packing: documents are
+    laid out in ``id_col`` order as one virtual token stream and cut
+    into fixed ``budget``-token training sequences. Each document
+    reports the sequence its FIRST token lands in and its offset
+    there (a doc may straddle a boundary — the loader's concat/split
+    convention, equivalent to packing with document order preserved).
+
+    Scale shape — a distributed prefix sum, NOT a global-order window
+    (which would funnel the corpus through ONE partition):
+    ``repartitionByRange`` on the id gives globally-ordered disjoint
+    partitions; the running sum within each range partition is a
+    window over that partition only; the per-partition totals (one
+    scalar each, <= ``range_partitions`` rows) come to the driver and
+    go back as a broadcast offset join. Two scans of the slim
+    (id, n) projection, one range shuffle.
+
+    Returns (``id_col``, n_tokens, seq_id, seq_offset)."""
+    slim = (
+        docs.select(F.col(id_col), n_tokens.cast("long").alias("n_tokens"))
+        .repartitionByRange(range_partitions, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    within = slim.withColumn(
+        "_cum_in", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    totals = sorted(
+        (r._pid, r.t)
+        for r in slim.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for pid, t in totals:
+        offsets[pid] = run
+        run += t
+    off_col = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(off_col)
+    return (
+        within.withColumn("_start", F.col("_cum_in") + off_col)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_start") / F.lit(budget)).cast("long").alias("seq_id"),
+            (F.col("_start") % F.lit(budget)).alias("seq_offset"),
+        )
+    )

@@ -29,6 +29,9 @@ _DEFERRED = [
     "q31_token_stats",        # pure column expressions; pytest-pinned
     "q32_doc_fingerprint",    # pure column expressions; pytest-pinned
     "q41_stratified_split",   # shuffle-free hash projection; plan-shape pin
+    "q16_json_extract",       # fixed 5-row JSON projection; stable
+    "q19_decimal38_quantities", # fixed 3-row decimal rollup; stable
+    "q37_html_field_extraction", # pure JVM regex; Python-free plan pinned
 ]
 
 

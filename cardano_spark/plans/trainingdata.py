@@ -34,6 +34,7 @@ from cardano_spark.functions.hashing import (
     rolling_fingerprint,
     rolling_fingerprint_sql,
 )
+from cardano_spark.operators import curation as CU
 from cardano_spark.operators import dedup as DD
 from cardano_spark.operators import multimodal as MM
 from cardano_spark.operators import similarity as SIM
@@ -250,6 +251,44 @@ def q57_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, probes, "vec_id", "embedding",
         n_centroids=10, nprobe=2, k=5, centroids=cents,
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation (decontamination / repetition / packing)
+# --------------------------------------------------------------------------
+
+
+def q58_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram decontamination: per-document fraction of distinct
+    2-gram shingles that occur in the 'benchmark' slice (doc_id < 20
+    stands in for an eval set). Benchmark shingle universe broadcast;
+    one doc_id exchange."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    return CU.benchmark_contamination(
+        d,
+        bench,
+        "doc_id",
+        TX.ngram_shingles(F.col("text"), 2),
+        TX.ngram_shingles(F.col("text"), 2),
+    ).orderBy("doc_id")
+
+
+def q59_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-line fraction and
+    top-bigram mass per document — shuffle-free array folds."""
+    d = table(spark, sf_dir, "documents")
+    return CU.repetition_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of the corpus into 512-token
+    sequences via a distributed prefix sum (range partitions +
+    per-partition offsets — no single-partition global window)."""
+    d = table(spark, sf_dir, "documents")
+    return CU.pack_sequences(
+        d, "doc_id", F.size(TX.tokens(F.col("text"))), budget=512
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -550,6 +589,9 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q56_ann_auto_topk": q56_ann_auto_topk,
     "q57_ann_ivf_trained": q57_ann_ivf_trained,
+    "q58_benchmark_contamination": q58_benchmark_contamination,
+    "q59_repetition_scores": q59_repetition_scores,
+    "q60_sequence_packing": q60_sequence_packing,
     "q29_language_id": q29_language_id,
     "q30_quality_score": q30_quality_score,
     "q31_token_stats": q31_token_stats,
@@ -807,6 +849,77 @@ TRAININGDATA_ORACLES: dict[str, str] = {
             PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
           )::BIGINT AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    "q58_benchmark_contamination": f"""
+        WITH d AS (
+          SELECT doc_id, {TX.ngram_shingles_sql('text', 2)} AS sh FROM documents
+        ), b AS (
+          SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < 20
+        ), e AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), h AS (
+          SELECT e.doc_id, count(*) AS n_sh,
+                 sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          FROM e LEFT JOIN b ON e.s = b.s
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_sh, 0)::BIGINT AS n_shingles,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               CASE WHEN coalesce(h.n_sh, 0) > 0
+                    THEN coalesce(h.n_hits, 0)::DOUBLE / h.n_sh::DOUBLE
+                    ELSE 0.0 END AS contamination
+        FROM d LEFT JOIN h USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "q59_repetition_scores": """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines,
+                 string_split(text, ' ') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 2 THEN list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+1], ' '))
+                 ELSE [] END AS grams,
+                 lines
+          FROM d
+        ), t AS (
+          SELECT doc_id, max(c) AS best FROM (
+            SELECT doc_id, u, count(*) AS c
+            FROM (SELECT doc_id, unnest(grams) AS u FROM g)
+            GROUP BY doc_id, u
+          ) GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               len(g.lines)::BIGINT AS n_lines,
+               1.0 - len(list_distinct(g.lines))::DOUBLE / len(g.lines)::DOUBLE
+                 AS dup_line_frac,
+               len(g.grams)::BIGINT AS n_bigrams,
+               CASE WHEN len(g.grams) > 0
+                    THEN t.best::DOUBLE / len(g.grams)::DOUBLE
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM g LEFT JOIN t USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "q60_sequence_packing": """
+        WITH d AS (
+          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS start
+          FROM d
+        )
+        SELECT doc_id, n_tokens,
+               (start // 512)::BIGINT AS seq_id,
+               (start % 512)::BIGINT AS seq_offset
+        FROM c ORDER BY doc_id
     """,
     "q29_language_id": f"""
         WITH s AS (

@@ -1,0 +1,99 @@
+"""Curation operators: decontamination, repetition scoring, sequence
+packing — values on hand-built corpora plus the plan-shape guarantees
+that make each scale (broadcast probe, shuffle-free projection,
+no single-partition global window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cardano_spark.functions import text as TX
+from cardano_spark.operators import curation as CU
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_benchmark_contamination_values_and_broadcast(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # benchmark member: fully contaminated
+            (1, "a b x y"),        # shares bigram "a b" only
+            (2, "p q r s"),        # disjoint
+            (3, "z"),              # < 2 tokens -> zero shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = CU.benchmark_contamination(
+        docs, bench, "doc_id",
+        TX.ngram_shingles(F.col("text"), 2),
+        TX.ngram_shingles(F.col("text"), 2),
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_hits, r.contamination)
+           for r in out.collect()}
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (3, 1, 1.0 / 3.0)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)  # zero-shingle doc present, not NaN
+    # benchmark universe probes map-side: broadcast join; the corpus
+    # shuffles ONCE (the per-doc aggregate) — the only other exchange
+    # is the tiny bench-side distinct
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_repetition_scores_values_and_shuffle_free(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "x y\nx y\nz"),      # 3 lines, one dup -> 1 - 2/3
+            (1, "a a a a"),          # top bigram "a a" = 3/3
+            (2, "a b a b a"),        # bigrams: ab,ba,ab,ba -> 2/4
+            (3, "solo"),             # 1 token -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = CU.repetition_scores(docs, "doc_id", "text")
+    got = {r.doc_id: r for r in out.collect()}
+    assert abs(got[0].dup_line_frac - (1.0 - 2.0 / 3.0)) < 1e-15
+    assert got[1].top_bigram_frac == 1.0
+    assert got[2].n_bigrams == 4 and got[2].top_bigram_frac == 0.5
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+    assert got[3].dup_line_frac == 0.0
+    # pure projection: no exchange anywhere in the plan
+    assert "Exchange" not in _plan(out)
+
+
+def test_pack_sequences_prefix_sum_and_no_global_window(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    ).repartition(8)  # scrambled input partitioning
+    n = F.size(TX.tokens(F.col("text")))
+    out = CU.pack_sequences(docs, "doc_id", n, budget=10, range_partitions=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    # reference prefix sum on the driver
+    cum = 0
+    for i in range(100):
+        nt = (i % 7 + 1) + 1  # trailing space adds one empty token
+        r = rows[i]
+        assert (r.n_tokens, r.seq_id, r.seq_offset) == (nt, cum // 10, cum % 10), i
+        cum += nt
+    # the plan must NOT contain a global (un-partitioned) sort-window:
+    # every window partitions by the range-partition id
+    plan = _plan(out)
+    assert "Window" in plan and "_pid" in plan
+    # range repartitioning present (the global-order substrate)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_pack_sequences_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = CU.pack_sequences(
+        empty, "doc_id", F.size(TX.tokens(F.col("text"))), budget=10
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "seq_id", "seq_offset"]
