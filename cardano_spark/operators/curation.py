@@ -123,6 +123,58 @@ def repetition_scores(
     )
 
 
+#: PII patterns — conservative, and deliberately restricted to syntax
+#: Java regex (Spark) and RE2 (DuckDB) interpret IDENTICALLY: no
+#: lookaround, no backreferences. Order matters: SSN-like ids are
+#: redacted before the (greedier) phone pattern would swallow them,
+#: and each later count runs on the already-redacted text so no span
+#: is counted twice. Replacement tokens contain no digits, so stages
+#: cannot re-match each other's output.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ids", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phones", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrub for training text: emails, IPv4s, SSN-shaped ids and
+    phone-shaped digit runs are replaced with typed tokens, with a
+    per-category match count. Pure JVM regex projection — zero
+    shuffles, column-pruned scan, embarrassingly parallel; the DuckDB
+    oracle twin applies the identical pattern chain.
+
+    Returns (``id_col``, redacted, n_emails, n_ips, n_ids,
+    n_phones)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return docs.select(id_col, cur.alias("redacted"), *counts)
+
+
+def redact_pii_sql(id_expr: str, text_expr: str) -> str:
+    """DuckDB twin of :func:`redact_pii` (same staged chain)."""
+    cur = text_expr
+    cols = []
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            f"len(regexp_extract_all({cur}, '{pat}'))::BIGINT AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT {id_expr}, {cur} AS redacted, "
+        + ", ".join(cols)
+        + " FROM documents"
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,

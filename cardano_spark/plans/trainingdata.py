@@ -274,6 +274,13 @@ def q58_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-token PII scrub (emails / IPv4 / SSN-shaped / phone-shaped)
+    with per-category counts — staged regex chain, shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    return CU.redact_pii(d, "doc_id", "text").orderBy("doc_id")
+
+
 def q59_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates: duplicate-line fraction and
     top-bigram mass per document — shuffle-free array folds."""
@@ -592,6 +599,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q58_benchmark_contamination": q58_benchmark_contamination,
     "q59_repetition_scores": q59_repetition_scores,
     "q60_sequence_packing": q60_sequence_packing,
+    "q61_pii_redaction": q61_pii_redaction,
     "q29_language_id": q29_language_id,
     "q30_quality_score": q30_quality_score,
     "q31_token_stats": q31_token_stats,
@@ -904,6 +912,9 @@ TRAININGDATA_ORACLES: dict[str, str] = {
         FROM g LEFT JOIN t USING (doc_id)
         ORDER BY doc_id
     """,
+    "q61_pii_redaction": (
+        CU.redact_pii_sql("doc_id", "text") + " ORDER BY doc_id"
+    ),
     "q60_sequence_packing": """
         WITH d AS (
           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -97,3 +97,52 @@ def test_pack_sequences_empty_input(spark):
     )
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "seq_id", "seq_offset"]
+
+
+def test_redact_pii_values_and_cross_engine(spark):
+    """Crafted PII of every category redacts to typed tokens with
+    correct counts; the DuckDB twin produces the identical redaction
+    (the q61 oracle depends on it); plan stays exchange-free."""
+    import duckdb
+
+    rows = [
+        (0, "mail bob.smith+x@example.co.uk now"),
+        (1, "server at 10.0.255.7 and 192.168.1.1."),
+        (2, "ssn 123-45-6789 ok"),
+        (3, "call +1 (415) 555-0199 today"),
+        (4, "plain text, no pii at all"),
+        (5, "a@b.io or 1.2.3.4 or 987-65-4321 or 0800 123 4567"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CU.redact_pii(docs, "doc_id", "text")
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].redacted == "mail <EMAIL> now"
+    assert got[0].n_emails == 1
+    assert got[1].redacted == "server at <IP> and <IP>."
+    assert got[1].n_ips == 2
+    assert got[2].redacted == "ssn <ID> ok"
+    assert got[2].n_ids == 1
+    assert got[3].redacted == "call <PHONE> today"
+    assert got[3].n_phones == 1
+    assert got[4].redacted == rows[4][1]
+    assert (got[5].n_emails, got[5].n_ips, got[5].n_ids, got[5].n_phones) == (
+        1, 1, 1, 1,
+    )
+    assert "Exchange" not in _plan(out)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    duck = {
+        r[0]: r
+        for r in con.execute(CU.redact_pii_sql("doc_id", "text")).fetchall()
+    }
+    con.close()
+    for i, _ in rows:
+        g = got[i]
+        assert duck[i] == (
+            i, g.redacted, g.n_emails, g.n_ips, g.n_ids, g.n_phones
+        ), i
