@@ -146,3 +146,56 @@ def test_redact_pii_values_and_cross_engine(spark):
         assert duck[i] == (
             i, g.redacted, g.n_emails, g.n_ips, g.n_ids, g.n_phones
         ), i
+
+
+def test_curation_invariants_random(spark):
+    """Randomized invariants over one generated corpus (seeded):
+    benchmark members with shingles are fully contaminated; all
+    fractions live in [0,1]; packing conserves the token stream
+    (offset < budget, seq ids non-decreasing in doc order, total
+    tokens = final cumulative position)."""
+    import random
+
+    rng = random.Random(20260814)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "xy", ".", "9"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))),
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") < 15)
+    sh = TX.ngram_shingles(F.col("text"), 2)
+
+    cont = {r.doc_id: r for r in CU.benchmark_contamination(
+        docs, bench, "doc_id", sh, sh).collect()}
+    assert set(cont) == set(range(120))
+    for i, r in cont.items():
+        assert 0.0 <= r.contamination <= 1.0, i
+        if i < 15 and r.n_shingles > 0:
+            assert r.contamination == 1.0, i  # bench members fully hit
+
+    rep = CU.repetition_scores(docs, "doc_id", "text").collect()
+    for r in rep:
+        assert 0.0 <= r.dup_line_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+
+    budget = 17
+    packed = sorted(
+        CU.pack_sequences(
+            docs, "doc_id", F.size(TX.tokens(F.col("text"))), budget,
+            range_partitions=5,
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    prev_seq = 0
+    for r in packed:
+        assert r.seq_id * budget + r.seq_offset == cum, r.doc_id
+        assert 0 <= r.seq_offset < budget
+        assert r.seq_id >= prev_seq
+        prev_seq = r.seq_id
+        cum += r.n_tokens
+    assert cum == sum(len(t.split(" ")) for _, t in rows)
