@@ -500,18 +500,34 @@ def q39_range_join_clicks_before_error(
 
 
 def q43_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 line items per return flag by price: the row_number
-    partition-window form of per-group top-k. One shuffle on the
-    group key; the full sort is per-partition only, so the pattern
-    scales with group cardinality, not table size. Tie-broken to a
-    total order (price desc, orderkey, linenumber) so LIMIT-like
-    semantics are deterministic cross-engine."""
-    l = table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    """Top-3 line items per return flag by price, TWO-PHASE: the
+    group key has only 3 distinct values, so the single-window form
+    (round 1-3) funneled the whole table into 3 sort tasks — 33 TB
+    per core at the 100 TB target. Phase 1 takes each INPUT
+    partition's top-3 per flag (window keyed by (spark_partition_id,
+    flag): P*|groups| parallel small sorts); phase 2 runs the real
+    window over the <= 3*P*|groups| survivors. The union of
+    per-partition top-3s provably contains every global top-3 for ANY
+    partition assignment, so the result is invariant to
+    spark_partition_id's retry nondeterminism. Tie-broken to a total
+    order (price desc, orderkey, linenumber) so LIMIT-like semantics
+    are deterministic cross-engine."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+    order = [
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ]
+    w1 = W.partitionBy("_pid", "l_returnflag").orderBy(*order)
+    cand = (
+        l.withColumn("_pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 3)
+        .drop("_pid", "rn")
+    )
+    w2 = W.partitionBy("l_returnflag").orderBy(*order)
     return (
-        l.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
     )

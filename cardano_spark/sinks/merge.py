@@ -588,11 +588,12 @@ class DBUpsertSink:
         same-key rows (ON CONFLICT DO UPDATE) instead of skipping
         them.
 
-        ``via_driver=True`` streams partitions through the driver
-        (``toLocalIterator`` — bounded memory, one partition at a
-        time) for databases that allow only one writing process
-        (single-file duckdb/sqlite in tests). Real servers keep the
-        default executor-side ``foreachPartition`` path.
+        ``via_driver=True`` streams rows through the driver
+        (``toLocalIterator`` consumed in fixed-size chunks — memory
+        bounded by the chunk, never the frame) for databases that
+        allow only one writing process (single-file duckdb/sqlite in
+        tests). Real servers keep the default executor-side
+        ``foreachPartition`` path.
         """
         cols = self.columns
         factory = self.connection_factory
@@ -619,7 +620,14 @@ class DBUpsertSink:
             k.executemany(insert, batch)
 
         if via_driver:
-            write_rows(con, list(df.toLocalIterator()))
+            import itertools
+
+            it = df.toLocalIterator()
+            while True:
+                chunk = list(itertools.islice(it, 10_000))
+                if not chunk:
+                    break
+                write_rows(con, chunk)
         else:
 
             def write_partition(rows) -> None:

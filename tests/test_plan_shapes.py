@@ -78,9 +78,16 @@ def test_q42_vocab_topk_partial_agg_then_take_ordered(spark):
     assert "text" in read and "lang" not in read  # scan pruned to text
 
 
-def test_q43_topn_per_group_single_shuffle(spark):
+def test_q43_topn_per_group_two_phase(spark):
+    """Two-phase per-group top-k: phase 1 pre-prunes per INPUT
+    partition (window keyed by (_pid, flag) — P*|groups| parallel
+    small sorts), phase 2 windows the survivors. The single-window
+    form funneled the whole table into |groups|=3 sort tasks — the
+    pin is that BOTH windows exist and the first is keyed by the
+    partition id."""
     plan = _plan(spark, "q43_topn_per_group")
-    assert plan.count("Exchange") == 1  # one shuffle on the group key
+    assert plan.count("Exchange") == 2  # phase-1 key + group key
+    assert "_pid" in plan  # pre-prune window keyed by partition id
     assert "WindowGroupLimit" in plan or "Window" in plan
 
 
