@@ -31,6 +31,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def jdbc_keyed_scan(
     spark: SparkSession,
     url: str,
@@ -38,12 +46,43 @@ def jdbc_keyed_scan(
     key_col: str,
     keys: Sequence,
     properties: dict | None = None,
+    key_batch: int | None = None,
 ) -> DataFrame:
-    """S12: read only the requested key slice of a JDBC table. The
-    ``isin`` predicate is declared on the DataFrame so Catalyst pushes
-    it into the remote scan (`PushedFilters: [In(...)]`) — the
-    database sends only matching rows, mirroring the reference's
-    ``WHERE tx_hash IN :hashes`` queries."""
+    """S12: read only the requested key slice of a JDBC table,
+    mirroring the reference's ``WHERE tx_hash IN :hashes`` queries.
+
+    ``key_batch=None``: the ``isin`` predicate is declared on the
+    DataFrame so Catalyst pushes it into the remote scan
+    (`PushedFilters: [In(...)]`) — one connection ships only matching
+    rows. Right for key lists up to a few thousand.
+
+    ``key_batch=N``: the key list is split into ceil(|keys|/N)
+    IN-chunks passed as JDBC partition PREDICATES — Spark opens one
+    connection per chunk and executors fetch the batches
+    CONCURRENTLY, which is both the parallel-read path and the guard
+    against megabyte-sized single IN clauses that some engines refuse
+    or plan poorly (the reference pages its keyed reads the same way,
+    cardano_transactions_to_s3_pipeline.py:93-107). Key values are
+    SQL-literal-encoded (strings quoted/escaped)."""
+    if key_batch is not None:
+        # ANSI-quoted: Spark's JDBC writer creates case-exact quoted
+        # columns, so a bare identifier in a raw predicate would be
+        # case-folded by the engine (Derby uppercases) and miss.
+        qk = '"' + key_col.replace('"', '""') + '"'
+        ks = list(keys)
+        if not ks:
+            # preserve an empty result with the remote schema
+            preds = [f"{qk} IS NULL AND {qk} IS NOT NULL"]
+        else:
+            preds = [
+                f"{qk} IN ("
+                + ", ".join(_sql_literal(v) for v in ks[i:i + key_batch])
+                + ")"
+                for i in range(0, len(ks), key_batch)
+            ]
+        return spark.read.jdbc(
+            url, table, predicates=preds, properties=properties or {}
+        )
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)

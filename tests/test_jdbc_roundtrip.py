@@ -64,3 +64,48 @@ def test_jdbc_append_roundtrips_pg_array_codec(spark, tmp_path):
     )
     got = {r.k: r.arr for r in back.collect()}
     assert got == {k: arr for k, arr in rows}
+
+
+def test_jdbc_keyed_scan_batched_partitions(spark, tmp_path):
+    """key_batch=N turns the key list into JDBC partition predicates:
+    one concurrent connection per chunk, same rows as the single-IN
+    path, and the scan parallelism equals the chunk count."""
+    url = _url(tmp_path)
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("txt"),
+    )
+    jdbc_append(df, url, "tx_batched", properties=DERBY)
+
+    keys = [3, 17, 42, 99, 150, 151, 152]
+    batched = jdbc_keyed_scan(
+        spark, url, "tx_batched", "k", keys, properties=DERBY, key_batch=3
+    )
+    assert batched.rdd.getNumPartitions() == 3  # ceil(7/3) chunks
+    single = jdbc_keyed_scan(
+        spark, url, "tx_batched", "k", keys, properties=DERBY
+    )
+    assert sorted(map(tuple, batched.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+    # string keys are literal-escaped (quote-in-string safe). Derby
+    # maps StringType to non-comparable CLOB by default, so the test
+    # pins an explicit VARCHAR (PG's TEXT compares natively).
+    sdf = spark.createDataFrame(
+        [("a'b", 1), ("plain", 2)], "sk string, n int"
+    )
+    (
+        sdf.write.option("createTableColumnTypes", "sk VARCHAR(64), n INT")
+        .jdbc(url, "tx_strkeys", mode="append", properties=DERBY)
+    )
+    got = jdbc_keyed_scan(
+        spark, url, "tx_strkeys", "sk", ["a'b"], properties=DERBY, key_batch=10
+    ).collect()
+    assert [(r.sk, r.n) for r in got] == [("a'b", 1)]
+
+    # empty key list yields an empty frame with the remote schema
+    empty = jdbc_keyed_scan(
+        spark, url, "tx_batched", "k", [], properties=DERBY, key_batch=5
+    )
+    assert empty.count() == 0 and empty.columns == ["k", "txt"]
