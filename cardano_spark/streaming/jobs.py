@@ -170,6 +170,20 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     ).select("user_id", "session_start", "session_last", "n_events")
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, key: str, dim_cols: list[str]
+) -> DataFrame:
+    """Stream-static enrichment: join each microbatch against a
+    broadcast dimension (the streaming form of the FK equi-join J2 —
+    e.g. events -> customer attributes). The static side is
+    broadcast, so the stream never shuffles for the join and the
+    state store is untouched (stream-static joins are stateless by
+    construction; only stream-stream joins buffer). Works identically
+    on a batch frame, which is how tests pin plan equivalence."""
+    d = dim.select(F.col(key), *[F.col(c) for c in dim_cols])
+    return events.join(F.broadcast(d), key, "left")
+
+
 def stream_exact_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
     """State-backed exact dedup on a stream — the streaming twin of
     the batch insert-if-absent (D1/D2): ``dropDuplicates`` keeps one

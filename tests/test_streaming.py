@@ -408,3 +408,37 @@ def test_events_raw_schema_sniffs_all_ts_shapes(spark, tmp_path):
             (r.event_id, r.ts) for r in normalize_event_ts(df).collect()
         )
         assert got == results[name], name
+
+
+def test_stream_static_broadcast_enrichment(spark, two_file_events_dir):
+    """Stream-static dimension join: streamed enrichment over two
+    microbatches equals the batch join, and the join is a stateless
+    broadcast (BroadcastHashJoin on the batch-identical plan; no
+    state rows in the streaming query)."""
+    from cardano_spark.streaming import jobs
+
+    dim = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+    )
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(two_file_events_dir)
+    )
+    streamed = run_to_memory(
+        jobs.enrich_with_dim(
+            jobs.normalize_event_ts(raw), dim, "user_id", ["c_mktsegment"]
+        ).select("event_id", "user_id", "c_mktsegment"),
+        "append",
+    )
+    batch = jobs.enrich_with_dim(
+        table(spark, SF_SMALL, "events"), dim, "user_id", ["c_mktsegment"]
+    ).select("event_id", "user_id", "c_mktsegment")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
