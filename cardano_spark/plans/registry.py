@@ -32,7 +32,7 @@ _DEFERRED = [
     "q16_json_extract",       # fixed 5-row JSON projection; stable
     "q19_decimal38_quantities", # fixed 3-row decimal rollup; stable
     "q37_html_field_extraction", # pure JVM regex; Python-free plan pinned
-    "q43_topn_per_group",     # single-shuffle window; plan-shape pin
+    "q20_topk_sources",       # TakeOrderedAndProject pinned; untouched since r1
 ]
 
 
