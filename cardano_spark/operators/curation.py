@@ -123,6 +123,69 @@ def repetition_scores(
     )
 
 
+def quality_report(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    unique_keys: list[list[str]] | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality gate: evaluate every row-level rule in
+    ONE scan and report violation counts per rule.
+
+    ``rules`` is ``[(rule_name, violation_predicate)]`` — the
+    predicate is TRUE when the row VIOLATES the rule (null-safe:
+    nulls count as violations only if the predicate says so).
+    ``unique_keys`` adds multiplicity checks: for each key list, the
+    number of rows beyond the first per duplicate key.
+
+    Scale shape: all row rules compile into conditional sums inside a
+    single map-side-combined global aggregate — one scan, one
+    1-row exchange, regardless of rule count. Each uniqueness check is
+    its own hash aggregate on the key (unavoidable — distinctness is
+    a shuffle question), emitting one row from a count-minus-distinct
+    pair computed in the same pass. Output: (rule, violations,
+    n_rows) one row per rule, ordered by rule name."""
+    n = F.count(F.lit(1)).cast("long")
+    aggs = [n.alias("_n")] + [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"_r{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    # ONE aggregated row, exploded into per-rule rows — referencing
+    # the aggregate from N separate selects would re-execute the scan
+    # N times (no cross-branch subplan reuse in a union)
+    base = df.agg(*aggs)
+    rule_rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"_r{i}").alias("violations"),
+                        F.col("_n").alias("n_rows"),
+                    )
+                    for i, (name, _) in enumerate(rules)
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    selects = [rule_rows]
+    for keys in unique_keys or []:
+        dup = df.agg(
+            n.alias("_n"),
+            (n - F.count_distinct(*[F.col(k) for k in keys]))
+            .cast("long")
+            .alias("_d"),
+        ).select(
+            F.lit("unique(" + ",".join(keys) + ")").alias("rule"),
+            F.col("_d").alias("violations"),
+            F.col("_n").alias("n_rows"),
+        )
+        selects.append(dup)
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("rule")
+
+
 #: PII patterns — conservative, and deliberately restricted to syntax
 #: Java regex (Spark) and RE2 (DuckDB) interpret IDENTICALLY: no
 #: lookaround, no backreferences. Order matters: SSN-like ids are

@@ -33,6 +33,7 @@ _DEFERRED = [
     "q19_decimal38_quantities", # fixed 3-row decimal rollup; stable
     "q37_html_field_extraction", # pure JVM regex; Python-free plan pinned
     "q20_topk_sources",       # TakeOrderedAndProject pinned; untouched since r1
+    "q08_distinct_pairs",     # plain distinct projection; untouched since r1
 ]
 
 

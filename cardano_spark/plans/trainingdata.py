@@ -274,6 +274,29 @@ def q58_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q62_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report over lineitem: all row rules in
+    one map-side-combined scan + a uniqueness aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    rules = [
+        ("not_null(l_shipdate)", F.col("l_shipdate").isNull()),
+        (
+            "range(l_quantity,1,50)",
+            ~F.col("l_quantity").between(1, 50)
+            | F.col("l_quantity").isNull(),
+        ),
+        (
+            "in_set(l_returnflag)",
+            ~F.col("l_returnflag").isin("A", "N", "R")
+            | F.col("l_returnflag").isNull(),
+        ),
+        ("positive(l_extendedprice)", ~(F.col("l_extendedprice") > 0)),
+    ]
+    return CU.quality_report(
+        l, rules, unique_keys=[["l_orderkey", "l_linenumber"]]
+    )
+
+
 def q61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-token PII scrub (emails / IPv4 / SSN-shaped / phone-shaped)
     with per-category counts — staged regex chain, shuffle-free."""
@@ -600,6 +623,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q59_repetition_scores": q59_repetition_scores,
     "q60_sequence_packing": q60_sequence_packing,
     "q61_pii_redaction": q61_pii_redaction,
+    "q62_data_quality": q62_data_quality,
     "q29_language_id": q29_language_id,
     "q30_quality_score": q30_quality_score,
     "q31_token_stats": q31_token_stats,
@@ -911,6 +935,26 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                     ELSE 0.0 END AS top_bigram_frac
         FROM g LEFT JOIN t USING (doc_id)
         ORDER BY doc_id
+    """,
+    "q62_data_quality": """
+        WITH base AS (
+          SELECT count(*)::BIGINT AS n,
+            sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS r0,
+            sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                      OR l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS r1,
+            sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                      OR l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS r2,
+            sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)::BIGINT AS r3,
+            (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS d
+          FROM lineitem
+        )
+        SELECT * FROM (
+          SELECT 'not_null(l_shipdate)' AS rule, r0 AS violations, n AS n_rows FROM base
+          UNION ALL SELECT 'range(l_quantity,1,50)', r1, n FROM base
+          UNION ALL SELECT 'in_set(l_returnflag)', r2, n FROM base
+          UNION ALL SELECT 'positive(l_extendedprice)', r3, n FROM base
+          UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', d, n FROM base
+        ) ORDER BY rule
     """,
     "q61_pii_redaction": (
         CU.redact_pii_sql("doc_id", "text") + " ORDER BY doc_id"

@@ -199,3 +199,35 @@ def test_curation_invariants_random(spark):
         prev_seq = r.seq_id
         cum += r.n_tokens
     assert cum == sum(len(t.split(" ")) for _, t in rows)
+
+
+def test_quality_report_values_and_single_scan(spark):
+    """Violation semantics on a crafted frame (nulls count per the
+    predicate; uniqueness = rows beyond first per dup key), and the
+    row rules all fold into ONE aggregate over one scan."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A"),
+            (1, 1, -5.0, "A"),   # dup key + non-positive price
+            (2, 1, None, "X"),   # bad flag, null price
+            (3, 1, 99.0, None),  # null flag
+        ],
+        "k long, sub long, price double, flag string",
+    )
+    rules = [
+        ("positive(price)", ~(F.col("price") > 0)),
+        ("not_null(price)", F.col("price").isNull()),
+        ("in_set(flag)", ~F.col("flag").isin("A", "N", "R") | F.col("flag").isNull()),
+    ]
+    out = CU.quality_report(df, rules, unique_keys=[["k", "sub"]])
+    got = {r.rule: (r.violations, r.n_rows) for r in out.collect()}
+    assert got == {
+        "positive(price)": (1, 4),   # -5.0 only; NULL>0 is NULL -> not counted
+        "not_null(price)": (1, 4),
+        "in_set(flag)": (2, 4),      # 'X' and NULL
+        "unique(k,sub)": (1, 4),
+    }
+    # the three row rules share one aggregate: exactly 2 scans total
+    # (row-rule agg + uniqueness agg), not one per rule
+    plan = _plan(out)
+    assert plan.split("== Initial Plan ==")[0].count("Scan ExistingRDD") == 2
