@@ -106,3 +106,43 @@ def test_normalize_events_restores_ts_pushdown(spark, tmp_path):
     dest2 = str(tmp_path / "micros2")
     assert normalize_events(spark, dest, dest2) == 3
     assert sorted(map(tuple, spark.read.parquet(dest2).collect())) == want
+
+
+def test_read_events_nanos_on_foreign_session(spark, tmp_path):
+    """The correctness driver builds its OWN bare SparkSession (no
+    nanos-as-long conf). catalog._read_events must still read a
+    TIMESTAMP(NANOS) events file there — ensure_nanos_compat
+    (session.py) is its escape hatch. Simulated with newSession() +
+    the conf explicitly set false."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cardano_spark.catalog import _read_events
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = 1_700_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2],
+                "ts": pa.array(
+                    [base * 10**9, (base + 60) * 10**9], pa.timestamp("ns")
+                ),
+                "user_id": [1, 2],
+                "event_type": ["a", "b"],
+                "value": [1.0, 2.0],
+                "props": ["{}", "{}"],
+            }
+        ),
+        str(src / "events.parquet"),
+    )
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    got = sorted(
+        (r.event_id, r.ts) for r in _read_events(foreign, str(src)).collect()
+    )
+    want = sorted(
+        (r.event_id, r.ts) for r in _read_events(spark, str(src)).collect()
+    )
+    assert got == want and len(got) == 2
