@@ -95,11 +95,15 @@ def normalize_events(
     once to session-UTC micros ``TimestampType`` parquet. Reads over
     ``dest`` then push ``ts`` predicates into the scan and prune
     row groups normally. Idempotent: micros-shaped input round-trips
-    unchanged. Returns the row count written (one job, no shuffle —
-    the rewrite is a projection)."""
-    df = _read_events(spark, src)
+    unchanged. Returns the row count written — observed DURING the
+    write (``df.observe``), not by re-scanning the multi-TB output."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df = _read_events(spark, src).observe(obs, F.count(F.lit(1)).alias("n"))
     df.write.mode("overwrite").parquet(dest)
-    return spark.read.parquet(dest).count()
+    return int(obs.get["n"])
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

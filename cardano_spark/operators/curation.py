@@ -35,13 +35,21 @@ def benchmark_contamination(
     hash exchange on ``doc_id`` total. Documents with zero shingles
     report 0.0 contamination.
 
+    Shingle columns are ``array_distinct``'d defensively: the
+    contract is "fraction of DISTINCT shingles", and a caller passing
+    a multiset (e.g. plain ``tokens()``) would otherwise inflate both
+    numerator and denominator per duplicate (same precondition as the
+    dedup operators, here enforced instead of assumed).
+
     Returns (``id_col``, n_shingles, n_hits, contamination) with
     contamination = n_hits / n_shingles as double."""
     b = (
-        bench.select(F.explode(bench_shingles).alias("_s"))
+        bench.select(F.explode(F.array_distinct(bench_shingles)).alias("_s"))
         .distinct()
     )
-    d = docs.select(F.col(id_col), F.explode_outer(shingles).alias("_s"))
+    d = docs.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(shingles)).alias("_s")
+    )
     hit = F.broadcast(b.withColumn("_hit", F.lit(1)))
     per_doc = (
         d.join(hit, "_s", "left")
@@ -169,9 +177,12 @@ def quality_report(
     ).select("x.*")
     selects = [rule_rows]
     for keys in unique_keys or []:
+        # distinct over a STRUCT: multi-arg count_distinct drops rows
+        # where any key is NULL (inflating violations); the struct form
+        # counts null-keyed tuples, matching SQL row-value DISTINCT
         dup = df.agg(
             n.alias("_n"),
-            (n - F.count_distinct(*[F.col(k) for k in keys]))
+            (n - F.count_distinct(F.struct(*[F.col(k) for k in keys])))
             .cast("long")
             .alias("_d"),
         ).select(
@@ -266,6 +277,12 @@ def pack_sequences(
         docs.select(F.col(id_col), n_tokens.cast("long").alias("n_tokens"))
         .repartitionByRange(range_partitions, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
+        # PIN the partition assignment: repartitionByRange samples its
+        # boundaries, and the totals collect() below plus the final
+        # output plan would otherwise execute two INDEPENDENT range
+        # shuffles whose boundaries may differ — misaligning the
+        # broadcast offsets with the actual partitions.
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
     within = slim.withColumn(
@@ -288,7 +305,9 @@ def pack_sequences(
         .select(
             id_col,
             "n_tokens",
-            (F.col("_start") / F.lit(budget)).cast("long").alias("seq_id"),
+            # integer `div`, not double division: a token-stream
+            # position past 2^53 would lose exactness in a double
+            F.expr(f"_start div {int(budget)}").alias("seq_id"),
             (F.col("_start") % F.lit(budget)).alias("seq_offset"),
         )
     )

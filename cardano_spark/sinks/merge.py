@@ -301,8 +301,10 @@ class ParquetMergeSink:
         At 100 TB a bucket outgrows one file: pass
         ``target_file_bytes`` and each bucket is rewritten to
         ``ceil(bucket_bytes / target)`` files via a key-hash salt, so
-        files land near the target size and a bucket is over-threshold
-        only when its file count exceeds that ideal."""
+        files land near the target size; compaction triggers once the
+        file count exceeds that ideal PLUS ONE (the +1 hysteresis —
+        a just-compacted bucket whose bytes shrank under
+        recompression must not immediately re-trigger)."""
         self._recover_partial_swaps()
         if not self.exists():
             return []

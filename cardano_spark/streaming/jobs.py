@@ -76,11 +76,16 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
 
     candidates = sorted(
         _glob.glob(_os.path.join(sf_dir, "events.parquet"))
-        or _glob.glob(_os.path.join(sf_dir, "*.parquet"))
+        or _glob.glob(_os.path.join(sf_dir, "*events*.parquet"))
     )
     if not candidates:
         return EVENTS_RAW_SCHEMA
-    ts = _pq.read_schema(candidates[0]).field("ts").type
+    try:
+        ts = _pq.read_schema(candidates[0]).field("ts").type
+    except (OSError, KeyError):
+        # directory dataset, foreign file without a ts column, ...:
+        # fall back to the default rather than fail stream setup
+        return EVENTS_RAW_SCHEMA
     import pyarrow as _pa
 
     if not _pa.types.is_timestamp(ts):
@@ -118,8 +123,16 @@ def read_events_stream(
     date-partitioned directory the stream lists incrementally. The
     declared schema comes from :func:`events_raw_schema` (footer
     sniff), so either historical ``ts`` shape streams correctly."""
+    schema = events_raw_schema(sf_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # nanos shape: the parquet reader needs the legacy conf on
+        # sessions not built by get_spark (same escape hatch as the
+        # batch path, catalog._read_events)
+        from cardano_spark.session import ensure_nanos_compat
+
+        ensure_nanos_compat(spark)
     reader = (
-        spark.readStream.schema(events_raw_schema(sf_dir))
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )

@@ -83,11 +83,14 @@ def test_pack_sequences_prefix_sum_and_no_global_window(spark):
         assert (r.n_tokens, r.seq_id, r.seq_offset) == (nt, cum // 10, cum % 10), i
         cum += nt
     # the plan must NOT contain a global (un-partitioned) sort-window:
-    # every window partitions by the range-partition id
+    # every window partitions by the range-partition id. The range
+    # shuffle itself sits behind an eager localCheckpoint (pinning the
+    # sampled boundaries so offsets and output see ONE assignment), so
+    # the visible plan windows over the checkpointed RDD.
     plan = _plan(out)
-    assert "Window" in plan and "_pid" in plan
-    # range repartitioning present (the global-order substrate)
-    assert "rangepartitioning" in plan.lower()
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines and all("_pid" in ln for ln in window_lines)
+    assert "Scan ExistingRDD" in plan  # checkpointed range partitioning
 
 
 def test_pack_sequences_empty_input(spark):

@@ -442,3 +442,38 @@ def test_stream_static_broadcast_enrichment(spark, two_file_events_dir):
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nanos_stream_on_foreign_session(spark, tmp_path):
+    """Streaming twin of the batch foreign-session test: a bare
+    session (nanos conf explicitly false) must still stream a
+    TIMESTAMP(NANOS) events file — read_events_stream self-heals via
+    ensure_nanos_compat when the sniffed shape is long-nanos."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cardano_spark.streaming.jobs import read_events_stream, run_to_memory
+
+    d = tmp_path / "nanos_stream"
+    d.mkdir()
+    base = 1_700_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2],
+                "ts": pa.array(
+                    [base * 10**9, (base + 60) * 10**9], pa.timestamp("ns")
+                ),
+                "user_id": [1, 2],
+                "event_type": ["a", "b"],
+                "value": [1.0, 2.0],
+                "props": ["{}", "{}"],
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    out = run_to_memory(read_events_stream(foreign, str(d)), "append")
+    assert out.count() == 2
+    assert str(out.schema["ts"].dataType) == "TimestampType()"
