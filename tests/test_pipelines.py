@@ -252,3 +252,35 @@ def test_cli_blocks_and_full_tx(spark, tmp_path, capsys, monkeypatch):
     lake = cardano.CardanoLake(spark, root)
     assert lake.sink("cardano_transactions").read().count() > 0
     assert lake.sink("cardano_tx_utxo_input_amount").read().count() > 0
+
+
+def test_cli_normalize_events(spark, tmp_path):
+    """The normalize-events subcommand end-to-end: nanos src ->
+    pushdown-friendly micros dest, row count printed; --root not
+    required for this maintenance command."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cardano_spark.__main__ import main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pa.array(
+                    [1_700_000_000 * 10**9 + i for i in range(3)],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": [1, 2, 3],
+                "event_type": ["a", "b", "c"],
+                "value": [1.0, 2.0, 3.0],
+                "props": ["{}", "{}", "{}"],
+            }
+        ),
+        str(src / "events.parquet"),
+    )
+    dest = str(tmp_path / "dest")
+    assert main(["normalize-events", "--src", str(src), "--dest", dest]) == 0
+    assert spark.read.parquet(dest).count() == 3

@@ -581,3 +581,22 @@ def test_compact_size_targeted(spark, tmp_path):
     assert sorted(map(tuple, sink.read().collect())) == before
     # already-compacted bucket is left alone on a second pass
     assert sink.compact(target_file_bytes=target) == []
+
+
+def test_rebucket_chain_random_counts(spark, tmp_path):
+    """Content survives an arbitrary chain of bucket-count
+    transitions (grow, shrink, repeat), with merges interleaved."""
+    import random
+
+    rng = random.Random(4)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=3)
+    rows = {}
+    next_k = 0
+    for n in [7, 2, 5, 16, 3]:
+        batch = [(next_k + i, f"v{next_k + i}") for i in range(rng.randint(5, 30))]
+        next_k += len(batch)
+        rows.update(dict(batch))
+        sink.merge(spark.createDataFrame(batch, SCHEMA))
+        sink.rebucket(n)
+        assert sink.n_buckets == n
+        assert {(r.k, r.v) for r in sink.read().collect()} == set(rows.items())
