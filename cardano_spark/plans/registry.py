@@ -34,6 +34,9 @@ _DEFERRED = [
     "q37_html_field_extraction", # pure JVM regex; Python-free plan pinned
     "q20_topk_sources",       # TakeOrderedAndProject pinned; untouched since r1
     "q08_distinct_pairs",     # plain distinct projection; untouched since r1
+    "q05_active_customers_semi_join",  # untouched since r1; oracle-pinned in CI
+    "q06_filter_pushdown",    # pushdown plan-shape pinned; untouched since r1
+    "q07_watermark_max",      # scalar max projection; oracle-pinned in CI
 ]
 
 

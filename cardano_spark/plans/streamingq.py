@@ -10,6 +10,7 @@ incremental execution model makes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cardano_spark.plans.queries import QueryFn
 from cardano_spark.streaming.jobs import (
@@ -18,6 +19,7 @@ from cardano_spark.streaming.jobs import (
     run_to_memory,
     sessionize_stream,
     stream_exact_dedup,
+    stream_interval_join,
 )
 
 
@@ -45,10 +47,27 @@ def q51_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sessionize_stream(events), output_mode="complete")
 
 
+def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks -> same-user errors within
+    5 minutes), both sides watermarked so buffered state is evictable;
+    oracle = the equivalent batch range join — stream/batch
+    convergence, same guarantee as q34/q48."""
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    errors = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    return run_to_memory(
+        stream_interval_join(clicks, errors), output_mode="append"
+    )
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q48_stream_exact_dedup": q48_stream_exact_dedup,
     "q51_stream_sessionize": q51_stream_sessionize,
+    "q65_stream_interval_join": q65_stream_interval_join,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -89,5 +108,21 @@ STREAMING_ORACLES: dict[str, str] = {
                max(ts) AS session_last,
                count(*) AS n_events
         FROM numbered GROUP BY user_id, session_no
+    """,
+    # batch twin of the watermarked stream-stream interval join: on a
+    # bounded corpus nothing is late, so the streamed result must equal
+    # the plain range join
+    "q65_stream_interval_join": """
+        SELECT c.event_id AS click_id,
+               e.event_id AS error_id,
+               c.user_id,
+               epoch_us(e.ts) // 1000000
+                 - epoch_us(c.ts) // 1000000 AS gap_s
+        FROM events c
+        JOIN events e
+          ON c.user_id = e.user_id
+         AND e.ts >= c.ts
+         AND e.ts <= c.ts + INTERVAL 5 MINUTE
+        WHERE c.event_type = 'click' AND e.event_type = 'error'
     """,
 }

@@ -606,6 +606,65 @@ def q41_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", b.alias("bucket"), split.alias("split"))
 
 
+def q63_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    percentiles (p25/p50/p75/p90) of ``n_chars`` plus the group count.
+
+    Spark's ``percentile`` is a true partial aggregation (per-partition
+    value-count maps merged on the reducer), so the plan is one hash
+    exchange on ``lang`` — no global sort. The interpolation formula
+    (``lower + frac * (upper - lower)`` at position ``(n-1) * q``) is
+    the same IEEE double chain DuckDB's ``quantile_cont`` runs, so the
+    oracle matches bit-for-bit, including the non-representable 0.9
+    fraction.
+
+    Scale note: the exact estimator's state is O(distinct values) per
+    group — fine for bounded-domain metrics like document length; for
+    unbounded-domain columns at 100 TB switch to
+    ``approx_percentile`` (t-digest-style sketch, constant state)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).alias("p75"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+    )
+
+
+def q64_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planner (DoReMi/Pile-style source reweighting):
+    per-source doc and token counts, the source's share of the corpus,
+    and the hash-samplable keep-rate that would flatten the mixture to
+    the uniform target (``least(1, target_share / actual_share)``).
+
+    Shape: ONE corpus scan — a partial-agg exchange on ``source``
+    collapses the corpus to |sources| rows, and the corpus totals come
+    from an unpartitioned window over that already-aggregated frame
+    (|sources| rows to one partition — constant-size regardless of
+    corpus scale; a second lineage through a 1-row agg would re-scan
+    the fact table). The emitted ``keep_rate`` feeds the same
+    deterministic content-hash sampling as the stratified split
+    (q41), so applying the plan is shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    total_docs = F.sum("n_docs").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    share = F.col("n_docs").cast("double") / total_docs.cast("double")
+    target = F.lit(1.0) / n_sources.cast("double")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("share"),
+        F.least(F.lit(1.0), target / share).alias("keep_rate"),
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -638,6 +697,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q55_tfidf_top_terms": q55_tfidf_top_terms,
     "q42_vocab_topk": q42_vocab_topk,
     "q44_dedup_clusters": q44_dedup_clusters,
+    "q63_grouped_quantiles": q63_grouped_quantiles,
+    "q64_source_mixture_plan": q64_source_mixture_plan,
 }
 
 
@@ -1201,5 +1262,33 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                  {hash_bucket_sql('doc_id', 100)} AS bucket
           FROM documents
         )
+    """,
+    # quantile_cont and Spark's exact `percentile` run the same
+    # interpolation chain (position (n-1)*q, lower + frac*(upper-lower))
+    # in IEEE doubles -> bit-identical, verified including q=0.9
+    "q63_grouped_quantiles": """
+        SELECT lang,
+               count(*) AS n_docs,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5)  AS p50,
+               quantile_cont(n_chars, 0.75) AS p75,
+               quantile_cont(n_chars, 0.9)  AS p90
+        FROM documents GROUP BY lang
+    """,
+    "q64_source_mixture_plan": """
+        WITH per_src AS (
+          SELECT source,
+                 count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(n_docs) AS total_docs, count(*) AS n_sources
+          FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               n_docs::DOUBLE / total_docs::DOUBLE AS share,
+               least(1.0, (1.0 / n_sources::DOUBLE)
+                          / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
+        FROM per_src, tot
     """,
 }

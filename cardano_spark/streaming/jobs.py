@@ -231,6 +231,46 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    horizon: str = "5 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's errors landing within ``[click_ts, click_ts + horizon]`` —
+    the streaming form of the batch range join (q39). This is the one
+    join class that buffers state on BOTH sides; the event-time
+    watermark plus the two-sided time-bound condition are what let
+    Spark evict a buffered row once no future match can arrive
+    (unbounded conditions would grow state forever, and Spark rejects
+    append-mode stream-stream joins without them).
+
+    Output is deterministic data, not arrival order: (click_id,
+    error_id, user_id, gap_s) with the gap in whole seconds."""
+    c = clicks.withWatermark("ts", lateness).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.withWatermark("ts", lateness).select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("err_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    joined = c.join(
+        e,
+        (F.col("user_id") == F.col("err_user_id"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    gap = (
+        F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")
+    ).alias("gap_s")
+    return joined.select("click_id", "error_id", "user_id", gap)
+
+
 def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory table; returns the final table as a batch DataFrame."""

@@ -225,3 +225,33 @@ def test_q47_multiprobe_is_bucket_equijoin(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q63_quantiles_partial_agg_single_exchange(spark):
+    """Exact percentiles must run as a true partial aggregation —
+    per-partition value maps merged after ONE hash exchange on the
+    group key — never a per-group sort or a global collect."""
+    import re
+
+    plan = _plan(spark, "q63_grouped_quantiles")
+    # percentile is a TypedImperativeAggregate -> ObjectHashAggregate,
+    # and it must appear in both partial and final form
+    assert plan.count("ObjectHashAggregate") >= 2
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1, hashes
+    assert "Sort" not in plan.split("ObjectHashAggregate")[0]
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "n_chars" in read and "text" not in read
+
+
+def test_q64_mixture_plan_single_corpus_scan(spark):
+    """The mixture planner must scan the corpus ONCE: per-source
+    partial agg, then corpus totals via a window over the |sources|-row
+    aggregate — not a second lineage that re-scans the fact table."""
+    plan = _plan(spark, "q64_source_mixture_plan")
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "Window" in plan
+    # the single-partition exchange moves only the aggregated frame
+    assert plan.index("Exchange SinglePartition") < plan.index("FileScan")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "source" in read and "doc_id" not in read

@@ -477,3 +477,56 @@ def test_nanos_stream_on_foreign_session(spark, tmp_path):
     out = run_to_memory(read_events_stream(foreign, str(d)), "append")
     assert out.count() == 2
     assert str(out.schema["ts"].dataType) == "TimestampType()"
+
+
+def test_stream_interval_join_buffers_across_microbatches(spark, two_file_events_dir):
+    """Stream-stream interval join: clicks and errors arrive split
+    across two microbatches (maxFilesPerTrigger=1), so matches whose
+    two sides land in different batches only appear if the join
+    buffers state correctly; result must equal the batch range join."""
+    from cardano_spark.streaming import jobs
+
+    def side(event_type):
+        raw = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(two_file_events_dir)
+        )
+        return jobs.normalize_event_ts(raw).filter(
+            F.col("event_type") == event_type
+        )
+
+    streamed = run_to_memory(
+        jobs.stream_interval_join(side("click"), side("error")),
+        output_mode="append",
+    )
+
+    ev = table(spark, SF_SMALL, "events")
+    batch = jobs.stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+    key = ["click_id", "error_id"]
+    assert sorted(map(tuple, streamed.select(*key, "user_id", "gap_s").collect())) == sorted(
+        map(tuple, batch.select(*key, "user_id", "gap_s").collect())
+    )
+    assert streamed.count() > 0
+
+
+def test_stream_interval_join_is_symmetric_hash_join(spark):
+    """The physical streaming plan must be the stateful symmetric
+    hash join with watermarks on both sides (evictable state), not a
+    nested-loop buffer."""
+    from cardano_spark.streaming import jobs
+
+    clicks = jobs.read_events_stream(spark, SF_SMALL).filter(
+        F.col("event_type") == "click"
+    )
+    errors = jobs.read_events_stream(spark, SF_SMALL).filter(
+        F.col("event_type") == "error"
+    )
+    out = run_to_memory(
+        jobs.stream_interval_join(clicks, errors), output_mode="append"
+    )
+    assert out.columns == ["click_id", "error_id", "user_id", "gap_s"]
