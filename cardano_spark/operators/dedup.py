@@ -78,6 +78,121 @@ def lsh_band_cols() -> list[Column]:
     return out
 
 
+def _sig_frame(t: DataFrame) -> DataFrame:
+    """(_id, _sh) -> (_id, sig0..sig15) MinHash signature frame."""
+    return t.select(
+        "_id",
+        *[
+            minhash_sig(md5_long_arr(F.col("_sh")), a, b).alias(f"sig{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+
+
+def _banded_frame(sig: DataFrame) -> DataFrame:
+    """Signature frame -> exploded (_id, band_idx, band_val) rows —
+    the slim frame every LSH band join shuffles (never the arrays)."""
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig{j}").cast("string")
+                                    for j in range(
+                                        band * LSH_ROWS, (band + 1) * LSH_ROWS
+                                    )
+                                ],
+                            )
+                        ).alias("band_val"),
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "b.band_idx", "b.band_val")
+
+
+def band_index(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
+    """The persistable LSH band index of a corpus: one (id, band_idx,
+    band_val) row per document per band. This is the state an
+    incremental 100 TB dedup deployment stores between runs (e.g. in a
+    ParquetMergeSink bucketed by band_val for a co-located probe join)
+    so that arriving batches never re-hash the historical corpus —
+    see :func:`incremental_minhash_pairs`."""
+    t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+    return _banded_frame(_sig_frame(t)).select(
+        F.col("_id").alias(id_col), "band_idx", "band_val"
+    )
+
+
+def incremental_minhash_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float,
+    existing_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental MinHash+LSH near-dup detection: all pairs with
+    exact Jaccard >= ``threshold`` where AT LEAST ONE side is a new
+    document (new-vs-new and new-vs-existing; existing-vs-existing
+    pairs were reported when those docs arrived). Ids are normalized
+    to ``id_a < id_b``.
+
+    This is the arrival-batch form of :func:`minhash_lsh_pairs`: only
+    the NEW docs are signed and banded; the historical corpus
+    contributes through ``existing_index`` (a persisted
+    :func:`band_index` frame — pass it to skip re-hashing history;
+    derived from ``existing`` when absent). The band join's left side
+    is the new batch's bands alone, so per-batch cost scales with
+    |new| x bands, not with the corpus: the index never self-joins.
+    Shingle arrays travel only for verify-join candidates, and the
+    existing side ships only the arrays of docs that actually
+    collided with a new band."""
+    t_old = existing.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+    t_new = new.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+    new_bands = _banded_frame(_sig_frame(t_new))
+    if existing_index is not None:
+        old_bands = existing_index.select(
+            F.col(id_col).alias("_id"), "band_idx", "band_val"
+        )
+    else:
+        old_bands = _banded_frame(_sig_frame(t_old))
+    all_bands = old_bands.unionByName(new_bands)
+    cand = (
+        new_bands.select(F.col("_id").alias("id_n"), "band_idx", "band_val")
+        .join(
+            all_bands.select(F.col("_id").alias("id_o"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    t_all = t_old.unionByName(t_new)
+    sh_a = t_all.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = t_all.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -119,43 +234,14 @@ def minhash_lsh_pairs(
     test_minhash_est_prefilter_semantics).
     """
     t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
-    sig = t.select(
-        "_id",
-        *[
-            minhash_sig(md5_long_arr(F.col("_sh")), a, b).alias(f"sig{j}")
-            for j, (a, b) in enumerate(MINHASH_PERMS)
-        ],
-    )
+    sig = _sig_frame(t)
     if est_prefilter is not None:
         # the slim (id, 16 longs) signature frame feeds THREE plan
         # branches (banding + both prefilter joins); materialize it
         # once so the md5 minhash folds over the token arrays don't
         # re-run per branch
         sig = sig.localCheckpoint(eager=False)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"sig{j}").cast("string")
-                                    for j in range(
-                                        band * LSH_ROWS, (band + 1) * LSH_ROWS
-                                    )
-                                ],
-                            )
-                        ).alias("band_val"),
-                    )
-                    for band in range(LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("_id", "b.band_idx", "b.band_val")
+    banded = _banded_frame(sig)
 
     left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
     right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val")

@@ -102,6 +102,46 @@ def brute_force_topk(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-space decontamination: for every corpus vector, the
+    max cosine similarity to ANY benchmark vector, and whether it
+    crosses ``threshold`` — the semantic twin of the n-gram
+    decontamination gate (curation.benchmark_contamination), catching
+    paraphrased eval leakage that shares no shingles.
+
+    Shape: the benchmark set (eval suites — thousands of rows, not
+    billions) is broadcast; the corpus is scanned ONCE and the
+    per-vector max collapses map-side before the one id exchange.
+    Norms are precomputed per side so each pair costs a single dot
+    product. For benchmark sets too large to broadcast, route both
+    sides through the sign-LSH bucket join (lsh_topk) instead."""
+    b = bench.select(as_double(F.col(vec_col)).alias("bv")).withColumn(
+        "bn", norm(F.col("bv"))
+    )
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = c.join(F.broadcast(b)).select(
+        id_col,
+        (dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn"))).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("cos_sim").alias("max_cos")
+    ).select(
+        id_col,
+        "max_cos",
+        (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -37,6 +37,8 @@ _DEFERRED = [
     "q05_active_customers_semi_join",  # untouched since r1; oracle-pinned in CI
     "q06_filter_pushdown",    # pushdown plan-shape pinned; untouched since r1
     "q07_watermark_max",      # scalar max projection; oracle-pinned in CI
+    "q09_insert_if_absent",   # anti-join append; untouched since r1
+    "q10_array_roundtrip",    # typed array round-trip; untouched since r1
 ]
 
 

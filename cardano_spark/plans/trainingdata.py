@@ -665,6 +665,36 @@ def q64_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-batch near-dup detection: docs >= 300 are the 'new'
+    batch, the rest of the q22 slice is the already-indexed corpus;
+    only pairs touching a new doc are (re)reported, and only the new
+    batch is signed/banded — the incremental mode a 100 TB dedup
+    deployment actually runs (operators/dedup.py::
+    incremental_minhash_pairs; index persistence via band_index +
+    ParquetMergeSink is exercised in tests)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    existing = d.filter(F.col("doc_id") < 300)
+    new = d.filter(F.col("doc_id") >= 300)
+    return DD.incremental_minhash_pairs(
+        existing, new, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    )
+
+
+def q67_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: max cosine of every corpus
+    vector to a broadcast 'benchmark' slice (label-0 vectors with
+    vec_id % 5 == 0 stand in for an eval set) with a 0.4 flag
+    threshold — catches paraphrased eval leakage that the n-gram
+    gate (q58) cannot see. One corpus scan, map-side max, one id
+    exchange."""
+    e = table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("label") == 0) & (F.col("vec_id") % 5 == 0)
+    return SIM.semantic_decontaminate(
+        e.filter(~is_bench), e.filter(is_bench), "vec_id", "embedding", 0.4
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -699,6 +729,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q44_dedup_clusters": q44_dedup_clusters,
     "q63_grouped_quantiles": q63_grouped_quantiles,
     "q64_source_mixture_plan": q64_source_mixture_plan,
+    "q66_incremental_neardup": q66_incremental_neardup,
+    "q67_semantic_decontamination": q67_semantic_decontamination,
 }
 
 
@@ -1290,5 +1322,45 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                least(1.0, (1.0 / n_sources::DOUBLE)
                           / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
         FROM per_src, tot
+    """,
+    # q22's banding over the full slice, restricted to pairs touching
+    # a 'new' (doc_id >= 300) document — the incremental batch's output
+    "q66_incremental_neardup": f"""
+        WITH d AS (
+          SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+          FROM documents WHERE doc_id % 8 = 0
+        ), h AS (
+          SELECT doc_id, sh, {_HASHES} AS hs FROM d
+        ), sig AS (
+          SELECT doc_id, {_sig_select()} FROM h
+        ), bands AS (
+          {_band_selects('sig')}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_idx, band_val)
+          WHERE a.doc_id < b.doc_id
+            AND (a.doc_id >= 300 OR b.doc_id >= 300)
+        )
+        SELECT id_a, id_b, {_JACCARD} AS jaccard
+        FROM cand
+        JOIN d da ON da.doc_id = cand.id_a
+        JOIN d db ON db.doc_id = cand.id_b
+        WHERE {_JACCARD} >= 0.8
+    """,
+    "q67_semantic_decontamination": f"""
+        WITH b AS (
+          SELECT embedding::DOUBLE[] AS bv FROM embeddings
+          WHERE label = 0 AND vec_id % 5 = 0
+        ), c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE NOT (label = 0 AND vec_id % 5 = 0)
+        ), scored AS (
+          SELECT c.vec_id,
+                 {_COS.replace('va', 'cv').replace('vb', 'bv')} AS cos_sim
+          FROM c, b
+        )
+        SELECT vec_id, max(cos_sim) AS max_cos,
+               max(cos_sim) >= 0.4 AS contaminated
+        FROM scored GROUP BY vec_id
     """,
 }

@@ -255,3 +255,42 @@ def test_q64_mixture_plan_single_corpus_scan(spark):
     assert plan.index("Exchange SinglePartition") < plan.index("FileScan")
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "source" in read and "doc_id" not in read
+
+
+def test_q66_incremental_band_exchanges_carry_no_arrays(spark):
+    """Incremental dedup inherits q22's discipline: every band-join
+    exchange ships (id, band) rows only; shingle arrays join back by
+    id after candidate dedup."""
+    df = QUERIES["q66_incremental_neardup"](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    txt = df._jdf.queryExecution().explainString(mode)
+    band_nodes = 0
+    for block in txt.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head and "Join" not in head:
+            continue
+        lines = [
+            ln for ln in block.splitlines() if ln.startswith(("Input", "Arguments"))
+        ]
+        joined = " ".join(lines)
+        if "band_val" in joined:
+            band_nodes += 1
+            assert "_sh" not in joined and "sh_a" not in joined and "sh_b" not in joined
+    assert band_nodes > 0
+
+
+def test_q67_decontamination_broadcast_and_partial_max(spark):
+    """The benchmark side must broadcast (never shuffle the corpus
+    for the pairing) and the per-vector max must partial-aggregate
+    map-side before the single id exchange."""
+    plan = _plan(spark, "q67_semantic_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and "vec_id" in hashes[0], hashes

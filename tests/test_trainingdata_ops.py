@@ -530,3 +530,109 @@ def test_connected_components_random_graphs_match_union_find(spark):
             comp.setdefault(find(i), []).append(i)
         want = {i: min(comp[find(i)]) for i in range(n)}
         assert got == want, f"trial {trial}"
+
+
+def test_incremental_minhash_matches_full_recompute(docs):
+    """Incremental pairs (new batch vs indexed corpus) must equal the
+    full-corpus recompute restricted to pairs touching a new doc —
+    for both the derive-index-inline and persisted-index paths."""
+    existing = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    sh = TX.distinct_tokens(F.col("text"))
+
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(docs, "doc_id", sh, threshold=0.1).collect()
+        if r.id_a > 3 or r.id_b > 3
+    }
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.incremental_minhash_pairs(
+            existing, new, "doc_id", sh, threshold=0.1
+        ).collect()
+    }
+    assert inc == full
+
+    # the persisted-index path: the historical corpus is never
+    # re-shingled — only its stored (id, band) rows participate
+    idx = DD.band_index(existing, "doc_id", sh)
+    inc2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.incremental_minhash_pairs(
+            existing, new, "doc_id", sh, threshold=0.1, existing_index=idx
+        ).collect()
+    }
+    assert inc2 == full
+
+
+def test_incremental_minhash_index_roundtrips_through_merge_sink(docs, tmp_path, spark):
+    """band_index persisted through ParquetMergeSink (upserted in two
+    batches, as a real incremental deployment would) and read back
+    must drive incremental_minhash_pairs to the same result as the
+    inline index."""
+    from pyspark.sql import types as T
+
+    from cardano_spark.sinks.merge import ParquetMergeSink
+
+    existing = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    sh = TX.distinct_tokens(F.col("text"))
+    idx = DD.band_index(existing, "doc_id", sh)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_val", T.StringType()),
+        ]
+    )
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "band_index"), schema, ["doc_id", "band_idx"]
+    )
+    sink.merge(idx.filter(F.col("doc_id") <= 2))
+    sink.merge(idx.filter(F.col("doc_id") == 3))
+    stored = sink.read()
+
+    want = sorted(
+        map(
+            tuple,
+            DD.incremental_minhash_pairs(
+                existing, new, "doc_id", sh, threshold=0.1, existing_index=idx
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            DD.incremental_minhash_pairs(
+                existing, new, "doc_id", sh, threshold=0.1, existing_index=stored
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector equal to a benchmark vector must flag with
+    max_cos == 1.0; an orthogonal one must not flag."""
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # exact leak
+            (2, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both
+            (3, [1.0, 1.0, 0.0, 0.0]),   # 45 degrees off each
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in SIM.semantic_decontaminate(
+            corpus, bench, "vec_id", "embedding", 0.9
+        ).collect()
+    }
+    assert out[1].contaminated and out[1].max_cos == 1.0
+    assert not out[2].contaminated and out[2].max_cos == 0.0
+    assert not out[3].contaminated and abs(out[3].max_cos - 2**-0.5) < 1e-12
