@@ -273,6 +273,40 @@ RELATIONAL_ORACLES: dict[str, str] = {
         )
         WHERE rn <= 3
     """,
+    # Spark's window(ts, 1h, 15m) assigns each event to the 4
+    # epoch-aligned windows covering it; time_bucket(15m) gives the
+    # newest window start and k=0..3 walks back through the rest
+    "q68_sliding_window_rollup": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS window_start,
+               event_type,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        GROUP BY window_start, event_type
+    """,
+    "q69_conversion_funnel": """
+        WITH signups AS (
+          SELECT user_id, min(ts) AS signup_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), flags AS (
+          SELECT s.user_id,
+                 date_trunc('week', s.signup_ts) AS cohort_week,
+                 max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+          FROM signups s
+          LEFT JOIN events p
+            ON p.event_type = 'purchase'
+           AND p.user_id = s.user_id
+           AND p.ts >= s.signup_ts
+           AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+          GROUP BY s.user_id, date_trunc('week', s.signup_ts)
+        )
+        SELECT cohort_week,
+               count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               sum(converted)::DOUBLE / count(*)::DOUBLE AS conversion_rate
+        FROM flags GROUP BY cohort_week
+    """,
     # q45: the DuckDB twins live beside the Spark codec in
     # sources/jdbc.py; the SQL is assembled below to keep the two
     # dialects' escaping rules in ONE reviewed place each.

@@ -684,6 +684,74 @@ def q54_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 1-hour windows advancing every 15
+    minutes (each event lands in size/slide = 4 windows), per
+    (window_start, event_type) — the overlapping-window form of the
+    tumbling q15. Spark's ``window(ts, size, slide)`` expands each row
+    to its 4 windows map-side (a projection, not a join) and the
+    partial agg collapses before the one hash exchange; window starts
+    are epoch-aligned, matching DuckDB ``time_bucket``."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_double(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q69_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort conversion funnel: users grouped by signup week; a user
+    converts if any purchase lands within 7 days of their FIRST
+    signup. Shape: the signup side collapses to one row per user
+    (partial agg) BEFORE the user_id join with the purchase slice —
+    the join carries |users|, not |events| — and the flag aggregates
+    per user before the small cohort rollup."""
+    e = table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+        .withColumn("cohort_week", F.date_trunc("week", F.col("signup_ts")))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = signups.join(purchases, "user_id", "left").withColumn(
+        "converted",
+        (
+            F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+            )
+        ).cast("int"),
+    )
+    per_user = joined.groupBy("user_id", "cohort_week").agg(
+        F.max("converted").alias("converted")
+    )
+    return per_user.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (
+            F.sum("converted").cast("double")
+            / F.count("*").cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -713,4 +781,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q52_market_share": q52_market_share,
     "q53_large_orders": q53_large_orders,
     "q54_kmv_distinct_sketch": q54_kmv_distinct_sketch,
+    "q68_sliding_window_rollup": q68_sliding_window_rollup,
+    "q69_conversion_funnel": q69_conversion_funnel,
 }

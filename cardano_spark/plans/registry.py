@@ -39,6 +39,8 @@ _DEFERRED = [
     "q07_watermark_max",      # scalar max projection; oracle-pinned in CI
     "q09_insert_if_absent",   # anti-join append; untouched since r1
     "q10_array_roundtrip",    # typed array round-trip; untouched since r1
+    "q12_running_customer_total",  # window running sum; untouched since r1
+    "q14_sessionize",         # lag() sessionize; untouched since r1
 ]
 
 

@@ -294,3 +294,30 @@ def test_q67_decontamination_broadcast_and_partial_max(spark):
 
     hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(hashes) == 1 and "vec_id" in hashes[0], hashes
+
+
+def test_q68_sliding_windows_expand_not_join(spark):
+    """The 4-windows-per-event assignment must be the map-side Expand
+    projection with partial aggregation — never a join against a
+    window table, and exactly one hash exchange."""
+    import re
+
+    plan = _plan(spark, "q68_sliding_window_rollup")
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1, hashes
+
+
+def test_q69_funnel_collapses_signups_before_join(spark):
+    """The signup side must aggregate to one row per user BEFORE the
+    purchase join (the join carries |users|, not |events|), and both
+    event slices must push their event_type filter to the scan."""
+    plan = _plan(spark, "q69_conversion_funnel")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("EqualTo(event_type,signup)") >= 1
+    assert plan.count("EqualTo(event_type,purchase)") >= 1
+    # an aggregate subtree exists under the join (signup collapse)
+    join_pos = plan.find("Join")
+    assert join_pos != -1 and "HashAggregate" in plan[join_pos:]
