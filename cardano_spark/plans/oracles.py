@@ -397,3 +397,21 @@ RELATIONAL_ORACLES["q54_kmv_distinct_sketch"] = """
            64::BIGINT AS k
     FROM kmin
 """
+
+RELATIONAL_ORACLES["q70_cube_order_stats"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+RELATIONAL_ORACLES["q71_pivot_priority_status"] = """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+"""

@@ -752,6 +752,51 @@ def q69_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE aggregate (A4 family generalized):
+    order counts and exact total price over every subset of
+    {orderstatus, orderpriority} — the 4-grouping-set OLAP cube a
+    reporting layer materializes once instead of running 4 separate
+    GROUP BYs. ``grouping_id`` disambiguates a NULL group key from a
+    rolled-up level (both engines number bits identically:
+    1 << position from the right).
+
+    Shape: Spark's Expand operator replicates each input row once per
+    grouping set MAP-SIDE (4x here), then a single partial-agg hash
+    exchange on the expanded keys — one scan, one shuffle, regardless
+    of how many sets the cube contains. At 100 TB prefer targeted
+    GROUPING SETS over a full cube of high-card columns: the Expand
+    multiplier is 2^n_cols."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            exact_double(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+    )
+
+
+def q71_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per priority with one
+    column per order status — the crosstab shape every BI export
+    needs. Deliberately NOT ``df.pivot()``: with a declared domain
+    Spark's pivot still plans TWO hash exchanges (a (key, value)
+    pre-aggregate feeding ``pivotfirst``); the conditional-aggregate
+    rewrite below is semantically identical and needs ONE partial-agg
+    exchange on the group key — the plan you want at 100 TB. (Use
+    ``df.pivot`` only when the value domain is undeclared, and never
+    at scale: domain discovery is a distinct-collect to the driver.)"""
+    o = table(spark, sf_dir, "orders")
+    n_if = lambda v: F.count(F.when(F.col("o_orderstatus") == v, 1))
+    return o.groupBy("o_orderpriority").agg(
+        n_if("F").alias("n_f"),
+        n_if("O").alias("n_o"),
+        n_if("P").alias("n_p"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -783,4 +828,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q54_kmv_distinct_sketch": q54_kmv_distinct_sketch,
     "q68_sliding_window_rollup": q68_sliding_window_rollup,
     "q69_conversion_funnel": q69_conversion_funnel,
+    "q70_cube_order_stats": q70_cube_order_stats,
+    "q71_pivot_priority_status": q71_pivot_priority_status,
 }

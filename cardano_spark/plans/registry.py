@@ -41,6 +41,8 @@ _DEFERRED = [
     "q10_array_roundtrip",    # typed array round-trip; untouched since r1
     "q12_running_customer_total",  # window running sum; untouched since r1
     "q14_sessionize",         # lag() sessionize; untouched since r1
+    "q45_pg_array_codec",     # codec projection plan-pinned + hypothesis property test
+    "q54_kmv_distinct_sketch", # sketch shape plan-pinned; untouched since r3
 ]
 
 

@@ -321,3 +321,23 @@ def test_q69_funnel_collapses_signups_before_join(spark):
     # an aggregate subtree exists under the join (signup collapse)
     join_pos = plan.find("Join")
     assert join_pos != -1 and "HashAggregate" in plan[join_pos:]
+
+
+def test_q70_cube_is_expand_plus_single_exchange(spark):
+    plan = _plan(spark, "q70_cube_order_stats")
+    # grouping sets materialize via map-side Expand, not a union of scans
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    # one partial-agg hash exchange over the expanded keys
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q71_pivot_is_one_pass_no_domain_discovery_join(spark):
+    plan = _plan(spark, "q71_pivot_priority_status")
+    # declared-domain pivot: one scan, one agg exchange, no join
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_totalprice" not in read  # unused column pruned
