@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def benchmark_contamination(
@@ -310,4 +311,140 @@ def pack_sequences(
             F.expr(f"_start div {int(budget)}").alias("seq_id"),
             (F.col("_start") % F.lit(budget)).alias("seq_offset"),
         )
+    )
+
+
+#: Bloom defaults: ~1 MiB of bits, 4 probes. FP rate at n inserted
+#: keys is (1 - e^(-k*n/m))^k: ~0.2% at n = m/8.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def _bloom_positions(value: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions of ``value`` — xxhash64 with seed i per
+    probe. Engine-internal only (the oracle never sees these): the
+    bloom is a PREFILTER, final semantics stay exact."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    values: DataFrame, value_col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> list[int]:
+    """Build a Bloom bitset (list of m_bits/64 int64 words) from the
+    SMALL side of a membership test. The bit positions are computed
+    distributed and pre-ORed into words per partition-group, so the
+    driver collects at most m_bits/64 rows (16 Ki rows for the 1 MiB
+    default) — never the raw values."""
+    words = (
+        values.select(
+            F.explode(
+                _bloom_positions(F.col(value_col), m_bits, k)
+            ).alias("p")
+        )
+        .select(
+            F.shiftrightunsigned(F.col("p"), 6).alias("w"),
+            _shl1(F.pmod(F.col("p"), F.lit(64))).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    out = [0] * ((m_bits + 63) // 64)
+    for row in words:
+        out[row["w"]] = row["bits"]
+    return out
+
+
+def _shl1(nbits: Column) -> Column:
+    """``1L << nbits`` with a COLUMN shift amount (the PySpark
+    ``shiftleft`` wrapper only takes a literal int)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), nbits.cast("int"))
+
+
+def _bloom_maybe(value: Column, bits_col: Column, m_bits: int, k: int) -> Column:
+    """True iff every probe bit is set (no false negatives)."""
+    test = None
+    for i in range(k):
+        p = F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bits_col, (F.shiftrightunsigned(p, 6) + 1).cast("int"))
+        mask = _shl1(F.pmod(p, F.lit(64)))
+        hit = (word.bitwiseAND(mask)) != 0
+        test = hit if test is None else (test & hit)
+    return test
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    shingles: Column,
+    bench_shingles: Column,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """:func:`benchmark_contamination` for the regime where the
+    benchmark shingle set is TOO BIG TO BROADCAST as an exact hash
+    set (multi-benchmark eval suites at 100 TB): a Bloom bitset
+    (m_bits/8 bytes, ~1 MiB default — ~100-1000x smaller than the
+    exact set) rides to every task in a 1-row broadcast and filters
+    the exploded corpus shingles MAP-SIDE; only the surviving
+    fraction (true hits + ~0.2% false positives) enters the exact
+    verify, a shuffle (sort-merge) join against the full benchmark
+    frame. Bloom filters have no false negatives, so pruned shingles
+    are definite misses and the output is EXACTLY
+    :func:`benchmark_contamination`'s — same oracle.
+
+    Plan: corpus scan -> explode -> bloom gate (narrow) -> exact
+    join on the minority -> count-union with the pruned majority ->
+    one doc_id exchange. When the benchmark DOES fit in executor
+    memory, prefer the broadcast exact join (q58) — one stage fewer.
+    """
+    b = (
+        bench.select(F.explode(F.array_distinct(bench_shingles)).alias("_s"))
+        .distinct()
+    )
+    bits = bloom_build(b, "_s", m_bits, k)
+    bits_df = docs.sparkSession.createDataFrame(
+        [(bits,)], T.StructType([T.StructField("_bits", T.ArrayType(T.LongType()))])
+    )
+    d = docs.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(shingles)).alias("_s")
+    ).crossJoin(F.broadcast(bits_df))
+    d = d.withColumn(
+        "_cand",
+        F.when(
+            F.col("_s").isNotNull(),
+            _bloom_maybe(F.col("_s"), F.col("_bits"), m_bits, k),
+        ).otherwise(F.lit(False)),
+    ).drop("_bits")
+    cand = d.filter(F.col("_cand"))
+    clean = d.filter(~F.col("_cand") | F.col("_s").isNull()).withColumn(
+        "_hit", F.lit(None).cast("int")
+    )
+    verified = cand.join(
+        b.withColumn("_hit", F.lit(1)), "_s", "left"
+    ).select(*clean.columns)
+    per_doc = (
+        verified.unionByName(clean)
+        .groupBy(id_col)
+        .agg(
+            F.count("_s").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
     )

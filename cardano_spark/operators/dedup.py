@@ -683,3 +683,38 @@ def connected_components(
             "node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id")
         )
     )
+
+
+def cluster_representatives(
+    members: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonical-document selection — the step after
+    :func:`connected_components` in every dedup pipeline: keep ONE
+    representative per near-dup cluster (highest ``score_col``, ties
+    broken by LOWEST ``id_col`` so the choice is deterministic).
+
+    Scale shape: a single exchange on the cluster id with MAP-SIDE
+    partial aggregation — ``max_by(id, struct(score, -id))`` reduces
+    before the wire, so the shuffle carries one row per (partition,
+    cluster), never the member lists. (The struct ordering key makes
+    Spark pick SortAggregate over HashAggregate — the partials are
+    still map-side, which is the property that matters.) The
+    window-function alternative (``row_number() OVER (PARTITION BY
+    cluster ORDER BY ...)``) materializes every cluster's members on
+    one reducer and breaks down on pathological giant clusters (the
+    template-spam failure mode at corpus scale); the agg form is
+    skew-safe.
+
+    Returns (``cluster_col``, rep_id, rep_score, n_members).
+    """
+    ord_key = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+    )
+    return members.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), ord_key).alias("rep_id"),
+        F.max(ord_key).getField("s").alias("rep_score"),
+        F.count("*").alias("n_members"),
+    )

@@ -538,6 +538,47 @@ def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q72_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection on top of the q44 cluster graph: per
+    near-dup cluster keep the longest document (``n_chars``; ties ->
+    lowest doc_id) — the 'which copy survives dedup' decision. The
+    representative reduces via map-side ``max_by`` (operators/
+    dedup.py::cluster_representatives), so giant template-spam
+    clusters never sort on a reducer. Emitted only for real clusters
+    (n_members >= 2) so the output is the dedup ACTION list."""
+    d = table(spark, sf_dir, "documents")
+    comp = q44_dedup_clusters(spark, sf_dir)
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    reps = DD.cluster_representatives(
+        members, "cluster_id", "doc_id", "n_chars"
+    )
+    return reps.filter(F.col("n_members") >= 2).select(
+        "cluster_id",
+        "rep_id",
+        F.col("rep_score").cast("long").alias("rep_n_chars"),
+        "n_members",
+    )
+
+
+def q73_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58's n-gram decontamination through the Bloom-prefilter path
+    (operators/curation.py::bloom_contamination) for the regime where
+    the benchmark shingle set cannot broadcast as an exact hash set:
+    a ~1 MiB bitset gates exploded corpus shingles map-side (no false
+    negatives), and only survivors enter the exact shuffle join, so
+    the result — and the oracle — are exactly q58's semantics on
+    this slice (benchmark = doc_id % 7 == 0, 3-gram shingles)."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    return CU.bloom_contamination(
+        d,
+        bench,
+        "doc_id",
+        TX.ngram_shingles(F.col("text"), 3),
+        TX.ngram_shingles(F.col("text"), 3),
+    ).orderBy("doc_id")
+
+
 def q42_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: explode tokens, global term frequencies,
     top-50 — the first step of any tokenizer/BPE training run. The
@@ -727,6 +768,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q55_tfidf_top_terms": q55_tfidf_top_terms,
     "q42_vocab_topk": q42_vocab_topk,
     "q44_dedup_clusters": q44_dedup_clusters,
+    "q72_cluster_representatives": q72_cluster_representatives,
+    "q73_bloom_decontamination": q73_bloom_decontamination,
     "q63_grouped_quantiles": q63_grouped_quantiles,
     "q64_source_mixture_plan": q64_source_mixture_plan,
     "q66_incremental_neardup": q66_incremental_neardup,
@@ -974,6 +1017,30 @@ TRAININGDATA_ORACLES: dict[str, str] = {
             PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
           )::BIGINT AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    # identical semantics to q58 (the bloom is a prefilter with no
+    # false negatives + exact verify) on the %7 slice with 3-grams
+    "q73_bloom_decontamination": f"""
+        WITH d AS (
+          SELECT doc_id, {TX.ngram_shingles_sql('text', 3)} AS sh FROM documents
+        ), b AS (
+          SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 7 = 0
+        ), e AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), h AS (
+          SELECT e.doc_id, count(*) AS n_sh,
+                 sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          FROM e LEFT JOIN b ON e.s = b.s
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_sh, 0)::BIGINT AS n_shingles,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               CASE WHEN coalesce(h.n_sh, 0) > 0
+                    THEN coalesce(h.n_hits, 0)::DOUBLE / h.n_sh::DOUBLE
+                    ELSE 0.0 END AS contamination
+        FROM d LEFT JOIN h USING (doc_id)
+        ORDER BY doc_id
     """,
     "q58_benchmark_contamination": f"""
         WITH d AS (
@@ -1276,6 +1343,40 @@ TRAININGDATA_ORACLES: dict[str, str] = {
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY node
+    """,
+    "q72_cluster_representatives": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, substr(text, 1, 20) AS pre, right(text, 20) AS suf
+              FROM documents),
+        e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.pre = y.pre AND x.doc_id <> y.doc_id
+          UNION
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.suf = y.suf AND x.doc_id <> y.doc_id
+        ),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM walk GROUP BY node
+        ),
+        ranked AS (
+          SELECT c.cluster_id, c.doc_id, doc.n_chars,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                 row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY doc.n_chars DESC, c.doc_id ASC
+                 ) AS rn
+          FROM comp c JOIN documents doc USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS rep_id,
+               n_chars::BIGINT AS rep_n_chars,
+               n_members::BIGINT AS n_members
+        FROM ranked WHERE rn = 1 AND n_members >= 2
     """,
     "q42_vocab_topk": """
         SELECT token, count(*) AS n

@@ -234,3 +234,68 @@ def test_quality_report_values_and_single_scan(spark):
     # (row-rule agg + uniqueness agg), not one per rule
     plan = _plan(out)
     assert plan.split("== Initial Plan ==")[0].count("Scan ExistingRDD") == 2
+
+
+def test_bloom_build_and_membership_no_false_negatives(spark):
+    vals = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "v string"
+    )
+    m, k = 1 << 12, 4
+    bits = CU.bloom_build(vals, "v", m, k)
+    assert len(bits) == m // 64
+    assert any(w != 0 for w in bits)
+    # probe every inserted value through the same expression path
+    from pyspark.sql import types as T
+
+    bits_df = spark.createDataFrame(
+        [(bits,)],
+        T.StructType([T.StructField("_bits", T.ArrayType(T.LongType()))]),
+    )
+    probed = (
+        vals.withColumnRenamed("v", "_s")
+        .crossJoin(F.broadcast(bits_df))
+        .withColumn("_m", CU._bloom_maybe(F.col("_s"), F.col("_bits"), m, k))
+    )
+    assert probed.filter(~F.col("_m")).count() == 0  # no false negatives
+
+
+def test_bloom_contamination_matches_exact_and_prunes(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(40)]
+        + [(100, "w0x0 w0x1 w0x2")],  # overlaps doc 0's shingles
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") < 3)
+    args = (
+        docs,
+        bench,
+        "doc_id",
+        TX.ngram_shingles(F.col("text"), 2),
+        TX.ngram_shingles(F.col("text"), 2),
+    )
+    exact = CU.benchmark_contamination(*args).orderBy("doc_id").collect()
+    bloom = CU.bloom_contamination(*args, m_bits=1 << 12).orderBy("doc_id").collect()
+    assert bloom == exact
+    # the bitset rides as a 1-row broadcast, and the bloom gate is a
+    # plain Filter feeding the exact join (no extra corpus exchange)
+    plan = _plan(CU.bloom_contamination(*args, m_bits=1 << 12))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bloom_contamination_empty_and_null_shingle_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "z")],  # doc 1: zero 2-gram shingles
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = CU.bloom_contamination(
+        docs,
+        bench,
+        "doc_id",
+        TX.ngram_shingles(F.col("text"), 2),
+        TX.ngram_shingles(F.col("text"), 2),
+        m_bits=1 << 10,
+    ).orderBy("doc_id").collect()
+    assert out[1]["n_shingles"] == 0
+    assert out[1]["contamination"] == 0.0
+    assert out[0]["contamination"] == 1.0

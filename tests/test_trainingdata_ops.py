@@ -636,3 +636,36 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
     assert out[1].contaminated and out[1].max_cos == 1.0
     assert not out[2].contaminated and out[2].max_cos == 0.0
     assert not out[3].contaminated and abs(out[3].max_cos - 2**-0.5) < 1e-12
+
+
+def test_cluster_representatives_values_and_agg_shape(spark):
+    from cardano_spark.operators import dedup as DD
+
+    members = spark.createDataFrame(
+        [
+            # cluster 1: scores 5,9,9 -> rep = id 20 (max score, min id)
+            (1, 10, 5.0),
+            (1, 20, 9.0),
+            (1, 30, 9.0),
+            # cluster 2: singleton
+            (2, 40, 1.0),
+        ],
+        "cluster_id long, doc_id long, score double",
+    )
+    out = DD.cluster_representatives(members, "cluster_id", "doc_id", "score")
+    rows = {r["cluster_id"]: r for r in out.collect()}
+    assert rows[1]["rep_id"] == 20 and rows[1]["rep_score"] == 9.0
+    assert rows[1]["n_members"] == 3
+    assert rows[2]["rep_id"] == 40 and rows[2]["n_members"] == 1
+    # skew-safety: reduces via a PARTIAL aggregate (map-side combine
+    # before the one exchange), never a per-cluster window sort that
+    # materializes a giant cluster's members on one reducer
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    )
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
