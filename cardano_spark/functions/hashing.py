@@ -54,6 +54,13 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+def shl1(nbits: Column) -> Column:
+    """``1L << nbits`` with a COLUMN shift amount (the PySpark
+    ``shiftleft`` wrapper only accepts a literal int). Oracle twin:
+    ``1::BIGINT << expr`` (DuckDB shifts by columns natively)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), nbits.cast("int"))
+
+
 def md5_long(col: Column) -> Column:
     """String -> 60-bit positive int64 via the first 15 hex chars of
     md5. Oracle twin: ``('0x' || substr(md5(x),1,15))::BIGINT``."""

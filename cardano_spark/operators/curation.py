@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cardano_spark.functions.hashing import shl1
+
 
 def benchmark_contamination(
     docs: DataFrame,
@@ -348,7 +350,7 @@ def bloom_build(
         )
         .select(
             F.shiftrightunsigned(F.col("p"), 6).alias("w"),
-            _shl1(F.pmod(F.col("p"), F.lit(64))).alias("bit"),
+            shl1(F.pmod(F.col("p"), F.lit(64))).alias("bit"),
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
@@ -360,19 +362,13 @@ def bloom_build(
     return out
 
 
-def _shl1(nbits: Column) -> Column:
-    """``1L << nbits`` with a COLUMN shift amount (the PySpark
-    ``shiftleft`` wrapper only takes a literal int)."""
-    return F.call_function("shiftleft", F.lit(1).cast("long"), nbits.cast("int"))
-
-
 def _bloom_maybe(value: Column, bits_col: Column, m_bits: int, k: int) -> Column:
     """True iff every probe bit is set (no false negatives)."""
     test = None
     for i in range(k):
         p = F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m_bits))
         word = F.element_at(bits_col, (F.shiftrightunsigned(p, 6) + 1).cast("int"))
-        mask = _shl1(F.pmod(p, F.lit(64)))
+        mask = shl1(F.pmod(p, F.lit(64)))
         hit = (word.bitwiseAND(mask)) != 0
         test = hit if test is None else (test & hit)
     return test

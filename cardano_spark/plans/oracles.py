@@ -415,3 +415,37 @@ RELATIONAL_ORACLES["q71_pivot_priority_status"] = """
     FROM orders
     GROUP BY o_orderpriority
 """
+
+def _q74_oracle() -> str:
+    from cardano_spark.plans.queries import (
+        HLL_M,
+        _HLL_NUMERATOR,
+        _HLL_ONE_SCALED,
+        _HLL_REM_BITS,
+        _HLL_REM_MASK,
+    )
+
+    z = f"(present_sum + ({HLL_M} - n_present) * {_HLL_ONE_SCALED}::BIGINT)"
+    return f"""
+        WITH h AS (
+          SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL
+        ), r AS (
+          SELECT h >> {_HLL_REM_BITS} AS reg, h & {_HLL_REM_MASK} AS rem FROM h
+        ), w AS (
+          SELECT reg,
+                 min(CASE WHEN rem = 0 THEN 1::BIGINT
+                          ELSE 1::BIGINT << length(bin(rem)) END) AS mw
+          FROM r GROUP BY reg
+        ), z AS (
+          SELECT count(*)::BIGINT AS n_present, sum(mw)::BIGINT AS present_sum
+          FROM w
+        )
+        SELECT {HLL_M}::BIGINT AS m, n_present,
+               {z}::BIGINT AS z_scaled,
+               {_HLL_NUMERATOR} / {z}::DOUBLE AS raw_estimate
+        FROM z
+    """
+
+
+RELATIONAL_ORACLES["q74_hll_distinct_sketch"] = _q74_oracle()

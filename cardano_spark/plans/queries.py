@@ -752,6 +752,85 @@ def q69_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL precision: 2^9 = 512 registers.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+#: scaled-integer domain: md5_long is 60-bit; top 9 bits pick the
+#: register, the remaining 51 carry the rank. 2^-rho sums are kept
+#: scaled by 2^52 so the register sum is EXACT int64 arithmetic
+#: (order-free — a raw double sum would be order-dependent IEEE).
+_HLL_REM_BITS = 51
+_HLL_REM_MASK = (1 << _HLL_REM_BITS) - 1
+_HLL_ONE_SCALED = 1 << (_HLL_REM_BITS + 1)  # empty register: 2^-0 scaled
+#: alpha_m * m^2 * 2^52 as one double literal, embedded verbatim in
+#: both engines so the final division is the only IEEE op.
+_HLL_NUMERATOR = repr(
+    0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(_HLL_ONE_SCALED)
+)
+
+
+def q74_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch over events.user_id — the
+    fixed-size (m registers), mergeable big-brother of the KMV sketch
+    (q54), built from engine-portable primitives so the DuckDB oracle
+    verifies the ESTIMATE itself (``approx_count_distinct`` is
+    engine-specific and never comparable):
+
+    - register j = top 9 bits of the 60-bit md5 hash; rank rho =
+      leading-zero count of the remaining 51 bits + 1 (pure string
+      length of ``bin()`` — no libm, identical everywhere);
+    - per-register harmonic term 2^-max(rho) kept SCALED by 2^52 as
+      exact int64, so the cross-register sum is integer (order-free);
+      absent registers contribute 2^52 (rho=0) via (m - n_present);
+    - raw_estimate = alpha_m * m^2 / Z in ONE IEEE division of two
+      identically-derived doubles. The small-range linear-counting
+      correction (n < 2.5m) needs ln() — libm-divergent across
+      engines — so the DETERMINISTIC contract is (n_present,
+      z_scaled, raw_estimate); a caller in the small regime computes
+      m*ln(m/(m-n_present)) from n_present downstream (pinned
+      accurate in tests). The raw harmonic estimate is the accurate
+      one once true cardinality >> m, which is the regime HLL exists
+      for.
+
+    Plan: scan -> map-side partial agg on 512 register keys (the
+    exchange carries <= 512 rows per task) -> 512-row final agg ->
+    1-row reduce. Same shape at any corpus size — that's the point
+    of HLL."""
+    from cardano_spark.functions.hashing import md5_long, shl1
+
+    e = table(spark, sf_dir, "events")
+    h = md5_long(F.col("user_id").cast("string"))
+    reg = F.shiftrightunsigned(h, _HLL_REM_BITS)
+    rem = h.bitwiseAND(F.lit(_HLL_REM_MASK))
+    # 2^(52 - rho) == 2^bit_length(rem) for rem>0, else 2^0
+    w_scaled = F.when(rem == 0, F.lit(1).cast("long")).otherwise(
+        shl1(F.length(F.bin(rem)))
+    )
+    regs = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(reg.alias("reg"), w_scaled.alias("w"))
+        .groupBy("reg")
+        .agg(F.min("w").alias("mw"))
+    )
+    z = regs.agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum("mw").cast("long").alias("present_sum"),
+    )
+    z_scaled = (
+        F.col("present_sum")
+        + (F.lit(HLL_M).cast("long") - F.col("n_present"))
+        * F.lit(_HLL_ONE_SCALED).cast("long")
+    )
+    return z.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "n_present",
+        z_scaled.alias("z_scaled"),
+        (F.lit(float(_HLL_NUMERATOR)) / z_scaled.cast("double")).alias(
+            "raw_estimate"
+        ),
+    )
+
+
 def q70_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional CUBE aggregate (A4 family generalized):
     order counts and exact total price over every subset of
@@ -829,5 +908,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q68_sliding_window_rollup": q68_sliding_window_rollup,
     "q69_conversion_funnel": q69_conversion_funnel,
     "q70_cube_order_stats": q70_cube_order_stats,
+    "q74_hll_distinct_sketch": q74_hll_distinct_sketch,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

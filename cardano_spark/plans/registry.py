@@ -45,6 +45,8 @@ _DEFERRED = [
     "q54_kmv_distinct_sketch", # sketch shape plan-pinned; untouched since r3
     "q11_flatten_surrogate_ids",   # transform goldens in test_pipelines; untouched since r1
     "q13_rollup_customer_balance", # ROLLUP agg; untouched since r1
+    "q15_hourly_rollup",      # tumbling-window agg; untouched since r1
+    "q35_supplier_fulfillment",    # broadcast FK joins; untouched since r2
 ]
 
 

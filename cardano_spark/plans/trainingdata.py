@@ -29,6 +29,7 @@ from cardano_spark.functions.hashing import (
     SIMHASH_BITS,
     hash_bucket,
     hash_bucket_sql,
+    md5_long,
     md5_long_sql,
     minhash_sig_sql,
     rolling_fingerprint,
@@ -706,6 +707,52 @@ def q64_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: md5_long's hash space, as a float divisor for [0,1) fractions
+_MD5_SPACE = float(16**15)
+
+
+def q75_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the q64 domain-mixture plan: per-document deterministic
+    keep/drop via a salted content-hash fraction compared to the
+    source's planned ``keep_rate``, then the per-source audit (docs
+    before/after, achieved rate). hash < rate sampling is stable
+    under retries/repartitioning and needs NO shuffle to apply — the
+    only exchanges are q64's planning aggregate (|sources| rows,
+    broadcast back onto the corpus) and the final audit aggregate.
+    This is the apply-step a DoReMi-style reweighting pipeline runs
+    over 100 TB: plan once on aggregates, apply as a map filter."""
+    d = table(spark, sf_dir, "documents")
+    plan = q64_source_mixture_plan(spark, sf_dir).select("source", "keep_rate")
+    frac = (
+        md5_long(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        / F.lit(_MD5_SPACE)
+    )
+    sampled = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .withColumn("_keep", frac < F.col("keep_rate"))
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.max("keep_rate").alias("keep_rate"),
+        )
+        .select(
+            "source",
+            "n_before",
+            "n_kept",
+            "keep_rate",
+            (F.col("n_kept").cast("double") / F.col("n_before").cast("double")).alias(
+                "achieved_rate"
+            ),
+        )
+    )
+
+
 def q66_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-batch near-dup detection: docs >= 300 are the 'new'
     batch, the rest of the q22 slice is the already-indexed corpus;
@@ -772,6 +819,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q73_bloom_decontamination": q73_bloom_decontamination,
     "q63_grouped_quantiles": q63_grouped_quantiles,
     "q64_source_mixture_plan": q64_source_mixture_plan,
+    "q75_mixture_sampler": q75_mixture_sampler,
     "q66_incremental_neardup": q66_incremental_neardup,
     "q67_semantic_decontamination": q67_semantic_decontamination,
 }
@@ -1423,6 +1471,32 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                least(1.0, (1.0 / n_sources::DOUBLE)
                           / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
         FROM per_src, tot
+    """,
+    "q75_mixture_sampler": f"""
+        WITH per_src AS (
+          SELECT source, count(*) AS n_docs
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(n_docs) AS total_docs, count(*) AS n_sources
+          FROM per_src
+        ), plan AS (
+          SELECT source,
+                 least(1.0, (1.0 / n_sources::DOUBLE)
+                            / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
+          FROM per_src, tot
+        ), s AS (
+          SELECT d.source, p.keep_rate,
+                 ({md5_long_sql("'mix|' || doc_id::VARCHAR")})::DOUBLE
+                   / 1152921504606846976.0 < p.keep_rate AS keep
+          FROM documents d JOIN plan p USING (source)
+        )
+        SELECT source,
+               count(*) AS n_before,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               max(keep_rate) AS keep_rate,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE AS achieved_rate
+        FROM s GROUP BY source
     """,
     # q22's banding over the full slice, restricted to pairs touching
     # a 'new' (doc_id >= 300) document — the incremental batch's output

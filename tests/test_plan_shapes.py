@@ -341,3 +341,42 @@ def test_q71_pivot_is_one_pass_no_domain_discovery_join(spark):
     assert "Join" not in plan
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "o_totalprice" not in read  # unused column pruned
+
+
+def test_q74_hll_register_exchange_then_scalar_reduce(spark):
+    plan = _plan(spark, "q74_hll_distinct_sketch")
+    # partial agg on <=512 register keys, then the 1-row reduce
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" in plan
+    assert "IsNotNull(user_id)" in plan  # filter reaches the scan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_q74_hll_estimate_close_to_truth(spark):
+    import math
+
+    row = QUERIES["q74_hll_distinct_sketch"](spark, SF_SMALL).collect()[0]
+    truth = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # sf0.001 sits deep in the small-range regime (truth << m), where
+    # the standard estimator is linear counting from the register
+    # occupancy the query emits — the downstream correction documented
+    # in the query contract
+    m, v = row["m"], row["m"] - row["n_present"]
+    est = m * math.log(m / v) if row["raw_estimate"] <= 2.5 * m else row["raw_estimate"]
+    assert abs(est - truth) / truth < 0.15
+
+
+def test_q75_sampler_applies_plan_without_corpus_shuffle_blowup(spark):
+    plan = _plan(spark, "q75_mixture_sampler")
+    # the mixture plan rides back onto the corpus as a broadcast join
+    assert "BroadcastHashJoin" in plan
+    # corpus-side exchanges: the q64 planning agg on source + the
+    # final audit agg on source — and nothing else (the keep/drop
+    # filter itself is a map-side expression)
+    assert plan.count("Exchange hashpartitioning") <= 2
