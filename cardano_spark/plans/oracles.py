@@ -449,3 +449,29 @@ def _q74_oracle() -> str:
 
 
 RELATIONAL_ORACLES["q74_hll_distinct_sketch"] = _q74_oracle()
+
+RELATIONAL_ORACLES["q76_scd2_user_state"] = """
+    WITH c AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ep AS (
+      SELECT user_id, event_type, ts,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS _ep
+      FROM c
+    ), g AS (
+      SELECT user_id, _ep, event_type, min(ts) AS valid_from
+      FROM ep GROUP BY user_id, _ep, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER we AS valid_to,
+           lead(valid_from) OVER we IS NULL AS is_current,
+           _ep::BIGINT AS version
+    FROM g WINDOW we AS (PARTITION BY user_id ORDER BY _ep)
+"""

@@ -876,6 +876,26 @@ def q71_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build from the events change log: per user,
+    episodes of constant ``event_type`` with half-open
+    [valid_from, valid_to) validity and an ``is_current`` flag
+    (operators/relational.py::scd2_from_changelog) — the CDC->
+    dimension-history derivation the reference's latest-row-only
+    upsert DAO cannot express. One user_id exchange; all three
+    window passes share it."""
+    from cardano_spark.operators.relational import scd2_from_changelog
+
+    e = table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        seq_col="event_id",
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -909,5 +929,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q69_conversion_funnel": q69_conversion_funnel,
     "q70_cube_order_stats": q70_cube_order_stats,
     "q74_hll_distinct_sketch": q74_hll_distinct_sketch,
+    "q76_scd2_user_state": q76_scd2_user_state,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -47,6 +47,7 @@ _DEFERRED = [
     "q13_rollup_customer_balance", # ROLLUP agg; untouched since r1
     "q15_hourly_rollup",      # tumbling-window agg; untouched since r1
     "q35_supplier_fulfillment",    # broadcast FK joins; untouched since r2
+    "q38_asof_prev_view",     # asof join; shuffled-input pytest + plan pin
 ]
 
 

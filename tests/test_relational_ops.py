@@ -178,3 +178,64 @@ def test_asof_join_is_single_shuffle(spark):
         .toString()
     )
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_from_changelog_episodes_and_single_exchange(spark):
+    from cardano_spark.operators.relational import scd2_from_changelog
+
+    log = spark.createDataFrame(
+        [
+            # user 1: gold -> gold (no change) -> silver -> gold
+            (1, 10, 1, "gold"),
+            (1, 20, 2, "gold"),
+            (1, 30, 3, "silver"),
+            (1, 40, 4, "gold"),
+            # user 2: one row
+            (2, 15, 5, "free"),
+            # user 3: same-ts tie broken by seq
+            (3, 10, 7, "b"),
+            (3, 10, 6, "a"),
+        ],
+        "user_id long, ts long, seq long, plan string",
+    )
+    out = scd2_from_changelog(log, ["user_id"], "ts", ["plan"], seq_col="seq")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["user_id"], r["version"])
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [(r["plan"], r["valid_from"], r["valid_to"]) for r in u1] == [
+        ("gold", 10, 30),
+        ("silver", 30, 40),
+        ("gold", 40, None),
+    ]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u3 = [r for r in rows if r["user_id"] == 3]
+    assert [(r["plan"], r["version"]) for r in u3] == [("a", 1), ("b", 2)]
+    # idempotent: re-deriving from the same log is byte-identical
+    again = scd2_from_changelog(log, ["user_id"], "ts", ["plan"], seq_col="seq")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    # one entity-key exchange shared by all window passes
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_multi_attribute_null_transitions(spark):
+    from cardano_spark.operators.relational import scd2_from_changelog
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "a", None),
+            (1, 20, "a", None),   # no change (null == null)
+            (1, 30, "a", "x"),    # null -> x is a change
+            (1, 40, None, "x"),   # a -> null is a change
+        ],
+        "k long, ts long, c1 string, c2 string",
+    )
+    out = scd2_from_changelog(log, ["k"], "ts", ["c1", "c2"], seq_col="ts")
+    vs = sorted((r["version"], r["c1"], r["c2"]) for r in out.collect())
+    assert vs == [(1, "a", None), (2, "a", "x"), (3, None, "x")]
