@@ -48,6 +48,8 @@ _DEFERRED = [
     "q15_hourly_rollup",      # tumbling-window agg; untouched since r1
     "q35_supplier_fulfillment",    # broadcast FK joins; untouched since r2
     "q38_asof_prev_view",     # asof join; shuffled-input pytest + plan pin
+    "q39_range_join_clicks_before_error",  # range join; shuffled-input pytest + pin
+    "q04_stale_orders_anti_join",  # anti-join; plan pin; untouched since r1
 ]
 
 

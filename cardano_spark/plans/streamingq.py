@@ -14,12 +14,14 @@ from pyspark.sql import functions as F
 
 from cardano_spark.plans.queries import QueryFn
 from cardano_spark.streaming.jobs import (
+    distinct_type_counter,
     hourly_rollup,
     read_events_stream,
     run_to_memory,
     sessionize_stream,
     stream_exact_dedup,
     stream_interval_join,
+    watermark_tracker,
 )
 
 
@@ -63,11 +65,44 @@ def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_stream_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exact
+    per-user distinct event-type count — unsupported by built-in
+    streaming aggregation, expressible with keyed state. Update mode
+    emits a row per (user, microbatch); the counts are MONOTONE, so
+    the final value per user is the max over emissions, and on the
+    bounded corpus that must equal the batch COUNT(DISTINCT) —
+    stream/batch convergence, same guarantee as q34/q48."""
+    events = read_events_stream(spark, sf_dir)
+    updates = run_to_memory(
+        distinct_type_counter(events), output_mode="update"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_types").alias("n_types")
+    )
+
+
+def q78_stream_watermark_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest-watermark tracker (the K5 import-status
+    twin, jobs.py::watermark_tracker) run to completion: per
+    event_type cumulative (max_event_id, n_events). Both state fields
+    are monotone, so max-over-emissions equals the batch
+    max/count aggregate."""
+    events = read_events_stream(spark, sf_dir)
+    updates = run_to_memory(watermark_tracker(events), output_mode="update")
+    return updates.groupBy("event_type").agg(
+        F.max("max_event_id").alias("max_event_id"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q48_stream_exact_dedup": q48_stream_exact_dedup,
     "q51_stream_sessionize": q51_stream_sessionize,
     "q65_stream_interval_join": q65_stream_interval_join,
+    "q77_stream_distinct_types": q77_stream_distinct_types,
+    "q78_stream_watermark_tracker": q78_stream_watermark_tracker,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -124,5 +159,20 @@ STREAMING_ORACLES: dict[str, str] = {
          AND e.ts >= c.ts
          AND e.ts <= c.ts + INTERVAL 5 MINUTE
         WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+    # batch twin of the stateful distinct counter: the stream's final
+    # per-user count must equal COUNT(DISTINCT) on the bounded corpus
+    "q77_stream_distinct_types": """
+        SELECT user_id, count(DISTINCT event_type) AS n_types
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    """,
+    # batch twin of the K5 ingest-watermark tracker
+    "q78_stream_watermark_tracker": """
+        SELECT event_type,
+               max(event_id) AS max_event_id,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
     """,
 }

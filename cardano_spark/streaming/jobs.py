@@ -340,3 +340,62 @@ def watermark_tracker(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: streaming per-key distinct counter
+# --------------------------------------------------------------------------
+
+DISTINCT_STATE_SCHEMA = "types ARRAY<STRING>"
+DISTINCT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+    ]
+)
+
+
+def _track_distinct_types(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per user: maintain the SET of event types seen across all
+    microbatches and emit the updated distinct count — a streaming
+    exact-distinct aggregate, which Spark's built-in streaming aggs
+    refuse (count_distinct is unsupported on streams); state makes it
+    expressible. State is the set itself: correct for bounded-domain
+    attributes (event types, countries, plans); for unbounded domains
+    swap the set for the q74 HLL registers — same operator shape,
+    constant state."""
+    (types,) = state.get if state.exists else ([],)
+    seen = set(types)
+    for pdf in pdfs:
+        if len(pdf):
+            seen.update(pdf["event_type"].dropna().unique().tolist())
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_types": pd.Series([len(seen)], dtype="int64"),
+        }
+    )
+
+
+def distinct_type_counter(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState over user_id: exact streaming distinct
+    event-type count per user, emitted every microbatch (update
+    mode). Arrow-batched per group; state store holds one small set
+    per user."""
+    return (
+        events.select("user_id", "event_type")
+        .filter(F.col("user_id").isNotNull())  # null key would break state
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_distinct_types,
+            outputStructType=DISTINCT_OUTPUT_SCHEMA,
+            stateStructType=DISTINCT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -530,3 +530,39 @@ def test_stream_interval_join_is_symmetric_hash_join(spark):
         jobs.stream_interval_join(clicks, errors), output_mode="append"
     )
     assert out.columns == ["click_id", "error_id", "user_id", "gap_s"]
+
+
+def test_distinct_type_counter_state_across_microbatches(spark, two_file_events_dir):
+    """The set-state must persist across microbatches: a type seen in
+    file 1 and again in file 2 counts once; new types accumulate."""
+    from cardano_spark.streaming.jobs import (
+        distinct_type_counter,
+        events_raw_schema,
+        normalize_event_ts,
+        run_to_memory,
+    )
+
+    raw = (
+        spark.readStream.schema(events_raw_schema(two_file_events_dir))
+        .option("maxFilesPerTrigger", 1)  # forces >= 2 microbatches
+        .parquet(f"{two_file_events_dir}/*.parquet")
+    )
+    out = run_to_memory(
+        distinct_type_counter(normalize_event_ts(raw)), "update"
+    )
+    import pyspark.sql.functions as F
+
+    final = (
+        out.groupBy("user_id").agg(F.max("n_types").alias("n_types"))
+    ).collect()
+    batch = (
+        spark.read.parquet(f"{two_file_events_dir}/*.parquet")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n_types"))
+        .collect()
+    )
+    assert sorted(map(tuple, final)) == sorted(map(tuple, batch))
+    # update mode re-emits per microbatch: at least one user must have
+    # been emitted twice (proving state survived a batch boundary)
+    assert out.count() > len(final)
