@@ -475,3 +475,29 @@ RELATIONAL_ORACLES["q76_scd2_user_state"] = """
            _ep::BIGINT AS version
     FROM g WINDOW we AS (PARTITION BY user_id ORDER BY _ep)
 """
+
+# windowed sums in DECIMAL (exact, order-free: DuckDB's segment-tree
+# sliding frames would re-associate a double sum differently than
+# Spark's running accumulation); the double chain after is identical
+RELATIONAL_ORACLES["q80_trailing_anomaly"] = """
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             count(value) OVER w AS n_prev,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+      )
+    ), z AS (
+      SELECT event_id, user_id, ts, value, n_prev,
+             s / n_prev::DOUBLE AS mean_prev,
+             sqrt((s2 - s * s / n_prev::DOUBLE) / (n_prev - 1)::DOUBLE) AS sd_prev
+      FROM f
+    )
+    SELECT event_id, user_id, ts, value, n_prev, mean_prev, sd_prev,
+           (value - mean_prev) / sd_prev AS z
+    FROM z
+    WHERE n_prev >= 5 AND sd_prev > 0 AND abs((value - mean_prev) / sd_prev) > 2
+"""

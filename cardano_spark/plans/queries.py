@@ -896,6 +896,47 @@ def q76_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_trailing_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trailing z-score anomaly detection: each event's
+    ``value`` against the mean/stddev of the user's previous <=10
+    values (frame excludes the current row); emit rows with |z| > 2
+    — the online-monitoring shape (fraud spikes, sensor drift) on a
+    batch engine.
+
+    Determinism at the oracle: windowed DOUBLE sums are
+    association-order-dependent and DuckDB computes sliding frames
+    with segment trees (different grouping than Spark's running
+    accumulation), so both sums run in DECIMAL (exact, order-free);
+    mean/variance/z then derive through the identical fixed IEEE op
+    chain (sqrt is correctly-rounded by IEEE-754, so it's portable —
+    unlike ln/exp). Plan: ONE user_id exchange; both window
+    aggregates share its sort."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-10, -1)
+    )
+    v = dec("value")
+    n = F.count("value").over(w)
+    s = exact_double(F.sum(v).over(w))
+    s2 = exact_double(F.sum(v * v).over(w))
+    mean = s / n.cast("double")
+    var = (s2 - s * s / n.cast("double")) / (n - 1).cast("double")
+    sd = F.sqrt(var)
+    z = (F.col("value") - mean) / sd
+    return (
+        e.select("event_id", "user_id", "ts", "value",
+                 n.alias("n_prev"), mean.alias("mean_prev"),
+                 sd.alias("sd_prev"), z.alias("z"))
+        .filter(
+            (F.col("n_prev") >= 5)
+            & (F.col("sd_prev") > 0)
+            & (F.abs(F.col("z")) > 2)
+        )
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -930,5 +971,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q70_cube_order_stats": q70_cube_order_stats,
     "q74_hll_distinct_sketch": q74_hll_distinct_sketch,
     "q76_scd2_user_state": q76_scd2_user_state,
+    "q80_trailing_anomaly": q80_trailing_anomaly,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -50,6 +50,8 @@ _DEFERRED = [
     "q38_asof_prev_view",     # asof join; shuffled-input pytest + plan pin
     "q39_range_join_clicks_before_error",  # range join; shuffled-input pytest + pin
     "q04_stale_orders_anti_join",  # anti-join; plan pin; untouched since r1
+    "q52_market_share",       # broadcast-chain pin; untouched since r3
+    "q53_large_orders",       # collapse-before-join pin; untouched since r3
 ]
 
 

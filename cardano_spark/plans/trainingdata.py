@@ -753,6 +753,34 @@ def q75_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K = 5
+
+
+def q79_per_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: exactly
+    min(k, |stratum|) docs per (lang, source), chosen by salted
+    content-hash order — the eval-set / human-review carve-out every
+    corpus pipeline needs. Hash-order selection is stable under
+    retries, repartitioning, and INSERTS THAT DON'T CHANGE THE TOP-K
+    HASHES (contrast ``ORDER BY random()``: irreproducible, or
+    take-first-k: scan-order-dependent).
+
+    Shape: one hash exchange on the stratum key; the per-stratum
+    row_number sorts only within each stratum. Strata are bounded
+    here (lang x source); for heavy strata at 100 TB compose with the
+    q43 two-phase trick (per-input-partition pre-top-k) — the hash
+    order makes the pre-filter exact there too."""
+    d = table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang", "source").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "source", h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SAMPLE_K)
+        .select("doc_id", "lang", "source", F.col("_rn").cast("long").alias("pick_order"))
+    )
+
+
 def q66_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-batch near-dup detection: docs >= 300 are the 'new'
     batch, the rest of the q22 slice is the already-indexed corpus;
@@ -820,6 +848,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q63_grouped_quantiles": q63_grouped_quantiles,
     "q64_source_mixture_plan": q64_source_mixture_plan,
     "q75_mixture_sampler": q75_mixture_sampler,
+    "q79_per_stratum_sample": q79_per_stratum_sample,
     "q66_incremental_neardup": q66_incremental_neardup,
     "q67_semantic_decontamination": q67_semantic_decontamination,
 }
@@ -1471,6 +1500,17 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                least(1.0, (1.0 / n_sources::DOUBLE)
                           / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
         FROM per_src, tot
+    """,
+    "q79_per_stratum_sample": f"""
+        SELECT doc_id, lang, source, pick_order FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {md5_long_sql("'sample|' || doc_id::VARCHAR")} ASC,
+                            doc_id ASC
+                 )::BIGINT AS pick_order
+          FROM documents
+        ) WHERE pick_order <= 5
     """,
     "q75_mixture_sampler": f"""
         WITH per_src AS (

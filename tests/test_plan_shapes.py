@@ -380,3 +380,19 @@ def test_q75_sampler_applies_plan_without_corpus_shuffle_blowup(spark):
     # final audit agg on source — and nothing else (the keep/drop
     # filter itself is a map-side expression)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q79_stratum_sample_single_exchange(spark):
+    plan = _plan(spark, "q79_per_stratum_sample")
+    # one stratum-key exchange feeding the per-stratum window sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" not in read  # hash is over doc_id; text never read
+
+
+def test_q80_anomaly_windows_share_one_exchange(spark):
+    plan = _plan(spark, "q80_trailing_anomaly")
+    # both decimal frame-sums ride the same user_id sort/partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
