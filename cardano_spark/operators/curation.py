@@ -444,3 +444,56 @@ def bloom_contamination(
         .otherwise(F.lit(0.0))
         .alias("contamination"),
     )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    id_col: str,
+    shingles: Column,
+    min_df: int,
+) -> DataFrame:
+    """C4-style corpus-internal boilerplate detection: token spans
+    (n-gram shingles) occurring in >= ``min_df`` DISTINCT documents
+    are boilerplate (navigation chrome, license headers, template
+    text); report per document how much of it is boilerplate — the
+    signal used to strip or down-weight templated content before
+    training.
+
+    Unlike decontamination (benchmark_contamination — an EXTERNAL
+    reference set, broadcastable), the reference set here is the
+    corpus itself, so the span df-count is a full shuffle question:
+    explode distinct spans -> df per span (map-side partial count,
+    exchange 1) -> re-join spans to their docs on the span key
+    (exchange 2, carried columns: span hash + id only) -> per-doc
+    rollup (exchange 3). Same 3-exchange skeleton as tf-idf (q55);
+    nothing is broadcast because the span universe scales with the
+    corpus.
+
+    Returns (id_col, n_spans, n_boiler, boiler_frac)."""
+    d = docs.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(shingles)).alias("_s")
+    )
+    df_counts = d.groupBy("_s").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    return (
+        d.join(df_counts, "_s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_s").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_df") >= min_df, 1).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_boiler",
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_boiler").cast("double") / F.col("n_spans").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )

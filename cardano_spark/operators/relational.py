@@ -240,3 +240,50 @@ def scd2_from_changelog(
         F.lead("valid_from").over(we).isNull().alias("is_current"),
         F.col("_ep").cast("long").alias("version"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Audit diff between two table snapshots: one row per key that
+    was ADDED, REMOVED, or CHANGED (any compared column differs,
+    null-safe), with both sides' values — the load-verification /
+    CDC-reconstruction step a warehouse runs between ingests (the
+    reference's upserts overwrite in place and keep no way to answer
+    "what changed since the last load"; this derives it from
+    snapshots).
+
+    Scale shape: ONE full-outer shuffle join on the key (both sides
+    hash-partitioned; with pre-bucketed tables — sources/bucketed.py
+    — even that exchange disappears). The change classification is a
+    map-side expression; unchanged keys are filtered before any
+    further processing, so downstream sees only the delta."""
+    # dedicated presence markers: compared columns can be legitimately
+    # NULL, so "side absent" must not be inferred from their nullness
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .drop("_in_old", "_in_new")
+    )

@@ -501,3 +501,28 @@ RELATIONAL_ORACLES["q80_trailing_anomaly"] = """
     FROM z
     WHERE n_prev >= 5 AND sd_prev > 0 AND abs((value - mean_prev) / sd_prev) > 2
 """
+
+RELATIONAL_ORACLES["q82_snapshot_diff"] = """
+    WITH old AS (
+      SELECT o_orderkey, TRUE AS in_old,
+             o_orderstatus AS old_o_orderstatus,
+             o_totalprice AS old_o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ), new AS (
+      SELECT o_orderkey, TRUE AS in_new,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS new_o_orderstatus,
+             o_totalprice AS new_o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT o_orderkey,
+           old_o_orderstatus, old_o_totalprice,
+           new_o_orderstatus, new_o_totalprice,
+           CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE in_old IS NULL OR in_new IS NULL
+       OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+       OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+"""

@@ -937,6 +937,31 @@ def q80_trailing_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff between two warehouse snapshots (operators/
+    relational.py::snapshot_diff): old = orders loaded before
+    1997-07-01, new = the current load where keys divisible by 101
+    were purged and the status of keys divisible by 97 moved to 'X'
+    (a deterministic stand-in for the drift two real loads exhibit).
+    Emits only the delta — added / removed / changed with both
+    sides' values — via ONE full-outer key shuffle."""
+    from cardano_spark.operators.relational import snapshot_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    new = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -972,5 +997,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q74_hll_distinct_sketch": q74_hll_distinct_sketch,
     "q76_scd2_user_state": q76_scd2_user_state,
     "q80_trailing_anomaly": q80_trailing_anomaly,
+    "q82_snapshot_diff": q82_snapshot_diff,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -52,6 +52,8 @@ _DEFERRED = [
     "q04_stale_orders_anti_join",  # anti-join; plan pin; untouched since r1
     "q52_market_share",       # broadcast-chain pin; untouched since r3
     "q53_large_orders",       # collapse-before-join pin; untouched since r3
+    "q21_exact_dedup",        # hash-groupBy dedup; dedicated pytest; untouched since r2
+    "q23_simhash_fingerprints",    # vote-fold projection; pytest-covered; untouched since r2
 ]
 
 

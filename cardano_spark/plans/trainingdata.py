@@ -753,6 +753,19 @@ def q75_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-internal boilerplate measurement: 3-gram spans
+    occurring in >= 3 distinct documents are 'template text'; report
+    per-doc boilerplate fraction (operators/curation.py::
+    boilerplate_spans — the corpus-as-its-own-reference counterpart
+    of the q58/q73 external decontamination; 3 exchanges, nothing
+    broadcast because the span universe scales with the corpus)."""
+    d = table(spark, sf_dir, "documents")
+    return CU.boilerplate_spans(
+        d, "doc_id", TX.ngram_shingles(F.col("text"), 3), min_df=3
+    ).orderBy("doc_id")
+
+
 SAMPLE_K = 5
 
 
@@ -849,6 +862,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q64_source_mixture_plan": q64_source_mixture_plan,
     "q75_mixture_sampler": q75_mixture_sampler,
     "q79_per_stratum_sample": q79_per_stratum_sample,
+    "q81_boilerplate_spans": q81_boilerplate_spans,
     "q66_incremental_neardup": q66_incremental_neardup,
     "q67_semantic_decontamination": q67_semantic_decontamination,
 }
@@ -1500,6 +1514,28 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                least(1.0, (1.0 / n_sources::DOUBLE)
                           / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
         FROM per_src, tot
+    """,
+    "q81_boilerplate_spans": f"""
+        WITH d AS (
+          SELECT doc_id, {TX.ngram_shingles_sql('text', 3)} AS sh FROM documents
+        ), e AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), df AS (
+          SELECT s, count(DISTINCT doc_id) AS df FROM e GROUP BY s
+        ), h AS (
+          SELECT e.doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+          FROM e LEFT JOIN df ON e.s = df.s
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(h.n_boiler, 0)::BIGINT AS n_boiler,
+               CASE WHEN coalesce(h.n_spans, 0) > 0
+                    THEN coalesce(h.n_boiler, 0)::DOUBLE / h.n_spans::DOUBLE
+                    ELSE 0.0 END AS boiler_frac
+        FROM d LEFT JOIN h USING (doc_id)
+        ORDER BY doc_id
     """,
     "q79_per_stratum_sample": f"""
         SELECT doc_id, lang, source, pick_order FROM (

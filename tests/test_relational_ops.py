@@ -239,3 +239,31 @@ def test_scd2_multi_attribute_null_transitions(spark):
     out = scd2_from_changelog(log, ["k"], "ts", ["c1", "c2"], seq_col="ts")
     vs = sorted((r["version"], r["c1"], r["c2"]) for r in out.collect())
     assert vs == [(1, "a", None), (2, "a", "x"), (3, None, "x")]
+
+
+def test_snapshot_diff_classification_and_single_join(spark):
+    from cardano_spark.operators.relational import snapshot_diff
+    import pyspark.sql.functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k long, status string, amt double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, None, 30.0), (5, "e", 50.0)],
+        "k long, status string, amt double",
+    )
+    out = snapshot_diff(old, new, ["k"], ["status", "amt"])
+    got = {r["k"]: r["change_type"] for r in out.collect()}
+    # k=1 unchanged (absent), k=3 unchanged with NULL attr (null-safe)
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+    row2 = out.filter(F.col("k") == 2).collect()[0]
+    assert row2["old_status"] == "b" and row2["new_status"] == "B"
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "FullOuter" in plan
+    assert plan.count("Join") == 1
