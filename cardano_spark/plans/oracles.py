@@ -526,3 +526,41 @@ RELATIONAL_ORACLES["q82_snapshot_diff"] = """
        OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
        OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
 """
+
+RELATIONAL_ORACLES["q83_retention_matrix"] = """
+    WITH ev AS (
+      SELECT user_id,
+             (ts::DATE - DATE '1970-01-05') // 7 AS week
+      FROM events WHERE user_id IS NOT NULL
+    ), cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    ), pairs AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             e.week - c.cohort_week AS week_offset
+      FROM ev e JOIN cohorts c USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+    FROM pairs GROUP BY cohort_week, week_offset
+"""
+
+RELATIONAL_ORACLES["q84_ordered_funnel"] = """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'signup'
+      GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id
+    )
+    SELECT count(*)::BIGINT AS n_signup,
+           count(t2.t2)::BIGINT AS n_click_after,
+           count(t3.t3)::BIGINT AS n_purchase_after
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""

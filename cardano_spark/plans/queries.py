@@ -962,6 +962,83 @@ def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    for each (cohort_week, week_offset) the number of distinct users
+    active that many weeks later — the retention triangle every
+    product-analytics stack materializes.
+
+    Shape: cohorts collapse to ONE ROW PER USER first (partial agg on
+    user_id — the big exchange), then re-join the event stream on
+    user_id (the cohort side is per-user, so the join carries |users|
+    not |events| on the build side), dedupe (user, offset) pairs with
+    a partial-agg distinct, and count into the small matrix. The
+    week arithmetic is integer (epoch-day // 7) on both engines —
+    no interval/timezone drift."""
+    e = table(spark, sf_dir, "events")
+    wk = lambda c: F.floor(
+        F.datediff(F.to_date(c), F.lit("1970-01-05").cast("date")) / 7
+    )  # Monday-aligned epoch week
+    ev = e.filter(F.col("user_id").isNotNull()).select(
+        "user_id", wk(F.col("ts")).alias("week")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    pairs = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def q84_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered multi-step funnel: per user the earliest
+    signup, the earliest click AFTER that signup, and the earliest
+    purchase AFTER that click; the output counts users reaching each
+    stage. Unlike q69 (any purchase within a window), the steps must
+    occur IN ORDER — the sequence-pattern aggregation.
+
+    Shape: each stage is a per-user MIN over the events after the
+    previous stage's timestamp — three hash aggregates and two joins,
+    ALL partitioned by user_id, so after the first exchange per
+    filtered slice the stage chain reuses the partitioning (no
+    re-shuffle per stage; AQE plans the t1/t2 sides as broadcast
+    when small). The event scan is shared; stage filters prune it
+    to the relevant event types."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    base = e.select("user_id", "ts", "event_type")
+    t1 = base.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    # step 2: earliest click strictly after t1 (broadcast-free: join
+    # on user_id reuses the aggregation partitioning)
+    t2 = (
+        base.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return t1.join(t2, "user_id", "left").join(t3, "user_id", "left").agg(
+        F.count("*").cast("long").alias("n_signup"),
+        F.count("t2").cast("long").alias("n_click_after"),
+        F.count("t3").cast("long").alias("n_purchase_after"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -998,5 +1075,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q76_scd2_user_state": q76_scd2_user_state,
     "q80_trailing_anomaly": q80_trailing_anomaly,
     "q82_snapshot_diff": q82_snapshot_diff,
+    "q83_retention_matrix": q83_retention_matrix,
+    "q84_ordered_funnel": q84_ordered_funnel,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

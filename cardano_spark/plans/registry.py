@@ -54,6 +54,8 @@ _DEFERRED = [
     "q53_large_orders",       # collapse-before-join pin; untouched since r3
     "q21_exact_dedup",        # hash-groupBy dedup; dedicated pytest; untouched since r2
     "q23_simhash_fingerprints",    # vote-fold projection; pytest-covered; untouched since r2
+    "q24_simhash_neardup_pairs",   # byte-band blocking; pytest-covered; untouched since r2
+    "q27_ann_brute_topk",     # broadcast-NL pin; covered via q56 auto selector
 ]
 
 
