@@ -267,3 +267,89 @@ def test_snapshot_diff_classification_and_single_join(spark):
     )
     assert "FullOuter" in plan
     assert plan.count("Join") == 1
+
+
+def test_snapshot_diff_reconstructs_new_from_old(spark):
+    """Applying the diff to the old snapshot must reproduce the new
+    snapshot exactly (randomized, seeded): remove 'removed', replace
+    'changed', append 'added'."""
+    import random
+
+    from cardano_spark.operators.relational import snapshot_diff
+    import pyspark.sql.functions as F
+
+    rng = random.Random(7)
+    old_rows = [
+        (k, rng.choice(["a", "b", None]), round(rng.uniform(0, 100), 2))
+        for k in range(200)
+    ]
+    new_rows = []
+    for k, status, amt in old_rows:
+        r = rng.random()
+        if r < 0.15:
+            continue  # deleted
+        if r < 0.35:
+            new_rows.append((k, rng.choice(["c", None]), amt + 1.0))  # changed
+        else:
+            new_rows.append((k, status, amt))  # unchanged
+    new_rows += [
+        (k, "new", float(k)) for k in range(300, 300 + 25)  # added
+    ]
+    old = spark.createDataFrame(old_rows, "k long, status string, amt double")
+    new = spark.createDataFrame(new_rows, "k long, status string, amt double")
+    diff = snapshot_diff(old, new, ["k"], ["status", "amt"]).cache()
+    removed = diff.filter(F.col("change_type") == "removed").select("k")
+    upserts = diff.filter(
+        F.col("change_type").isin("added", "changed")
+    ).select(
+        "k",
+        F.col("new_status").alias("status"),
+        F.col("new_amt").alias("amt"),
+    )
+    rebuilt = (
+        old.join(removed, "k", "left_anti")
+        .join(upserts.select("k"), "k", "left_anti")
+        .unionByName(upserts)
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    diff.unpersist()
+
+
+def test_scd2_replay_roundtrip_random(spark):
+    """SCD2 invariants on a random change log (seeded): per key the
+    episodes tile the timeline (each valid_to == next valid_from),
+    exactly one is_current, and replaying 'state at ts' from the
+    history matches the raw log's last-value-at-ts."""
+    import random
+
+    from cardano_spark.operators.relational import scd2_from_changelog
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(30):
+        t = 0
+        for i in range(rng.randrange(1, 12)):
+            t += rng.randrange(1, 5)
+            rows.append((k, t, i, rng.choice(["a", "b", "c"])))
+    log = spark.createDataFrame(rows, "k long, ts long, seq long, v string")
+    hist = scd2_from_changelog(log, ["k"], "ts", ["v"], seq_col="seq").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    raw_by_key: dict[int, list] = {}
+    for k, t, seq, v in rows:
+        raw_by_key.setdefault(k, []).append((t, seq, v))
+    for k, eps in by_key.items():
+        eps.sort(key=lambda r: r["version"])
+        # tiling + single current
+        for a, b in zip(eps, eps[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert [e["is_current"] for e in eps].count(True) == 1
+        assert eps[-1]["is_current"]
+        # replay: state at each episode start == raw last value
+        raw = sorted(raw_by_key[k])
+        for e in eps:
+            at = [v for (t, s, v) in raw if t <= e["valid_from"]][-1]
+            assert e["v"] == at
