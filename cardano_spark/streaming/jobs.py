@@ -399,3 +399,54 @@ def distinct_type_counter(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def distinct_type_counter_v2(events: DataFrame) -> DataFrame:
+    """State-v2 twin of :func:`distinct_type_counter` on Spark 4's
+    ``transformWithStateInPandas`` (typed state handles, timers,
+    TTL-capable). GATED: the v2 runtime speaks protobuf to the state
+    server and this environment ships no ``google.protobuf`` — the
+    import-try raises a clear error instead of a worker crash; the
+    applyInPandasWithState form (q77) is the portable default."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires protobuf; use "
+            "distinct_type_counter (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _DistinctTypes(StatefulProcessor):
+        def init(self, handle):
+            self._types = handle.getValueState("types", "types ARRAY<STRING>")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = set(
+                self._types.get()[0] if self._types.exists() else []
+            )
+            for pdf in rows:
+                if len(pdf):
+                    seen.update(pdf["event_type"].dropna().unique().tolist())
+            self._types.update((sorted(seen),))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "n_types": pd.Series([len(seen)], dtype="int64"),
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _DistinctTypes(),
+            outputStructType=DISTINCT_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
