@@ -492,3 +492,106 @@ def kmeans_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, "cid long, centroid array<double>")
+
+
+#: int8-style quantization scale: values in (-0.5, 0.5) map to
+#: ~[-128, 127]. floor() is exact on both engines (no libm).
+QUANT_SCALE = 255
+
+
+def quantize(vec: Column) -> Column:
+    """float vector -> int codes: floor(v * SCALE). Deterministic
+    (exact float->double cast, one double multiply, floor), so the
+    oracle reproduces the codes bit-for-bit."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x * F.lit(float(QUANT_SCALE))).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product — EXACT (int64), order-free, ~4x less
+    memory bandwidth than float32 and no FP rounding concerns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Two-stage retrieval: a cheap QUANTIZED candidate pass
+    shortlists per query by integer dot product over int codes
+    (floor(v*255) — 4x smaller than float32, exact int64 arithmetic),
+    then an EXACT float rerank scores only |queries| x shortlist
+    survivors — the memory-bandwidth pattern (SQ8 + rerank) every
+    billion-vector deployment uses, here with both stages
+    deterministic so the oracle verifies the full pipeline, recall
+    loss included (the contract is the two-stage result, not "equals
+    exact brute force"; widen ``shortlist`` to trade cost for
+    recall).
+
+    Shape: corpus codes are computed map-side (no shuffle, no stored
+    duplicate); the candidate window shuffles (query_id, match_id,
+    int_score) rows — codes and vectors stay behind; the rerank joins
+    the tiny shortlist back to the corpus BY ID (broadcast, so the
+    corpus is probed, never shuffled) and re-scores in float. At
+    extreme corpus scale compose the candidate stage with the q43
+    two-phase pre-top-k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("qq"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), quantize(F.col(vec_col)).alias("cq")
+    )
+    cand = (
+        c.join(
+            F.broadcast(q.select("query_id", "qq")),
+            F.col("query_id") != F.col("match_id"),
+        )
+        .select(
+            "query_id",
+            "match_id",
+            int_dot(F.col("qq"), F.col("cq")).alias("int_score"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("int_score"), F.asc("match_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "match_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    rer = (
+        cv.join(F.broadcast(short), "match_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )

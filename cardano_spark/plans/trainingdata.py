@@ -215,6 +215,20 @@ def q47_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5, multiprobe=1)
 
 
+def q85_quantized_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SQ8 retrieval (operators/similarity.py::
+    quantized_rerank_topk): int-quantized candidate shortlist (top-30
+    by exact int64 dot over floor(v*255) codes — 4x the bandwidth of
+    float32 scans) then exact float rerank to top-5 — the
+    memory-bound billion-vector serving pattern, with BOTH stages
+    deterministic so the oracle verifies the pipeline end to end."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return SIM.quantized_rerank_topk(
+        e, probes, "vec_id", "embedding", k=5, shortlist=30
+    )
+
+
 def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: 10 seed centroids -> inverted lists -> probe
     the 2 nearest lists per query -> exact top-5 within them."""
@@ -753,6 +767,76 @@ def q75_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: count-min sketch geometry: 4 rows x 1024 columns = 4096 counters.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cells(token: F.Column) -> F.Column:
+    """The sketch cells a token increments: (row j, md5-derived
+    column) per depth row — engine-portable hashing, so the oracle
+    rebuilds the identical sketch."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    md5_long(F.concat(F.lit(f"cm{j}|"), token)), F.lit(CMS_WIDTH)
+                ).alias("c"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
+def q86_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's true
+    top-10 tokens — the fixed-size (d*w counters), mergeable
+    frequency sketch completing the sketch suite (KMV q54 distinct,
+    HLL q74 distinct-at-scale, CMS frequency). Estimates are
+    one-sided (est >= truth); the output carries both so the bias is
+    the verified quantity. All hashing is md5-derived, so the DuckDB
+    oracle rebuilds the identical sketch and the ESTIMATES hash-match
+    — not just plumbing.
+
+    Shape: one token explode feeds BOTH the sketch build (explode x4
+    into (row, col), partial-agg to 4096 cells — the exchange carries
+    cells, not tokens) and the exact top-10 (partial agg +
+    TakeOrderedAndProject); the probe joins 40 (token, cell) pairs to
+    the 4096-row sketch — broadcast. At 100 TB only the sketch build
+    scans the corpus; candidates would come from a prior round or a
+    stream, and sketches MERGE by cell-wise addition (that's the
+    point)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    cells = (
+        toks.select(F.explode(_cms_cells(F.col("token"))).alias("x"))
+        .select("x.j", "x.c")
+        .groupBy("j", "c")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("token"))
+        .limit(10)
+    )
+    probes = top.select(
+        "token", "true_n", F.explode(_cms_cells(F.col("token"))).alias("x")
+    ).select("token", "true_n", "x.j", "x.c")
+    return (
+        probes.join(F.broadcast(cells), ["j", "c"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "token",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("bias"),
+        )
+    )
+
+
 def q81_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-internal boilerplate measurement: 3-gram spans
     occurring in >= 3 distinct documents are 'template text'; report
@@ -836,6 +920,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q47_ann_multiprobe_topk": q47_ann_multiprobe_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q56_ann_auto_topk": q56_ann_auto_topk,
+    "q85_quantized_ann_rerank": q85_quantized_ann_rerank,
     "q57_ann_ivf_trained": q57_ann_ivf_trained,
     "q58_benchmark_contamination": q58_benchmark_contamination,
     "q59_repetition_scores": q59_repetition_scores,
@@ -863,6 +948,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q75_mixture_sampler": q75_mixture_sampler,
     "q79_per_stratum_sample": q79_per_stratum_sample,
     "q81_boilerplate_spans": q81_boilerplate_spans,
+    "q86_countmin_heavy_hitters": q86_countmin_heavy_hitters,
     "q66_incremental_neardup": q66_incremental_neardup,
     "q67_semantic_decontamination": q67_semantic_decontamination,
 }
@@ -980,6 +1066,40 @@ TRAININGDATA_ORACLES: dict[str, str] = {
             PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
           )::BIGINT AS rank FROM scored
         ) WHERE rank <= 10
+    """,
+    # two-stage SQ8: integer candidate dot (exact BIGINT fold) then
+    # the float rerank — oracle replicates both stages bit-for-bit
+    "q85_quantized_ann_rerank": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 255.0) AS BIGINT)) AS qc
+          FROM embeddings
+        ), cand AS (
+          SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, 64),
+                                  i -> qs.qc[i] * c.qc[i])),
+                   (x, y) -> x + y) AS int_score
+          FROM v qs JOIN v c ON qs.vec_id < 8 AND c.vec_id <> qs.vec_id
+        ), short AS (
+          SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY int_score DESC, match_id ASC
+            ) AS r FROM cand
+          ) WHERE r <= 30
+        ), rer AS (
+          SELECT s.query_id, s.match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM short s
+          JOIN v q ON q.vec_id = s.query_id
+          JOIN v c ON c.vec_id = s.match_id
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM rer
+        ) WHERE rank <= 5
     """,
     "q28_ann_lsh_topk": f"""
         WITH v AS (
@@ -1514,6 +1634,28 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                least(1.0, (1.0 / n_sources::DOUBLE)
                           / (n_docs::DOUBLE / total_docs::DOUBLE)) AS keep_rate
         FROM per_src, tot
+    """,
+    "q86_countmin_heavy_hitters": f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), pos AS (
+          SELECT token, j,
+                 ({md5_long_sql("'cm' || j::VARCHAR || '|' || token")}) % 1024 AS c
+          FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j)
+        ), cells AS (
+          SELECT j, c, count(*) AS cell_n FROM pos GROUP BY j, c
+        ), top AS (
+          SELECT token, count(*) AS true_n FROM toks GROUP BY token
+          ORDER BY true_n DESC, token ASC LIMIT 10
+        ), probes AS (
+          SELECT t.token, t.true_n, j,
+                 ({md5_long_sql("'cm' || j::VARCHAR || '|' || t.token")}) % 1024 AS c
+          FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j)
+        )
+        SELECT p.token, p.true_n, min(cells.cell_n)::BIGINT AS est_n,
+               (min(cells.cell_n) - p.true_n)::BIGINT AS bias
+        FROM probes p JOIN cells USING (j, c)
+        GROUP BY p.token, p.true_n
     """,
     "q81_boilerplate_spans": f"""
         WITH d AS (

@@ -396,3 +396,22 @@ def test_q80_anomaly_windows_share_one_exchange(spark):
     # both decimal frame-sums ride the same user_id sort/partitioning
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_q85_quantized_rerank_corpus_never_shuffled_for_scoring(spark):
+    plan = _plan(spark, "q85_quantized_ann_rerank")
+    # candidate stage: quantized codes meet broadcast queries (NL on
+    # the tiny side); rerank probes the corpus BY ID via broadcast —
+    # the corpus itself is never exchanged
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q86_cms_cells_exchange_not_tokens(spark):
+    plan = _plan(spark, "q86_countmin_heavy_hitters")
+    # sketch build: partial agg before the exchange (cells travel,
+    # not raw tokens); candidate probe joins the broadcast sketch
+    assert plan.count("HashAggregate") >= 4  # partial+final x (cells, top)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # exact top-10 never global-sorts
