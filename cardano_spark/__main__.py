@@ -47,6 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     norm.add_argument("--src", required=True, help="events parquet path")
     norm.add_argument("--dest", required=True, help="output parquet path")
+    shards = sub.add_parser(
+        "export-shards",
+        help="export a parquet dataset as deterministic, bounded, "
+        "manifest-backed training shards (sinks/shards.py)",
+    )
+    shards.add_argument("--src", required=True, help="input parquet path")
+    shards.add_argument("--dest", required=True, help="shard output dir")
+    shards.add_argument("--key", required=True, help="id column for the content-hash shard key")
+    shards.add_argument("--shards", type=int, default=8)
+    shards.add_argument("--max-rows-per-file", type=int, default=None)
     return p
 
 
@@ -68,6 +78,24 @@ def main(
 
         n = normalize_events(spark, args.src, args.dest)
         print(f"normalized {n} events -> {args.dest}")
+        return 0
+    if args.cmd == "export-shards":
+        from pyspark.sql import functions as F
+
+        from cardano_spark.functions.hashing import md5_long
+        from cardano_spark.sinks.shards import write_training_shards
+
+        df = spark.read.parquet(args.src).withColumn(
+            "_shard_key",
+            md5_long(F.concat(F.lit("shard|"), F.col(args.key).cast("string"))),
+        )
+        m = write_training_shards(
+            df, args.dest, "_shard_key", args.shards, args.max_rows_per_file
+        )
+        print(
+            f"wrote {m.n_shards} shards, {m.n_rows} rows, "
+            f"{m.total_bytes} bytes -> {args.dest}"
+        )
         return 0
     if not args.root:
         build_parser().error("--root is required for pipeline commands")

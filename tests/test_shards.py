@@ -76,3 +76,21 @@ def test_shards_internally_sorted(spark, tmp_path):
         by_file.setdefault(r["f"], []).append(r["shard_key"])
     for ks in by_file.values():
         assert ks == sorted(ks)
+
+
+def test_cli_export_shards(spark, tmp_path):
+    from cardano_spark.__main__ import main
+
+    dest = str(tmp_path / "out")
+    rc = main(
+        [
+            "export-shards",
+            "--src", f"{SF_SMALL}/documents.parquet",
+            "--dest", dest,
+            "--key", "doc_id",
+            "--shards", "3",
+        ]
+    )
+    assert rc == 0
+    m = read_manifest(dest)
+    assert m.n_rows == spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
