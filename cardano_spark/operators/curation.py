@@ -460,14 +460,17 @@ def boilerplate_spans(
     training.
 
     Unlike decontamination (benchmark_contamination — an EXTERNAL
-    reference set, broadcastable), the reference set here is the
-    corpus itself, so the span df-count is a full shuffle question:
-    explode distinct spans -> df per span (map-side partial count,
-    exchange 1) -> re-join spans to their docs on the span key
-    (exchange 2, carried columns: span hash + id only) -> per-doc
-    rollup (exchange 3). Same 3-exchange skeleton as tf-idf (q55);
-    nothing is broadcast because the span universe scales with the
-    corpus.
+    reference set, small by contract and explicitly broadcast), the
+    reference set here is the corpus itself, so computing span
+    document-frequency is a genuine shuffle question: explode
+    distinct spans -> df per span (map-side partial count) -> re-join
+    spans to their docs on the span key -> per-doc rollup. Same
+    skeleton as tf-idf (q55). The re-join's strategy is left to
+    Catalyst/AQE on purpose: the aggregated (span, df) side is one
+    row per DISTINCT span, so on small/skewed-vocabulary corpora it
+    broadcasts, and at open-vocabulary corpus scale stats push it to
+    a shuffle join — declaring either by hand would be wrong at the
+    other end of the range.
 
     Returns (id_col, n_spans, n_boiler, boiler_frac)."""
     d = docs.select(

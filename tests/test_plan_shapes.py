@@ -415,3 +415,34 @@ def test_q86_cms_cells_exchange_not_tokens(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final x (cells, top)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # exact top-10 never global-sorts
+
+
+def test_q81_boilerplate_exchanges_bounded(spark):
+    plan = _plan(spark, "q81_boilerplate_spans")
+    # corpus-internal span df: distinct + span count agg + span
+    # re-join + per-doc rollup — exchanges bounded, never cartesian.
+    # The join strategy is deliberately Catalyst's: at sf0.001 the
+    # aggregated span-count side is tiny and broadcasts; at corpus
+    # scale stats push it to a shuffle join — both are correct.
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q82_snapshot_diff_single_full_outer(spark):
+    plan = _plan(spark, "q82_snapshot_diff")
+    assert "FullOuter" in plan
+    assert plan.count("Join") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q83_retention_collapses_users_before_rejoin(spark):
+    plan = _plan(spark, "q83_retention_matrix")
+    # cohort side aggregates to one row per user before the re-join
+    assert plan.count("HashAggregate") >= 4  # cohorts + distinct + matrix partials
+    assert "CartesianProduct" not in plan
+
+
+def test_q84_funnel_stage_chain_no_cartesian(spark):
+    plan = _plan(spark, "q84_ordered_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
