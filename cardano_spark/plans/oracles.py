@@ -564,3 +564,22 @@ RELATIONAL_ORACLES["q84_ordered_funnel"] = """
            count(t3.t3)::BIGINT AS n_purchase_after
     FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
 """
+
+def _q87_oracle() -> str:
+    from cardano_spark.functions.layout import zorder_key_sql
+
+    z = zorder_key_sql("ub", "tb", bits=8)
+    return f"""
+        SELECT event_id, ub::BIGINT AS user_bucket,
+               tb::BIGINT AS time_bucket,
+               {z}::BIGINT AS zkey
+        FROM (
+          SELECT event_id,
+                 user_id % 256 AS ub,
+                 (epoch_us(ts) // 1000000 // 3600) % 256 AS tb
+          FROM events
+        )
+    """
+
+
+RELATIONAL_ORACLES["q87_zorder_layout_keys"] = _q87_oracle()

@@ -1039,6 +1039,30 @@ def q84_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over events: 8-bit user
+    bucket x 8-bit hour bucket interleaved into a 16-bit layout key
+    (functions/layout.py) — the multi-dimensional clustering column a
+    100 TB table sorts by so parquet zone-maps prune BOTH a user
+    predicate and a time predicate (single-key sort prunes only one).
+    Pure shift/mask arithmetic, shuffle-free projection; the layout
+    improvement itself is measured in tests/test_layout.py (per-row-
+    group bounding boxes of a z-sorted vs single-key-sorted write)."""
+    from cardano_spark.functions.layout import zorder_key
+
+    e = table(spark, sf_dir, "events")
+    ub = F.pmod(F.col("user_id"), F.lit(256))
+    tb = F.pmod(
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600)), F.lit(256)
+    )
+    return e.select(
+        "event_id",
+        ub.cast("long").alias("user_bucket"),
+        tb.cast("long").alias("time_bucket"),
+        zorder_key(ub, tb, bits=8).alias("zkey"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1077,5 +1101,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q82_snapshot_diff": q82_snapshot_diff,
     "q83_retention_matrix": q83_retention_matrix,
     "q84_ordered_funnel": q84_ordered_funnel,
+    "q87_zorder_layout_keys": q87_zorder_layout_keys,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

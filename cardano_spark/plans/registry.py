@@ -57,6 +57,7 @@ _DEFERRED = [
     "q24_simhash_neardup_pairs",   # byte-band blocking; pytest-covered; untouched since r2
     "q27_ann_brute_topk",     # broadcast-NL pin; covered via q56 auto selector
     "q33_multimodal_features",     # fake-decode plumbing; heavy pytest coverage; untouched since r2
+    "q47_ann_multiprobe_topk",     # bucket-equijoin pin; selection covered by q56 auto
     "q46_multimodal_real_decode",  # stdlib codec paths; dedicated pytest + property tests
 ]
 
