@@ -77,3 +77,66 @@ def test_multimodal_on_empty_ids(spark, no_docs):
     assert MM.image_resize_features(no_docs, 8, 4).count() == 0
     assert MM.audio_frame_sample_features(no_docs, 4).count() == 0
     assert MM.decode_media_features(MM.synthesize_media(no_docs)).count() == 0
+
+
+def test_round4_operators_on_empty_inputs(spark, no_docs):
+    from cardano_spark.operators import curation as CU
+    from cardano_spark.operators.dedup import cluster_representatives
+    from cardano_spark.operators.relational import (
+        scd2_from_changelog,
+        snapshot_diff,
+    )
+    from cardano_spark.operators.similarity import quantized_rerank_topk
+
+    sh = TX.ngram_shingles(F.col("text"), 2)
+
+    # cluster representatives over no members
+    empty_members = spark.createDataFrame(
+        [], "cluster_id long, doc_id long, score double"
+    )
+    assert cluster_representatives(empty_members).count() == 0
+
+    # bloom contamination: empty corpus AND empty benchmark
+    docs = table(spark, SF_SMALL, "documents").limit(5)
+    assert (
+        CU.bloom_contamination(no_docs, docs, "doc_id", sh, sh, m_bits=1 << 10)
+        .count()
+        == 0
+    )
+    out = CU.bloom_contamination(
+        docs, no_docs, "doc_id", sh, sh, m_bits=1 << 10
+    ).collect()
+    assert len(out) == 5 and all(r["n_hits"] == 0 for r in out)
+
+    # boilerplate over empty corpus
+    assert CU.boilerplate_spans(no_docs, "doc_id", sh, min_df=2).count() == 0
+
+    # SCD2 over an empty change log
+    empty_log = spark.createDataFrame([], "k long, ts long, v string")
+    assert scd2_from_changelog(empty_log, ["k"], "ts", ["v"]).count() == 0
+
+    # snapshot diff: both sides empty / one side empty
+    e = spark.createDataFrame([], "k long, v string")
+    full = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert snapshot_diff(e, e, ["k"], ["v"]).count() == 0
+    assert {
+        r["change_type"]
+        for r in snapshot_diff(e, full, ["k"], ["v"]).collect()
+    } == {"added"}
+    assert {
+        r["change_type"]
+        for r in snapshot_diff(full, e, ["k"], ["v"]).collect()
+    } == {"removed"}
+
+    # quantized rerank with no queries and no corpus
+    emb = table(spark, SF_SMALL, "embeddings")
+    no_vecs = emb.filter(F.lit(False))
+    assert (
+        quantized_rerank_topk(emb, no_vecs, "vec_id", "embedding", 3, 10).count()
+        == 0
+    )
+    assert (
+        quantized_rerank_topk(no_vecs, emb.limit(2), "vec_id", "embedding", 3, 10)
+        .count()
+        == 0
+    )
