@@ -65,3 +65,50 @@ def ensure_nanos_compat(spark: SparkSession) -> None:
     session). All session-config mutation lives in this module; the
     readers call this instead of touching ``spark.conf`` themselves."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def cluster_conf(
+    input_bytes: int,
+    total_cores: int,
+    executor_memory_bytes: int = 16 << 30,
+    memory_fraction: float = 0.6,
+) -> dict[str, str]:
+    """Recommended scale-sensitive confs for a REAL cluster run over
+    ``input_bytes`` of data — the 100 TB sizing rules from SCALE.md
+    as executable policy (pass the result as ``extra_conf`` to
+    :func:`get_spark`).
+
+    Rules (each is a documented Spark sizing guideline, not a tuned
+    magic number):
+    - shuffle.partitions: every post-shuffle partition should fit in
+      an executor core's working memory (executor mem x fraction /
+      cores-per-executor-share), floored at 2x total cores so every
+      core has work and AQE has room to coalesce DOWN (AQE only
+      merges, it never splits a too-coarse map).
+    - files.maxPartitionBytes: scan tasks sized so the scan stage
+      yields at least ~3 waves per core (pipeline parallelism and
+      straggler smoothing), capped at 1 GiB.
+    - autoBroadcastJoinThreshold: ~1/16 of per-core memory — a
+      broadcast table is materialized on EVERY executor, so the
+      ceiling follows executor memory, not input size.
+    """
+    if input_bytes <= 0 or total_cores <= 0:
+        raise ValueError("input_bytes and total_cores must be positive")
+    per_core_mem = executor_memory_bytes * memory_fraction / max(
+        1, total_cores // max(1, total_cores // 8)  # ~8 cores/executor share
+    )
+    shuffle_parts = max(
+        2 * total_cores, int(input_bytes // max(1, int(per_core_mem)))
+    )
+    target_scan_part = min(
+        1 << 30, max(16 << 20, input_bytes // (3 * total_cores))
+    )
+    broadcast_cap = int(per_core_mem // 16)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(int(target_scan_part)),
+        "spark.sql.autoBroadcastJoinThreshold": str(broadcast_cap),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }

@@ -137,3 +137,28 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     )
     vals = {r.doc_id: r.fp for r in fp.collect()}
     assert vals[1] != vals[2]
+
+
+def test_cluster_conf_sizing_rules():
+    from cardano_spark.session import cluster_conf
+
+    # 100 TB / 8000 cores / 64 GiB executors
+    conf = cluster_conf(100 << 40, 8000, executor_memory_bytes=64 << 30)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    scan = int(conf["spark.sql.files.maxPartitionBytes"])
+    bcast = int(conf["spark.sql.autoBroadcastJoinThreshold"])
+    # every post-shuffle partition fits in a core's working memory
+    assert (100 << 40) / parts <= (64 << 30) * 0.6
+    # floor: at least 2 waves of tasks
+    assert parts >= 2 * 8000
+    # scan splits: >= 3 waves, bounded [16 MiB, 1 GiB]
+    assert 16 << 20 <= scan <= 1 << 30
+    assert (100 << 40) / scan >= 3 * 8000 * 0.9
+    # broadcast cap scales with executor memory, not input
+    assert bcast < (64 << 30)
+    small = cluster_conf(1 << 30, 32)
+    assert int(small["spark.sql.shuffle.partitions"]) == 64  # 2x cores floor
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_conf(0, 8)
