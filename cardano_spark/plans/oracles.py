@@ -392,8 +392,10 @@ RELATIONAL_ORACLES["q54_kmv_distinct_sketch"] = """
       SELECT h FROM h ORDER BY h ASC LIMIT 64
     )
     SELECT max(h) AS kth_min_hash,
-           CAST(floor(63.0 / (max(h)::DOUBLE / 1152921504606846976.0))
-                AS BIGINT) AS est_distinct,
+           count(*)::BIGINT AS n_retained,
+           CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+                ELSE CAST(floor(63.0 / (max(h)::DOUBLE / 1152921504606846976.0))
+                          AS BIGINT) END AS est_distinct,
            64::BIGINT AS k
     FROM kmin
 """

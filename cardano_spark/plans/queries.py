@@ -651,7 +651,13 @@ def q54_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same family as HLL, but with an engine-independent deterministic
     estimate, so the DuckDB oracle can verify the ESTIMATE itself,
     not just plumbing). Estimator: E = (k-1) / R_k where R_k is the
-    k-th smallest hash normalized to [0,1).
+    k-th smallest hash normalized to [0,1) — applied only when the
+    sketch is FULL (n_retained == k). Below k distinct values the
+    sketch holds every distinct hash, so the count is EXACT and
+    (k-1)/R_k would saturate near k (R_k is then the MAX hash, ~n/n+1
+    of the space, not the k-th order statistic); the standard
+    small-range branch returns n_retained (pinned by
+    tests/test_sketches.py).
 
     Plan shape: hash map-side -> partial hash-agg dedup (the dedup
     exchange carries per-partition DISTINCT hashes, never raw rows)
@@ -671,14 +677,19 @@ def q54_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kmin = hashes.orderBy(F.asc("h")).limit(KMV_K)
-    kth = kmin.agg(F.max("h").alias("kth_min_hash"))
+    kth = kmin.agg(
+        F.max("h").alias("kth_min_hash"),
+        F.count("*").cast("long").alias("n_retained"),
+    )
+    full_est = F.floor(
+        F.lit(float(KMV_K - 1))
+        / (F.col("kth_min_hash").cast("double") / F.lit(_KMV_SPACE))
+    ).cast("long")
     return kth.select(
         "kth_min_hash",
-        F.floor(
-            F.lit(float(KMV_K - 1))
-            / (F.col("kth_min_hash").cast("double") / F.lit(_KMV_SPACE))
-        )
-        .cast("long")
+        "n_retained",
+        F.when(F.col("n_retained") < KMV_K, F.col("n_retained"))
+        .otherwise(full_est)
         .alias("est_distinct"),
         F.lit(KMV_K).cast("long").alias("k"),
     )
