@@ -42,7 +42,7 @@ _DEFERRED = [
     "q12_running_customer_total",  # window running sum; untouched since r1
     "q14_sessionize",         # lag() sessionize; untouched since r1
     "q45_pg_array_codec",     # codec projection plan-pinned + hypothesis property test
-    "q54_kmv_distinct_sketch", # sketch shape plan-pinned; untouched since r3
+    "q42_vocab_topk",         # explode+count+top-k; plan-pinned; untouched since r2
     "q11_flatten_surrogate_ids",   # transform goldens in test_pipelines; untouched since r1
     "q13_rollup_customer_balance", # ROLLUP agg; untouched since r1
     "q15_hourly_rollup",      # tumbling-window agg; untouched since r1
