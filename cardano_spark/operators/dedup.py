@@ -718,3 +718,72 @@ def cluster_representatives(
         F.max(ord_key).getField("s").alias("rep_score"),
         F.count("*").alias("n_members"),
     )
+
+
+#: fixed-point scale for integer PageRank (2^20 per unit of rank)
+PR_SCALE = 1 << 20
+#: damping factor as an integer percentage
+PR_DAMP_PCT = 85
+
+
+def integer_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank with FIXED-POINT integer arithmetic — the centrality
+    score used to pick authoritative representatives in dedup/link
+    graphs, made engine-portable: float PageRank is unverifiable
+    across engines (per-node contribution sums re-associate), but
+    scaled-int64 ranks with truncating division are bit-deterministic,
+    so a DuckDB oracle replays the exact iteration.
+
+    rank_0 = SCALE; rank_{t+1} = (100-d)%*SCALE + sum over in-edges
+    of (d% * rank_t) // (100 * out_degree) — all integer ops.
+    Dangling-node mass is dropped (not redistributed): documented
+    deviation from the textbook normalization, irrelevant for
+    RANKING and cheap to add as a scalar correction if needed.
+
+    ``edges`` is (a, b) directed; pass both directions for an
+    undirected graph. Scale shape per iteration: one join of ranks
+    to edges on the source (both sides partitioned by node id — the
+    partitioning is reused across iterations) + one partial-agg sum
+    on the destination; int64 sums are exact and order-free, so the
+    plan needs no ordering anywhere. Fixed iteration count = fixed
+    plan depth; for convergence-driven runs compose with the q44
+    fixed-point check pattern."""
+    out_deg = edges.groupBy(F.col("a").alias(id_col)).agg(
+        F.count("*").alias("_deg")
+    )
+    ranks = nodes.select(id_col).withColumn(
+        "rank", F.lit(PR_SCALE).cast("long")
+    )
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(out_deg, id_col)
+            .join(edges, F.col(id_col) == F.col("a"))
+            .select(
+                F.col("b").alias("_dst"),
+                (F.lit(PR_DAMP_PCT).cast("long") * F.col("rank")).alias("_num"),
+                (F.lit(100).cast("long") * F.col("_deg")).alias("_den"),
+            )
+            # `div` = exact integer division: the `/` operator on
+            # longs is DOUBLE division, whose round-then-truncate can
+            # land one off from floor at near-integer quotients
+            .select("_dst", F.expr("_num div _den").alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            ranks.select(id_col)
+            .join(contrib, F.col(id_col) == F.col("_dst"), "left")
+            .select(
+                id_col,
+                (F.lit(base).cast("long") + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks

@@ -41,3 +41,39 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[Column, str]],
+    salt_source: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with explicit salting for PATHOLOGICAL
+    key skew: phase 1 aggregates on (keys..., salt) — the hot key's
+    rows spread over ``n_salts`` reducers — phase 2 re-aggregates the
+    <= n_salts partials per key. Identical output to the plain
+    groupBy for DECOMPOSABLE aggregates (sum/count/min/max — pass
+    exact types: decimal/long sums re-associate losslessly, double
+    sums do NOT and are the caller's risk).
+
+    ``aggs`` is [(column_expr, name)]; each is SUMMED in phase 1 and
+    SUMMED again in phase 2, except the caller encodes count as
+    ``F.lit(1)``. When is this needed at all? Spark's own partial
+    aggregation already combines map-side, which handles most skew;
+    the residual case is a LOW-CARDINALITY group-by (the reducer
+    count collapses to |keys|) where one reducer still receives every
+    partial for the hot key AND the per-key partial stream is huge
+    (e.g. high-cardinality intermediate state upstream of the final
+    agg). The salt keeps reduce-side parallelism at |keys| x n_salts
+    until the final tiny pass."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(expr).alias(name) for expr, name in aggs]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(F.col(name)).alias(name) for _, name in aggs]
+    )

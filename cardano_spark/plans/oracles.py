@@ -585,3 +585,38 @@ def _q87_oracle() -> str:
 
 
 RELATIONAL_ORACLES["q87_zorder_layout_keys"] = _q87_oracle()
+
+RELATIONAL_ORACLES["q89_salted_heavy_key_agg"] = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
+RELATIONAL_ORACLES["q90_gapfill_forward_fill"] = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS total_dec
+      FROM events WHERE user_id < 50
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.hour, h.n_events, h.total_dec
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           coalesce(n_events, 0)::BIGINT AS n_events,
+           CAST(CAST(
+             last_value(total_dec IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS VARCHAR) AS DOUBLE) AS filled_value
+    FROM joined
+"""

@@ -1074,6 +1074,79 @@ def q87_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_salted_heavy_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over the 5-value event_type key
+    (operators/skew.py::salted_agg): per type, row count and exact
+    decimal value total. Output is IDENTICAL to the plain groupBy
+    (decimal sums re-associate losslessly — that's why the sums are
+    decimal, and why the oracle is just GROUP BY); what changes is
+    the shuffle: reduce-side parallelism stays |keys| x 16 instead of
+    collapsing to 5 reducers — the plan-level fix for hot keys whose
+    partial stream overwhelms a single reducer."""
+    from cardano_spark.operators.skew import salted_agg
+
+    e = table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        [(F.lit(1).cast("long"), "n"), (dec("value"), "total_dec")],
+        salt_source=F.col("event_id"),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", exact_double(F.col("total_dec")).alias("total_value")
+    )
+
+
+def q90_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user (id < 50 slice), a
+    dense hourly grid from their first to last event, hours with no
+    events emitted with n_events=0 and the last observed hourly total
+    carried FORWARD — the hypertable ``time_bucket_gapfill`` /
+    ``locf`` shape every monitoring stack needs.
+
+    Shape: hourly aggregate (one (user, hour) exchange, decimal-exact
+    totals) -> per-user bounds (tiny agg) -> the dense grid
+    materializes MAP-SIDE via ``sequence`` + explode (never a
+    generator join) -> left join of observations back on the grid ->
+    one window pass for the carry-forward (same user partitioning).
+    Grid size = active span per user, so a sparse user costs their
+    span, not the global timeline."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        exact_double(
+            F.last(F.col("total_dec"), ignorenulls=True).over(w)
+        ).alias("filled_value"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1113,5 +1186,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q83_retention_matrix": q83_retention_matrix,
     "q84_ordered_funnel": q84_ordered_funnel,
     "q87_zorder_layout_keys": q87_zorder_layout_keys,
+    "q89_salted_heavy_key_agg": q89_salted_heavy_key_agg,
+    "q90_gapfill_forward_fill": q90_gapfill_forward_fill,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -59,6 +59,9 @@ _DEFERRED = [
     "q33_multimodal_features",     # fake-decode plumbing; heavy pytest coverage; untouched since r2
     "q47_ann_multiprobe_topk",     # bucket-equijoin pin; selection covered by q56 auto
     "q46_multimodal_real_decode",  # stdlib codec paths; dedicated pytest + property tests
+    "q57_ann_ivf_trained",    # explicit-centroid IVF; dedicated pytest; untouched since early r4
+    "q59_repetition_scores",  # shuffle-free array folds; plan-pinned; untouched since early r4
+    "q61_pii_redaction",      # cross-engine regex chain; dedicated pytest; untouched since early r4
 ]
 
 

@@ -594,6 +594,34 @@ def q73_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q88_integer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 iterations) over the q44
+    blocking graph (shared 20-char prefix/suffix, both directions) —
+    graph centrality for picking AUTHORITATIVE duplicates, with
+    scaled-int64 arithmetic so the iteration is bit-deterministic
+    and the oracle replays it as three unrolled SQL stages
+    (operators/dedup.py::integer_pagerank; float PageRank can never
+    hash-match across engines — contribution sums re-associate)."""
+    d = table(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("pre"),
+        F.right(F.col("text"), F.lit(20)).alias("suf"),
+    )
+    edges = None
+    for k in ("pre", "suf"):
+        a = keys.select(F.col("doc_id").alias("a"), F.col(k).alias("_k"))
+        b = keys.select(F.col("doc_id").alias("b"), F.col(k).alias("_k"))
+        e = a.join(b, "_k").filter(F.col("a") != F.col("b")).select("a", "b")
+        edges = e if edges is None else edges.union(e)
+    return DD.integer_pagerank(
+        d.select(F.col("doc_id").alias("node")),
+        edges.dropDuplicates(["a", "b"]),
+        id_col="node",
+        iterations=3,
+    ).select(F.col("node").alias("doc_id"), "rank")
+
+
 def q42_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: explode tokens, global term frequencies,
     top-50 — the first step of any tokenizer/BPE training run. The
@@ -942,6 +970,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q42_vocab_topk": q42_vocab_topk,
     "q44_dedup_clusters": q44_dedup_clusters,
     "q72_cluster_representatives": q72_cluster_representatives,
+    "q88_integer_pagerank": q88_integer_pagerank,
     "q73_bloom_decontamination": q73_bloom_decontamination,
     "q63_grouped_quantiles": q63_grouped_quantiles,
     "q64_source_mixture_plan": q64_source_mixture_plan,
@@ -1588,6 +1617,50 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                n_chars::BIGINT AS rep_n_chars,
                n_members::BIGINT AS n_members
         FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+    # 3 unrolled iterations (recursive terms can't aggregate); `//`
+    # is DuckDB's integer floor division = Spark's `div` on positives
+    "q88_integer_pagerank": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, substr(text, 1, 20) AS pre, right(text, 20) AS suf
+              FROM documents),
+        e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.pre = y.pre AND x.doc_id <> y.doc_id
+          UNION
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.suf = y.suf AND x.doc_id <> y.doc_id
+        ),
+        deg AS (SELECT a AS node, count(*) AS dg FROM e GROUP BY a),
+        r0 AS (SELECT doc_id AS node, 1048576::BIGINT AS rank FROM d),
+        r1 AS (
+          SELECT n.node,
+                 (157286 + coalesce(sum((85 * r.rank) // (100 * deg.dg)), 0))::BIGINT AS rank
+          FROM r0 n
+          LEFT JOIN e ON e.b = n.node
+          LEFT JOIN r0 r ON r.node = e.a
+          LEFT JOIN deg ON deg.node = e.a
+          GROUP BY n.node
+        ),
+        r2 AS (
+          SELECT n.node,
+                 (157286 + coalesce(sum((85 * r.rank) // (100 * deg.dg)), 0))::BIGINT AS rank
+          FROM r1 n
+          LEFT JOIN e ON e.b = n.node
+          LEFT JOIN r1 r ON r.node = e.a
+          LEFT JOIN deg ON deg.node = e.a
+          GROUP BY n.node
+        ),
+        r3 AS (
+          SELECT n.node,
+                 (157286 + coalesce(sum((85 * r.rank) // (100 * deg.dg)), 0))::BIGINT AS rank
+          FROM r2 n
+          LEFT JOIN e ON e.b = n.node
+          LEFT JOIN r2 r ON r.node = e.a
+          LEFT JOIN deg ON deg.node = e.a
+          GROUP BY n.node
+        )
+        SELECT node AS doc_id, rank FROM r3
     """,
     "q42_vocab_topk": """
         SELECT token, count(*) AS n

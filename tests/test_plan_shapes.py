@@ -446,3 +446,20 @@ def test_q84_funnel_stage_chain_no_cartesian(spark):
     plan = _plan(spark, "q84_ordered_funnel")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q89_salted_agg_two_phase_with_salt_key(spark):
+    plan = _plan(spark, "q89_salted_heavy_key_agg")
+    # phase 1 exchange carries the salt; the final exchange only the key
+    assert "_salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final per phase
+
+
+def test_q90_gapfill_grid_is_mapside_sequence_not_generator_join(spark):
+    plan = _plan(spark, "q90_gapfill_forward_fill")
+    # the dense grid comes from explode(sequence(...)) — a projection,
+    # never a join against a generated calendar table
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
