@@ -287,3 +287,40 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .drop("_in_old", "_in_new")
     )
+
+
+def delta_join(
+    a: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join: the DELTA
+    of ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` relative to ``A ⋈ B``, computed
+    WITHOUT re-joining the big bases:
+
+        Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    — the classic insert-only IVM identity. A materialized join view
+    over 100 TB bases refreshes by joining only the arrival batches
+    against the (indexed/bucketed) bases: per-batch cost scales with
+    |Δ| x fan-out, never |A| x |B|. Deletes/updates compose with
+    :func:`snapshot_diff` (feed the 'removed' side negated) or the
+    upsert sinks.
+
+    Scale shape: each term shuffles the SMALL delta against one base
+    (Catalyst broadcasts the delta side below the threshold — the
+    plan you want; the bases are never joined to each other). Bases
+    pre-bucketed on the key (sources/bucketed.py) drop even the base
+    side's exchange. The three terms are disjoint by construction
+    (new-old / old-new / new-new), so the union needs no dedup."""
+    terms = [
+        delta_a.join(b, list(on)),
+        a.join(delta_b, list(on)),
+        delta_a.join(delta_b, list(on)),
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out

@@ -620,3 +620,50 @@ RELATIONAL_ORACLES["q90_gapfill_forward_fill"] = """
              ) AS VARCHAR) AS DOUBLE) AS filled_value
     FROM joined
 """
+
+RELATIONAL_ORACLES["q91_delta_join_refresh"] = """
+    WITH o_old AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ), o_new AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+    ), l_old AS (
+      SELECT l_orderkey AS o_orderkey, l_quantity FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-07-01'
+    ), l_new AS (
+      SELECT l_orderkey AS o_orderkey, l_quantity FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    ), delta AS (
+      SELECT o.o_orderstatus, l.l_quantity FROM o_new o JOIN l_old l USING (o_orderkey)
+      UNION ALL
+      SELECT o.o_orderstatus, l.l_quantity FROM o_old o JOIN l_new l USING (o_orderkey)
+      UNION ALL
+      SELECT o.o_orderstatus, l.l_quantity FROM o_new o JOIN l_new l USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_new_rows,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty_delta
+    FROM delta GROUP BY o_orderstatus
+"""
+
+RELATIONAL_ORACLES["q92_window_rank_suite"] = """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+RELATIONAL_ORACLES["q93_fuzzy_match_join"] = """
+    SELECT c_custkey, s_suppkey, c_sfx, s_sfx, dist FROM (
+      SELECT c.c_custkey, s.s_suppkey,
+             right(c.c_name, 6) AS c_sfx,
+             right(s.s_name, 6) AS s_sfx,
+             levenshtein(right(c.c_name, 6), right(s.s_name, 6))::BIGINT AS dist
+      FROM customer c JOIN supplier s
+        ON length(right(c.c_name, 6)) = length(right(s.s_name, 6))
+    ) WHERE dist <= 2
+"""

@@ -1147,6 +1147,85 @@ def q90_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_delta_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of an orders⋈lineitem view via the IVM
+    identity (operators/relational.py::delta_join): bases = rows
+    before 1997-07-01, deltas = the rest; the view's per-status
+    (count, exact qty total) update comes ONLY from the three
+    delta-sided joins — the big bases never re-join each other.
+    Oracle verifies the refreshed delta aggregate equals the direct
+    computation over the same three terms."""
+    from cardano_spark.operators.relational import delta_join
+
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_shipdate"
+    )
+    delta = delta_join(
+        o.filter(F.col("o_orderdate") < cutoff),
+        o.filter(F.col("o_orderdate") >= cutoff),
+        l.filter(F.col("l_shipdate") < cutoff),
+        l.filter(F.col("l_shipdate") >= cutoff),
+        ["o_orderkey"],
+    )
+    return delta.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_new_rows"),
+        exact_double(F.sum(dec("l_quantity"))).alias("qty_delta"),
+    )
+
+
+def q92_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth in one pass: ntile(4) spend quartile,
+    percent_rank, cume_dist, dense_rank per customer's orders — all
+    four share ONE (customer, order-date) window sort, so Catalyst
+    plans a single exchange + a single Window operator. percent_rank
+    and cume_dist are rank-ratio IEEE divisions — deterministic
+    (no sums to re-associate)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+def q93_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: customer names whose last-6-char
+    suffix is within Levenshtein distance 2 of a supplier name's
+    suffix, blocked on the name's numeric-suffix LENGTH so the edit
+    distance runs only within blocks — the record-linkage pattern
+    (entity resolution across systems) with the O(n*m) cross product
+    cut to block-sized pieces. Levenshtein is an exact integer DP —
+    identical in every engine; the blocking key guarantee (equal
+    lengths here) is what makes the pair count tractable, the same
+    blocking discipline as the dedup family."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.right(F.col("c_name"), F.lit(6)).alias("c_sfx")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.right(F.col("s_name"), F.lit(6)).alias("s_sfx")
+    )
+    blocked = c.withColumn("_blk", F.length("c_sfx")).join(
+        F.broadcast(s.withColumn("_blk", F.length("s_sfx"))), "_blk"
+    )
+    return (
+        blocked.withColumn(
+            "dist", F.levenshtein(F.col("c_sfx"), F.col("s_sfx")).cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+        .select("c_custkey", "s_suppkey", "c_sfx", "s_sfx", "dist")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1188,5 +1267,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q87_zorder_layout_keys": q87_zorder_layout_keys,
     "q89_salted_heavy_key_agg": q89_salted_heavy_key_agg,
     "q90_gapfill_forward_fill": q90_gapfill_forward_fill,
+    "q91_delta_join_refresh": q91_delta_join_refresh,
+    "q92_window_rank_suite": q92_window_rank_suite,
+    "q93_fuzzy_match_join": q93_fuzzy_match_join,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -62,6 +62,9 @@ _DEFERRED = [
     "q57_ann_ivf_trained",    # explicit-centroid IVF; dedicated pytest; untouched since early r4
     "q59_repetition_scores",  # shuffle-free array folds; plan-pinned; untouched since early r4
     "q61_pii_redaction",      # cross-engine regex chain; dedicated pytest; untouched since early r4
+    "q58_benchmark_contamination", # broadcast probe plan-pinned; q73 exercises the same operator in-window
+    "q60_sequence_packing",   # range-shuffle prefix sum; plan-pinned; untouched since early r4
+    "q62_data_quality",       # single-scan rule report; dedicated pytest; untouched since early r4
 ]
 
 

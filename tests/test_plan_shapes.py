@@ -463,3 +463,18 @@ def test_q90_gapfill_grid_is_mapside_sequence_not_generator_join(spark):
     assert "Generate explode" in plan or "Generate" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q92_rank_suite_single_window_single_exchange(spark):
+    plan = _plan(spark, "q92_window_rank_suite")
+    # all four ranking functions share one sort/partitioning
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)" in plan
+
+
+def test_q93_fuzzy_join_is_blocked_broadcast_not_cartesian(spark):
+    plan = _plan(spark, "q93_fuzzy_match_join")
+    assert "BroadcastHashJoin" in plan  # equi on the block key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -353,3 +353,27 @@ def test_scd2_replay_roundtrip_random(spark):
         for e in eps:
             at = [v for (t, s, v) in raw if t <= e["valid_from"]][-1]
             assert e["v"] == at
+
+
+def test_delta_join_equals_full_recompute_random(spark):
+    """IVM identity on random (seeded) splits: old_join ∪ delta ==
+    join of the unioned tables, as multisets."""
+    import random
+
+    from cardano_spark.operators.relational import delta_join
+
+    rng = random.Random(13)
+    a_rows = [(rng.randrange(30), i, rng.randrange(100)) for i in range(150)]
+    b_rows = [(rng.randrange(30), i, rng.randrange(100)) for i in range(200)]
+    cut_a, cut_b = 100, 120
+    a = spark.createDataFrame(a_rows[:cut_a], "k long, aid long, av long")
+    da = spark.createDataFrame(a_rows[cut_a:], "k long, aid long, av long")
+    b = spark.createDataFrame(b_rows[:cut_b], "k long, bid long, bv long")
+    db = spark.createDataFrame(b_rows[cut_b:], "k long, bid long, bv long")
+    old = a.join(b, ["k"])
+    delta = delta_join(a, da, b, db, ["k"])
+    full = a.unionByName(da).join(b.unionByName(db), ["k"])
+    lhs = sorted(map(tuple, old.unionByName(delta).collect()))
+    rhs = sorted(map(tuple, full.collect()))
+    assert lhs == rhs
+    assert delta.count() > 0  # the split actually produced a delta
