@@ -657,13 +657,21 @@ RELATIONAL_ORACLES["q92_window_rank_suite"] = """
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
-RELATIONAL_ORACLES["q93_fuzzy_match_join"] = """
-    SELECT c_custkey, s_suppkey, c_sfx, s_sfx, dist FROM (
+_HAMMING6 = " + ".join(
+    f"CASE WHEN substr(c_sfx, {i}, 1) <> substr(s_sfx, {i}, 1) THEN 1 ELSE 0 END"
+    for i in range(1, 7)
+)
+
+# semantics stated directly (quadratic filter — fine at oracle scale);
+# the Spark plan must reproduce it through the lossless segment blocks
+RELATIONAL_ORACLES["q93_fuzzy_match_join"] = f"""
+    SELECT c_custkey, s_suppkey, c_sfx, s_sfx,
+           hamming, levenshtein(c_sfx, s_sfx)::BIGINT AS lev
+    FROM (
       SELECT c.c_custkey, s.s_suppkey,
              right(c.c_name, 6) AS c_sfx,
              right(s.s_name, 6) AS s_sfx,
-             levenshtein(right(c.c_name, 6), right(s.s_name, 6))::BIGINT AS dist
-      FROM customer c JOIN supplier s
-        ON length(right(c.c_name, 6)) = length(right(s.s_name, 6))
-    ) WHERE dist <= 2
+             ({_HAMMING6})::BIGINT AS hamming
+      FROM customer c CROSS JOIN supplier s
+    ) WHERE hamming <= 2
 """
