@@ -675,3 +675,14 @@ RELATIONAL_ORACLES["q93_fuzzy_match_join"] = f"""
       FROM customer c CROSS JOIN supplier s
     ) WHERE hamming <= 2
 """
+
+RELATIONAL_ORACLES["q94_supplier_diversity"] = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) lp
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size BETWEEN 5 AND 40
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""

@@ -1271,6 +1271,39 @@ def q93_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers per
+    (brand, type, size) for mid-size parts outside one brand,
+    EXCLUDING blacklisted suppliers (negative balance) via NOT IN —
+    the distinct-count + exclusion-subquery composition.
+
+    Shape: the (part, supplier) pair set collapses to DISTINCT pairs
+    FIRST (partial-agg dedup on the pair — the fact table never
+    reaches the dimension join at row multiplicity), the blacklist is
+    a broadcast anti-join (NOT IN with a guaranteed-non-null key =
+    anti semantics), part filters push to the part scan, and the
+    final distinct-count runs over the collapsed pair frame."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").between(5, 40)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = (
+        l.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey",
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1315,5 +1348,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q91_delta_join_refresh": q91_delta_join_refresh,
     "q92_window_rank_suite": q92_window_rank_suite,
     "q93_fuzzy_match_join": q93_fuzzy_match_join,
+    "q94_supplier_diversity": q94_supplier_diversity,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }
