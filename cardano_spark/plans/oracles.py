@@ -686,3 +686,48 @@ RELATIONAL_ORACLES["q94_supplier_diversity"] = """
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
 """
+
+RELATIONAL_ORACLES["q95_equi_depth_histogram"] = """
+    WITH bounds AS (
+      SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+              quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+              quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+              quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+              quantile_cont(value, 0.9)] AS bs
+      FROM events
+    )
+    SELECT bucket, count(*) AS n FROM (
+      SELECT list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(bs, b -> CASE WHEN value > b THEN 1::BIGINT ELSE 0::BIGINT END)),
+               (x, y) -> x + y) AS bucket
+      FROM events, bounds
+    ) GROUP BY bucket
+"""
+
+RELATIONAL_ORACLES["q96_distribution_drift"] = """
+    WITH mid AS (
+      SELECT make_timestamp(CAST(floor(
+               (epoch_us(min(ts))::DOUBLE + epoch_us(max(ts))::DOUBLE) / 2.0
+             ) AS BIGINT)) AS mid
+      FROM events
+    ), halves AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE ts < mid) AS n1,
+             count(*) FILTER (WHERE ts >= mid) AS n2
+      FROM events, mid GROUP BY event_type
+    ), tot AS (
+      SELECT sum(n1) AS t1, sum(n2) AS t2,
+             list_sort(list({'event_type': event_type, 'n1': n1, 'n2': n2})) AS terms,
+             count(*)::BIGINT AS n_types
+      FROM halves
+    )
+    SELECT n_types, t1::BIGINT AS n_first, t2::BIGINT AS n_second,
+           list_reduce(
+             list_prepend(0.0::DOUBLE, list_transform(terms,
+               t -> (t.n2::DOUBLE - t.n1::DOUBLE * t2::DOUBLE / t1::DOUBLE)
+                    * (t.n2::DOUBLE - t.n1::DOUBLE * t2::DOUBLE / t1::DOUBLE)
+                    / (t.n1::DOUBLE * t2::DOUBLE / t1::DOUBLE))),
+             (x, y) -> x + y) AS chi_square
+    FROM tot
+"""

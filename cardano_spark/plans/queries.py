@@ -1304,6 +1304,107 @@ def q94_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of events.value: decile boundaries from
+    EXACT interpolated percentiles (the q63 determinism argument —
+    Spark `percentile` and DuckDB `quantile_cont` run the same IEEE
+    interpolation), then per-bucket row counts — the statistics
+    object an optimizer's CBO or a drift monitor builds per column.
+
+    Shape: boundary computation is ONE partial-agg reduce to a
+    single row (percentile is a true partial aggregation — no global
+    sort); assignment broadcasts the 9 boundaries back as a literal
+    array and buckets map-side with a fold over the array; the
+    bucket-count agg shuffles 10 groups. Two passes over the column
+    total — the unavoidable shape when boundaries depend on the data
+    (a fixed-boundary histogram is one pass)."""
+    e = table(spark, sf_dir, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds_row = e.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    bucket = F.aggregate(
+        F.col("bs"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col("value") > b, 1).otherwise(0),
+    )
+    return (
+        e.select("value")
+        .crossJoin(F.broadcast(bounds_row))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q96_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift detection between the first and second half
+    of the event timeline: Pearson chi-square over the event_type
+    distribution (expected = first-half share scaled to second-half
+    volume). Chosen over PSI/KL deliberately: those need ln(), which
+    is libm-divergent across engines, while chi-square is add/mul/div
+    — and the cross-category sum runs as a SEQUENTIAL FOLD over the
+    type-sorted term array, because a plain double sum aggregate
+    would be association-order-dependent (the q80 lesson applied to
+    a scalar statistic).
+
+    Shape: one (half, type) partial-agg exchange collapses the corpus
+    to 2x|types| rows; everything after is a constant-size single-row
+    computation."""
+    from cardano_spark.functions.hashing import fold_sum
+
+    e = table(spark, sf_dir, "events")
+    mid_row = e.agg(
+        F.timestamp_micros(
+            F.floor(
+                (
+                    F.unix_micros(F.min("ts")).cast("double")
+                    + F.unix_micros(F.max("ts")).cast("double")
+                )
+                / 2.0
+            ).cast("long")
+        ).alias("mid")
+    )
+    halves = (
+        e.crossJoin(F.broadcast(mid_row))
+        .select(
+            "event_type",
+            F.when(F.col("ts") < F.col("mid"), 1).otherwise(2).alias("half"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("half") == 1, 1)).alias("n1"),
+            F.count(F.when(F.col("half") == 2, 1)).alias("n2"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "n1", "n2"))
+        ).alias("terms"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    def term(t):
+        # expected, then (o-e)^2/e — squared via multiply, never
+        # pow() (libm-divergent even for integral exponents)
+        exp = (
+            t.n1.cast("double")
+            * F.col("t2").cast("double")
+            / F.col("t1").cast("double")
+        )
+        d = t.n2.cast("double") - exp
+        return d * d / exp
+
+    chi = fold_sum(F.transform(F.col("terms"), term), F.lit(0.0))
+    return tot.select(
+        "n_types",
+        F.col("t1").cast("long").alias("n_first"),
+        F.col("t2").cast("long").alias("n_second"),
+        chi.alias("chi_square"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1349,5 +1450,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q92_window_rank_suite": q92_window_rank_suite,
     "q93_fuzzy_match_join": q93_fuzzy_match_join,
     "q94_supplier_diversity": q94_supplier_diversity,
+    "q95_equi_depth_histogram": q95_equi_depth_histogram,
+    "q96_distribution_drift": q96_distribution_drift,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -66,6 +66,8 @@ _DEFERRED = [
     "q60_sequence_packing",   # range-shuffle prefix sum; plan-pinned; untouched since early r4
     "q62_data_quality",       # single-scan rule report; dedicated pytest; untouched since early r4
     "q63_grouped_quantiles",  # percentile partial agg; plan-pinned; untouched since early r4
+    "q64_source_mixture_plan",     # q75 recomputes the same plan in-window; plan-pinned
+    "q67_semantic_decontamination", # broadcast max-cosine; plan-pinned; untouched since early r4
 ]
 
 
