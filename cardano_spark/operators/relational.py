@@ -324,3 +324,47 @@ def delta_join(
     for t in terms[1:]:
         out = out.unionByName(t)
     return out
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    carry: Sequence[str],
+) -> DataFrame:
+    """Forward as-of join: for each ``left`` row, the EARLIEST
+    ``right`` row with the same keys strictly after it in ``order``
+    (the "time-to-next-event" direction — label lookahead, next-touch
+    attribution; :func:`asof_join_prev` mirrored). Same scale
+    rewrite: tagged union, ONE key shuffle, a single window pass with
+    a 1 FOLLOWING .. UNBOUNDED frame; an exactly-tied right row
+    counts as LATER (sorts after left at equal order values), so the
+    match is strictly-after and tie-safe.
+
+    Carried columns return as ``next_<name>`` (NULL when no later
+    right row exists)."""
+    from pyspark.sql import Window as W
+
+    lt = left.withColumn("_side", F.lit(0))
+    rt = right.select(
+        *on, *order, *[F.col(c).alias(f"_carry_{c}") for c in carry]
+    ).withColumn("_side", F.lit(1))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(*[F.col(c) for c in order], F.col("_side"))
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.first(F.col(f"_carry_{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"next_{c}")
+            for c in carry
+        ],
+    )
+    return filled.filter(F.col("_side") == 0).drop(
+        "_side", *[f"_carry_{c}" for c in carry]
+    )

@@ -731,3 +731,29 @@ RELATIONAL_ORACLES["q96_distribution_drift"] = """
              (x, y) -> x + y) AS chi_square
     FROM tot
 """
+
+RELATIONAL_ORACLES["q97_asof_next_purchase"] = """
+    WITH u AS (
+      SELECT event_id, user_id, ts, 0 AS side,
+             NULL::BIGINT AS carry_id, NULL::TIMESTAMP AS carry_ts
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, user_id, ts, 1 AS side, event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT event_id, user_id, ts, side,
+             first_value(carry_id IGNORE NULLS) OVER w AS next_purchase_id,
+             first_value(carry_ts IGNORE NULLS) OVER w AS next_purchase_ts
+      FROM u
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts, event_id, side
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+      )
+    )
+    SELECT event_id AS click_id, user_id, ts AS click_ts,
+           next_purchase_id, next_purchase_ts,
+           epoch_us(next_purchase_ts) - epoch_us(ts) AS gap_us
+    FROM filled WHERE side = 0
+"""

@@ -1405,6 +1405,34 @@ def q96_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/relational.py::asof_join_next):
+    each click matched to the user's EARLIEST later purchase — the
+    time-to-conversion lookup, q38's mirror. Same single-shuffle
+    union+window rewrite; the gap is exact integer microseconds."""
+    from cardano_spark.operators.relational import asof_join_next
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
+    buys = e.filter(F.col("event_type") == "purchase").drop("event_type")
+    joined = asof_join_next(
+        clicks, buys, on=["user_id"], order=["ts", "event_id"],
+        carry=["event_id", "ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("next_event_id").alias("next_purchase_id"),
+        F.col("next_ts").alias("next_purchase_ts"),
+        (
+            F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1452,5 +1480,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q94_supplier_diversity": q94_supplier_diversity,
     "q95_equi_depth_histogram": q95_equi_depth_histogram,
     "q96_distribution_drift": q96_distribution_drift,
+    "q97_asof_next_purchase": q97_asof_next_purchase,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

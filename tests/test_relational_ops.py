@@ -377,3 +377,25 @@ def test_delta_join_equals_full_recompute_random(spark):
     rhs = sorted(map(tuple, full.collect()))
     assert lhs == rhs
     assert delta.count() > 0  # the split actually produced a delta
+
+
+def test_asof_join_next_tie_is_later_and_single_shuffle(spark):
+    from cardano_spark.operators.relational import asof_join_next
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (2, 4, 902)], "k long, t long, rid long"
+    )
+    out = asof_join_next(
+        left, right, on=["k"], order=["t"], carry=["rid"]
+    ).collect()
+    got = {r["lid"]: r["next_rid"] for r in out}
+    # exact tie (t=10) counts as LATER -> it IS the next match
+    assert got == {100: 900, 101: None, 102: None}
+    df = asof_join_next(left, right, on=["k"], order=["t"], carry=["rid"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # union+window, never an inequality join
