@@ -657,9 +657,9 @@ RELATIONAL_ORACLES["q92_window_rank_suite"] = """
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
-_HAMMING6 = " + ".join(
+_HAMMING4 = " + ".join(
     f"CASE WHEN substr(c_sfx, {i}, 1) <> substr(s_sfx, {i}, 1) THEN 1 ELSE 0 END"
-    for i in range(1, 7)
+    for i in range(1, 5)
 )
 
 # semantics stated directly (quadratic filter — fine at oracle scale);
@@ -669,11 +669,11 @@ RELATIONAL_ORACLES["q93_fuzzy_match_join"] = f"""
            hamming, levenshtein(c_sfx, s_sfx)::BIGINT AS lev
     FROM (
       SELECT c.c_custkey, s.s_suppkey,
-             right(c.c_name, 6) AS c_sfx,
-             right(s.s_name, 6) AS s_sfx,
-             ({_HAMMING6})::BIGINT AS hamming
+             right(c.c_name, 4) AS c_sfx,
+             right(s.s_name, 4) AS s_sfx,
+             ({_HAMMING4})::BIGINT AS hamming
       FROM customer c CROSS JOIN supplier s
-    ) WHERE hamming <= 2
+    ) WHERE hamming <= 1
 """
 
 RELATIONAL_ORACLES["q94_supplier_diversity"] = """
