@@ -94,3 +94,14 @@ def test_cli_export_shards(spark, tmp_path):
     assert rc == 0
     m = read_manifest(dest)
     assert m.n_rows == spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+
+
+def test_write_training_shards_empty_input(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    df = _docs_with_key(spark).filter(F.lit(False))
+    out = str(tmp_path / "empty")
+    m = write_training_shards(df, out, "shard_key", n_shards=3)
+    assert m.n_rows == 0
+    assert read_manifest(out).n_rows == 0
+    assert spark.read.parquet(out).count() == 0  # schema-bearing empty table
