@@ -757,3 +757,21 @@ RELATIONAL_ORACLES["q97_asof_next_purchase"] = """
            epoch_us(next_purchase_ts) - epoch_us(ts) AS gap_us
     FROM filled WHERE side = 0
 """
+
+RELATIONAL_ORACLES["q98_transition_matrix"] = """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events WHERE user_id IS NOT NULL
+    ), counts AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           sum(n) OVER (PARTITION BY from_type)::BIGINT AS from_total,
+           n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE AS p
+    FROM counts
+"""

@@ -1442,6 +1442,39 @@ def q97_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix
+    behind next-action prediction and anomalous-sequence detection):
+    per user in event order, count (from_type -> to_type) pairs, plus
+    each from-type's total so the transition probability is a single
+    IEEE division. One user_id window exchange + one tiny pair agg;
+    the window and the q76/q80 family share the same partitioning
+    discipline."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wt).cast("long").alias("from_total"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("p"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1490,5 +1523,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q95_equi_depth_histogram": q95_equi_depth_histogram,
     "q96_distribution_drift": q96_distribution_drift,
     "q97_asof_next_purchase": q97_asof_next_purchase,
+    "q98_transition_matrix": q98_transition_matrix,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

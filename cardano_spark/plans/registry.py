@@ -69,6 +69,7 @@ _DEFERRED = [
     "q64_source_mixture_plan",     # q75 recomputes the same plan in-window; plan-pinned
     "q67_semantic_decontamination", # broadcast max-cosine; plan-pinned; untouched since early r4
     "q28_ann_lsh_topk",       # bucketed path covered by q56 auto pins; untouched since r3
+    "q36_ann_ivf_topk",       # IVF plan-pinned; trained-centroid twin q57 also CI-covered
 ]
 
 
