@@ -775,3 +775,19 @@ RELATIONAL_ORACLES["q98_transition_matrix"] = """
            n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE AS p
     FROM counts
 """
+
+RELATIONAL_ORACLES["q99_promo_revenue_share"] = """
+    WITH j AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(9,6)) AS rev,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-03-01'
+    )
+    SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS promo_pct
+    FROM j
+"""

@@ -1475,6 +1475,34 @@ def q98_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of total for a
+    ship-date month — conditional aggregation over the fact-dim join.
+    Part broadcasts; both sums stay DECIMAL through the aggregate and
+    the percentage is one exact-double division chain, so the scalar
+    hash-matches the oracle."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-03-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    out = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_dec"),
+        F.sum(rev).alias("total_dec"),
+    )
+    return out.select(
+        exact_double(F.col("promo_dec")).alias("promo_revenue"),
+        exact_double(F.col("total_dec")).alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * exact_double(F.col("promo_dec"))
+            / exact_double(F.col("total_dec"))
+        ).alias("promo_pct"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1524,5 +1552,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q96_distribution_drift": q96_distribution_drift,
     "q97_asof_next_purchase": q97_asof_next_purchase,
     "q98_transition_matrix": q98_transition_matrix,
+    "q99_promo_revenue_share": q99_promo_revenue_share,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

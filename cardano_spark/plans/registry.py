@@ -70,6 +70,8 @@ _DEFERRED = [
     "q67_semantic_decontamination", # broadcast max-cosine; plan-pinned; untouched since early r4
     "q28_ann_lsh_topk",       # bucketed path covered by q56 auto pins; untouched since r3
     "q36_ann_ivf_topk",       # IVF plan-pinned; trained-centroid twin q57 also CI-covered
+    "q49_image_resize",       # media pipeline pinned (single MapInPandas, no exchange) + checksum oracle in CI
+    "q50_audio_frame_sample", # same pinning family as q49; untouched since r3
 ]
 
 

@@ -906,6 +906,30 @@ def q79_per_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q100_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: the embedding side flags documents
+    semantically close (max cos >= 0.35) to the benchmark slice
+    (label 0, vec_id % 5 == 0 — the q67 eval stand-in), the TEXT side
+    gates on length and language, and the two signals join on the
+    shared id — the embedding⋈metadata pipeline every multimodal
+    corpus query runs (filter by vector similarity AND structured
+    attributes). Shape: one broadcast-scored embedding scan collapsed
+    per id (q67's plan) + an id equi-join to the pruned documents
+    scan; both sides arrive partitioned by the id."""
+    e = table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("label") == 0) & (F.col("vec_id") % 5 == 0)
+    flagged = SIM.semantic_decontaminate(
+        e.filter(~is_bench), e.filter(is_bench), "vec_id", "embedding", 0.35
+    ).filter(F.col("contaminated"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter((F.col("n_chars") >= 120) & (F.col("lang") != "de"))
+    return (
+        flagged.join(d, F.col("vec_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "n_chars", "max_cos")
+    )
+
+
 def q66_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-batch near-dup detection: docs >= 300 are the 'new'
     batch, the rest of the q22 slice is the already-indexed corpus;
@@ -980,6 +1004,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q86_countmin_heavy_hitters": q86_countmin_heavy_hitters,
     "q66_incremental_neardup": q66_incremental_neardup,
     "q67_semantic_decontamination": q67_semantic_decontamination,
+    "q100_crossmodal_retrieval": q100_crossmodal_retrieval,
 }
 
 
@@ -1828,5 +1853,25 @@ TRAININGDATA_ORACLES: dict[str, str] = {
         SELECT vec_id, max(cos_sim) AS max_cos,
                max(cos_sim) >= 0.4 AS contaminated
         FROM scored GROUP BY vec_id
+    """,
+    "q100_crossmodal_retrieval": f"""
+        WITH b AS (
+          SELECT embedding::DOUBLE[] AS bv FROM embeddings
+          WHERE label = 0 AND vec_id % 5 = 0
+        ), c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE NOT (label = 0 AND vec_id % 5 = 0)
+        ), scored AS (
+          SELECT c.vec_id,
+                 {_COS.replace('va', 'cv').replace('vb', 'bv')} AS cos_sim
+          FROM c, b
+        ), flagged AS (
+          SELECT vec_id, max(cos_sim) AS max_cos
+          FROM scored GROUP BY vec_id
+          HAVING max(cos_sim) >= 0.35
+        )
+        SELECT d.doc_id, d.lang, d.n_chars, f.max_cos
+        FROM flagged f JOIN documents d ON f.vec_id = d.doc_id
+        WHERE d.n_chars >= 120 AND d.lang <> 'de'
     """,
 }
