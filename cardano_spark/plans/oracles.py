@@ -791,3 +791,43 @@ RELATIONAL_ORACLES["q99_promo_revenue_share"] = """
                  / CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS promo_pct
     FROM j
 """
+
+RELATIONAL_ORACLES["q101_peak_concurrency"] = """
+    WITH deltas AS (
+      SELECT event_type, date_trunc('day', ts) AS day, epoch_us(ts) AS t,
+             1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT event_type, date_trunc('day', ts) AS day, epoch_us(ts) + 300000000 AS t,
+             -1 AS delta, event_id
+      FROM events
+    ), live AS (
+      SELECT event_type, day,
+             sum(delta) OVER (
+               PARTITION BY event_type, day
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS live
+      FROM deltas
+    )
+    SELECT event_type, day,
+           max(live)::BIGINT AS peak_concurrent,
+           (count(*) // 2)::BIGINT AS n_windows
+    FROM live GROUP BY event_type, day
+"""
+
+RELATIONAL_ORACLES["q102_copurchase_pairs"] = """
+    WITH per_order AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ), pairs AS (
+      SELECT a.p1, b.p2 FROM (
+        SELECT l_orderkey, unnest(parts) AS p1, parts FROM per_order
+      ) a, unnest(a.parts) AS b(p2)
+      WHERE b.p2 > a.p1
+    )
+    SELECT p1, p2, count(*) AS support
+    FROM pairs GROUP BY p1, p2
+    ORDER BY support DESC, p1 ASC, p2 ASC
+    LIMIT 20
+"""

@@ -1503,6 +1503,83 @@ def q99_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval counting: peak number of CONCURRENT
+    activity windows (each event opens a 5-minute half-open window)
+    per (event_type, day) — the max-concurrent-sessions / capacity
+    statistic. Each interval becomes a +1 at start and a -1 at end;
+    the running sum over the time-ordered deltas is the live count
+    and its max is the peak.
+
+    Scale shape: the running sum needs a TOTAL order only WITHIN the
+    (type, day) partition — the sweep partitions by a bounded window
+    of time exactly so no global single-partition sort exists
+    (intervals never cross the day boundary here; for spanning
+    intervals, clip at boundaries and add the carry-in count, the
+    standard segmenting trick). Half-open semantics pin the tie
+    order: at equal timestamps the -1 sorts first (an interval
+    ending at t frees its slot before one starting at t takes it),
+    with event_id as the final total-order tiebreak."""
+    e = table(spark, sf_dir, "events")
+    start = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.lit(1).alias("delta"),
+        F.col("event_id"),
+    )
+    end = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),  # 5-min windows stay in-day here
+        (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.col("event_id"),
+    )
+    deltas = start.unionByName(end)
+    w = (
+        W.partitionBy("event_type", "day")
+        .orderBy(F.asc("t"), F.asc("delta"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    live = deltas.withColumn("live", F.sum("delta").over(w))
+    return live.groupBy("event_type", "day").agg(
+        F.max("live").cast("long").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_windows"),
+    )
+
+
+def q102_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs by the
+    number of orders containing BOTH (support) — the frequent-
+    itemset k=2 pass. Pair generation is blocked BY THE ORDER: the
+    per-order distinct part list self-joins within the orderkey, so
+    fan-out is C(items_per_order, 2) — bounded by basket size (~7
+    here), never corpus-quadratic (the same blocking discipline as
+    the dedup family; a part-pair generator without the order block
+    would be |parts|^2). Per-order pairs dedupe map-side via
+    array_distinct before the C(n,2) expansion."""
+    l = table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "parts"
+        )
+    )
+    a = per_order.select(
+        "l_orderkey", F.explode("parts").alias("p1"), "parts"
+    )
+    pairs = a.select(
+        "l_orderkey",
+        "p1",
+        F.explode(F.filter(F.col("parts"), lambda x: x > F.col("p1"))).alias(
+            "p2"
+        ),
+    )
+    support = pairs.groupBy("p1", "p2").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return topk(support, [F.desc("support"), F.asc("p1"), F.asc("p2")], 20)
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1553,5 +1630,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q97_asof_next_purchase": q97_asof_next_purchase,
     "q98_transition_matrix": q98_transition_matrix,
     "q99_promo_revenue_share": q99_promo_revenue_share,
+    "q101_peak_concurrency": q101_peak_concurrency,
+    "q102_copurchase_pairs": q102_copurchase_pairs,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

@@ -72,6 +72,8 @@ _DEFERRED = [
     "q36_ann_ivf_topk",       # IVF plan-pinned; trained-centroid twin q57 also CI-covered
     "q49_image_resize",       # media pipeline pinned (single MapInPandas, no exchange) + checksum oracle in CI
     "q50_audio_frame_sample", # same pinning family as q49; untouched since r3
+    "q55_tfidf_top_terms",    # 3-exchange plan pinned; untouched since r3
+    "q40_trainingdata_pipeline",   # composed pipeline; bench headline + CI oracle; untouched since r3
 ]
 
 

@@ -478,3 +478,22 @@ def test_q93_fuzzy_join_is_blocked_broadcast_not_cartesian(spark):
     assert "BroadcastHashJoin" in plan  # equi on the block key
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q101_sweep_partitions_by_day_no_global_sort(spark):
+    plan = _plan(spark, "q101_peak_concurrency")
+    # the running sum partitions by (type, day) — never a
+    # single-partition global window or a whole-timeline range sort
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Window") == 1
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_q102_pairs_blocked_by_order(spark):
+    plan = _plan(spark, "q102_copurchase_pairs")
+    # pair generation explodes per-order part lists — no self-join of
+    # the part domain, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "TakeOrderedAndProject" in plan
