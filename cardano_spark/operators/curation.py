@@ -92,8 +92,12 @@ def repetition_scores(
     doc's own bigrams — so the plan is shuffle-free (no explode, no
     groupBy): a projection over the corpus scan, embarrassingly
     parallel at any scale."""
-    lines = F.split(F.col(text_col), "\n")
-    toks = F.split(F.col(text_col), " ")
+    # NULL text normalizes to '' on BOTH engines: split(NULL) is NULL
+    # and size(NULL) = -1 under Spark's legacy sizeOfNull, which would
+    # emit n_lines=-1 while the oracle's len(NULL) yields NULL
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    toks = F.split(txt, " ")
     k = F.size(toks) - F.lit(1)
     grams = F.when(k >= 1, F.transform(
         F.sequence(F.lit(1), k),

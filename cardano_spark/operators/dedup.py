@@ -697,7 +697,7 @@ def cluster_representatives(
     broken by LOWEST ``id_col`` so the choice is deterministic).
 
     Scale shape: a single exchange on the cluster id with MAP-SIDE
-    partial aggregation — ``max_by(id, struct(score, -id))`` reduces
+    partial aggregation — ``min_by(id, struct(-score, id))`` reduces
     before the wire, so the shuffle carries one row per (partition,
     cluster), never the member lists. (The struct ordering key makes
     Spark pick SortAggregate over HashAggregate — the partials are
@@ -709,13 +709,19 @@ def cluster_representatives(
     skew-safe.
 
     Returns (``cluster_col``, rep_id, rep_score, n_members).
+
+    ``id_col`` may be ANY orderable type (string doc ids included):
+    the ordering key negates the SCORE (numeric by contract), never
+    the id — ``-string`` would silently cast to NULL under non-ANSI
+    mode and turn the documented deterministic tie-break into an
+    arbitrary pick.
     """
     ord_key = F.struct(
-        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+        (-F.col(score_col)).alias("negs"), F.col(id_col).alias("i")
     )
     return members.groupBy(cluster_col).agg(
-        F.max_by(F.col(id_col), ord_key).alias("rep_id"),
-        F.max(ord_key).getField("s").alias("rep_score"),
+        F.min_by(F.col(id_col), ord_key).alias("rep_id"),
+        F.max(F.col(score_col)).alias("rep_score"),
         F.count("*").alias("n_members"),
     )
 

@@ -43,10 +43,15 @@ def salted_join(
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
 
 
+#: merge functions usable in BOTH phases of a salted aggregation:
+#: each is associative/commutative and idempotent to re-merge
+_SALT_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: list[tuple[Column, str]],
+    aggs: list[tuple[Column, str] | tuple[Column, str, str]],
     salt_source: Column,
     n_salts: int = 16,
 ) -> DataFrame:
@@ -58,22 +63,33 @@ def salted_agg(
     exact types: decimal/long sums re-associate losslessly, double
     sums do NOT and are the caller's risk).
 
-    ``aggs`` is [(column_expr, name)]; each is SUMMED in phase 1 and
-    SUMMED again in phase 2, except the caller encodes count as
-    ``F.lit(1)``. When is this needed at all? Spark's own partial
-    aggregation already combines map-side, which handles most skew;
-    the residual case is a LOW-CARDINALITY group-by (the reducer
-    count collapses to |keys|) where one reducer still receives every
-    partial for the hot key AND the per-key partial stream is huge
-    (e.g. high-cardinality intermediate state upstream of the final
-    agg). The salt keeps reduce-side parallelism at |keys| x n_salts
-    until the final tiny pass."""
+    ``aggs`` is [(column_expr, name)] or [(column_expr, name, fn)]
+    with ``fn`` in {"sum", "min", "max"} (default "sum"; encode count
+    as ``F.lit(1)`` with "sum"). The SAME merge function runs in both
+    phases — sum-of-sums, min-of-mins, max-of-maxes are the
+    decomposable merges; anything else (avg, count_distinct) must be
+    rewritten into these before salting. When is this needed at all?
+    Spark's own partial aggregation already combines map-side, which
+    handles most skew; the residual case is a LOW-CARDINALITY
+    group-by (the reducer count collapses to |keys|) where one
+    reducer still receives every partial for the hot key AND the
+    per-key partial stream is huge (e.g. high-cardinality
+    intermediate state upstream of the final agg). The salt keeps
+    reduce-side parallelism at |keys| x n_salts until the final tiny
+    pass."""
+    norm = []
+    for a in aggs:
+        expr, name = a[0], a[1]
+        fn = a[2] if len(a) > 2 else "sum"
+        if fn not in _SALT_FNS:
+            raise ValueError(f"fn must be one of {sorted(_SALT_FNS)}, got {fn!r}")
+        norm.append((expr, name, _SALT_FNS[fn]))
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int")
     )
     phase1 = salted.groupBy(*keys, "_salt").agg(
-        *[F.sum(expr).alias(name) for expr, name in aggs]
+        *[fn(expr).alias(name) for expr, name, fn in norm]
     )
     return phase1.groupBy(*keys).agg(
-        *[F.sum(F.col(name)).alias(name) for _, name in aggs]
+        *[fn(F.col(name)).alias(name) for _, name, fn in norm]
     )

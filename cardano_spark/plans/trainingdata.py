@@ -764,7 +764,19 @@ def q75_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the apply-step a DoReMi-style reweighting pipeline runs
     over 100 TB: plan once on aggregates, apply as a map filter."""
     d = table(spark, sf_dir, "documents")
-    plan = q64_source_mixture_plan(spark, sf_dir).select("source", "keep_rate")
+    # keep_rate depends only on DOC COUNTS — plan on a count-only
+    # aggregate (same arithmetic as q64 minus its n_tokens column,
+    # whose full-corpus tokenization would be computed and thrown
+    # away here; the q75 oracle plans the same way)
+    per_src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = W.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast(
+        "double"
+    )
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    plan = per_src.select(
+        "source", F.least(F.lit(1.0), target / share).alias("keep_rate")
+    )
     frac = (
         md5_long(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))).cast(
             "double"
@@ -1332,8 +1344,8 @@ TRAININGDATA_ORACLES: dict[str, str] = {
     "q59_repetition_scores": """
         WITH d AS (
           SELECT doc_id,
-                 string_split(text, chr(10)) AS lines,
-                 string_split(text, ' ') AS toks
+                 string_split(coalesce(text, ''), chr(10)) AS lines,
+                 string_split(coalesce(text, ''), ' ') AS toks
           FROM documents
         ), g AS (
           SELECT doc_id,

@@ -407,17 +407,37 @@ def pg_copy_sql(table: str, columns: Sequence[str]) -> str:
     return f"COPY {quote_ident(table)} ({cols}) FROM STDIN WITH (FORMAT text)"
 
 
+def _pg_array_literal(arr: Sequence) -> str:
+    """Python twin of sources/jdbc.py::encode_pg_text_array (PG docs
+    §8.15.6): every non-null element double-quoted with ``\\`` and
+    ``\"`` escaped; NULL elements as the bare word NULL."""
+    parts = []
+    for e in arr:
+        if e is None:
+            parts.append("NULL")
+        else:
+            s = e if isinstance(e, str) else str(e)
+            parts.append('"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"')
+    return "{" + ",".join(parts) + "}"
+
+
 def encode_copy_text_row(values: Sequence) -> str:
     """One row in PG COPY text format (PostgreSQL docs, COPY "Text
-    Format"): tab-separated fields, ``\\N`` for NULL, and backslash
+    Format"): tab-separated fields, ``\\N`` for NULL, backslash
     escapes for the four metacharacters (backslash, tab, newline,
-    carriage return). No trailing newline — the caller frames rows."""
+    carriage return), and list/tuple values emitted as PG array
+    literals (the TEXT[] columns from ddl.py) — ``str()`` of a Python
+    list is NOT a PG array and COPY would reject it. No trailing
+    newline — the caller frames rows."""
     out = []
     for v in values:
         if v is None:
             out.append(r"\N")
             continue
-        s = v if isinstance(v, str) else str(v)
+        if isinstance(v, (list, tuple)):
+            s = _pg_array_literal(v)
+        else:
+            s = v if isinstance(v, str) else str(v)
         s = (
             s.replace("\\", "\\\\")
             .replace("\t", "\\t")
@@ -553,8 +573,14 @@ class DBUpsertSink:
         cols = ", ".join(quote_ident(c) for c in self.columns)
         keys = ", ".join(quote_ident(k) for k in self.keys)
         non_keys = [c for c in self.columns if c not in self.keys]
+        # NULLS FIRST matches Spark's ascending default, so this sink
+        # and ParquetMergeSink's dedup_by_key pick the SAME survivor
+        # for same-key rows with NULL non-key values (SQL's default
+        # ASC is NULLS LAST on PG/DuckDB — they would diverge)
         order = (
-            ", ".join(quote_ident(c) for c in non_keys) if non_keys else keys
+            ", ".join(f"{quote_ident(c)} NULLS FIRST" for c in non_keys)
+            if non_keys
+            else keys
         )
         if mode == "insert":
             conflict = "DO NOTHING"

@@ -65,14 +65,20 @@ def write_training_shards(
     writer.parquet(path)
 
     spark = df.sparkSession
-    files = sorted(
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
+    # listing + sizes via the Hadoop FileSystem API (the abstraction
+    # s3a:// implements — the earlier os.listdir form worked only on
+    # local paths despite the CLI accepting object-store URIs)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            sizes[name] = int(st.getLen())
     # per-file row counts, computed distributed over the written data
     counts = {
-        os.path.basename(r["file"]): r["rows"]
+        r["file"].rsplit("/", 1)[-1]: r["rows"]
         for r in spark.read.parquet(path)
         .select(
             F.input_file_name().alias("file"),
@@ -81,39 +87,51 @@ def write_training_shards(
         .agg(F.count("*").alias("rows"))
         .collect()
     }
-    shards = []
-    for f in files:
-        full = os.path.join(path, f)
-        shards.append(
-            {
-                "file": f,
-                "rows": int(counts.get(f, 0)),
-                "bytes": os.path.getsize(full),
-            }
-        )
+    shards = [
+        {"file": f, "rows": int(counts.get(f, 0)), "bytes": sizes[f]}
+        for f in sorted(sizes)
+    ]
     manifest = ShardManifest(
         n_shards=len(shards),
         n_rows=sum(s["rows"] for s in shards),
         total_bytes=sum(s["bytes"] for s in shards),
         shards=shards,
     )
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(
-            {
-                "n_shards": manifest.n_shards,
-                "n_rows": manifest.n_rows,
-                "total_bytes": manifest.total_bytes,
-                "shards": manifest.shards,
-            },
-            fh,
-            indent=2,
-        )
+    payload = json.dumps(
+        {
+            "n_shards": manifest.n_shards,
+            "n_rows": manifest.n_rows,
+            "total_bytes": manifest.total_bytes,
+            "shards": manifest.shards,
+        },
+        indent=2,
+    ).encode()
+    # manifest rides the same FileSystem as the shards
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")
+    out = fs.create(mpath, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
     return manifest
 
 
-def read_manifest(path: str) -> ShardManifest:
-    with open(os.path.join(path, "_manifest.json")) as fh:
-        m = json.load(fh)
+def read_manifest(path: str, spark: SparkSession | None = None) -> ShardManifest:
+    """Read ``_manifest.json``; pass ``spark`` for non-local schemes
+    (the Hadoop FileSystem route), plain ``open`` otherwise."""
+    if spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(jpath)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        m = json.loads(raw.decode())
+    else:
+        with open(os.path.join(path, "_manifest.json")) as fh:
+            m = json.load(fh)
     return ShardManifest(
         n_shards=m["n_shards"],
         n_rows=m["n_rows"],

@@ -34,7 +34,15 @@ from pyspark.sql import functions as F
 def _sql_literal(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):
+            # repr(inf)/'nan' are not SQL literals; a predicate built
+            # from them errors remotely at execution time — fail fast
+            raise ValueError(f"non-finite float is not a SQL literal: {v!r}")
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     return "'" + str(v).replace("'", "''") + "'"
 

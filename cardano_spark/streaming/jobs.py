@@ -82,9 +82,10 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
         return EVENTS_RAW_SCHEMA
     try:
         ts = _pq.read_schema(candidates[0]).field("ts").type
-    except (OSError, KeyError):
-        # directory dataset, foreign file without a ts column, ...:
-        # fall back to the default rather than fail stream setup
+    except (OSError, KeyError, ValueError):
+        # directory dataset, foreign file without a ts column, or a
+        # corrupt/non-parquet file (pyarrow ArrowInvalid subclasses
+        # ValueError): fall back rather than fail stream setup
         return EVENTS_RAW_SCHEMA
     import pyarrow as _pa
 

@@ -79,7 +79,7 @@ def test_golden_staging_and_merge_statements():
         '("block", "tx_hash", "created_at") '
         'SELECT "block", "tx_hash", "created_at" FROM ('
         '  SELECT *, row_number() OVER (PARTITION BY "block" '
-        'ORDER BY "tx_hash", "created_at") AS rn'
+        'ORDER BY "tx_hash" NULLS FIRST, "created_at" NULLS FIRST) AS rn'
         '  FROM "staging_cardano_block_transactions"'
         ") dedup WHERE rn = 1 "
         'ON CONFLICT ("block") DO NOTHING'

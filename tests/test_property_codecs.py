@@ -184,3 +184,25 @@ def test_pg_array_codec_spark_duckdb_twins_agree(spark):
     rt = dict(con.execute(f"SELECT i, {dec} FROM t ORDER BY i").fetchall())
     assert rt == {i: arr for i, arr in rows}
     con.close()
+
+
+def test_copy_text_row_encodes_arrays_as_pg_literals():
+    from cardano_spark.sinks.merge import encode_copy_text_row
+
+    row = encode_copy_text_row([7, ["a", None, 'q"x', "b\\c"], None, "plain"])
+    f = row.split("\t")
+    assert f[0] == "7"
+    # PG array literal, with COPY-level backslash escaping applied on top
+    assert f[1] == '{"a",NULL,"q\\\\"x","b\\\\\\\\c"}'
+    assert f[2] == r"\N" and f[3] == "plain"
+
+
+def test_sql_literal_rejects_non_finite_floats():
+    import pytest
+
+    from cardano_spark.sources.jdbc import _sql_literal
+
+    assert _sql_literal(1.5) == "1.5"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError):
+            _sql_literal(bad)

@@ -35,6 +35,8 @@ def test_write_training_shards_manifest_and_bounds(spark, tmp_path):
     # manifest round-trips and matches the listing
     m2 = read_manifest(out)
     assert m2.shards == m.shards and m2.n_rows == m.n_rows
+    # the Hadoop-FS read route (object-store schemes) agrees
+    assert read_manifest(out, spark).shards == m.shards
     assert len(m.shards) == len(
         [f for f in os.listdir(out) if f.endswith(".parquet")]
     )

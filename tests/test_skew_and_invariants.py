@@ -162,3 +162,33 @@ def test_cluster_conf_sizing_rules():
 
     with pytest.raises(ValueError):
         cluster_conf(0, 8)
+
+
+def test_salted_agg_min_max_and_sum_match_plain_groupby(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from cardano_spark.operators.skew import salted_agg
+
+    rng = random.Random(5)
+    rows = [(rng.choice(["a", "b"]), i, rng.randrange(1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, rid long, v long")
+    out = salted_agg(
+        df,
+        ["k"],
+        [
+            (F.lit(1).cast("long"), "n", "sum"),
+            (F.col("v"), "v_min", "min"),
+            (F.col("v"), "v_max", "max"),
+        ],
+        salt_source=F.col("rid"),
+    )
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.min("v").alias("v_min"), F.max("v").alias("v_max")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], [(F.col("v"), "x", "avg")], F.col("rid"))

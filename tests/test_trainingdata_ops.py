@@ -666,6 +666,28 @@ def test_cluster_representatives_values_and_agg_shape(spark):
         .toString()
         .split("== Initial Plan ==")[0]  # AQE prints the plan twice
     )
-    assert "partial_max_by" in plan
+    assert "partial_min_by" in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cluster_representatives_string_ids_deterministic(spark):
+    from cardano_spark.operators import dedup as DD
+
+    members = spark.createDataFrame(
+        [
+            (1, "doc-b", 9.0),
+            (1, "doc-a", 9.0),  # tie -> lexicographically smallest id
+            (1, "doc-z", 5.0),
+            (2, "doc-x", 1.0),
+        ],
+        "cluster_id long, doc_id string, score double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in DD.cluster_representatives(
+            members, "cluster_id", "doc_id", "score"
+        ).collect()
+    }
+    assert out[1]["rep_id"] == "doc-a" and out[1]["rep_score"] == 9.0
+    assert out[2]["rep_id"] == "doc-x"
