@@ -27,6 +27,10 @@ SLICE = [
     "q80_trailing_anomaly",       # windowed frame sums
     "q88_integer_pagerank",       # iterative integer ranks
     "q90_gapfill_forward_fill",   # generated grid + carry-forward
+    "q93_fuzzy_match_join",       # pigeonhole candidate dedup
+    "q96_distribution_drift",     # sorted-fold scalar statistic
+    "q101_peak_concurrency",      # sweep-line tie ordering
+    "q102_copurchase_pairs",      # per-order pair expansion + top-k
 ]
 
 
