@@ -74,6 +74,8 @@ _DEFERRED = [
     "q50_audio_frame_sample", # same pinning family as q49; untouched since r3
     "q55_tfidf_top_terms",    # 3-exchange plan pinned; untouched since r3
     "q40_trainingdata_pipeline",   # composed pipeline; bench headline + CI oracle; untouched since r3
+    "q01_pricing_summary",    # partial-agg + pruned-scan pins; bench headline; untouched since r1
+    "q02_top_parts_by_revenue",    # TakeOrdered pin; bench headline; untouched since r1
 ]
 
 

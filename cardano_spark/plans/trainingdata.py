@@ -942,6 +942,64 @@ def q100_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q64's mixture planner reweighted by TOKENS instead of docs:
+    keep_rate flattens each source's share of the TOKEN budget (what
+    a training run actually consumes — a source of few huge docs is
+    over-represented under doc-count planning). Same one-scan shape:
+    per-source partial agg, corpus totals via a window over the
+    |sources|-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast(
+        "double"
+    )
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    return per_src.select(
+        "source",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(F.lit(1.0), target / share).alias("keep_rate"),
+    )
+
+
+def q104_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION applied end to end: q44's clusters -> q72's
+    representatives -> drop every non-representative member -> audit
+    (per source: docs kept/dropped, token volume saved). This is the
+    complete dedup pipeline a corpus build runs — detect, choose,
+    APPLY — with the apply step a broadcast-able semi/anti join of
+    the (tiny) drop list against the corpus."""
+    d = table(spark, sf_dir, "documents")
+    comp = q44_dedup_clusters(spark, sf_dir)
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    reps = DD.cluster_representatives(
+        members, "cluster_id", "doc_id", "n_chars"
+    ).filter(F.col("n_members") >= 2)
+    dropped = (
+        comp.join(reps.select("cluster_id", "rep_id"), "cluster_id")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+    )
+    audited = d.join(
+        dropped.withColumn("_drop", F.lit(1)), "doc_id", "left"
+    ).select(
+        "source",
+        F.coalesce(F.col("_drop"), F.lit(0)).alias("_drop"),
+        F.size(TX.tokens(F.col("text"))).alias("_tok"),
+    )
+    return audited.groupBy("source").agg(
+        F.count(F.when(F.col("_drop") == 0, 1)).alias("n_kept"),
+        F.count(F.when(F.col("_drop") == 1, 1)).alias("n_dropped"),
+        F.sum(F.when(F.col("_drop") == 1, F.col("_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_saved"),
+    )
+
+
 def q66_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-batch near-dup detection: docs >= 300 are the 'new'
     batch, the rest of the q22 slice is the already-indexed corpus;
@@ -1011,6 +1069,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q63_grouped_quantiles": q63_grouped_quantiles,
     "q64_source_mixture_plan": q64_source_mixture_plan,
     "q75_mixture_sampler": q75_mixture_sampler,
+    "q103_token_mixture_plan": q103_token_mixture_plan,
+    "q104_dedup_apply": q104_dedup_apply,
     "q79_per_stratum_sample": q79_per_stratum_sample,
     "q81_boilerplate_spans": q81_boilerplate_spans,
     "q86_countmin_heavy_hitters": q86_countmin_heavy_hitters,
@@ -1799,6 +1859,61 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                  )::BIGINT AS pick_order
           FROM documents
         ) WHERE pick_order <= 5
+    """,
+    "q103_token_mixture_plan": """
+        WITH per_src AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(n_tokens) AS t, count(*) AS ns FROM per_src
+        )
+        SELECT source, n_tokens,
+               n_tokens::DOUBLE / t::DOUBLE AS token_share,
+               least(1.0, (1.0 / ns::DOUBLE)
+                          / (n_tokens::DOUBLE / t::DOUBLE)) AS keep_rate
+        FROM per_src, tot
+    """,
+    "q104_dedup_apply": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, substr(text, 1, 20) AS pre, right(text, 20) AS suf
+              FROM documents),
+        e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.pre = y.pre AND x.doc_id <> y.doc_id
+          UNION
+          SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+            ON x.suf = y.suf AND x.doc_id <> y.doc_id
+        ),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM walk GROUP BY node
+        ),
+        ranked AS (
+          SELECT c.cluster_id, c.doc_id,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                 row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY doc.n_chars DESC, c.doc_id ASC
+                 ) AS rn
+          FROM comp c JOIN documents doc USING (doc_id)
+        ),
+        dropped AS (
+          SELECT doc_id FROM ranked WHERE n_members >= 2 AND rn > 1
+        )
+        SELECT doc.source,
+               count(*) FILTER (WHERE dr.doc_id IS NULL)::BIGINT AS n_kept,
+               count(*) FILTER (WHERE dr.doc_id IS NOT NULL)::BIGINT AS n_dropped,
+               coalesce(sum(CASE WHEN dr.doc_id IS NOT NULL
+                    THEN len(string_split(doc.text, ' ')) ELSE 0 END), 0)::BIGINT
+                 AS tokens_saved
+        FROM documents doc LEFT JOIN dropped dr USING (doc_id)
+        GROUP BY doc.source
     """,
     "q75_mixture_sampler": f"""
         WITH per_src AS (
