@@ -497,3 +497,17 @@ def test_q102_pairs_blocked_by_order(spark):
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Generate" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q103_token_plan_single_scan(spark):
+    plan = _plan(spark, "q103_token_mixture_plan")
+    assert plan.count("Scan parquet") == 1  # totals via window, not a re-scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q104_dedup_apply_no_cartesian(spark):
+    plan = _plan(spark, "q104_dedup_apply")
+    assert "CartesianProduct" not in plan
+    # the apply step is a LEFT join of the tiny drop list, never a
+    # corpus-corpus join beyond the q44 blocking graph
+    assert "BroadcastNestedLoopJoin" not in plan
