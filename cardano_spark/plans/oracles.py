@@ -831,3 +831,23 @@ RELATIONAL_ORACLES["q102_copurchase_pairs"] = """
     ORDER BY support DESC, p1 ASC, p2 ASC
     LIMIT 20
 """
+
+RELATIONAL_ORACLES["q105_hierarchical_shares"] = """
+    WITH leaf AS (
+      SELECT r_name, n_name,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_dec
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(CAST(bal_dec AS VARCHAR) AS DOUBLE) AS balance,
+           CAST(CAST(bal_dec AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(bal_dec) OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
+             AS share_of_region,
+           CAST(CAST(sum(bal_dec) OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(bal_dec) OVER () AS VARCHAR) AS DOUBLE)
+             AS region_share_of_world
+    FROM leaf
+"""

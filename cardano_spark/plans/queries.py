@@ -1580,6 +1580,38 @@ def q102_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(support, [F.desc("support"), F.asc("p1"), F.asc("p2")], 20)
 
 
+def q105_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent reporting down the region -> nation
+    hierarchy: each nation's share of its region's customer balance
+    and each region's share of the world total — the drill-down
+    ratio columns every OLAP report carries. One aggregation pass to
+    the leaf grain (|nations| rows), then BOTH parent totals come
+    from windows over that tiny aggregate (constant-size partitions
+    — never a second scan or a join back to the fact table); decimal
+    sums keep every ratio an exact-double division."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    leaf = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(dec("c_acctbal")).alias("bal_dec"))
+    )
+    wr = W.partitionBy("r_name")
+    ww = W.partitionBy()
+    bal = exact_double(F.col("bal_dec"))
+    region_total = exact_double(F.sum("bal_dec").over(wr))
+    world_total = exact_double(F.sum("bal_dec").over(ww))
+    return leaf.select(
+        "r_name",
+        "n_name",
+        bal.alias("balance"),
+        (bal / region_total).alias("share_of_region"),
+        (region_total / world_total).alias("region_share_of_world"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_revenue": q02_top_parts_by_revenue,
@@ -1632,5 +1664,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q99_promo_revenue_share": q99_promo_revenue_share,
     "q101_peak_concurrency": q101_peak_concurrency,
     "q102_copurchase_pairs": q102_copurchase_pairs,
+    "q105_hierarchical_shares": q105_hierarchical_shares,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

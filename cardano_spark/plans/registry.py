@@ -76,6 +76,7 @@ _DEFERRED = [
     "q40_trainingdata_pipeline",   # composed pipeline; bench headline + CI oracle; untouched since r3
     "q01_pricing_summary",    # partial-agg + pruned-scan pins; bench headline; untouched since r1
     "q02_top_parts_by_revenue",    # TakeOrdered pin; bench headline; untouched since r1
+    "q26_embedding_neardup_topk",  # compound-block pin + candidate-bound test; untouched since r3
 ]
 
 
