@@ -8,10 +8,81 @@ re-ordering, AQE all apply).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Default ceiling (bytes of on-disk parquet) under which a join side
+#: may be FORCE-broadcast. Compressed parquet expands ~3-4x in memory,
+#: so 64 MiB on disk is ~a quarter-GiB materialized on every executor —
+#: comfortably inside an 8-16 GiB executor, far above Spark's 10 MB
+#: auto threshold (we know these dims are hot), and far below the size
+#: where a pinned hint becomes an OOM at the 100 TB design point.
+#: Override per-run with $SPARK_GRAFT_BROADCAST_GATE_BYTES.
+DEFAULT_BROADCAST_GATE_BYTES = 64 << 20
+
+
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the files feeding ``df``'s scan leaves —
+    an UPPER BOUND on any projection/filter/join derived from them.
+    Returns None when the size is unknowable (no file-backed leaves,
+    or files on a filesystem ``os.stat`` can't reach, e.g. s3://) —
+    callers must treat None as "assume big"."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = parsed.path or uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    threshold_bytes: int | None = None,
+    size_bytes: int | None = None,
+) -> DataFrame:
+    """Size-GATED broadcast hint (J2 at scale). ``F.broadcast`` on a
+    table that scales with the data (customer/part/supplier in TPC-H
+    terms — unlike nation/region they grow linearly with SF) is
+    correct at bench scale and an OOM bomb at the 100 TB design
+    point: a forced hint overrides Spark's own size checks and
+    materializes the whole side on every executor.
+
+    This helper applies the hint only when the side is PROVABLY small:
+    ``size_bytes`` (caller-known size) or :func:`scan_bytes` (sum of
+    the frame's input files — an upper bound for any frame derived
+    from them) must be at or under the threshold. Unknown size — empty
+    ``inputFiles`` or a remote filesystem — means NO hint: Catalyst +
+    AQE then pick the strategy from runtime statistics, which is
+    exactly the safe default at cluster scale (AQE converts the join
+    to broadcast anyway when the built side turns out small).
+
+    The small-SF plan pins (BroadcastHashJoin in test_plan_shapes)
+    therefore hold in the regime where they were measured, and the
+    hint self-retires above it — the same per-regime contract as
+    q56's measured ANN strategy crossover."""
+    if threshold_bytes is None:
+        threshold_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_GATE_BYTES", DEFAULT_BROADCAST_GATE_BYTES
+            )
+        )
+    if size_bytes is None:
+        size_bytes = scan_bytes(df)
+    if size_bytes is not None and size_bytes <= threshold_bytes:
+        return F.broadcast(df)
+    return df
 
 
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:

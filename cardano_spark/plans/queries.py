@@ -33,6 +33,7 @@ from cardano_spark.functions.scalars import (
 )
 from cardano_spark.operators.relational import (
     asof_join_prev,
+    broadcast_if_small,
     insert_if_absent,
     missing_children,
     range_join_count,
@@ -93,7 +94,7 @@ def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("revenue"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", exact_double(F.col("revenue")).alias("revenue"))
     )
     return topk(rev, [F.desc("revenue"), F.asc("p_partkey")], 10)
@@ -103,7 +104,9 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way FK equi-join chain (J2) + aggregate: the analytics
     layer the reference ran in Hex against Postgres. lineitem-orders
     is the only fact-fact join (shuffle on orderkey, AQE-managed);
-    customer/nation/region are broadcast."""
+    nation/region are broadcast unconditionally (true dimensions);
+    customer scales with SF, so its hint is size-gated
+    (broadcast_if_small) and self-retires at cluster scale."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -121,7 +124,7 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -424,7 +427,7 @@ def q35_supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("s_items"),
     )
     return (
-        per_supp.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_supp.join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -591,7 +594,10 @@ def q52_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(T.DecimalType(18, 2))
     return (
         per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        # asia_cust derives from customer x (two true dims): its scan
+        # bytes — the gate's upper bound — scale with customer, so the
+        # hint retires exactly when customer stops being broadcastable
+        .join(broadcast_if_small(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(
@@ -627,7 +633,7 @@ def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -1301,13 +1307,13 @@ def q94_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_partkey", "l_suppkey")
         .distinct()
         .join(
-            F.broadcast(bad.select(F.col("s_suppkey").alias("l_suppkey"))),
+            broadcast_if_small(bad.select(F.col("s_suppkey").alias("l_suppkey"))),
             "l_suppkey",
             "left_anti",
         )
     )
     return (
-        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1487,7 +1493,7 @@ def q99_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part")
     rev = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
-    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
     out = j.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_dec"),
         F.sum(rev).alias("total_dec"),

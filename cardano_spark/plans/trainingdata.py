@@ -950,8 +950,13 @@ def q103_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source partial agg, corpus totals via a window over the
     |sources|-row aggregate."""
     d = table(spark, sf_dir, "documents")
+    # NULL text coalesces to '' BEFORE tokenizing: legacy sizeOfNull
+    # would yield -1 here while the oracle's len(string_split(NULL))
+    # is NULL (skipped by SUM) — same divergence class fixed in q59
     per_src = d.groupBy("source").agg(
-        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
+        F.sum(F.size(TX.tokens(F.coalesce(F.col("text"), F.lit("")))))
+        .cast("long")
+        .alias("n_tokens")
     )
     w = W.partitionBy()
     share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast(
@@ -989,7 +994,8 @@ def q104_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         F.coalesce(F.col("_drop"), F.lit(0)).alias("_drop"),
-        F.size(TX.tokens(F.col("text"))).alias("_tok"),
+        # NULL-text guard: see q103 (sizeOfNull vs oracle NULL-skip)
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("_tok"),
     )
     return audited.groupBy("source").agg(
         F.count(F.when(F.col("_drop") == 0, 1)).alias("n_kept"),
@@ -1863,7 +1869,8 @@ TRAININGDATA_ORACLES: dict[str, str] = {
     "q103_token_mixture_plan": """
         WITH per_src AS (
           SELECT source,
-                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+                   AS n_tokens
           FROM documents GROUP BY source
         ), tot AS (
           SELECT sum(n_tokens) AS t, count(*) AS ns FROM per_src
@@ -1910,7 +1917,8 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE dr.doc_id IS NULL)::BIGINT AS n_kept,
                count(*) FILTER (WHERE dr.doc_id IS NOT NULL)::BIGINT AS n_dropped,
                coalesce(sum(CASE WHEN dr.doc_id IS NOT NULL
-                    THEN len(string_split(doc.text, ' ')) ELSE 0 END), 0)::BIGINT
+                    THEN len(string_split(coalesce(doc.text, ''), ' '))
+                    ELSE 0 END), 0)::BIGINT
                  AS tokens_saved
         FROM documents doc LEFT JOIN dropped dr USING (doc_id)
         GROUP BY doc.source

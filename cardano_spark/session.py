@@ -72,6 +72,7 @@ def cluster_conf(
     total_cores: int,
     executor_memory_bytes: int = 16 << 30,
     memory_fraction: float = 0.6,
+    cores_per_executor: int = 8,
 ) -> dict[str, str]:
     """Recommended scale-sensitive confs for a REAL cluster run over
     ``input_bytes`` of data — the 100 TB sizing rules from SCALE.md
@@ -94,8 +95,13 @@ def cluster_conf(
     """
     if input_bytes <= 0 or total_cores <= 0:
         raise ValueError("input_bytes and total_cores must be positive")
-    per_core_mem = executor_memory_bytes * memory_fraction / max(
-        1, total_cores // max(1, total_cores // 8)  # ~8 cores/executor share
+    if cores_per_executor <= 0:
+        raise ValueError("cores_per_executor must be positive")
+    # one executor's memory is shared by ITS OWN cores only — never by
+    # the whole cluster (a 12-core cluster with 8-core executors still
+    # gives each core mem/8, not mem/12)
+    per_core_mem = executor_memory_bytes * memory_fraction / min(
+        cores_per_executor, total_cores
     )
     shuffle_parts = max(
         2 * total_cores, int(input_bytes // max(1, int(per_core_mem)))

@@ -511,3 +511,92 @@ def test_q104_dedup_apply_no_cartesian(spark):
     # the apply step is a LEFT join of the tiny drop list, never a
     # corpus-corpus join beyond the q44 blocking graph
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_broadcast_gate_small_regime_applies_hint(spark):
+    """broadcast_if_small: at bench SF the gate measures the scan
+    files under threshold and applies the hint (so the q03/q02 pins
+    above keep holding for their measured regime)."""
+    from cardano_spark.catalog import table
+    from cardano_spark.operators.relational import broadcast_if_small, scan_bytes
+
+    c = table(spark, SF_SMALL, "customer")
+    sz = scan_bytes(c)
+    assert sz is not None and sz > 0  # file-backed scan is measurable
+    hinted = broadcast_if_small(c, threshold_bytes=sz)
+    logical = hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in logical
+
+
+def test_broadcast_gate_big_regime_drops_hint(spark):
+    """Above the threshold the gate returns the frame UNCHANGED — no
+    forced hint, Catalyst/AQE decide from runtime stats. This is the
+    100 TB contract: customer/part/supplier grow with SF, so a pinned
+    F.broadcast would be an OOM bomb there."""
+    from cardano_spark.catalog import table
+    from cardano_spark.operators.relational import broadcast_if_small, scan_bytes
+
+    c = table(spark, SF_SMALL, "customer")
+    sz = scan_bytes(c)
+    ungated = broadcast_if_small(c, threshold_bytes=sz - 1)
+    assert ungated is c  # identity: zero plan mutation above the gate
+
+
+def test_broadcast_gate_unknown_size_means_no_hint(spark):
+    """A frame with no measurable input files (in-memory range, or a
+    remote filesystem at deploy time) must NOT be force-broadcast:
+    unknown size is treated as big."""
+    from cardano_spark.operators.relational import broadcast_if_small, scan_bytes
+
+    mem = spark.range(3).toDF("k")
+    assert scan_bytes(mem) is None
+    assert broadcast_if_small(mem) is mem
+
+
+def test_broadcast_gate_derived_frame_uses_scan_upper_bound(spark):
+    """scan_bytes of a filtered/joined frame sums the base files — an
+    upper bound on the broadcast side, so derived frames (q52's
+    asia_cust) gate on their worst case, never on an estimate that
+    could under-count."""
+    import os
+
+    from cardano_spark.catalog import table
+    from cardano_spark.operators.relational import scan_bytes
+    from tests.conftest import SF_SMALL as SD
+
+    c = table(spark, SD, "customer")
+    n = table(spark, SD, "nation")
+    derived = c.join(n, c.c_nationkey == n.n_nationkey).filter("c_acctbal > 0")
+    got = scan_bytes(derived)
+    want = os.path.getsize(os.path.join(SD, "customer.parquet")) + os.path.getsize(
+        os.path.join(SD, "nation.parquet")
+    )
+    assert got == want
+
+
+def test_q03_gated_queries_env_override(spark, monkeypatch):
+    """$SPARK_GRAFT_BROADCAST_GATE_BYTES=0 simulates the big regime on
+    the full queries: every gated site must build WITHOUT a forced
+    hint (the plan may still broadcast — Catalyst's own thresholds —
+    but no ResolvedHint appears), and results stay correct."""
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_GATE_BYTES", "0")
+    for name in (
+        "q02_top_parts_by_revenue",
+        "q03_region_revenue",
+        "q52_market_share",
+        "q53_large_orders",
+        "q94_supplier_diversity",
+        "q99_promo_revenue_share",
+    ):
+        df = QUERIES[name](spark, SF_SMALL)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        # q03/q52 keep ResolvedHint for nation/region (true dims) —
+        # count the hints and compare against the ungated run
+        monkeypatch.delenv("SPARK_GRAFT_BROADCAST_GATE_BYTES")
+        full = QUERIES[name](spark, SF_SMALL)
+        full_hints = full._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_GATE_BYTES", "0")
+        assert logical.count("ResolvedHint") < full_hints
+        assert df.count() == full.count()

@@ -192,3 +192,26 @@ def test_salted_agg_min_max_and_sum_match_plain_groupby(spark):
 
     with pytest.raises(ValueError):
         salted_agg(df, ["k"], [(F.col("v"), "x", "avg")], F.col("rid"))
+
+
+def test_cluster_conf_small_cluster_per_core_memory():
+    """A 12-core cluster with (default) 8-core executors divides ONE
+    executor's memory by 8, not by all 12 cluster cores — the old
+    approximation inflated shuffle.partitions ~1.5x there (ADVICE r4).
+    A cluster smaller than one executor divides by what it has."""
+    import pytest
+
+    from cardano_spark.session import cluster_conf
+
+    mem, frac = 16 << 30, 0.6
+    conf12 = cluster_conf(10 << 40, 12, executor_memory_bytes=mem)
+    per_core = mem * frac / 8
+    assert int(conf12["spark.sql.shuffle.partitions"]) == int(
+        (10 << 40) // int(per_core)
+    )
+    tiny = cluster_conf(1 << 40, 4, executor_memory_bytes=mem)
+    assert int(tiny["spark.sql.shuffle.partitions"]) == int(
+        (1 << 40) // int(mem * frac / 4)
+    )
+    with pytest.raises(ValueError):
+        cluster_conf(1 << 30, 8, cores_per_executor=0)
