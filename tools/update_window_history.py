@@ -1,0 +1,62 @@
+"""Fold a round's driver correctness results into the rotation
+history (plans/window_history.json) and open the next round.
+
+Usage (at the START of round N+1, after the driver wrote
+CORRECTNESS_rNN.json for round N):
+
+    python tools/update_window_history.py CORRECTNESS_r05.json 6 [touched ...]
+
+- stamps every query in the CORRECTNESS file with its round number
+  (parsed from the filename), making it most-recently-checked;
+- sets ``round`` to the new round;
+- replaces ``touched`` with the queries named on the command line
+  (the ones whose plans/semantics the new round intends to change —
+  they jump the rotation queue; extend the list by re-running).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+HIST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "cardano_spark",
+    "plans",
+    "window_history.json",
+)
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    correctness_path, new_round = sys.argv[1], int(sys.argv[2])
+    touched = sorted(set(sys.argv[3:]))
+    m = re.search(r"_r0*(\d+)\.json$", os.path.basename(correctness_path))
+    if not m:
+        sys.exit(f"cannot parse round number from {correctness_path!r}")
+    checked_round = int(m.group(1))
+    with open(correctness_path, encoding="utf-8") as f:
+        results = json.load(f)
+    with open(HIST, encoding="utf-8") as f:
+        hist = json.load(f)
+    for q, row in results.items():
+        if row.get("err") is None:
+            hist["last_round"][q] = max(
+                hist["last_round"].get(q, 0), checked_round
+            )
+    hist["round"] = new_round
+    hist["touched"] = touched
+    with open(HIST, "w", encoding="utf-8") as f:
+        json.dump(hist, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"stamped {len(results)} queries at round {checked_round}; "
+        f"round={new_round}, touched={touched}"
+    )
+
+
+if __name__ == "__main__":
+    main()
