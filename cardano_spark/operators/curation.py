@@ -299,16 +299,24 @@ def pack_sequences(
         (r._pid, r.t)
         for r in slim.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
     )
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     run = 0
     for pid, t in totals:
-        offsets[pid] = run
+        offsets.append((pid, run))
         run += t
-    off_col = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(off_col)
+    # per-partition offsets go back as a BROADCAST JOIN on _pid — a
+    # 2-column frame of <= range_partitions rows. The alternative (a
+    # chained CASE expression) builds an O(P)-deep expression tree:
+    # invisible at 32 partitions, pathological at the 10^4-10^5 range
+    # partitions a 100 TB corpus needs (expression-tree analysis and
+    # codegen are per-node, and codegen collapses to interpreted mode
+    # past 64KB methods).
+    off_df = docs.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _part_off long"
+    )
     return (
-        within.withColumn("_start", F.col("_cum_in") + off_col)
+        within.join(F.broadcast(off_df), "_pid")
+        .withColumn("_start", F.col("_cum_in") + F.col("_part_off"))
         .select(
             id_col,
             "n_tokens",

@@ -299,3 +299,35 @@ def test_bloom_contamination_empty_and_null_shingle_docs(spark):
     assert out[1]["n_shingles"] == 0
     assert out[1]["contamination"] == 0.0
     assert out[0]["contamination"] == 1.0
+
+
+def test_pack_sequences_broadcast_offset_join_at_512_partitions(spark):
+    """The per-partition offset map is a BROADCAST JOIN on _pid, not a
+    chained CASE expression: at range_partitions=512 (the shape a
+    100 TB corpus needs) the old O(P)-deep expression tree was
+    pathological for analysis/codegen. Values must still equal the
+    driver-side reference prefix sum, and the plan must carry a
+    broadcast join with NO O(P) CaseWhen chain."""
+    import time
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(2000)],
+        "doc_id long, text string",
+    ).repartition(16)
+    n = F.size(TX.tokens(F.col("text")))
+    t0 = time.monotonic()
+    out = CU.pack_sequences(docs, "doc_id", n, budget=64, range_partitions=512)
+    rows = {r.doc_id: r for r in out.collect()}
+    elapsed = time.monotonic() - t0
+    cum = 0
+    for i in range(2000):
+        nt = (i % 5 + 1) + 1
+        r = rows[i]
+        assert (r.seq_id, r.seq_offset) == (cum // 64, cum % 64), i
+        cum += nt
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CASE WHEN (_pid" not in plan
+    # bounded time: the CASE chain took minutes at this P; the join is
+    # seconds even with JVM warmup slack
+    assert elapsed < 120, f"pack_sequences at P=512 took {elapsed:.1f}s"
