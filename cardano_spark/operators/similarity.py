@@ -224,6 +224,52 @@ def lsh_topk(
 # a conservative upper bound for cluster scale.
 ANN_AUTO_CROSSOVER = 96
 
+# Measured recall@5 of the approximate strategies against exact brute
+# force (held-out probes vec_id in [20, 52), sf0.1 embeddings = 2000
+# vectors — tests/test_trainingdata_ops.py::test_ann_recall_floors
+# re-measures these every CI run and asserts floors + orderings):
+#   sign-LSH single bucket   ~0.01   (8 random hyperplanes on the
+#       near-uniform synthetic embeddings: a true neighbor at cos~0.5
+#       agrees on all 8 signs with prob (1-θ/π)^8 ≈ 0.03 — single-
+#       bucket sign-LSH NEEDS multiprobe or more tables on data like
+#       this; exactly what this instrumentation exists to surface)
+#   sign-LSH multiprobe=1    ~0.10   (9 buckets probed)
+#   IVF nprobe=2/10 seeded   ~0.34
+#   IVF nprobe=2/10 trained  ~0.49   (kmeans_centroids, 5 iters)
+#   SQ8 shortlist=30 rerank   1.00   (30-deep int shortlist covers
+#       the true top-5 completely at this corpus size)
+# The floors asserted in CI sit under these with margin for data-drop
+# drift; the brute path (and strategy="auto" below the crossover) is
+# exact by construction, recall 1.0.
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Measured per-query recall of an ANN result frame against exact
+    ground truth (both in the ``(query_id, match_id, ...)`` contract
+    every top-k operator here returns): |approx ∩ exact| / |exact|.
+
+    This is the instrumentation every ANN deployment runs next to its
+    index build — pass ``brute_force_topk`` over a HELD-OUT probe
+    sample as ``exact`` and the production strategy's result as
+    ``approx``. Shape: one equi-join + one groupBy on query_id, both
+    over |probes| x k rows — never corpus-sized."""
+    truth = exact.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    hits = (
+        approx.select("query_id", "match_id")
+        .join(exact.select("query_id", "match_id"), ["query_id", "match_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        "n_true",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_true").cast("double")
+        ).alias("recall"),
+    )
+
 
 def choose_ann_strategy(
     n_queries: int, crossover: int = ANN_AUTO_CROSSOVER

@@ -691,3 +691,50 @@ def test_cluster_representatives_string_ids_deterministic(spark):
     }
     assert out[1]["rep_id"] == "doc-a" and out[1]["rep_score"] == 9.0
     assert out[2]["rep_id"] == "doc-x"
+
+
+def test_ann_recall_floors(spark):
+    """Measured recall@5 of every approximate ANN strategy against the
+    exact brute-force ground truth on a held-out probe set (vec_id in
+    [20,52), sf0.1 = 2000 vectors — sf0.001's ~50-vector corpus has
+    bucket occupancy << k, where recall is vacuous). Floors sit under
+    the measured numbers (documented at similarity.ANN_AUTO_CROSSOVER)
+    with margin for data-drop drift; structural orderings are exact."""
+    from cardano_spark.catalog import table
+
+    sf = "/root/testdata/sf0.1"
+    e = table(spark, sf, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 52))
+    k = 5
+    exact = SIM.brute_force_topk(
+        e, probes, "vec_id", "embedding", k=k
+    ).localCheckpoint()
+
+    def avg(approx):
+        return SIM.recall_at_k(approx, exact).agg(F.avg("recall")).collect()[0][0]
+
+    # exact vs itself is 1.0 — recall_at_k's own contract
+    assert avg(exact) == 1.0
+
+    lsh = avg(SIM.lsh_topk(e, probes, "vec_id", "embedding", k=k))
+    multi = avg(SIM.lsh_topk(e, probes, "vec_id", "embedding", k=k, multiprobe=1))
+    ivf = avg(
+        SIM.ivf_topk(e, probes, "vec_id", "embedding", n_centroids=10, nprobe=2, k=k)
+    )
+    cents = SIM.kmeans_centroids(e, "embedding", 10, max_iter=5)
+    ivft = avg(
+        SIM.ivf_topk(
+            e, probes, "vec_id", "embedding",
+            n_centroids=10, nprobe=2, k=k, centroids=cents,
+        )
+    )
+    sq8 = avg(
+        SIM.quantized_rerank_topk(e, probes, "vec_id", "embedding", k=k, shortlist=30)
+    )
+    # multiprobe probes a superset of buckets; a hit can only be
+    # displaced by a better vector, which is itself a hit
+    assert multi >= lsh
+    assert multi >= 0.05
+    assert ivf >= 0.2
+    assert ivft >= 0.35
+    assert sq8 >= 0.9
