@@ -138,3 +138,185 @@ def ensure_tables(
         cur.execute(stmt)
     if hasattr(con, "commit"):
         con.commit()
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: declared StructType vs LIVE table
+# --------------------------------------------------------------------------
+#
+# The reference evolves its warehouse with an Alembic migration chain
+# (12 revisions under database_management/versions/ — e.g. the
+# int->timestamp widening in b0673669b6c8_…py:21-31). The Spark-side
+# equivalent keeps the StructType as the single source of truth and
+# DERIVES the migration: diff the declared schema against the live
+# table's information_schema and emit additive ADD COLUMNs plus
+# explicitly-allowed type widenings. Never destructive: live columns
+# absent from the declared schema are reported, not dropped, and any
+# type change outside the widening allowlist raises for a human.
+
+#: live information_schema ``data_type`` spellings -> canonical family.
+_TYPE_FAMILY = {
+    "character varying": "varchar", "varchar": "varchar", "text": "varchar",
+    "smallint": "smallint", "int2": "smallint",
+    "integer": "integer", "int": "integer", "int4": "integer",
+    "bigint": "bigint", "int8": "bigint",
+    "boolean": "boolean", "bool": "boolean",
+    "timestamp without time zone": "timestamp", "timestamp": "timestamp",
+    "date": "date",
+    "double precision": "double", "double": "double", "float8": "double",
+    "real": "real", "float4": "real", "float": "real",  # duckdb says FLOAT
+    "numeric": "numeric", "decimal": "numeric",
+    "bytea": "binary", "blob": "binary",
+    "array": "array",
+}
+
+#: (live_family, declared_family) pairs that evolve in place without
+#: data loss. Everything else is a manual migration.
+SAFE_WIDENINGS = {
+    ("smallint", "integer"),
+    ("smallint", "bigint"),
+    ("smallint", "numeric"),
+    ("integer", "bigint"),
+    ("integer", "numeric"),
+    ("bigint", "numeric"),
+    ("real", "double"),
+    # the reference's b0673669b6c8 case: epoch seconds -> timestamp.
+    # Needs a value transform, so it is PG-only (USING to_timestamp);
+    # the ansi dialect raises and points at a copy-rewrite.
+    ("integer", "timestamp"),
+    ("bigint", "timestamp"),
+}
+
+
+def _family(data_type: str) -> str:
+    t = data_type.strip().lower()
+    t = t.split("(", 1)[0].strip()  # drop precision/length suffixes
+    if t.endswith("[]"):
+        return "array"
+    return _TYPE_FAMILY.get(t, t)
+
+
+def _declared_family(dtype: T.DataType, dialect: str) -> str:
+    return _family(sql_type(dtype, dialect))
+
+
+def live_columns(con: object, table: str) -> dict[str, str] | None:
+    """Column name -> declared SQL type of the LIVE table, from
+    ``information_schema.columns`` (Postgres, DuckDB — the engines the
+    upsert sink targets; Derby exposes the same facts via
+    ``SYS.SYSCOLUMNS`` and would add a dialect branch here). Returns
+    None when the table does not exist."""
+    cur = con.cursor() if hasattr(con, "cursor") else con
+    cur.execute(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = ? ORDER BY ordinal_position"
+        if _paramstyle(con) == "qmark"
+        else "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = %s ORDER BY ordinal_position",
+        (table,),
+    )
+    rows = cur.fetchall()
+    if not rows:
+        return None
+    return {name: dt for name, dt in rows}
+
+
+def _paramstyle(con: object) -> str:
+    mod = type(con).__module__.split(".", 1)[0]
+    return "format" if mod.startswith("psycopg") else "qmark"
+
+
+def evolve_table_sql(
+    table: str,
+    declared: T.StructType,
+    live: dict[str, str],
+    dialect: str = "ansi",
+) -> tuple[list[str], list[str]]:
+    """The migration from a LIVE table to the declared StructType.
+
+    Returns ``(statements, extra_live_columns)``:
+
+    - one ``ALTER TABLE … ADD COLUMN`` per declared column missing
+      from the live table. Added columns are forced NULLABLE even if
+      the StructType says NOT NULL — existing rows have no value, and
+      a NOT NULL addition without a default fails on every engine;
+      tightening to NOT NULL after a backfill is a separate, explicit
+      step (exactly how Alembic users stage it).
+    - one type-widening ``ALTER`` per column whose live family differs
+      from the declared one AND is on :data:`SAFE_WIDENINGS`. Postgres
+      uses ``ALTER COLUMN … TYPE … [USING to_timestamp(col)]`` (the
+      reference migration's shape); ansi uses the standard
+      ``SET DATA TYPE`` (Derby/DuckDB), which cannot express the
+      int->timestamp value transform — that pair raises under ansi.
+    - live columns absent from the declared schema are NEVER dropped;
+      they come back in ``extra_live_columns`` for the caller to log.
+
+    Any other type change raises ``ValueError`` — a lossy or
+    ambiguous migration needs a human decision, not silent DDL.
+    """
+    if dialect not in _DIALECTS:
+        raise ValueError(f"dialect must be one of {_DIALECTS}, got {dialect!r}")
+    stmts: list[str] = []
+    qt = quote_ident(table)
+    for f in declared.fields:
+        new_sql_type = sql_type(f.dataType, dialect)
+        if f.name not in live:
+            stmts.append(
+                f"ALTER TABLE {qt} ADD COLUMN {quote_ident(f.name)} {new_sql_type}"
+            )
+            continue
+        live_fam = _family(live[f.name])
+        decl_fam = _declared_family(f.dataType, dialect)
+        if live_fam == decl_fam:
+            continue
+        if (live_fam, decl_fam) not in SAFE_WIDENINGS:
+            raise ValueError(
+                f"{table}.{f.name}: live type {live[f.name]!r} -> declared "
+                f"{new_sql_type!r} is not a safe widening; write a manual "
+                "migration (copy-rewrite or staged backfill)"
+            )
+        qc = quote_ident(f.name)
+        if dialect == "postgres":
+            using = (
+                f" USING to_timestamp({qc})" if decl_fam == "timestamp" else ""
+            )
+            stmts.append(
+                f"ALTER TABLE {qt} ALTER COLUMN {qc} TYPE {new_sql_type}{using}"
+            )
+        else:
+            if decl_fam == "timestamp":
+                raise ValueError(
+                    f"{table}.{f.name}: int->timestamp needs a value "
+                    "transform; only the postgres dialect can express it "
+                    "(USING to_timestamp) — use a copy-rewrite here"
+                )
+            stmts.append(
+                f"ALTER TABLE {qt} ALTER COLUMN {qc} SET DATA TYPE {new_sql_type}"
+            )
+    extra = [c for c in live if c not in declared.fieldNames()]
+    return stmts, extra
+
+
+def evolve_table(
+    con: object,
+    table: str,
+    declared: T.StructType,
+    dialect: str = "ansi",
+) -> tuple[list[str], list[str]]:
+    """Introspect the live table and apply :func:`evolve_table_sql`.
+    Creates the table outright when it does not exist yet. Returns the
+    executed statements and any extra live columns (kept, reported)."""
+    live = live_columns(con, table)
+    cur = con.cursor() if hasattr(con, "cursor") else con
+    if live is None:
+        stmt = create_table_sql(table, declared, dialect=dialect)
+        cur.execute(stmt)
+        if hasattr(con, "commit"):
+            con.commit()
+        return [stmt], []
+    stmts, extra = evolve_table_sql(table, declared, live, dialect)
+    for stmt in stmts:
+        cur.execute(stmt)
+    if hasattr(con, "commit"):
+        con.commit()
+    return stmts, extra

@@ -1,0 +1,178 @@
+"""LIVE-Postgres conformance for the upsert sink (marker ``pg``).
+
+The reference proves its DAOs against a real Postgres with a
+per-test database fixture
+(/root/reference/integration_tests/conftest.py:24-69,
+integration_tests/src/dao/test_cardano_block_dao.py:48-67). The repo's
+PG behavior is otherwise pinned by golden SQL + a fake-COPY harness
+(tests/test_pg_dialect_golden.py) because this sandbox has neither a
+PG server nor a client driver; THIS file is the real-server twin.
+
+Gate: set ``CARDANO_SPARK_PG_URL`` to an admin DSN (e.g.
+``postgresql://postgres:pw@localhost:5432/postgres``) and have
+``psycopg`` (v3) or ``psycopg2`` importable. Each test creates a
+throwaway ``test_db_<uuid>`` database and drops it afterwards, exactly
+like the reference fixture. Everything here skips cleanly when the
+gate is closed, so the suite stays green in sandboxes.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+ADMIN_DSN = os.environ.get("CARDANO_SPARK_PG_URL")
+
+
+def _psycopg():
+    try:
+        import psycopg  # v3
+
+        return psycopg
+    except ImportError:
+        try:
+            import psycopg2
+
+            return psycopg2
+        except ImportError:
+            return None
+
+
+_PG = _psycopg()
+
+pytestmark = [
+    pytest.mark.pg,
+    pytest.mark.skipif(
+        ADMIN_DSN is None,
+        reason="live-PG conformance needs CARDANO_SPARK_PG_URL (admin DSN)",
+    ),
+    pytest.mark.skipif(
+        _PG is None, reason="live-PG conformance needs psycopg or psycopg2"
+    ),
+]
+
+
+@pytest.fixture
+def pg_database():
+    """Per-test database, created from the admin DSN and dropped after
+    use — the reference's create_and_drop_db_table shape."""
+    db_name = "test_db_" + uuid.uuid4().hex
+    admin = _PG.connect(ADMIN_DSN)
+    admin.autocommit = True
+    cur = admin.cursor()
+    cur.execute(f"CREATE DATABASE {db_name}")
+    test_dsn = _swap_dbname(ADMIN_DSN, db_name)
+    try:
+        yield test_dsn
+    finally:
+        cur.execute(
+            "SELECT pg_terminate_backend(pid) FROM pg_stat_activity "
+            "WHERE datname = %s AND pid <> pg_backend_pid()",
+            (db_name,),
+        )
+        cur.execute(f"DROP DATABASE {db_name}")
+        admin.close()
+
+
+def _swap_dbname(dsn: str, db: str) -> str:
+    base, _, _old = dsn.rpartition("/")
+    return f"{base}/{db}"
+
+
+def _copy_expert(conn, sql: str, payload: str) -> None:
+    """The one-line production COPY hook the sink docstring promises."""
+    import io
+
+    cur = conn.cursor()
+    if hasattr(cur, "copy_expert"):  # psycopg2
+        cur.copy_expert(sql, io.StringIO(payload))
+    else:  # psycopg3
+        with cur.copy(sql) as cp:
+            cp.write(payload)
+
+
+def test_upsert_sink_end_to_end_on_live_pg(spark, pg_database):
+    """COPY staging path + ON CONFLICT insert/upsert + NULLS FIRST
+    survivor + TEXT[] array codec against a real server."""
+    from pyspark.sql import types as T
+
+    from cardano_spark.sinks.ddl import create_table_sql
+    from cardano_spark.sinks.merge import DBUpsertSink
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    factory = lambda: _PG.connect(pg_database)  # noqa: E731
+    con = factory()
+    con.cursor().execute(create_table_sql("t", schema, keys=["k"], dialect="postgres"))
+    con.commit()
+
+    sink = DBUpsertSink.from_schema(
+        connection_factory=factory,
+        table="t",
+        schema=schema,
+        keys=["k"],
+    )
+    sink.copy_partition = _copy_expert
+
+    batch1 = spark.createDataFrame(
+        [(1, "a", ["x", 'quo"te']), (1, None, None), (2, "b", [])], schema
+    )
+    sink.merge(batch1, via_driver=True, mode="insert")
+    got = _read_all(factory())
+    # NULLS FIRST survivor: the (1, NULL) staging row wins over (1,'a')
+    assert got == {1: (None, None), 2: ("b", [])}
+
+    batch2 = spark.createDataFrame([(1, "upd", ["z"]), (3, "c", None)], schema)
+    sink.merge(batch2, via_driver=True, mode="upsert")
+    got = _read_all(factory())
+    assert got == {1: ("upd", ["z"]), 2: ("b", []), 3: ("c", None)}
+
+
+def _read_all(con):
+    cur = con.cursor()
+    cur.execute('SELECT "k", "v", "tags" FROM "t" ORDER BY "k"')
+    out = {k: (v, tags) for k, v, tags in cur.fetchall()}
+    con.close()
+    return out
+
+
+def test_schema_evolution_on_live_pg(pg_database):
+    """ALTER TABLE evolution on a real PG, including the PK widening
+    and USING to_timestamp shapes DuckDB cannot run."""
+    from pyspark.sql import types as T
+
+    from cardano_spark.sinks.ddl import create_table_sql, evolve_table, live_columns
+
+    v1 = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("block_time", T.IntegerType(), True),
+        ]
+    )
+    v2 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("block_time", T.TimestampType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    con = _PG.connect(pg_database)
+    cur = con.cursor()
+    cur.execute(create_table_sql("evo", v1, keys=["id"], dialect="postgres"))
+    cur.execute("INSERT INTO evo VALUES (1, 1714655632)")
+    con.commit()
+    stmts, extra = evolve_table(con, "evo", v2, dialect="postgres")
+    assert len(stmts) == 3 and extra == []
+    live = live_columns(con, "evo")
+    assert live["id"] == "bigint"
+    assert live["block_time"].startswith("timestamp")
+    cur.execute("SELECT extract(epoch FROM block_time)::bigint FROM evo")
+    assert cur.fetchone()[0] == 1714655632
+    con.close()
