@@ -406,9 +406,14 @@ def distinct_type_counter_v2(events: DataFrame) -> DataFrame:
     """State-v2 twin of :func:`distinct_type_counter` on Spark 4's
     ``transformWithStateInPandas`` (typed state handles, timers,
     TTL-capable). GATED: the v2 runtime speaks protobuf to the state
-    server and this environment ships no ``google.protobuf`` — the
+    server and this environment ships no ``google.protobuf`` (and no
+    package installs — the gate is PERMANENT here, not a TODO) — the
     import-try raises a clear error instead of a worker crash; the
-    applyInPandasWithState form (q77) is the portable default."""
+    applyInPandasWithState form (q77/q78) is the portable,
+    driver-verified default. The gate itself is CI-pinned in BOTH
+    regimes: test_distinct_type_counter_v2_gated_or_equivalent runs
+    un-skipped, asserting this exact ImportError where protobuf is
+    absent and v1/v2 output equivalence where it exists."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as e:  # pragma: no cover - env-dependent
