@@ -43,6 +43,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_SIZE_CACHE: dict[str, int] = {}
+
+
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of one table — the size statistic the broadcast
+    gate (operators/relational.broadcast_if_small) consumes. Memoized
+    os.stat, no Spark job, no file-listing round trip; None when the
+    path is not a local file/dir (object stores report size through
+    their own catalog — callers then fall back to scan_bytes or, at
+    worst, to AQE's runtime statistics)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    hit = _SIZE_CACHE.get(path)
+    if hit is not None:
+        return hit
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return None
+    _SIZE_CACHE[path] = total
+    return total
+
+
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """Normalize ``events.ts`` to a session-UTC ``TimestampType``
     regardless of how the parquet was written. The driver has shipped

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
-from cardano_spark.catalog import table
+from cardano_spark.catalog import table, table_bytes
 from cardano_spark.functions.scalars import (
     dec,
     dec6,
@@ -94,7 +94,10 @@ def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("revenue"))
-        .join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            broadcast_if_small(p, size_bytes=table_bytes(sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .select("p_partkey", "p_name", exact_double(F.col("revenue")).alias("revenue"))
     )
     return topk(rev, [F.desc("revenue"), F.asc("p_partkey")], 10)
@@ -124,7 +127,10 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast_if_small(c, size_bytes=table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -427,7 +433,10 @@ def q35_supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("s_items"),
     )
     return (
-        per_supp.join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_supp.join(
+            broadcast_if_small(s, size_bytes=table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -597,7 +606,12 @@ def q52_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # asia_cust derives from customer x (two true dims): its scan
         # bytes — the gate's upper bound — scale with customer, so the
         # hint retires exactly when customer stops being broadcastable
-        .join(broadcast_if_small(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast_if_small(
+                asia_cust, size_bytes=table_bytes(sf_dir, "customer")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(
@@ -633,7 +647,10 @@ def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast_if_small(c, size_bytes=table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .select(
             "c_custkey",
             "c_name",
@@ -1307,13 +1324,19 @@ def q94_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_partkey", "l_suppkey")
         .distinct()
         .join(
-            broadcast_if_small(bad.select(F.col("s_suppkey").alias("l_suppkey"))),
+            broadcast_if_small(
+                bad.select(F.col("s_suppkey").alias("l_suppkey")),
+                size_bytes=table_bytes(sf_dir, "supplier"),
+            ),
             "l_suppkey",
             "left_anti",
         )
     )
     return (
-        pairs.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(
+            broadcast_if_small(p, size_bytes=table_bytes(sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1493,7 +1516,10 @@ def q99_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part")
     rev = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
-    j = l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = l.join(
+        broadcast_if_small(p, size_bytes=table_bytes(sf_dir, "part")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
     out = j.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_dec"),
         F.sum(rev).alias("total_dec"),
