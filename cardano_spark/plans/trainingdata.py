@@ -1036,6 +1036,23 @@ def q67_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN recall instrumentation as a DRIVER-VERIFIED query:
+    per-query recall@5 of the multiprobe sign-LSH path against exact
+    brute-force ground truth on held-out probes (vec_id in [20, 28) —
+    disjoint from the q27/q47 probe set). This is the number a real
+    deployment watches next to its index build
+    (operators/similarity.py::recall_at_k); making it a registry
+    query means the driver hash-checks the measurement itself, not
+    just the strategies it measures. All values are exact: integer
+    hit/true counts and one IEEE division."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 28))
+    exact = SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=5)
+    approx = SIM.lsh_topk(e, probes, "vec_id", "embedding", k=5, multiprobe=1)
+    return SIM.recall_at_k(approx, exact)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -1083,6 +1100,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q66_incremental_neardup": q66_incremental_neardup,
     "q67_semantic_decontamination": q67_semantic_decontamination,
     "q100_crossmodal_retrieval": q100_crossmodal_retrieval,
+    "q106_ann_recall_report": q106_ann_recall_report,
 }
 
 
@@ -1249,6 +1267,50 @@ TRAININGDATA_ORACLES: dict[str, str] = {
             PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
           )::BIGINT AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    # recall@5 of multiprobe LSH vs exact brute force on held-out
+    # probes — both strategies restated in SQL, then the recall join
+    "q106_ann_recall_report": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+          FROM embeddings
+        ), ex AS (
+          SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_COS.replace('va', 'q.e').replace('vb', 'c.e')} DESC,
+                              c.vec_id ASC
+                   ) AS rank
+            FROM v q JOIN v c
+              ON q.vec_id >= 20 AND q.vec_id < 28 AND c.vec_id <> q.vec_id
+          ) WHERE rank <= 5
+        ), ap AS (
+          SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_COS.replace('va', 'q.e').replace('vb', 'c.e')} DESC,
+                              c.vec_id ASC
+                   ) AS rank
+            FROM v q JOIN v c
+              ON bit_count(xor(q.bucket, c.bucket)) <= 1
+             AND c.vec_id <> q.vec_id
+            WHERE q.vec_id >= 20 AND q.vec_id < 28
+          ) WHERE rank <= 5
+        ), truth AS (
+          SELECT query_id, count(*) AS n_true FROM ex GROUP BY query_id
+        ), hits AS (
+          SELECT e.query_id, count(*) AS n_hit
+          FROM ex e JOIN ap a USING (query_id, match_id)
+          GROUP BY e.query_id
+        )
+        SELECT t.query_id,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               t.n_true::BIGINT AS n_true,
+               coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE AS recall
+        FROM truth t LEFT JOIN hits h USING (query_id)
     """,
     "q47_ann_multiprobe_topk": f"""
         WITH v AS (
