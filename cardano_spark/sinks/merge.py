@@ -536,6 +536,24 @@ class DBUpsertSink:
         if hasattr(con, "commit"):
             con.commit()
 
+    def evolve_target(self, dialect: str = "ansi") -> tuple[list[str], list[str]]:
+        """Bring an ALREADY-DEPLOYED target up to this sink's declared
+        StructType: additive ADD COLUMNs + safe widenings only
+        (sinks/ddl.evolve_table — the derived-Alembic step; creates
+        the table when absent). Run before ``merge`` after a schema
+        release; returns (executed statements, extra live columns kept
+        untouched)."""
+        schema = getattr(self, "schema", None)
+        if schema is None:
+            raise ValueError(
+                "evolve_target needs a StructType: construct via from_schema"
+            )
+        from cardano_spark.sinks.ddl import evolve_table
+
+        return evolve_table(
+            self.connection_factory(), self.table, schema, dialect=dialect
+        )
+
     # -- SQL builders (dialect: ANSI + ON CONFLICT, works for PG/DuckDB;
     #    identifiers double-quoted so reserved-word columns — the
     #    watermark tables' `table` — survive every dialect) --

@@ -149,3 +149,30 @@ def test_unsafe_changes_raise_never_drop():
         "t", declared, {"v": "integer", "legacy": "text"}
     )
     assert stmts == [] and extra == ["legacy"]
+
+
+def test_sink_evolve_target_convenience(spark, tmp_path):
+    """DBUpsertSink.evolve_target: deploy-time one-liner — bootstrap
+    when absent, evolve in place when the declared schema moved."""
+    import duckdb
+
+    from cardano_spark.sinks.merge import DBUpsertSink
+
+    db = str(tmp_path / "s.db")
+    v1sink = DBUpsertSink.from_schema(
+        connection_factory=lambda: duckdb.connect(db),
+        table="t",
+        schema=V1,
+        keys=["k"],
+    )
+    stmts, _ = v1sink.evolve_target()
+    assert stmts and stmts[0].startswith("CREATE TABLE")
+    v2sink = DBUpsertSink.from_schema(
+        connection_factory=lambda: duckdb.connect(db),
+        table="t",
+        schema=V2,
+        keys=["k"],
+    )
+    stmts, extra = v2sink.evolve_target()
+    assert len(stmts) == 3 and extra == []
+    assert live_columns(duckdb.connect(db), "t")["cnt"].lower().startswith("bigint")
