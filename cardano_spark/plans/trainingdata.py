@@ -1036,6 +1036,43 @@ def q67_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap — the splitter
+    every embedding/RAG/context-window pipeline runs before encoding:
+    each document becomes ceil(n_tok/step) chunks of up to ``size``
+    tokens starting every ``step`` tokens (overlap = size - step).
+
+    Scale shape: ONE corpus scan, a map-side ``sequence``+``explode``
+    over the chunk starts and a ``slice`` per chunk — no shuffle, no
+    UDF, trivially parallel at any corpus size (the same
+    never-a-calendar-join rule as q90's gapfill grid). NULL text
+    coalesces to '' first (the q103 sizeOfNull lesson). Chunk ids,
+    offsets, and lengths are exact integers; chunk text re-joins with
+    the same separator both engines split on."""
+    size, step = 64, 48
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 16 == 0)
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    e = d.select(
+        "doc_id",
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(starts).alias("start_tok"),
+    )
+    return e.select(
+        "doc_id",
+        (F.col("start_tok") / F.lit(step)).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start_tok") + 1, size), " "
+        ).alias("chunk_text"),
+    )
+
+
 def q106_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN recall instrumentation as a DRIVER-VERIFIED query:
     per-query recall@5 of the multiprobe sign-LSH path against exact
@@ -1101,6 +1138,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q67_semantic_decontamination": q67_semantic_decontamination,
     "q100_crossmodal_retrieval": q100_crossmodal_retrieval,
     "q106_ann_recall_report": q106_ann_recall_report,
+    "q107_document_chunks": q107_document_chunks,
 }
 
 
@@ -1267,6 +1305,25 @@ TRAININGDATA_ORACLES: dict[str, str] = {
             PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
           )::BIGINT AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    "q107_document_chunks": """
+        WITH d AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents WHERE doc_id % 16 = 0
+        ), s AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 48))
+                   AS start_tok
+          FROM d
+        )
+        SELECT doc_id,
+               (start_tok // 48)::BIGINT AS chunk_id,
+               start_tok::BIGINT AS start_tok,
+               least(64, n - start_tok)::BIGINT AS n_tok,
+               array_to_string(
+                 list_slice(toks, start_tok + 1, start_tok + 64), ' '
+               ) AS chunk_text
+        FROM s
     """,
     # recall@5 of multiprobe LSH vs exact brute force on held-out
     # probes — both strategies restated in SQL, then the recall join

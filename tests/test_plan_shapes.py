@@ -600,3 +600,14 @@ def test_q03_gated_queries_env_override(spark, monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_BROADCAST_GATE_BYTES", "0")
         assert logical.count("ResolvedHint") < full_hints
         assert df.count() == full.count()
+
+
+def test_q107_chunking_is_shuffle_free(spark):
+    """Document chunking is ONE scan + map-side sequence/explode/slice
+    — no exchange, no UDF: the shape that chunks a 100 TB corpus at
+    scan speed."""
+    plan = _plan(spark, "q107_document_chunks")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
