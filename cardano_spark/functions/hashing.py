@@ -53,6 +53,23 @@ HYPERPLANES: list[list[float]] = [
     for _ in range(N_HYPERPLANES)
 ]
 
+#: MULTI-TABLE sign-LSH: L independent hyperplane sets. A true
+#: neighbor missed by one table's 8-bit bucket gets L-1 more chances
+#: (P(miss all) = (1-p)^L) — the standard recall lever when one
+#: table's bucket agreement is too strict (the repo's measured case:
+#: recall_at_k showed single-table ~0.01 on near-uniform embeddings).
+#: Table 0 IS the single-table family above, and the extra tables are
+#: drawn strictly AFTER every other constant so existing oracle
+#: literals never change.
+N_LSH_TABLES = 4
+HYPERPLANE_TABLES: list[list[list[float]]] = [HYPERPLANES] + [
+    [
+        [_rng.uniform(-1.0, 1.0) for _ in range(EMBEDDING_DIM)]
+        for _ in range(N_HYPERPLANES)
+    ]
+    for _ in range(N_LSH_TABLES - 1)
+]
+
 
 def shl1(nbits: Column) -> Column:
     """``1L << nbits`` with a COLUMN shift amount (the PySpark

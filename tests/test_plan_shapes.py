@@ -611,3 +611,13 @@ def test_q107_chunking_is_shuffle_free(spark):
     assert "Generate explode" in plan or "Generate" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q108_multitable_bucket_join_shape(spark):
+    """Multi-table LSH: the bucket join is a broadcast equi-join of
+    SLIM (id, table, bucket) frames — never a cartesian, and corpus
+    vector arrays enter only the final by-id score join."""
+    plan = _plan(spark, "q108_ann_multitable_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -731,10 +731,27 @@ def test_ann_recall_floors(spark):
     sq8 = avg(
         SIM.quantized_rerank_topk(e, probes, "vec_id", "embedding", k=k, shortlist=30)
     )
+    mt2 = avg(
+        SIM.multitable_lsh_topk(e, probes, "vec_id", "embedding", k=k, n_tables=2)
+    )
+    mt4 = avg(
+        SIM.multitable_lsh_topk(e, probes, "vec_id", "embedding", k=k, n_tables=4)
+    )
     # multiprobe probes a superset of buckets; a hit can only be
     # displaced by a better vector, which is itself a hit
     assert multi >= lsh
     assert multi >= 0.05
+    # multi-table candidates are a superset of table 0's: recall is
+    # monotone in L (measured 0.10 -> 0.20 -> 0.38 at sf0.1)
+    assert mt2 >= multi and mt4 >= mt2
+    assert mt4 >= 0.25
     assert ivf >= 0.2
     assert ivft >= 0.35
     assert sq8 >= 0.9
+
+    # 1-table multitable IS the single-table operator, bit for bit
+    one = SIM.multitable_lsh_topk(
+        e, probes, "vec_id", "embedding", k=k, n_tables=1, multiprobe=1
+    )
+    base = SIM.lsh_topk(e, probes, "vec_id", "embedding", k=k, multiprobe=1)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, base.collect()))
