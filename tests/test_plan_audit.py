@@ -1,0 +1,81 @@
+"""Registry-WIDE plan-hygiene gate (tools/plan_audit.py): the
+hand-written pins in test_plan_shapes.py cover the queries someone
+thought about; this gate covers all of them. The committed
+PLAN_AUDIT.json is the budget — regenerate it deliberately
+(`python tools/plan_audit.py`) when a plan change is intentional; a
+refactor that silently adds a shuffle, a cartesian, or a Python hop
+anywhere in the registry fails here instead of on the cluster."""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: BroadcastNestedLoopJoin is legitimate ONLY where the design is a
+#: broadcast-against-tiny scan: brute-force ANN scoring (q27, q56
+#: below-crossover, q106's ground-truth side), IVF centroid
+#: assignment (q36/q57), broadcast benchmark/probe sets (q67, q100,
+#: q85's rerank shortlist), 1-row scalar broadcasts (q55's idf
+#: denominator, q95's boundary row, q96's midpoint row) and the
+#: broadcast Bloom bitset (q73).
+BNL_BUDGET = {
+    "q27_ann_brute_topk": 1,
+    "q36_ann_ivf_topk": 2,
+    "q55_tfidf_top_terms": 1,
+    "q56_ann_auto_topk": 1,
+    "q57_ann_ivf_trained": 2,
+    "q67_semantic_decontamination": 1,
+    "q73_bloom_decontamination": 2,
+    "q85_quantized_ann_rerank": 1,
+    "q95_equi_depth_histogram": 1,
+    "q96_distribution_drift": 1,
+    "q100_crossmodal_retrieval": 1,
+    "q106_ann_recall_report": 2,
+}
+
+#: The Python boundary: exactly the multimodal decode family (Arrow-
+#: batched mapInPandas over binary blobs — SURVEY §2.11).
+PYTHON_BUDGET = {
+    "q33_multimodal_features": 1,
+    "q46_multimodal_real_decode": 2,
+    "q49_image_resize": 1,
+    "q50_audio_frame_sample": 1,
+}
+
+
+def test_registry_wide_plan_budgets(spark):
+    import sys
+
+    sys.path.insert(0, REPO)
+    from tools.plan_audit import audit
+
+    from tests.conftest import SF_SMALL
+
+    with open(os.path.join(REPO, "PLAN_AUDIT.json"), encoding="utf-8") as f:
+        budget = json.load(f)
+    live = audit(spark, SF_SMALL)
+    assert set(live) == set(budget), (
+        "registry changed: regenerate PLAN_AUDIT.json (tools/plan_audit.py)"
+    )
+    problems = []
+    for q, c in live.items():
+        if c["cartesian"]:
+            problems.append(f"{q}: CartesianProduct appeared")
+        if c["bnl"] > BNL_BUDGET.get(q, 0):
+            problems.append(
+                f"{q}: {c['bnl']} BroadcastNestedLoopJoin (allowed "
+                f"{BNL_BUDGET.get(q, 0)})"
+            )
+        if c["python"] > PYTHON_BUDGET.get(q, 0):
+            problems.append(
+                f"{q}: {c['python']} Python ops (allowed "
+                f"{PYTHON_BUDGET.get(q, 0)})"
+            )
+        if c["exchanges"] > budget[q]["exchanges"]:
+            problems.append(
+                f"{q}: {c['exchanges']} exchanges > budgeted "
+                f"{budget[q]['exchanges']}"
+            )
+    assert not problems, "\n".join(problems)
