@@ -57,15 +57,34 @@ def build_parser() -> argparse.ArgumentParser:
     shards.add_argument("--key", required=True, help="id column for the content-hash shard key")
     shards.add_argument("--shards", type=int, default=8)
     shards.add_argument("--max-rows-per-file", type=int, default=None)
+    scrape = sub.add_parser(
+        "scrape-companies",
+        help="the ideascale company-link pipeline (S15->C12->C10->K6): "
+        "render profile URLs, extract + normalize company links, write CSV "
+        "(reference ideascale/get_company_link_ideascale.py main)",
+    )
+    scrape.add_argument("--urls-csv", required=True, help="input CSV with a url column")
+    scrape.add_argument("--url-col", default="url")
+    scrape.add_argument("--dest", required=True, help="output CSV dir")
+    scrape.add_argument(
+        "--rps", type=float, default=1.0, help="per-partition request rate cap"
+    )
+    scrape.add_argument("--partitions", type=int, default=4)
+    scrape.add_argument(
+        "--wait-css",
+        default="a.unfurl-url.classic-link",
+        help="selector the renderer waits for (reference default)",
+    )
     return p
 
 
 def main(
     argv: list[str] | None = None,
     transport: Callable[[str], bytes] | None = None,
+    render: Callable[[str], str] | None = None,
 ) -> int:
-    """``transport`` is injectable for tests (None = urllib with R2
-    retries, resolved inside fetch_json_map)."""
+    """``transport``/``render`` are injectable for tests (None =
+    urllib with R2 retries / the import-gated selenium renderer)."""
     args = build_parser().parse_args(argv)
 
     from cardano_spark.pipelines import cardano
@@ -96,6 +115,26 @@ def main(
             f"wrote {m.n_shards} shards, {m.n_rows} rows, "
             f"{m.total_bytes} bytes -> {args.dest}"
         )
+        return 0
+    if args.cmd == "scrape-companies":
+        from cardano_spark.sources.html_fetch import (
+            scrape_company_links,
+            selenium_renderer,
+        )
+
+        urls = (
+            spark.read.option("header", "true").csv(args.urls_csv)
+            .select(args.url_col)
+        )
+        out = scrape_company_links(
+            urls,
+            args.url_col,
+            render or selenium_renderer(wait_css=args.wait_css),
+            requests_per_second=args.rps,
+            num_partitions=args.partitions,
+        )
+        out.write.mode("overwrite").option("header", "true").csv(args.dest)
+        print(f"scraped company links -> {args.dest}")
         return 0
     if not args.root:
         build_parser().error("--root is required for pipeline commands")

@@ -85,3 +85,39 @@ def test_selenium_renderer_gate():
             selenium_renderer()
         return
     assert callable(selenium_renderer())
+
+
+def test_cli_scrape_companies_end_to_end(spark, tmp_path):
+    """python -m cardano_spark scrape-companies with an injected fake
+    renderer: CSV urls in, company-link CSV out — the reference
+    scraper's whole main."""
+    import csv
+    import glob
+
+    from cardano_spark.__main__ import main
+
+    src = tmp_path / "urls.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["url"])
+        for u in sorted(PAGES):
+            w.writerow([u])
+    dest = str(tmp_path / "out")
+    rc = main(
+        [
+            "scrape-companies",
+            "--urls-csv", str(src),
+            "--dest", dest,
+            "--rps", "0",
+            "--partitions", "2",
+        ],
+        render=PAGES.__getitem__,
+    )
+    assert rc == 0
+    rows = {}
+    for part in glob.glob(f"{dest}/*.csv"):
+        with open(part, newline="") as f:
+            for r in csv.DictReader(f):
+                rows[r["url"]] = (r["company_link"], r["company"])
+    assert rows["https://x.test/b"] == ("http://widgetco.io", "widgetco")
+    assert rows["https://x.test/c"] == ("", "")  # csv writes NULL as ""
