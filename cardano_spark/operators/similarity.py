@@ -422,6 +422,13 @@ def ann_topk(
         return lsh_topk(
             corpus, queries, id_col, vec_col, k, multiprobe=multiprobe
         )
+    if strategy == "multitable":
+        # explicit opt-in (not part of "auto"): ~L x the candidate
+        # cost of single-table lsh for the measured recall lift
+        # (0.10 -> 0.38 at L=4) — callers choose the trade
+        return multitable_lsh_topk(
+            corpus, queries, id_col, vec_col, k, multiprobe=multiprobe
+        )
     raise ValueError(f"unknown ANN strategy: {strategy!r}")
 
 

@@ -176,3 +176,67 @@ def test_sink_evolve_target_convenience(spark, tmp_path):
     stmts, extra = v2sink.evolve_target()
     assert len(stmts) == 3 and extra == []
     assert live_columns(duckdb.connect(db), "t")["cnt"].lower().startswith("bigint")
+
+
+def test_evolution_is_idempotent_and_total_property():
+    """Property over random StructTypes: (1) evolving a table created
+    from schema S to S itself is always a no-op; (2) evolving v1 -> v2
+    where v2 = v1 + random additions + random safe widenings always
+    produces exactly |additions| + |widenings| statements, and the
+    resulting statement list re-applied to the widened live map is
+    empty (idempotence)."""
+    import random
+
+    from cardano_spark.sinks.ddl import (
+        SAFE_WIDENINGS,
+        _declared_family,
+        evolve_table_sql,
+        sql_type,
+    )
+
+    rng = random.Random(7)
+    pool = [
+        T.IntegerType(), T.LongType(), T.SmallIntegerType()
+        if hasattr(T, "SmallIntegerType") else T.ShortType(),
+        T.FloatType(), T.DoubleType(), T.StringType(), T.BooleanType(),
+        T.DateType(), T.DecimalType(18, 2),
+    ]
+    widen_map = {
+        "smallint": T.IntegerType(),
+        "integer": T.LongType(),
+        "bigint": T.DecimalType(38, 0),
+        "real": T.DoubleType(),
+    }
+    for trial in range(25):
+        n = rng.randint(1, 6)
+        v1_fields = [
+            T.StructField(f"c{i}", rng.choice(pool), True) for i in range(n)
+        ]
+        v1 = T.StructType(v1_fields)
+        live = {f.name: sql_type(f.dataType) for f in v1.fields}
+        # S -> S: no-op
+        stmts, extra = evolve_table_sql("t", v1, live)
+        assert stmts == [] and extra == []
+        # build v2: widen every widenable column with prob .5, add 0-2
+        v2_fields = []
+        n_widen = 0
+        for f in v1.fields:
+            fam = _declared_family(f.dataType, "ansi")
+            if fam in widen_map and rng.random() < 0.5:
+                tgt = widen_map[fam]
+                assert (fam, _declared_family(tgt, "ansi")) in SAFE_WIDENINGS
+                v2_fields.append(T.StructField(f.name, tgt, True))
+                n_widen += 1
+            else:
+                v2_fields.append(f)
+        n_add = rng.randint(0, 2)
+        for j in range(n_add):
+            v2_fields.append(T.StructField(f"new{j}", rng.choice(pool), True))
+        v2 = T.StructType(v2_fields)
+        stmts, extra = evolve_table_sql("t", v2, live)
+        assert len(stmts) == n_widen + n_add, (trial, stmts)
+        assert extra == []
+        # idempotence: the evolved live map needs nothing further
+        live2 = {f.name: sql_type(f.dataType) for f in v2.fields}
+        again, _ = evolve_table_sql("t", v2, live2)
+        assert again == []

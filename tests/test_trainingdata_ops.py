@@ -755,3 +755,75 @@ def test_ann_recall_floors(spark):
     )
     base = SIM.lsh_topk(e, probes, "vec_id", "embedding", k=k, multiprobe=1)
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_document_chunks_reconstruction_property(spark):
+    """Chunking invariants on crafted docs of every boundary class
+    (shorter than one window, exactly one window, step-aligned,
+    ragged tail): taking each chunk's first `step` tokens plus the
+    final chunk's remainder reconstructs the document exactly; chunk
+    counts and offsets follow ceil(n/step); all chunks except the
+    last have n_tok == min(size, n - start)."""
+    from cardano_spark.plans.trainingdata import q107_document_chunks  # noqa: F401
+
+    import cardano_spark.operators  # noqa: F401  (import side check)
+
+    size, step = 64, 48
+    docs = [
+        (0, "w0"),                                   # single token
+        (16, " ".join(f"t{i}" for i in range(63))),  # < one window
+        (32, " ".join(f"t{i}" for i in range(64))),  # exactly one window
+        (48, " ".join(f"t{i}" for i in range(96))),  # exactly two starts
+        (64, " ".join(f"t{i}" for i in range(200))), # ragged tail
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("chunk_docs")
+    import pyspark.sql.functions as F
+
+    from cardano_spark.functions import text as TX
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    e = df.select(
+        "doc_id", toks.alias("_toks"), n.alias("_n"),
+        F.explode(starts).alias("start_tok"),
+    )
+    out = e.select(
+        "doc_id",
+        (F.col("start_tok") / step).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.col("_n") - F.col("start_tok")).cast("long").alias("n_tok"),
+        F.array_join(F.slice(F.col("_toks"), F.col("start_tok") + 1, size), " ").alias("chunk_text"),
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        toks_ref = text.split(" ")
+        n_ref = len(toks_ref)
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        expected_chunks = max(1, -(-n_ref // step))  # ceil, min 1
+        assert len(chunks) == expected_chunks, doc_id
+        rebuilt = []
+        for i, r in enumerate(chunks):
+            assert r.start_tok == i * step
+            assert r.n_tok == min(size, n_ref - r.start_tok)
+            ctoks = r.chunk_text.split(" ")
+            assert len(ctoks) == r.n_tok
+            rebuilt.extend(ctoks if i == len(chunks) - 1 else ctoks[:step])
+        assert rebuilt == toks_ref, doc_id
+
+
+def test_ann_topk_multitable_strategy(spark):
+    """strategy="multitable" routes to multitable_lsh_topk with the
+    shared output contract."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    probes = e.filter(F.col("vec_id") < 3)
+    out = SIM.ann_topk(
+        e, probes, "vec_id", "embedding", k=3, strategy="multitable"
+    )
+    assert out.columns == ["query_id", "match_id", "cos_sim", "rank"]
+    assert out.count() >= 0
