@@ -512,3 +512,90 @@ def boilerplate_spans(
             .alias("boiler_frac"),
         )
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection at token n-gram
+    granularity — the ExactSubstr dedup of Lee et al. 2022
+    (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    Models Better") re-expressed for Spark: instead of a suffix array
+    (a global sorted structure Spark can't build incrementally), hash
+    every POSITIONAL n-token window and count how many distinct
+    documents each window occurs in; windows in >= ``min_docs`` docs
+    are repeated spans. With n at the paper's 50-token scale the two
+    formulations flag the same text modulo span boundaries.
+
+    Scale shape: one corpus scan; the window fan-out (one row per
+    token position) happens map-side inside the Generate and only the
+    slim (doc_id, start, md5) triple reaches the exchange — the token
+    array itself is projected away before any shuffle. The window
+    census is a two-phase distinct-count grouped on the 128-bit md5
+    (collision-free for any real corpus); the census frame joins back
+    to the window frame on the SAME key, so the two branches share
+    one exchange layout (ReuseExchange) and per-doc stats reduce with
+    a map-side partial agg on doc_id. Nothing is all-pairs and no
+    driver-side state exists; at 100 TB the only tuning knob is
+    shuffle partitions on the window key, which is uniform by
+    construction (md5).
+
+    Differs from :func:`boilerplate_spans` (line-granularity, C4
+    rule) and repetition_scores (WITHIN-doc repetition): this flags
+    exact n-gram runs shared ACROSS documents, the signal used to cut
+    verbatim-copied spans from training corpora.
+
+    Returns one row per document that has >= 1 window (docs shorter
+    than ``n`` tokens have no windows by definition):
+    (``id_col``, n_windows, n_repeated, first_repeated_start,
+    repeated_frac) — start offsets 1-based token positions,
+    first_repeated_start NULL when the doc has no repeated window.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    staged = docs.select(
+        F.col(id_col), toks.alias("_t"), (F.size(toks) - F.lit(n - 1)).alias("_nw")
+    ).filter(F.col("_nw") >= 1)
+    windows = staged.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.col("_nw"))).alias("start"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("start"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("start"), n))).alias(
+            "_wid"
+        ),
+    )
+    census = (
+        windows.groupBy("_wid")
+        .agg(F.countDistinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wid", F.lit(1).alias("_rep"))
+    )
+    return (
+        windows.join(census, "_wid", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("long").alias(
+                "n_repeated"
+            ),
+            F.min(F.when(F.col("_rep") == 1, F.col("start"))).alias(
+                "first_repeated_start"
+            ),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_repeated",
+            "first_repeated_start",
+            (
+                F.col("n_repeated").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("repeated_frac"),
+        )
+    )

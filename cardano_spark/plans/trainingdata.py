@@ -1138,6 +1138,32 @@ def q106_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_at_k(approx, exact)
 
 
+def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: 8 seed
+    clusters, within-cluster cosine > 0.25 -> keep-first. The
+    embedding-space complement of q22's lexical near-dup — catches
+    paraphrases MinHash can't see — with the all-pairs problem
+    cluster-bounded (operators/similarity.py::semantic_dedup has the
+    100 TB sizing argument; production swaps the seed centroids for
+    kmeans_centroids output on the identical plan)."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25
+    )
+
+
+def q110_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-gram spans (Lee et al. 2022
+    ExactSubstr, window-hash formulation): per doc, how many of its
+    positional token windows occur verbatim in other documents, and
+    where the first one starts (operators/curation.py::
+    repeated_ngram_spans). Line-level boilerplate is q81; WITHIN-doc
+    repetition is q59; this is the across-corpus verbatim-copy
+    signal."""
+    d = table(spark, sf_dir, "documents")
+    return CU.repeated_ngram_spans(d, "doc_id", "text", n=8, min_docs=2)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -1188,6 +1214,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q106_ann_recall_report": q106_ann_recall_report,
     "q107_document_chunks": q107_document_chunks,
     "q108_ann_multitable_topk": q108_ann_multitable_topk,
+    "q109_semantic_dedup": q109_semantic_dedup,
+    "q110_repeated_ngram_spans": q110_repeated_ngram_spans,
 }
 
 
@@ -1436,6 +1464,60 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                t.n_true::BIGINT AS n_true,
                coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE AS recall
         FROM truth t LEFT JOIN hits h USING (query_id)
+    """,
+    # SemDeDup: same seeded assignment CTE as q36, then within-cluster
+    # pairwise cosine with the keep-first survivor rule
+    "q109_semantic_dedup": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+        ), assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s
+          ) WHERE rn = 1
+        ), av AS (
+          SELECT a.vec_id, a.cid, v.e
+          FROM assign a JOIN v ON v.vec_id = a.vec_id
+        ), dups AS (
+          SELECT DISTINCT b.vec_id
+          FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+        )
+        SELECT av.vec_id,
+               av.cid::BIGINT AS cluster_id,
+               (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
+        FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    """,
+    # repeated 8-gram spans: positional window census over md5 keys
+    "q110_repeated_ngram_spans": """
+        WITH d AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS start
+          FROM d WHERE len(toks) >= 8
+        ), w AS (
+          SELECT doc_id, start::BIGINT AS start,
+                 md5(array_to_string(list_slice(toks, start, start + 7), ' '))
+                   AS wid
+          FROM s
+        ), census AS (
+          SELECT wid FROM w GROUP BY wid HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT w.doc_id,
+               count(*)::BIGINT AS n_windows,
+               count(c.wid)::BIGINT AS n_repeated,
+               min(CASE WHEN c.wid IS NOT NULL THEN w.start END)::BIGINT
+                 AS first_repeated_start,
+               count(c.wid)::DOUBLE / count(*)::DOUBLE AS repeated_frac
+        FROM w LEFT JOIN census c ON c.wid = w.wid
+        GROUP BY w.doc_id
     """,
     "q47_ann_multiprobe_topk": f"""
         WITH v AS (

@@ -19,7 +19,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: assignment (q36/q57), broadcast benchmark/probe sets (q67, q100,
 #: q85's rerank shortlist), 1-row scalar broadcasts (q55's idf
 #: denominator, q95's boundary row, q96's midpoint row) and the
-#: broadcast Bloom bitset (q73).
+#: broadcast Bloom bitset (q73). q109's SemDeDup centroid assignment
+#: is the same shape as q36's but sits behind a localCheckpoint (its
+#: assigned frame has three consumers), so it doesn't appear in the
+#: query's own plan.
 BNL_BUDGET = {
     "q27_ann_brute_topk": 1,
     "q36_ann_ivf_topk": 2,

@@ -827,3 +827,116 @@ def test_ann_topk_multitable_strategy(spark):
     )
     assert out.columns == ["query_id", "match_id", "cos_sim", "rank"]
     assert out.count() >= 0
+
+
+def test_semantic_dedup_planted_pair_and_survivor_rule(spark):
+    """SemDeDup on a hand-built frame: seeds are ids 0/1; ids 2 and 3
+    are near-copies of ids 0 and 1 (must flag, keep-first keeps the
+    smaller id); id 4 shares cluster 0 but sits far from everything
+    (must survive)."""
+    e = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),
+            (3, [0.0, 0.98, 0.02, 0.0]),
+            (4, [0.6, 0.0, 0.8, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in SIM.semantic_dedup(
+            e, "vec_id", "embedding", n_centroids=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5
+    assert {i: out[i].cluster_id for i in out} == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    assert {i: out[i].is_dup for i in out} == {0: 0, 1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_semantic_dedup_matches_bruteforce_rule(spark):
+    """On a seeded random corpus the operator must agree exactly with
+    a driver-side restatement of the rule: assign to the nearest of
+    the first-k vectors, flag iff a smaller-id same-cluster vector
+    has cosine > threshold."""
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.uniform(-1.0, 1.0) for _ in range(8)] for i in range(40)
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = sum(x * x for x in a) ** 0.5 * sum(y * y for y in b) ** 0.5
+        return num / den
+
+    k, t = 3, 0.5
+    assign = {
+        i: max(range(k), key=lambda c: (cos(v, vecs[c]), -c))
+        for i, v in vecs.items()
+    }
+    expect_dup = {
+        i: int(
+            any(
+                assign[j] == assign[i] and cos(vecs[j], vecs[i]) > t
+                for j in range(i)
+            )
+        )
+        for i in vecs
+    }
+    e = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=k, threshold=t
+    ).collect()
+    assert {r.vec_id: r.cluster_id for r in out} == assign
+    assert {r.vec_id: r.is_dup for r in out} == expect_dup
+    assert sum(expect_dup.values()) > 0  # the fixture actually exercises flags
+
+
+def test_repeated_ngram_spans_planted(spark):
+    """Exact expectations on a planted corpus: a shared 8-gram flags
+    both docs at the right offsets; unique and too-short docs behave
+    per contract (1-based starts, short docs emit no row)."""
+    from cardano_spark.operators import curation as CU
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " i j"),           # 10 tokens, 3 windows, hit at 1
+            (2, "z " + shared),             # 9 tokens, 2 windows, hit at 2
+            (3, "short text"),              # < 8 tokens -> no row
+            (4, "p q r s t u v w"),         # 1 unique window
+            (5, None),                      # NULL text -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in CU.repeated_ngram_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert (out[1].n_windows, out[1].n_repeated, out[1].first_repeated_start) == (
+        3, 1, 1,
+    )
+    assert abs(out[1].repeated_frac - 1.0 / 3.0) < 1e-15
+    assert (out[2].n_windows, out[2].n_repeated, out[2].first_repeated_start) == (
+        2, 1, 2,
+    )
+    assert (out[4].n_windows, out[4].n_repeated) == (1, 0)
+    assert out[4].first_repeated_start is None
+    assert out[4].repeated_frac == 0.0
+
+
+def test_repeated_ngram_spans_within_doc_repeat_not_flagged(spark):
+    """A window repeated only WITHIN one document is q59's domain,
+    not this operator's: min_docs counts distinct documents."""
+    from cardano_spark.operators import curation as CU
+
+    text = "a b c d e f g h x a b c d e f g h"  # same 8-gram twice, one doc
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = CU.repeated_ngram_spans(docs, "doc_id", "text", n=8).collect()[0]
+    assert row.n_repeated == 0 and row.first_repeated_start is None
