@@ -865,3 +865,104 @@ def semantic_dedup(
             F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
         )
     )
+
+
+#: Johnson-Lindenstrauss projection planes: tables 0+1 of the
+#: existing sign-LSH family (16 x 64 doubles). Reusing the minted
+#: constants keeps every oracle literal stable (hashing.py's
+#: draw-order rule) — sign-LSH keeps only the SIGN of these same
+#: projections; JL keeps the value.
+JL_PLANES = HYPERPLANE_TABLES[0] + HYPERPLANE_TABLES[1]
+
+
+def project_jl(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Dense random projection: 64-dim -> len(planes)-dim double
+    array, component j = vec . plane_j (sequential fold, oracle-
+    exact)."""
+    return F.array(
+        *[dot(vec, plane_lit(p)) for p in (planes or JL_PLANES)]
+    )
+
+
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    shortlist: int,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval with a Johnson-Lindenstrauss candidate
+    pass: shortlist per query by cosine in the PROJECTED space
+    (16-dim by default — 4x less arithmetic and scan bandwidth per
+    corpus vector than the 64-dim original; a deployment stores the
+    projected column and the candidate scan never touches the full
+    vectors, the same column-pruning lever as q85's int8 codes), then
+    an EXACT full-dimension rerank over |queries| x shortlist
+    survivors. The dimensionality-reduction sibling of
+    :func:`quantized_rerank_topk` — SQ8 shrinks the VALUES, JL
+    shrinks the DIMENSIONS; both keep the rerank exact and both are
+    fully deterministic, so the oracle verifies the pipeline recall
+    loss included.
+
+    Shape: projections are computed map-side (one corpus scan, no
+    shuffle); the candidate window shuffles slim (query_id, match_id,
+    proj_score) rows; the rerank joins the tiny shortlist back to the
+    corpus by id (broadcast) and re-scores in full precision."""
+    pl = planes or JL_PLANES
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q0.select(
+        "query_id", "qv", project_jl(F.col("qv"), pl).alias("qp")
+    ).withColumn("qn", norm(F.col("qv"))).withColumn("qpn", norm(F.col("qp")))
+    c0 = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c0.select(
+        "match_id", project_jl(F.col("cv"), pl).alias("cp")
+    ).withColumn("cpn", norm(F.col("cp")))
+    cand = (
+        c.join(
+            F.broadcast(q.select("query_id", "qp", "qpn")),
+            F.col("query_id") != F.col("match_id"),
+        )
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qp"), F.col("cp")) / (F.col("qpn") * F.col("cpn"))).alias(
+                "proj_score"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("proj_score"), F.asc("match_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "match_id")
+    )
+    cv = c0.withColumn("cn", norm(F.col("cv")))
+    rer = (
+        cv.join(F.broadcast(short), "match_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -103,6 +103,27 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
 
 
+#: cosine over the 16-dim PROJECTED lists (same sequential fold as
+#: _COS, dot bounded at 16; norms are length-agnostic transforms)
+_COS16 = _COS.replace("generate_series(1, 64)", "generate_series(1, 16)")
+
+
+def _jl_proj_sql(vec: str) -> str:
+    """16-dim Johnson-Lindenstrauss projection of a DOUBLE[] column:
+    component j = vec . JL_PLANES[j] as a sequential fold — the SQL
+    twin of similarity.project_jl (LSH tables 0+1 as the matrix)."""
+    from cardano_spark.operators.similarity import JL_PLANES
+
+    comps = []
+    for plane in JL_PLANES:
+        comps.append(
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            f"generate_series(1, 64), i -> {vec}[i] * ({_plane_sql(plane)})[i])), "
+            f"(x, y) -> x + y)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
 def _bucket_sql(vec: str) -> str:
     """8-bit sign-LSH bucket over a DOUBLE[] column expression."""
     terms = []
@@ -1164,6 +1185,61 @@ def q110_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repeated_ngram_spans(d, "doc_id", "text", n=8, min_docs=2)
 
 
+def q112_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss candidate pass + exact rerank: top-5 by
+    16-dim projected cosine shortlisting (4x less candidate-scan
+    arithmetic/bandwidth than the 64-dim original), reranked in full
+    precision (operators/similarity.py::projected_rerank_topk — the
+    dimensionality sibling of q85's SQ8 value quantization). The
+    projection matrix is LSH tables 0+1, so no new constants were
+    minted and every existing oracle literal is unchanged.
+
+    Measured recall@5 vs exact: ~0.21 at shortlist=30 on the
+    near-uniform synthetic corpus (CI floor in
+    test_ann_recall_floors) — the hard regime for dim reduction;
+    the shortlist/dims knobs trade scan bandwidth for recall, and
+    shortlist >= n-1 is pinned exact."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 20))
+    return SIM.projected_rerank_topk(
+        e, probes, "vec_id", "embedding", k=5, shortlist=30
+    )
+
+
+def q111_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration over the corpus: count ADJACENT
+    token pairs (with multiplicity — this is q42's unigram census
+    taken one step further into tokenizer training) and rank the
+    top-50 merge candidates. Word-level formulation; the
+    character-level inner loop of real BPE is the identical plan over
+    exploded character pairs.
+
+    Plan: one scan; the pair fan-out happens map-side (``transform``
+    over positions 1..n-1, then explode — same Generate shape as
+    q110's windows), ONE exchange on the pair key with map-side
+    partial counts, then TakeOrderedAndProject. No driver-side state;
+    iterating merges re-runs this plan on the re-tokenized corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    staged = d.select(
+        toks.alias("_t"), (F.size(toks) - 1).alias("_np")
+    ).filter(F.col("_np") >= 1)
+    pairs = staged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_np")),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -1216,6 +1292,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q108_ann_multitable_topk": q108_ann_multitable_topk,
     "q109_semantic_dedup": q109_semantic_dedup,
     "q110_repeated_ngram_spans": q110_repeated_ngram_spans,
+    "q111_bpe_merge_candidates": q111_bpe_merge_candidates,
+    "q112_projected_rerank_topk": q112_projected_rerank_topk,
 }
 
 
@@ -1492,6 +1570,53 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                av.cid::BIGINT AS cluster_id,
                (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
         FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    """,
+    # JL projection (LSH tables 0+1 as the matrix) -> 16-dim cosine
+    # shortlist -> exact 64-dim rerank; both stages restated
+    "q112_projected_rerank_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {_jl_proj_sql('(embedding::DOUBLE[])')} AS p
+          FROM embeddings
+        ), cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 {_COS16.replace('va', 'q.p').replace('vb', 'c.p')}
+                   AS proj_score
+          FROM v q JOIN v c
+            ON q.vec_id >= 12 AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+        ), short AS (
+          SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY proj_score DESC, match_id ASC
+            ) AS r FROM cand
+          ) WHERE r <= 30
+        ), rer AS (
+          SELECT s.query_id, s.match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+          FROM short s
+          JOIN v q ON q.vec_id = s.query_id
+          JOIN v c ON c.vec_id = s.match_id
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM rer
+        ) WHERE rank <= 5
+    """,
+    # adjacent-pair census with multiplicity; deterministic total
+    # order (count desc, pair asc) at the cut
+    "q111_bpe_merge_candidates": """
+        WITH d AS (
+          SELECT string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents
+        ), p AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS pair
+          FROM d WHERE len(toks) >= 2
+        )
+        SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 50
     """,
     # repeated 8-gram spans: positional window census over md5 keys
     "q110_repeated_ngram_spans": """

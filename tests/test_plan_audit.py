@@ -32,6 +32,7 @@ BNL_BUDGET = {
     "q67_semantic_decontamination": 1,
     "q73_bloom_decontamination": 2,
     "q85_quantized_ann_rerank": 1,
+    "q112_projected_rerank_topk": 1,
     "q95_equi_depth_histogram": 1,
     "q96_distribution_drift": 1,
     "q100_crossmodal_retrieval": 1,
