@@ -966,3 +966,101 @@ def projected_rerank_topk(
             "query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def quantize_double(vec: Column) -> Column:
+    """floor(x*255) kept as DOUBLE (integer-valued): exact on both
+    engines, and — the property :func:`spherical_kmeans_assign` needs
+    — distributed SUMS of such values stay exact (hence order-free
+    and bit-reproducible) while per-component totals fit in 2^53."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x * F.lit(255.0)).cast("double")
+    )
+
+
+def spherical_kmeans_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's algorithm as a PURE DataFrame plan, bit-reproducible
+    end to end — the fully ORACLE-VERIFIABLE counterpart of the MLlib
+    path (:func:`kmeans_centroids`), for when the training loop
+    itself must be auditable.
+
+    Two tricks make an iterative float algorithm deterministic in a
+    distributed engine:
+
+    - SPHERICAL k-means: cosine assignment is scale-invariant, so a
+      cluster's centroid can be represented by the element-wise SUM
+      of its members — no division, and the mean's direction is the
+      sum's direction.
+    - Exact integer arithmetic in doubles: vectors are quantized with
+      :func:`quantize_double` (floor(x*255), kept DOUBLE), so the
+      64 per-component partial sums are exact integers whenever each
+      component total < 2^53 (~3.5e13 rows per cluster at |x|<=255)
+      — addition of exact integers in IEEE double is associative,
+      which makes the shuffle-order-dependent aggregation
+      deterministic. The within-row cosine folds are sequential
+      (:func:`dot`), deterministic by construction.
+
+    Iteration = (broadcast the k sum-vectors, argmax-cosine partial
+    agg — the :func:`ivf_topk` assignment shape, one slim row per
+    vector on the wire) then (64 exact SUM aggregates grouped on the
+    cluster id, k rows out, map-side partials). Cost is the canonical
+    k-means bound: one corpus scan per half-step; clusters that lose
+    all members drop out (both engines agree). Seeds are the first
+    ``k`` ids' quantized vectors.
+
+    Returns the post-final-iteration assignment
+    (``vec_id``, ``cluster_id``) — one row per corpus vector.
+    ``dim`` is the static vector width: the 64-wide sum-agg list is
+    built at plan time (array element counts aren't in the schema).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    v = corpus.select(
+        F.col(id_col).alias("vid"), quantize_double(F.col(vec_col)).alias("q")
+    )
+    sums = v.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("q").alias("s")
+    )
+    assign = None
+    for it in range(n_iter):
+        assign = (
+            v.crossJoin(F.broadcast(sums))
+            .select(
+                "vid",
+                "q",
+                "cid",
+                (
+                    dot(F.col("q"), F.col("s"))
+                    / (norm(F.col("q")) * norm(F.col("s")))
+                ).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))
+                ).alias("b"),
+                F.first("q").alias("q"),
+            )
+            .select(
+                "vid", "q", (-F.col("b.negcid")).cast("long").alias("cid")
+            )
+        )
+        if it < n_iter - 1:
+            sums = (
+                assign.groupBy("cid")
+                .agg(*[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)])
+                .select(
+                    "cid",
+                    F.array(*[F.col(f"s{d}") for d in range(dim)]).alias("s"),
+                )
+            )
+    return assign.select(
+        F.col("vid").alias("vec_id"), F.col("cid").alias("cluster_id")
+    )

@@ -1185,6 +1185,21 @@ def q110_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repeated_ngram_spans(d, "doc_id", "text", n=8, min_docs=2)
 
 
+def q113_spherical_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's algorithm (2 iterations, 8 clusters) as a pure
+    DataFrame plan whose TRAINING LOOP is bit-reproducible and
+    oracle-verified — spherical assignment over exactly-quantized
+    vectors makes the distributed centroid sums order-free
+    (operators/similarity.py::spherical_kmeans_assign has the 2^53
+    bound). The auditable complement of the MLlib kmeans_centroids
+    path used by q57; the driver hash-checks the iterate itself, not
+    just a downstream consumer."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.spherical_kmeans_assign(
+        e, "vec_id", "embedding", k=8, n_iter=2
+    )
+
+
 def q112_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss candidate pass + exact rerank: top-5 by
     16-dim projected cosine shortlisting (4x less candidate-scan
@@ -1294,6 +1309,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q110_repeated_ngram_spans": q110_repeated_ngram_spans,
     "q111_bpe_merge_candidates": q111_bpe_merge_candidates,
     "q112_projected_rerank_topk": q112_projected_rerank_topk,
+    "q113_spherical_kmeans": q113_spherical_kmeans,
 }
 
 
@@ -1570,6 +1586,41 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                av.cid::BIGINT AS cluster_id,
                (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
         FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    """,
+    # the k-means TRAINING LOOP restated: quantize, assign to seeds,
+    # exact integer re-sum, re-assign — every stage bit-identical
+    "q113_spherical_kmeans": f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * 255.0)) AS q
+          FROM embeddings
+        ), s0 AS (
+          SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 8
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, s0.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
+                       s0.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN s0
+          ) WHERE rn = 1
+        ), s1 AS (
+          SELECT a0.cid,
+                 [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+          FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
+        ), a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, s1.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                       s1.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN s1
+          ) WHERE rn = 1
+        )
+        SELECT vec_id, cid::BIGINT AS cluster_id FROM a1
     """,
     # JL projection (LSH tables 0+1 as the matrix) -> 16-dim cosine
     # shortlist -> exact 64-dim rerank; both stages restated

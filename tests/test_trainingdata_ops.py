@@ -969,3 +969,67 @@ def test_projected_rerank_full_shortlist_is_exact(spark):
     )
     want = SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_spherical_kmeans_matches_python_reference(spark):
+    """The distributed iterate must agree EXACTLY with a sequential
+    Python restatement of the same rule (quantize -> cosine-assign ->
+    integer re-sum -> re-assign) on a seeded corpus."""
+    import random
+
+    rng = random.Random(23)
+    import math
+
+    vecs = {i: [rng.uniform(-1.0, 1.0) for _ in range(8)] for i in range(60)}
+    q = {i: [math.floor(x * 255.0) for x in v] for i, v in vecs.items()}
+    k, n_iter = 4, 3
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            sum(x * x for x in a) ** 0.5 * sum(y * y for y in b) ** 0.5
+        )
+
+    sums = {c: list(q[c]) for c in range(k)}
+    assign = {}
+    for it in range(n_iter):
+        assign = {
+            i: max(sums, key=lambda c: (cos(q[i], sums[c]), -c)) for i in q
+        }
+        if it < n_iter - 1:
+            sums = {}
+            for i, c in assign.items():
+                acc = sums.setdefault(c, [0.0] * 8)
+                for d in range(8):
+                    acc[d] += q[i][d]
+    e = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.cluster_id
+        for r in SIM.spherical_kmeans_assign(
+            e, "vec_id", "embedding", k=k, n_iter=n_iter, dim=8
+        ).collect()
+    }
+    assert got == assign
+    assert len(set(assign.values())) > 1  # fixture exercises >1 cluster
+
+
+def test_spherical_kmeans_partitioning_invariant(spark):
+    """The order-freedom claim made concrete: the result must be
+    bit-identical no matter how the input is partitioned (exact
+    integer partial sums are associative in IEEE double)."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(80)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    outs = []
+    for nparts in (1, 3, 13):
+        out = SIM.spherical_kmeans_assign(
+            base.repartition(nparts), "vec_id", "embedding", k=4, n_iter=2, dim=8
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] == outs[2]
