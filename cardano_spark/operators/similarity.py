@@ -1020,6 +1020,47 @@ def spherical_kmeans_assign(
     ``dim`` is the static vector width: the 64-wide sum-agg list is
     built at plan time (array element counts aren't in the schema).
     """
+    assign, _ = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
+    return assign.select(
+        F.col("vid").alias("vec_id"), F.col("cid").alias("cluster_id")
+    )
+
+
+def spherical_kmeans_sums(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    dim: int = 64,
+) -> DataFrame:
+    """The trained model state of :func:`spherical_kmeans_assign`: the
+    per-cluster SUM vectors in force at the final assignment (after
+    ``n_iter - 1`` re-estimations). In the sum representation these
+    ARE the centroids (direction is all cosine needs), so the frame
+    feeds :func:`ivf_topk` as ``(cid, centroid)`` directly — an
+    end-to-end train->index->search pipeline where every stage is
+    bit-reproducible and oracle-checkable, unlike the MLlib path.
+
+    The k-row model frame is ``localCheckpoint``-ed: consumers
+    broadcast it repeatedly (IVF scores both sides against it) and
+    must not re-run the training scan per consumer."""
+    _, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
+    return sums.select(
+        "cid", F.col("s").alias("centroid")
+    ).localCheckpoint(eager=False)
+
+
+def _kmeans_iterate(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: (final assignment with quantized vectors
+    attached, the sum-centroid frame that produced it)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     v = corpus.select(
@@ -1061,6 +1102,4 @@ def spherical_kmeans_assign(
                     F.array(*[F.col(f"s{d}") for d in range(dim)]).alias("s"),
                 )
             )
-    return assign.select(
-        F.col("vid").alias("vec_id"), F.col("cid").alias("cluster_id")
-    )
+    return assign, sums

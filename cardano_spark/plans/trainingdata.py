@@ -1200,6 +1200,25 @@ def q113_spherical_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q114_ivf_kmeans_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END verifiable retrieval pipeline: train centroids
+    with q113's bit-reproducible spherical k-means (sum
+    representation — direction is all cosine needs), feed them to the
+    q36/q57 IVF plan as the quantization model, search top-5 over 2
+    probed lists. q57 proves the trained-centroid PLAN with stand-in
+    centroids because MLlib's k-means isn't oracle-restatable; here
+    training, index build, and search are ALL hash-checked as one
+    query — the audit posture a production retrieval deployment
+    cannot normally get."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 28) & (F.col("vec_id") < 36))
+    cents = SIM.spherical_kmeans_sums(e, "vec_id", "embedding", k=8, n_iter=2)
+    return SIM.ivf_topk(
+        e, probes, "vec_id", "embedding",
+        n_centroids=8, nprobe=2, k=5, centroids=cents,
+    )
+
+
 def q112_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss candidate pass + exact rerank: top-5 by
     16-dim projected cosine shortlisting (4x less candidate-scan
@@ -1310,6 +1329,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q111_bpe_merge_candidates": q111_bpe_merge_candidates,
     "q112_projected_rerank_topk": q112_projected_rerank_topk,
     "q113_spherical_kmeans": q113_spherical_kmeans,
+    "q114_ivf_kmeans_pipeline": q114_ivf_kmeans_pipeline,
 }
 
 
@@ -1586,6 +1606,66 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                av.cid::BIGINT AS cluster_id,
                (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
         FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    """,
+    # train (quantize/assign/exact re-sum) -> IVF index -> search,
+    # every stage restated: the q36 body with the seeds CTE replaced
+    # by the q113 training chain
+    "q114_ivf_kmeans_pipeline": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * 255.0)) AS q
+          FROM embeddings
+        ), s0 AS (
+          SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 8
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, s0.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
+                       s0.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN s0
+          ) WHERE rn = 1
+        ), seeds AS (
+          SELECT a0.cid,
+                 [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS ce
+          FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
+        ), assign AS (
+          SELECT vec_id AS match_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC,
+                       s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s
+          ) WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT v.vec_id, s.cid, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC,
+                       s.cid ASC
+            ) AS rn
+            FROM v CROSS JOIN seeds s
+            WHERE v.vec_id >= 28 AND v.vec_id < 36
+          ) WHERE rn <= 2
+        ), cand AS (
+          SELECT p.query_id, a.match_id
+          FROM probes p JOIN assign a USING (cid)
+          WHERE a.match_id <> p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.match_id,
+                 {_COS.replace('va', 'q.e').replace('vb', 'm.e')} AS cos_sim
+          FROM cand c
+          JOIN v q ON q.vec_id = c.query_id
+          JOIN v m ON m.vec_id = c.match_id
+        )
+        SELECT query_id, match_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+          )::BIGINT AS rank FROM scored
+        ) WHERE rank <= 5
     """,
     # the k-means TRAINING LOOP restated: quantize, assign to seeds,
     # exact integer re-sum, re-assign — every stage bit-identical

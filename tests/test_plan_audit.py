@@ -34,6 +34,7 @@ BNL_BUDGET = {
     "q85_quantized_ann_rerank": 1,
     "q112_projected_rerank_topk": 1,
     "q113_spherical_kmeans": 2,
+    "q114_ivf_kmeans_pipeline": 2,
     "q95_equi_depth_histogram": 1,
     "q96_distribution_drift": 1,
     "q100_crossmodal_retrieval": 1,

@@ -1013,6 +1013,15 @@ def test_spherical_kmeans_matches_python_reference(spark):
     }
     assert got == assign
     assert len(set(assign.values())) > 1  # fixture exercises >1 cluster
+    # the exposed model state (q114's centroid input) must be the
+    # exact sums in force at the final assignment
+    got_sums = {
+        r.cid: list(r.centroid)
+        for r in SIM.spherical_kmeans_sums(
+            e, "vec_id", "embedding", k=k, n_iter=n_iter, dim=8
+        ).collect()
+    }
+    assert got_sums == {c: [float(x) for x in s] for c, s in sums.items()}
 
 
 def test_spherical_kmeans_partitioning_invariant(spark):
