@@ -1185,6 +1185,19 @@ def q110_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repeated_ngram_spans(d, "doc_id", "text", n=8, min_docs=2)
 
 
+def q115_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality as a DRIVER-VERIFIED query (the q106
+    idea applied to dedup): per LSH candidate pair of the q22 slice,
+    estimated vs exact Jaccard and the absolute error
+    (operators/dedup.py::minhash_estimate_report) — the measurement
+    that justifies (or rejects) an est_prefilter cutoff at a given
+    threshold."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    return DD.minhash_estimate_report(
+        d, "doc_id", TX.distinct_tokens(F.col("text"))
+    )
+
+
 def q113_spherical_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's algorithm (2 iterations, 8 clusters) as a pure
     DataFrame plan whose TRAINING LOOP is bit-reproducible and
@@ -1330,6 +1343,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q112_projected_rerank_topk": q112_projected_rerank_topk,
     "q113_spherical_kmeans": q113_spherical_kmeans,
     "q114_ivf_kmeans_pipeline": q114_ivf_kmeans_pipeline,
+    "q115_minhash_estimate_report": q115_minhash_estimate_report,
 }
 
 
@@ -1606,6 +1620,41 @@ TRAININGDATA_ORACLES: dict[str, str] = {
                av.cid::BIGINT AS cluster_id,
                (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
         FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    """,
+    # q22's candidate chain, then BOTH Jaccards per pair: the
+    # 16-component estimate (integer agreement count / 16) and the
+    # exact value, with the absolute error in an outer select so the
+    # aliases are computed once in both engines
+    "q115_minhash_estimate_report": f"""
+        WITH d AS (
+          SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+          FROM documents WHERE doc_id % 8 = 0
+        ), h AS (
+          SELECT doc_id, sh, {_HASHES} AS hs FROM d
+        ), sig AS (
+          SELECT doc_id, {_sig_select()} FROM h
+        ), bands AS (
+          {_band_selects('sig')}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_idx, band_val)
+          WHERE a.doc_id < b.doc_id
+        ), scored AS (
+          SELECT cand.id_a, cand.id_b,
+                 ({" + ".join(
+                     f"CASE WHEN sa.sig{j} = sb.sig{j} THEN 1 ELSE 0 END"
+                     for j in range(len(MINHASH_PERMS))
+                 )})::DOUBLE / {float(len(MINHASH_PERMS))} AS est_j,
+                 {_JACCARD} AS exact_j
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.id_a
+          JOIN sig sb ON sb.doc_id = cand.id_b
+          JOIN d da ON da.doc_id = cand.id_a
+          JOIN d db ON db.doc_id = cand.id_b
+        )
+        SELECT id_a, id_b, est_j, exact_j,
+               abs(est_j - exact_j) AS abs_err
+        FROM scored
     """,
     # train (quantize/assign/exact re-sum) -> IVF index -> search,
     # every stage restated: the q36 body with the seeds CTE replaced

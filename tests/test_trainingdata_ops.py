@@ -1042,3 +1042,22 @@ def test_spherical_kmeans_partitioning_invariant(spark):
         )
         outs.append(sorted(map(tuple, out.collect())))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_minhash_estimate_report_planted(docs):
+    """Identical docs must report est_j = exact_j = 1.0 with zero
+    error; the planted near-dup's error must be the literal
+    |est - exact|; every estimate is a multiple of 1/16 in [0,1]."""
+    out = {
+        (r.id_a, r.id_b): r
+        for r in DD.minhash_estimate_report(
+            docs, "doc_id", TX.distinct_tokens(F.col("text"))
+        ).collect()
+    }
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12.est_j == 1.0 and r12.exact_j == 1.0 and r12.abs_err == 0.0
+    for r in out.values():
+        assert 0.0 <= r.est_j <= 1.0
+        assert round(r.est_j * 16) == pytest.approx(r.est_j * 16)
+        assert r.abs_err == abs(r.est_j - r.exact_j)
