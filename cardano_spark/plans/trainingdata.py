@@ -38,6 +38,7 @@ from cardano_spark.functions.hashing import (
 from cardano_spark.operators import curation as CU
 from cardano_spark.operators import dedup as DD
 from cardano_spark.operators import multimodal as MM
+from cardano_spark.operators import relational as REL
 from cardano_spark.operators import similarity as SIM
 from cardano_spark.plans.queries import QueryFn
 
@@ -1185,6 +1186,28 @@ def q110_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repeated_ngram_spans(d, "doc_id", "text", n=8, min_docs=2)
 
 
+def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the q22 near-dup pair graph
+    — the density diagnostic that separates true duplicate FAMILIES
+    (clique-like: at sf0.01 the 272-edge pair graph closes 1642
+    triangles) from transitive accidents (chains close none), the
+    question q44's connected components can't answer on their own.
+    Counting is degree-oriented wedge closure
+    (operators/relational.py::triangle_counts, the
+    curse-of-the-last-reducer fix: (degree, id) orientation bounds
+    per-vertex wedge fan-out by O(sqrt(m)) regardless of hub
+    degree); the near-dup graph is sparse by construction, the
+    regime triangle counting is FOR (a co-occurrence-style dense
+    graph is not — measured and rejected here: the sf0.1 supplier
+    co-occurrence graph is near-complete and pushed the wedge join
+    to ~59 s)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    ).select("id_a", "id_b")
+    return REL.triangle_counts(pairs, "id_a", "id_b")
+
+
 def q115_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator quality as a DRIVER-VERIFIED query (the q106
     idea applied to dedup): per LSH candidate pair of the q22 slice,
@@ -1344,6 +1367,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q113_spherical_kmeans": q113_spherical_kmeans,
     "q114_ivf_kmeans_pipeline": q114_ivf_kmeans_pipeline,
     "q115_minhash_estimate_report": q115_minhash_estimate_report,
+    "q116_neardup_triangles": q116_neardup_triangles,
 }
 
 
@@ -2584,3 +2608,37 @@ TRAININGDATA_ORACLES: dict[str, str] = {
         WHERE d.n_chars >= 120 AND d.lang <> 'de'
     """,
 }
+
+# q116: the q22 pair chain IS the edge set — reuse its oracle text as
+# a CTE, then the full degree-oriented triangle pipeline (degrees,
+# (degree,id) orientation, apex wedge join, closure via EXISTS)
+TRAININGDATA_ORACLES["q116_neardup_triangles"] = f"""
+    WITH e AS (
+      SELECT id_a AS u, id_b AS v
+      FROM ({TRAININGDATA_ORACLES["q22_minhash_lsh_neardup"]})
+    ), deg AS (
+      SELECT x, count(*) AS d FROM (
+        SELECT u AS x FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY x
+    ), o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b
+      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+    ), wedges AS (
+      SELECT w1.a AS x, w1.b AS y, w2.b AS z
+      FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b
+    ), tris AS (
+      SELECT x, y, z FROM wedges w WHERE EXISTS (
+        SELECT 1 FROM o
+        WHERE least(o.a, o.b) = w.y AND greatest(o.a, o.b) = w.z
+      )
+    ), verts AS (
+      SELECT x AS vertex FROM tris
+      UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris
+    )
+    SELECT vertex, count(*)::BIGINT AS n_triangles
+    FROM verts GROUP BY vertex
+"""

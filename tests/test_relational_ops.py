@@ -399,3 +399,46 @@ def test_asof_join_next_tie_is_later_and_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # union+window, never an inequality join
+
+
+def test_triangle_counts_planted(spark):
+    """K4 has 4 triangles with every vertex in 3; a chain and a star
+    have none (the star is the degree-orientation stress: a hub with
+    high degree but zero closure)."""
+    from cardano_spark.operators.relational import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, x) for x in range(21, 28)]
+    edges = spark.createDataFrame(k4 + chain + star, "s long, t long")
+    out = {r.vertex: r.n_triangles for r in triangle_counts(edges, "s", "t").collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_random_matches_bruteforce(spark):
+    """Seeded random graphs: per-vertex counts must equal the naive
+    all-triples enumeration, including duplicate/reversed input edges
+    (normalized away) and self-loops (dropped)."""
+    import itertools
+    import random
+
+    from cardano_spark.operators.relational import triangle_counts
+
+    rng = random.Random(17)
+    n = 30
+    edges = set()
+    for _ in range(120):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows = [(a, b) if rng.random() < 0.5 else (b, a) for a, b in edges]
+    rows += rows[:10] + [(5, 5)]  # duplicates + a self-loop
+    df = spark.createDataFrame(rows, "s long, t long")
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if {(x, y), (x, z), (y, z)} <= edges:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df, "s", "t").collect()}
+    assert got == want
+    assert sum(want.values()) > 0  # fixture actually has triangles
