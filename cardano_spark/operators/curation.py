@@ -535,14 +535,17 @@ def repeated_ngram_spans(
     token position) happens map-side inside the Generate and only the
     slim (doc_id, start, md5) triple reaches the exchange — the token
     array itself is projected away before any shuffle. The window
-    census is a two-phase distinct-count grouped on the 128-bit md5
-    (collision-free for any real corpus); the census frame joins back
-    to the window frame on the SAME key, so the two branches share
-    one exchange layout (ReuseExchange) and per-doc stats reduce with
-    a map-side partial agg on doc_id. Nothing is all-pairs and no
-    driver-side state exists; at 100 TB the only tuning knob is
-    shuffle partitions on the window key, which is uniform by
-    construction (md5).
+    frame feeds TWO consumers (the census groupBy and the join back),
+    and their exchange layouts genuinely differ (countDistinct's
+    first exchange partitions on (_wid, doc_id), the join side on
+    (_wid) alone — ReuseExchange can NOT fire here, verified on the
+    executed plan), so the slim frame is ``localCheckpoint``-ed once:
+    the tokenize + explode + per-window md5 work — the dominant cost
+    — runs exactly once per query. The census is a two-phase
+    distinct-count grouped on the 128-bit md5 (collision-free for any
+    real corpus, uniform by construction so no skew key exists), and
+    per-doc stats reduce with a map-side partial agg on doc_id.
+    Nothing is all-pairs and no driver-side state exists.
 
     Differs from :func:`boilerplate_spans` (line-granularity, C4
     rule) and repetition_scores (WITHIN-doc repetition): this flags
@@ -569,7 +572,7 @@ def repeated_ngram_spans(
         F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("start"), n))).alias(
             "_wid"
         ),
-    )
+    ).localCheckpoint(eager=False)
     census = (
         windows.groupBy("_wid")
         .agg(F.countDistinct(F.col(id_col)).alias("_nd"))

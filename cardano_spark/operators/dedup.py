@@ -201,6 +201,55 @@ def incremental_minhash_pairs(
     )
 
 
+def _candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct normalized (id_a < id_b) pairs colliding in >= 1 LSH
+    band — the single definition every symmetric band self-join
+    shares (minhash_lsh_pairs, minhash_estimate_report), so what the
+    estimator report measures IS what the pair detector generates."""
+    left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
+    right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val")
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _with_sig_vectors(pairs: DataFrame, sig: DataFrame) -> DataFrame:
+    """Attach both sides' packed signature vectors (_sa, _sb) to an
+    (id_a, id_b) pair frame — two slim joins, arrays of 16 longs."""
+    sigv = sig.select(
+        "_id",
+        F.array(*[F.col(f"sig{j}") for j in range(len(MINHASH_PERMS))]).alias(
+            "_sigv"
+        ),
+    )
+    return pairs.join(
+        sigv.select(F.col("_id").alias("id_a"), F.col("_sigv").alias("_sa")),
+        "id_a",
+    ).join(
+        sigv.select(F.col("_id").alias("id_b"), F.col("_sigv").alias("_sb")),
+        "id_b",
+    )
+
+
+def _sig_agreement() -> Column:
+    """Estimated Jaccard from packed signature vectors _sa/_sb: the
+    fraction of the 16 components that agree — the ONE definition
+    both the est_prefilter gate and the estimator report use."""
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("_sa"),
+            F.col("_sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    return matches.cast("double") / F.lit(float(len(MINHASH_PERMS)))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -262,37 +311,11 @@ def minhash_lsh_pairs(
         # once so the permutation folds over the checkpointed hash
         # arrays don't re-run per branch
         sig = sig.localCheckpoint(eager=False)
-    banded = _banded_frame(sig)
-
-    left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
-    right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val")
-    cand = (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _candidate_pairs(_banded_frame(sig))
     if est_prefilter is not None:
-        n_perms = len(MINHASH_PERMS)
-        sigv = sig.select(
-            "_id", F.array(*[F.col(f"sig{j}") for j in range(n_perms)]).alias("_sigv")
-        )
-        matches = F.aggregate(
-            F.zip_with(
-                F.col("_sa"),
-                F.col("_sb"),
-                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, m: acc + m,
-        )
         cand = (
-            cand.join(sigv.select(F.col("_id").alias("id_a"), F.col("_sigv").alias("_sa")), "id_a")
-            .join(sigv.select(F.col("_id").alias("id_b"), F.col("_sigv").alias("_sb")), "id_b")
-            .filter(
-                matches.cast("double") / F.lit(float(n_perms))
-                >= F.lit(float(est_prefilter))
-            )
+            _with_sig_vectors(cand, sig)
+            .filter(_sig_agreement() >= F.lit(float(est_prefilter)))
             .select("id_a", "id_b")
         )
     sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
@@ -838,48 +861,18 @@ def minhash_estimate_report(
     t = df.select(
         F.col(id_col).alias("_id"), shingles.alias("_sh")
     ).localCheckpoint(eager=False)
-    n_perms = len(MINHASH_PERMS)
     sig = _sig_frame(t).localCheckpoint(eager=False)
-    banded = _banded_frame(sig)
-    cand = (
-        banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
-        .join(
-            banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val"),
-            ["band_idx", "band_val"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sigv = sig.select(
-        "_id", F.array(*[F.col(f"sig{j}") for j in range(n_perms)]).alias("_sigv")
-    )
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("_sa"),
-            F.col("_sb"),
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, m: acc + m,
-    )
+    cand = _candidate_pairs(_banded_frame(sig))
     sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = t.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     scored = (
-        cand.join(
-            sigv.select(F.col("_id").alias("id_a"), F.col("_sigv").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sigv.select(F.col("_id").alias("id_b"), F.col("_sigv").alias("_sb")),
-            "id_b",
-        )
+        _with_sig_vectors(cand, sig)
         .join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (matches.cast("double") / F.lit(float(n_perms))).alias("est_j"),
+            _sig_agreement().alias("est_j"),
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("exact_j"),
         )
     )

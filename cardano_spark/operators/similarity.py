@@ -514,6 +514,32 @@ def neardup_topk_per_block(
     )
 
 
+def _assign_nearest(
+    v: DataFrame, seeds: DataFrame, score: Column, payload: list[str]
+) -> DataFrame:
+    """Broadcast-argmax nearest-seed assignment — the ONE definition
+    of the shape ivf_topk, semantic_dedup and the k-means iterate all
+    share: crossJoin the tiny seed frame, score every (vector, seed)
+    pair map-side, collapse with the ``max(struct(c, -cid))`` partial
+    agg so ONE slim row per vector reaches the exchange. Ties at
+    equal score resolve to the smallest cid — the total-order
+    contract every oracle's ``row_number() ... ORDER BY c DESC, cid
+    ASC`` restates; changing the tie-break HERE is the only way to
+    change it anywhere. ``payload`` columns of ``v`` (constant per
+    vid across the seed fan-out, so ``first`` is deterministic) are
+    carried through. Returns (vid, *payload, cid)."""
+    return (
+        v.crossJoin(F.broadcast(seeds))
+        .select("vid", "cid", score.alias("c"), *payload)
+        .groupBy("vid")
+        .agg(
+            F.max(F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))).alias("b"),
+            *[F.first(p).alias(p) for p in payload],
+        )
+        .select("vid", *payload, (-F.col("b.negcid")).cast("long").alias("cid"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -575,15 +601,12 @@ def ivf_topk(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
     # corpus side: partial-agg argmax, 1 row per vector on the wire
-    assign = (
-        scored_against_seeds(v)
-        .groupBy("vid")
-        .agg(F.max(F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))).alias("b"))
-        .select(
-            F.col("vid").alias("match_id"),
-            (-F.col("b.negcid")).cast("long").alias("cid"),
-        )
-    )
+    assign = _assign_nearest(
+        v,
+        seeds,
+        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        [],
+    ).select(F.col("vid").alias("match_id"), "cid")
     # query side: nprobe nearest lists via window top-k (tiny frame)
     w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
     probes = (
@@ -814,26 +837,12 @@ def semantic_dedup(
         seeds = v.filter(F.col("vid") < n_centroids).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
-    assigned = (
-        v.crossJoin(F.broadcast(seeds))
-        .select(
-            "vid",
-            "v",
-            "vn",
-            "cid",
-            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("c"),
-        )
-        .groupBy("vid")
-        .agg(
-            F.max(F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))).alias("b"),
-            F.first("v").alias("v"),
-            F.first("vn").alias("vn"),
-        )
-        .select(
-            "vid", "v", "vn", (-F.col("b.negcid")).cast("long").alias("cid")
-        )
-        .localCheckpoint(eager=False)
-    )
+    assigned = _assign_nearest(
+        v,
+        seeds,
+        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        ["v", "vn"],
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cid"),
         F.col("vid").alias("a_id"),
@@ -1071,27 +1080,11 @@ def _kmeans_iterate(
     )
     assign = None
     for it in range(n_iter):
-        assign = (
-            v.crossJoin(F.broadcast(sums))
-            .select(
-                "vid",
-                "q",
-                "cid",
-                (
-                    dot(F.col("q"), F.col("s"))
-                    / (norm(F.col("q")) * norm(F.col("s")))
-                ).alias("c"),
-            )
-            .groupBy("vid")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))
-                ).alias("b"),
-                F.first("q").alias("q"),
-            )
-            .select(
-                "vid", "q", (-F.col("b.negcid")).cast("long").alias("cid")
-            )
+        assign = _assign_nearest(
+            v,
+            sums,
+            dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
+            ["q"],
         )
         if it < n_iter - 1:
             sums = (

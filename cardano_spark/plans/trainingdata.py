@@ -113,10 +113,8 @@ def _jl_proj_sql(vec: str) -> str:
     """16-dim Johnson-Lindenstrauss projection of a DOUBLE[] column:
     component j = vec . JL_PLANES[j] as a sequential fold — the SQL
     twin of similarity.project_jl (LSH tables 0+1 as the matrix)."""
-    from cardano_spark.operators.similarity import JL_PLANES
-
     comps = []
-    for plane in JL_PLANES:
+    for plane in SIM.JL_PLANES:
         comps.append(
             f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
             f"generate_series(1, 64), i -> {vec}[i] * ({_plane_sql(plane)})[i])), "
