@@ -57,6 +57,22 @@ def build_parser() -> argparse.ArgumentParser:
     shards.add_argument("--key", required=True, help="id column for the content-hash shard key")
     shards.add_argument("--shards", type=int, default=8)
     shards.add_argument("--max-rows-per-file", type=int, default=None)
+    corpus = sub.add_parser(
+        "build-corpus",
+        help="end-to-end corpus build: exact + near-dup dedup, optional "
+        "benchmark decontamination, quality gate, sharded export with "
+        "manifest and per-stage audit (pipelines/corpus.py)",
+    )
+    corpus.add_argument("--src", required=True, help="documents parquet path")
+    corpus.add_argument("--dest", required=True, help="shard output dir")
+    corpus.add_argument(
+        "--benchmark", default=None, help="eval-set parquet (text column)"
+    )
+    corpus.add_argument("--neardup-threshold", type=float, default=0.8)
+    corpus.add_argument("--contamination-max", type=float, default=0.5)
+    corpus.add_argument("--min-quality", type=float, default=0.0)
+    corpus.add_argument("--min-tokens", type=int, default=1)
+    corpus.add_argument("--shards", type=int, default=8)
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -114,6 +130,32 @@ def main(
         print(
             f"wrote {m.n_shards} shards, {m.n_rows} rows, "
             f"{m.total_bytes} bytes -> {args.dest}"
+        )
+        return 0
+    if args.cmd == "build-corpus":
+        from cardano_spark.pipelines.corpus import build_corpus
+
+        docs = spark.read.parquet(args.src)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        audit = build_corpus(
+            spark,
+            docs,
+            args.dest,
+            benchmark=bench,
+            neardup_threshold=args.neardup_threshold,
+            contamination_max=args.contamination_max,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            n_shards=args.shards,
+        )
+        print(
+            f"corpus build: {audit.n_input} in -> {audit.n_after_exact} "
+            f"after exact dedup -> {audit.n_after_neardup} after near-dup "
+            f"-> {audit.n_after_decontam} after decontamination -> "
+            f"{audit.n_after_quality} kept; {audit.manifest.n_shards} "
+            f"shards, {audit.manifest.n_rows} rows -> {args.dest}"
         )
         return 0
     if args.cmd == "scrape-companies":

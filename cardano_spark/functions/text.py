@@ -107,3 +107,24 @@ def punct_count(text: Column) -> Column:
 
 def punct_count_sql(expr: str) -> str:
     return f"length(regexp_replace({expr}, '[a-z0-9 ]', '', 'g'))"
+
+
+def quality_score(text: Column) -> Column:
+    """The fixed-order document quality formula (q30 and the corpus
+    build pipeline share this ONE definition):
+    0.5*stopword_ratio + 0.3*len_score + 0.2*(1 - punct_ratio)."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    stop_ratio = stopword_hits(toks, "en").cast("long").cast("double") / n_tok.cast(
+        "double"
+    )
+    len_score = F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
+    punct_ratio = punct_count(text).cast("long").cast("double") / n_chars.cast(
+        "double"
+    )
+    return (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * len_score
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )

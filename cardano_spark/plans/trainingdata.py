@@ -421,21 +421,15 @@ def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
-    n_chars = F.length(F.col("text")).cast("long")
     s_en = TX.stopword_hits(toks, "en").cast("long")
     punct = TX.punct_count(F.col("text")).cast("long")
     stop_ratio = s_en.cast("double") / n_tok.cast("double")
-    len_score = F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
-    punct_ratio = punct.cast("double") / n_chars.cast("double")
-    score = F.lit(0.5) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.2) * (
-        F.lit(1.0) - punct_ratio
-    )
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         punct.alias("n_punct"),
         stop_ratio.alias("stop_ratio"),
-        score.alias("quality"),
+        TX.quality_score(F.col("text")).alias("quality"),
     )
 
 

@@ -1,0 +1,128 @@
+"""End-to-end corpus build (pipelines/corpus.py): planted-input
+semantics per stage, determinism of the whole pipeline, and the CLI
+seam. The individual operators are oracle-verified in the registry;
+these tests pin the COMPOSITION (stage order, gate application,
+audit accounting)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cardano_spark.pipelines.corpus import build_corpus
+from tests.conftest import SF_SMALL
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs on through "
+    "the quiet field while the sun sets over the hills in the west"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD, "en", "web", len(GOOD)),
+        (2, GOOD, "en", "web", len(GOOD)),          # exact dup of 1
+        (3, GOOD + " extra", "en", "web", len(GOOD) + 6),  # near dup, LONGER
+        (4, "zz qq xx ww vv uu tt ss rr pp", "en", "web", 29),  # no stopwords
+        (5, "the secret benchmark answer is too close for comfort "
+            "and the rest of this text is long enough to pass the "
+            "quality gate easily with many common words", "en", "eval-leak", 150),
+        (6, None, "en", "web", 0),                   # NULL text
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_build_corpus_stages_and_audit(spark, tmp_path):
+    bench = spark.createDataFrame(
+        [("the secret benchmark answer is too close for comfort",)],
+        "text string",
+    )
+    audit = build_corpus(
+        spark,
+        _docs(spark),
+        str(tmp_path / "out"),
+        benchmark=bench,
+        contamination_max=0.2,
+        min_quality=0.3,
+        min_tokens=3,
+        n_shards=2,
+    )
+    assert audit.n_input == 6
+    assert audit.n_after_exact == 5          # doc 2 collapses into 1
+    assert audit.n_after_neardup == 4        # docs {1,3}: keep 3 (longer)
+    assert audit.n_after_decontam == 3       # doc 5 overlaps the benchmark
+    assert audit.n_after_quality == 1        # doc 4 fails quality, doc 6 NULL
+    assert audit.manifest.n_rows == 1
+    kept = spark.read.parquet(str(tmp_path / "out")).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {3}
+    # audit counts are monotone non-increasing by construction
+    seq = [
+        audit.n_input,
+        audit.n_after_exact,
+        audit.n_after_neardup,
+        audit.n_after_decontam,
+        audit.n_after_quality,
+    ]
+    assert seq == sorted(seq, reverse=True)
+
+
+def test_build_corpus_no_benchmark_stage_is_noop(spark, tmp_path):
+    audit = build_corpus(
+        spark, _docs(spark), str(tmp_path / "out"), benchmark=None, n_shards=2
+    )
+    assert audit.n_after_decontam == audit.n_after_neardup
+
+
+def test_build_corpus_deterministic(spark, tmp_path):
+    """Two runs over the same input must produce identical manifests
+    (shard membership is a pure function of content)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a1 = build_corpus(spark, docs, str(tmp_path / "a"), n_shards=3)
+    a2 = build_corpus(spark, docs, str(tmp_path / "b"), n_shards=3)
+    assert a1.n_after_quality == a2.n_after_quality
+    assert a1.manifest.n_rows == a2.manifest.n_rows
+    assert [s["rows"] for s in a1.manifest.shards] == [
+        s["rows"] for s in a2.manifest.shards
+    ]
+
+
+def test_cli_build_corpus(spark, tmp_path, capsys):
+    from cardano_spark.__main__ import main
+
+    dest = str(tmp_path / "out")
+    rc = main(
+        [
+            "build-corpus",
+            "--src", f"{SF_SMALL}/documents.parquet",
+            "--dest", dest,
+            "--shards", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "corpus build:" in out and "kept" in out
+    with open(f"{dest}/_manifest.json", encoding="utf-8") as f:
+        m = json.load(f)
+    assert m["n_rows"] > 0
+
+
+def test_quality_gate_uses_shared_formula(spark):
+    """The pipeline's gate and q30 must agree — one formula
+    definition (functions/text.py::quality_score)."""
+    from cardano_spark.functions import text as TX
+    from cardano_spark.plans.trainingdata import q30_quality_score
+
+    q30 = {
+        r.doc_id: r.quality
+        for r in q30_quality_score(spark, SF_SMALL).collect()
+    }
+    direct = {
+        r.doc_id: r.q
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", TX.quality_score(F.col("text")).alias("q"))
+        .collect()
+    }
+    assert q30 == direct
