@@ -1178,6 +1178,77 @@ def q110_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repeated_ngram_spans(d, "doc_id", "text", n=8, min_docs=2)
 
 
+def q117_arrival_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-INCREMENT mode of `build-corpus` as one driver-
+    verified query: every gate an ARRIVING document must clear
+    against the existing corpus, with per-doc flags and the keep
+    verdict. New batch = doc_id >= 300 on the q22/q66 slice.
+
+    - is_neardup: q66's incremental MinHash probe — only the new
+      batch is signed and banded (cost ∝ |new|, the index never
+      self-joins); a new doc is a dup when any pair's LARGER side is
+      it (existing ids precede all new ids, and within the batch the
+      keep-first rule applies).
+    - is_contaminated: q58's overlap gate vs the doc_id < 20 eval
+      stand-in, at 3-gram granularity with a 0.05 flag threshold —
+      measured to discriminate on this corpus (2-grams saturate: the
+      small synthetic vocabulary puts EVERY doc above 0.5).
+    - quality_ok: the shared q30 formula (>= 0.3) plus a 5-token
+      floor; NULL text fails the gate in both engines (CASE/when
+      with a NULL condition falls to the else branch).
+
+    keep = clean on all three — pure flag arithmetic, no NULLs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    existing = d.filter(F.col("doc_id") < 300)
+    new = d.filter(F.col("doc_id") >= 300)
+    pairs = DD.incremental_minhash_pairs(
+        existing, new, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    )
+    dups = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "_dup", F.lit(1)
+    )
+    bench = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    contam = CU.benchmark_contamination(
+        new,
+        bench,
+        "doc_id",
+        TX.ngram_shingles(F.col("text"), 3),
+        TX.ngram_shingles(F.col("text"), 3),
+    ).select("doc_id", "contamination")
+    n_tok = F.size(TX.tokens(F.col("text")))
+    flags = (
+        new.select(
+            "doc_id",
+            F.when(
+                (TX.quality_score(F.col("text")) >= 0.3) & (n_tok >= 5), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("quality_ok"),
+        )
+        .join(dups, "doc_id", "left")
+        .join(contam, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_neardup"),
+            F.when(F.col("contamination") > 0.05, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_contaminated"),
+            "quality_ok",
+        )
+    )
+    return flags.withColumn(
+        "keep",
+        (
+            (F.col("is_neardup") == 0)
+            & (F.col("is_contaminated") == 0)
+            & (F.col("quality_ok") == 1)
+        )
+        .cast("long"),
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1360,6 +1431,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q114_ivf_kmeans_pipeline": q114_ivf_kmeans_pipeline,
     "q115_minhash_estimate_report": q115_minhash_estimate_report,
     "q116_neardup_triangles": q116_neardup_triangles,
+    "q117_arrival_gate": q117_arrival_gate,
 }
 
 
@@ -2634,3 +2706,83 @@ TRAININGDATA_ORACLES["q116_neardup_triangles"] = f"""
     SELECT vertex, count(*)::BIGINT AS n_triangles
     FROM verts GROUP BY vertex
 """
+
+# q117: the arrival-batch gate — q66's incremental pair chain, q58's
+# overlap gate and q30's quality formula composed on the new batch
+TRAININGDATA_ORACLES["q117_arrival_gate"] = f"""
+    WITH d AS (
+      SELECT doc_id, {{sh}} AS sh
+      FROM documents WHERE doc_id % 8 = 0
+    ), h AS (
+      SELECT doc_id, sh, {{hashes}} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {{sig}} FROM h
+    ), bands AS (
+      {{bands}}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+        AND (a.doc_id >= 300 OR b.doc_id >= 300)
+    ), dups AS (
+      SELECT DISTINCT cand.id_b AS doc_id
+      FROM cand
+      JOIN d da ON da.doc_id = cand.id_a
+      JOIN d db ON db.doc_id = cand.id_b
+      WHERE {{jac}} >= 0.8
+    ), newdocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 8 = 0 AND doc_id >= 300
+    ), g AS (
+      SELECT doc_id, {{g2}} AS gsh FROM newdocs
+    ), b AS (
+      SELECT DISTINCT unnest({{g2bench}}) AS s
+      FROM documents WHERE doc_id < 20
+    ), e AS (
+      SELECT doc_id, unnest(gsh) AS s FROM g
+    ), ct AS (
+      SELECT e.doc_id, count(*) AS n_sh,
+             sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM e LEFT JOIN b ON e.s = b.s
+      GROUP BY e.doc_id
+    ), q AS (
+      SELECT doc_id,
+             len({{toks}})::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_chars,
+             {{stop}}::BIGINT AS s_en,
+             {{punct}}::BIGINT AS punct
+      FROM newdocs
+    ), flags AS (
+      SELECT n.doc_id,
+             (CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS is_neardup,
+             (CASE WHEN (CASE WHEN coalesce(ct.n_sh, 0) > 0
+                         THEN coalesce(ct.n_hits, 0)::DOUBLE / ct.n_sh::DOUBLE
+                         ELSE 0.0 END) > 0.05 THEN 1 ELSE 0 END)::BIGINT
+               AS is_contaminated,
+             (CASE WHEN (0.5 * (q.s_en::DOUBLE / q.n_tok::DOUBLE)
+                         + 0.3 * (least(q.n_tok, 100)::DOUBLE / 100.0)
+                         + 0.2 * (1.0 - q.punct::DOUBLE / q.n_chars::DOUBLE))
+                        >= 0.3
+                    AND q.n_tok >= 5 THEN 1 ELSE 0 END)::BIGINT AS quality_ok
+      FROM newdocs n
+      LEFT JOIN dups ON dups.doc_id = n.doc_id
+      LEFT JOIN ct ON ct.doc_id = n.doc_id
+      JOIN q ON q.doc_id = n.doc_id
+    )
+    SELECT doc_id, is_neardup, is_contaminated, quality_ok,
+           (CASE WHEN is_neardup = 0 AND is_contaminated = 0
+                  AND quality_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM flags
+""".format(
+    sh=TX.distinct_tokens_sql("text"),
+    hashes=_HASHES,
+    sig=_sig_select(),
+    bands=_band_selects("sig"),
+    jac=_JACCARD,
+    g2=TX.ngram_shingles_sql("text", 3),
+    g2bench=TX.ngram_shingles_sql("text", 3),
+    toks=TX.tokens_sql("text"),
+    stop=TX.stopword_hits_sql(TX.tokens_sql("text"), "en"),
+    punct=TX.punct_count_sql("text"),
+)
