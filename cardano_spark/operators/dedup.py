@@ -469,6 +469,84 @@ def prefix_blocking_keys(
     )
 
 
+def _overlap_counts(t: DataFrame) -> DataFrame:
+    """Within-block pairwise intersection sizes via overlap counting
+    (the shared core of the count-based Jaccard and containment
+    joins): explode every shingle hash, equi-join on (block, hash),
+    and let a map-side partially-aggregated count produce ``c``
+    directly, with ``|A|``/``|B|`` traveling inside the join rows.
+    Emits every within-block pair with overlap >= 1 as
+    (id_a, id_b, na, nb, c) with id_a < id_b."""
+    k = t.select(
+        "_id",
+        "_blk",
+        F.size("_sh").alias("_n"),
+        F.explode(F.transform("_sh", md5_long)).alias("_h"),
+    )
+    ka = k.select(
+        F.col("_id").alias("id_a"), "_blk", F.col("_n").alias("na"), "_h"
+    )
+    kb = k.select(
+        F.col("_id").alias("id_b"), "_blk", F.col("_n").alias("nb"), "_h"
+    )
+    return (
+        ka.join(kb, ["_blk", "_h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    shingles: Column,
+    threshold: float,
+) -> DataFrame:
+    """Exact set-CONTAINMENT pairs within attribute blocks:
+    containment = |A ∩ B| / min(|A|, |B|) — how fully the smaller
+    shingle set sits inside the larger one. This is the subset-
+    duplication detector Jaccard structurally misses: a chunk, quote,
+    or excerpt wholly contained in a longer document has containment
+    ~1 but Jaccard ~|small|/|large|, far below any near-dup
+    threshold when sizes differ (Broder 1997 distinguishes exactly
+    these two resemblance measures).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`
+    ``strategy="count"`` — one exploded equi-join on
+    (block, shingle-hash), intersection counted by a map-side
+    partial agg, no shingle array ever shipped past the scan — and
+    the same completeness argument: containment >= t > 0 implies
+    overlap >= 1, so every qualifying pair appears in the join
+    (``threshold`` must be > 0; at t <= 0 the contract would include
+    zero-overlap pairs no shared-element join can emit). Shares the
+    60-bit-hash exactness fine print and the distinct-element-array
+    precondition of :func:`_overlap_counts`. Pairs where either side
+    has an empty shingle set cannot appear (no hash to join on) —
+    consistent with containment over an empty set being undefined.
+
+    Returns (id_a, id_b, na, nb, containment) with id_a < id_b."""
+    if threshold <= 0:
+        raise ValueError("containment_pairs requires threshold > 0")
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        shingles.alias("_sh"),
+    )
+    ov = _overlap_counts(t)
+    return ov.select(
+        "id_a",
+        "id_b",
+        "na",
+        "nb",
+        (
+            F.col("c").cast("double")
+            / F.least(F.col("na"), F.col("nb")).cast("double")
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 def _count_based_jaccard_pairs(
     t: DataFrame, threshold: float
 ) -> DataFrame:
@@ -502,24 +580,7 @@ def _count_based_jaccard_pairs(
       distinct_tokens guarantee this — same precondition as
       :func:`prefix_blocking_keys`): duplicate elements would
       multiply-count both ``c`` and ``|A|``/``|B|``."""
-    k = t.select(
-        "_id",
-        "_blk",
-        F.size("_sh").alias("_n"),
-        F.explode(F.transform("_sh", md5_long)).alias("_h"),
-    )
-    ka = k.select(
-        F.col("_id").alias("id_a"), "_blk", F.col("_n").alias("na"), "_h"
-    )
-    kb = k.select(
-        F.col("_id").alias("id_b"), "_blk", F.col("_n").alias("nb"), "_h"
-    )
-    ov = (
-        ka.join(kb, ["_blk", "_h"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("c"))
-    )
+    ov = _overlap_counts(t)
     return ov.select(
         "id_a",
         "id_b",

@@ -1249,6 +1249,56 @@ def q117_arrival_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance selection (Xie et al.
+    2023): score every raw document (doc_id >= 20) by how target-like
+    its hashed 2-gram feature distribution is, target = the doc_id <
+    20 eval stand-in (the same set q58/q73/q117 decontaminate
+    against — selection and decontamination are the two directions
+    of the same corpus/target comparison). 256 hash buckets;
+    ``weight_mode="ratio_fp"``: smoothed target/raw ratio in 2^20
+    fixed point (exact integers — see
+    operators/curation.py::dsir_scores for why the paper's log
+    weight can't be oracle-hash-checked, the production ``"log"``
+    mode pytest-verified instead, and the measured rank agreement
+    between the two). Top-50 by (score_fp desc, doc_id) —
+    TakeOrderedAndProject, no global sort."""
+    d = table(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") < 20)
+    raw = d.filter(F.col("doc_id") >= 20)
+    scored = CU.dsir_scores(
+        raw,
+        target,
+        "doc_id",
+        TX.ngram_shingles(F.col("text"), 2),
+        TX.ngram_shingles(F.col("text"), 2),
+        n_buckets=256,
+        weight_mode="ratio_fp",
+    )
+    return scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(50)
+
+
+def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram set-containment pairs within language blocks at
+    threshold 0.25 — the subset-duplication detector (chunk/quote/
+    excerpt inside a longer document) that Jaccard structurally
+    misses when sizes differ (q25's same slice tops out at
+    containment 0.33 while every emitted pair here has na != nb).
+    Same count-based join core as q25 ``strategy="count"``
+    (operators/dedup.py::_overlap_counts)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    out = DD.containment_pairs(
+        d, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), threshold=0.25
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        "containment",
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1432,6 +1482,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q115_minhash_estimate_report": q115_minhash_estimate_report,
     "q116_neardup_triangles": q116_neardup_triangles,
     "q117_arrival_gate": q117_arrival_gate,
+    "q118_dsir_selection": q118_dsir_selection,
+    "q119_containment_pairs": q119_containment_pairs,
 }
 
 
@@ -2786,3 +2838,65 @@ TRAININGDATA_ORACLES["q117_arrival_gate"] = f"""
     stop=TX.stopword_hits_sql(TX.tokens_sql("text"), "en"),
     punct=TX.punct_count_sql("text"),
 )
+
+# q118: DSIR importance selection — the bucket histograms, fixed-
+# point ratio weights, and exact integer score sums restated in SQL.
+# `//` is DuckDB floor division; both operands are positive BIGINTs,
+# so it agrees exactly with Spark's `div`. The base LEFT JOIN keeps
+# zero-feature documents at score 0 (Spark's explode_outer twin).
+TRAININGDATA_ORACLES["q118_dsir_selection"] = f"""
+    WITH tg AS (
+      SELECT unnest({TX.ngram_shingles_sql('text', 2)}) AS s
+      FROM documents WHERE doc_id < 20
+    ), tb AS (
+      SELECT {hash_bucket_sql('s', 256, 'dsir')} AS b, count(*) AS t
+      FROM tg GROUP BY 1
+    ), rbk AS (
+      SELECT doc_id, {hash_bucket_sql('s', 256, 'dsir')} AS b
+      FROM (
+        SELECT doc_id, unnest({TX.ngram_shingles_sql('text', 2)}) AS s
+        FROM documents WHERE doc_id >= 20
+      )
+    ), rh AS (
+      SELECT b, count(*) AS r FROM rbk GROUP BY b
+    ), w AS (
+      SELECT coalesce(tb.b, rh.b) AS b,
+             ((coalesce(t, 0) + 1) * {CU.DSIR_SCALE}) // (coalesce(r, 0) + 1)
+               AS lr
+      FROM tb FULL JOIN rh ON tb.b = rh.b
+    ), sc AS (
+      SELECT rbk.doc_id, count(*)::BIGINT AS n_features,
+             sum(w.lr)::BIGINT AS score_fp
+      FROM rbk JOIN w ON rbk.b = w.b
+      GROUP BY rbk.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(sc.n_features, 0)::BIGINT AS n_features,
+           coalesce(sc.score_fp, 0)::BIGINT AS score_fp,
+           coalesce(sc.score_fp, 0)::DOUBLE / {float(CU.DSIR_SCALE)} AS score
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+    LEFT JOIN sc ON sc.doc_id = d.doc_id
+    ORDER BY coalesce(sc.score_fp, 0) DESC, d.doc_id ASC
+    LIMIT 50
+"""
+
+# q119: containment pairs — the plain within-block statement (the
+# count join is provably complete for threshold > 0, so the oracle
+# needs no blocking); c >= 1 implies both sides nonempty, the CASE
+# only guards the division on non-qualifying pairs.
+_CONTAIN = (
+    "CASE WHEN least(len(da.sh), len(db.sh)) > 0 THEN "
+    "len(list_filter(da.sh, x -> list_contains(db.sh, x)))::DOUBLE / "
+    "least(len(da.sh), len(db.sh))::DOUBLE ELSE 0.0 END"
+)
+TRAININGDATA_ORACLES["q119_containment_pairs"] = f"""
+    WITH d AS (
+      SELECT doc_id, lang, {TX.ngram_shingles_sql('text', 2)} AS sh
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT da.doc_id AS id_a, db.doc_id AS id_b,
+           len(da.sh)::BIGINT AS na, len(db.sh)::BIGINT AS nb,
+           {_CONTAIN} AS containment
+    FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
+    WHERE {_CONTAIN} >= 0.25
+"""

@@ -5,6 +5,7 @@ no single-partition global window)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cardano_spark.functions import text as TX
@@ -331,3 +332,131 @@ def test_pack_sequences_broadcast_offset_join_at_512_partitions(spark):
     # bounded time: the CASE chain took minutes at this P; the join is
     # seconds even with JVM warmup slack
     assert elapsed < 120, f"pack_sequences at P=512 took {elapsed:.1f}s"
+
+
+def _dsir_py_reference(docs, target, n_buckets):
+    """Sequential reference: bucket histograms + both weight forms."""
+    import hashlib
+    import math
+
+    def feats(text):
+        toks = text.split(" ")
+        return set(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+
+    def bucket(s):
+        return (
+            int(hashlib.md5(("dsir|" + s).encode()).hexdigest()[:15], 16)
+            % n_buckets
+        )
+
+    tb, rb = {}, {}
+    for _, t in target:
+        for s in feats(t):
+            tb[bucket(s)] = tb.get(bucket(s), 0) + 1
+    for _, t in docs:
+        for s in feats(t):
+            rb[bucket(s)] = rb.get(bucket(s), 0) + 1
+    fp, lg = {}, {}
+    for i, t in docs:
+        bs = [bucket(s) for s in feats(t)]
+        fp[i] = sum(
+            ((tb.get(b, 0) + 1) * CU.DSIR_SCALE) // (rb.get(b, 0) + 1)
+            for b in bs
+        )
+        lg[i] = sum(
+            math.log(tb.get(b, 0) + 1) - math.log(rb.get(b, 0) + 1)
+            for b in bs
+        )
+    return fp, lg
+
+
+def _dsir_corpus(seed=11, n_docs=60, n_target=10):
+    import random
+
+    rng = random.Random(seed)
+    tv = [f"t{i}" for i in range(15)]
+    bv = [f"b{i}" for i in range(60)]
+
+    def doc(p):
+        return " ".join(
+            (rng.choice(tv) if rng.random() < p else rng.choice(bv))
+            for _ in range(30)
+        )
+
+    docs = [(i, doc(rng.random())) for i in range(n_docs)]
+    target = [(1000 + i, doc(0.9)) for i in range(n_target)]
+    return docs, target
+
+
+def test_dsir_scores_exact_and_log_vs_reference(spark):
+    docs, target = _dsir_corpus()
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    sh = TX.ngram_shingles(F.col("text"), 2)
+    ref_fp, ref_lg = _dsir_py_reference(docs, target, 64)
+
+    out_fp = CU.dsir_scores(
+        ddf, tdf, "doc_id", sh, sh, n_buckets=64, weight_mode="ratio_fp"
+    )
+    got_fp = {r.doc_id: r.score_fp for r in out_fp.collect()}
+    assert got_fp == ref_fp  # exact integers, bit-for-bit
+
+    out_lg = CU.dsir_scores(
+        ddf, tdf, "doc_id", sh, sh, n_buckets=64, weight_mode="log"
+    )
+    for r in out_lg.collect():
+        assert r.score == pytest.approx(ref_lg[r.doc_id], rel=1e-9)
+    # the B-row weight frame joins broadcast; the corpus aggregates
+    # once on doc_id
+    plan = _plan(out_fp).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_dsir_ratio_mode_tracks_log_mode_rank(spark):
+    """The oracle-checkable ratio_fp weight must ORDER documents
+    like the paper's log weight: measured Spearman ~0.75 on this
+    corpus class (the ratio's heavy tail over-rewards rare target
+    buckets — why production uses mode="log"); 0.55 is the
+    regression floor, not the expectation."""
+    docs, target = _dsir_corpus(seed=23)
+    ref_fp, ref_lg = _dsir_py_reference(docs, target, 64)
+    ids = sorted(ref_fp)
+    a = [ref_fp[i] for i in ids]
+    b = [ref_lg[i] for i in ids]
+
+    def ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        r = [0] * len(xs)
+        for pos, i in enumerate(order):
+            r[i] = pos
+        return r
+
+    ra, rb = ranks(a), ranks(b)
+    n = len(a)
+    d2 = sum((x - y) ** 2 for x, y in zip(ra, rb))
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert rho > 0.55
+
+
+def test_dsir_empty_and_missing_shingle_docs(spark):
+    ddf = spark.createDataFrame(
+        [(0, "a b c d"), (1, "z")],  # doc 1: < 2 tokens -> no 2-grams
+        "doc_id long, text string",
+    )
+    tdf = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    sh = TX.ngram_shingles(F.col("text"), 2)
+    for mode in ("ratio_fp", "log"):
+        got = {
+            r.doc_id: (r.n_features, r.score_fp)
+            for r in CU.dsir_scores(
+                ddf, tdf, "doc_id", sh, sh, n_buckets=16, weight_mode=mode
+            ).collect()
+        }
+        assert got[1] == (0, 0)  # present, scored 0 — not dropped
+        assert got[0][0] == 3
+
+    with pytest.raises(ValueError):
+        CU.dsir_scores(ddf, tdf, "doc_id", sh, sh, weight_mode="nope")

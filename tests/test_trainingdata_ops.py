@@ -1061,3 +1061,80 @@ def test_minhash_estimate_report_planted(docs):
         assert 0.0 <= r.est_j <= 1.0
         assert round(r.est_j * 16) == pytest.approx(r.est_j * 16)
         assert r.abs_err == abs(r.est_j - r.exact_j)
+
+
+def test_containment_pairs_subset_detection(spark):
+    """A short excerpt wholly contained in a longer document:
+    containment 1.0 while Jaccard = |small|/|large| stays far below
+    any near-dup threshold — the case the operator exists for."""
+    rows = [
+        (1, "en", "a b c d e f g h i j"),  # the long document
+        (2, "en", "c d e"),                # excerpt: 2 bigrams, both inside 1
+        (3, "en", "x y z w"),              # disjoint
+        (4, "de", "a b c d e f g h i j"),  # same text, other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sh = TX.ngram_shingles(F.col("text"), 2)
+    out = {
+        (r.id_a, r.id_b): (r.na, r.nb, r.containment)
+        for r in DD.containment_pairs(
+            df, "doc_id", "lang", sh, threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 2)] == (9, 2, 1.0)  # full containment
+    assert (1, 3) not in out
+    assert (1, 4) not in out  # cross-block pair never generated
+    # same pair's Jaccard is tiny: containment sees what Jaccard can't
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "lang", sh, threshold=0.01
+        ).collect()
+    }
+    assert jac[(1, 2)] == pytest.approx(2 / 9)
+
+    with pytest.raises(ValueError):
+        DD.containment_pairs(df, "doc_id", "lang", sh, threshold=0.0)
+
+
+def test_containment_pairs_matches_naive_reference(spark):
+    """Count-join completeness on a seeded random corpus: every pair
+    with containment >= t appears, values exact vs a sequential
+    Python reference."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (
+            i,
+            rng.choice(["en", "de"]),
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 15))),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sh = TX.ngram_shingles(F.col("text"), 2)
+    shing = {
+        r.doc_id: (r.lang, set(r.sh))
+        for r in df.select("doc_id", "lang", sh.alias("sh")).collect()
+    }
+    for t in (0.2, 0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in DD.containment_pairs(
+                df, "doc_id", "lang", sh, threshold=t
+            ).collect()
+        }
+        want = {}
+        for a in shing:
+            for b in shing:
+                if a >= b or shing[a][0] != shing[b][0]:
+                    continue
+                sa, sb = shing[a][1], shing[b][1]
+                if not sa or not sb:
+                    continue
+                c = len(sa & sb) / min(len(sa), len(sb))
+                if c >= t:
+                    want[(a, b)] = c
+        assert got == {k: pytest.approx(v) for k, v in want.items()}
