@@ -256,30 +256,29 @@ def redact_pii_sql(id_expr: str, text_expr: str) -> str:
     )
 
 
-def pack_sequences(
+def _exclusive_prefix_sum(
     docs: DataFrame,
     id_col: str,
     n_tokens: Column,
-    budget: int,
-    range_partitions: int = 32,
-) -> DataFrame:
-    """Deterministic concat-then-chunk sequence packing: documents are
-    laid out in ``id_col`` order as one virtual token stream and cut
-    into fixed ``budget``-token training sequences. Each document
-    reports the sequence its FIRST token lands in and its offset
-    there (a doc may straddle a boundary — the loader's concat/split
-    convention, equivalent to packing with document order preserved).
-
-    Scale shape — a distributed prefix sum, NOT a global-order window
+    range_partitions: int,
+) -> tuple[DataFrame, int]:
+    """The distributed prefix sum shared by :func:`pack_sequences`
+    and :func:`pps_systematic_sample` — NOT a global-order window
     (which would funnel the corpus through ONE partition):
     ``repartitionByRange`` on the id gives globally-ordered disjoint
     partitions; the running sum within each range partition is a
     window over that partition only; the per-partition totals (one
     scalar each, <= ``range_partitions`` rows) come to the driver and
-    go back as a broadcast offset join. Two scans of the slim
-    (id, n) projection, one range shuffle.
+    go back as a broadcast offset join on ``_pid`` — a 2-column frame,
+    never an O(P)-deep CASE chain (expression-tree analysis and
+    codegen are per-node, and codegen collapses to interpreted mode
+    past 64KB methods; pathological at the 10^4-10^5 range partitions
+    a 100 TB corpus needs). Two scans of the slim (id, n) projection,
+    one range shuffle.
 
-    Returns (``id_col``, n_tokens, seq_id, seq_offset)."""
+    Returns (frame of (``id_col``, n_tokens, _start) where ``_start``
+    is the EXCLUSIVE running sum in global ``id_col`` order,
+    grand total)."""
     slim = (
         docs.select(F.col(id_col), n_tokens.cast("long").alias("n_tokens"))
         .repartitionByRange(range_partitions, F.col(id_col))
@@ -304,20 +303,98 @@ def pack_sequences(
     for pid, t in totals:
         offsets.append((pid, run))
         run += t
-    # per-partition offsets go back as a BROADCAST JOIN on _pid — a
-    # 2-column frame of <= range_partitions rows. The alternative (a
-    # chained CASE expression) builds an O(P)-deep expression tree:
-    # invisible at 32 partitions, pathological at the 10^4-10^5 range
-    # partitions a 100 TB corpus needs (expression-tree analysis and
-    # codegen are per-node, and codegen collapses to interpreted mode
-    # past 64KB methods).
     off_df = docs.sparkSession.createDataFrame(
         offsets or [(0, 0)], "_pid int, _part_off long"
     )
-    return (
+    started = (
         within.join(F.broadcast(off_df), "_pid")
         .withColumn("_start", F.col("_cum_in") + F.col("_part_off"))
-        .select(
+    )
+    return started, run
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    corpus out in ``id_col`` order as one virtual stream of WEIGHT
+    units (token counts, bytes), place ``k`` equally-spaced selection
+    points on it, and keep each document once per point falling in
+    its span — the classic PPS design (Madow 1949; the sampler
+    behind token-budgeted corpus draws, where "sample 20 documents
+    PPS by token count" is how a mixture hits a token target without
+    favoring short documents).
+
+    Exactness/determinism: a document spanning (start, end] is
+    selected ``floor(k*end/total) - floor(k*start/total)`` times —
+    pure integer arithmetic (exact while k*total < 2^53, i.e. up to
+    ~10^12 tokens per thousand sample points; beyond that shard the
+    draw), zero randomness: the draw is a pure function of corpus
+    content and order, so re-runs, retries, and repartitioning
+    reproduce it bit-for-bit (the same property that forced
+    hash_bucket over rand() for splits). A doc with weight >
+    total/k is selected multiple times (``n_picks`` > 1) —
+    inherent to PPS with k points, reported not hidden.
+
+    Scale shape: the :func:`_exclusive_prefix_sum` distributed
+    prefix sum (range shuffle + broadcast offset join), then a
+    map-side filter — no global window, nothing wide collected.
+
+    Returns (``id_col``, weight as n_units, n_picks >= 1)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    started, total = _exclusive_prefix_sum(
+        docs, id_col, weight, range_partitions
+    )
+    if total <= 0:
+        return started.select(
+            id_col,
+            F.col("n_tokens").alias("n_units"),
+            F.lit(0).cast("long").alias("n_picks"),
+        ).limit(0)
+    picks = F.expr(f"(({int(k)} * (_start + n_tokens)) div {int(total)})") - F.expr(
+        f"(({int(k)} * _start) div {int(total)})"
+    )
+    return (
+        started.withColumn("n_picks", picks.cast("long"))
+        .filter(F.col("n_picks") >= 1)
+        .select(id_col, F.col("n_tokens").alias("n_units"), "n_picks")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    budget: int,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic concat-then-chunk sequence packing: documents are
+    laid out in ``id_col`` order as one virtual token stream and cut
+    into fixed ``budget``-token training sequences. Each document
+    reports the sequence its FIRST token lands in and its offset
+    there (a doc may straddle a boundary — the loader's concat/split
+    convention, equivalent to packing with document order preserved).
+
+    Scale shape — a distributed prefix sum, NOT a global-order window
+    (which would funnel the corpus through ONE partition):
+    ``repartitionByRange`` on the id gives globally-ordered disjoint
+    partitions; the running sum within each range partition is a
+    window over that partition only; the per-partition totals (one
+    scalar each, <= ``range_partitions`` rows) come to the driver and
+    go back as a broadcast offset join. Two scans of the slim
+    (id, n) projection, one range shuffle.
+
+    Returns (``id_col``, n_tokens, seq_id, seq_offset)."""
+    started, _total = _exclusive_prefix_sum(
+        docs, id_col, n_tokens, range_partitions
+    )
+    return (
+        started.select(
             id_col,
             "n_tokens",
             # integer `div`, not double division: a token-stream

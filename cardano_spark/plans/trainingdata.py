@@ -1299,6 +1299,25 @@ def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of 20 documents weighted by token count
+    — how a mixture plan draws a token-budgeted subset without
+    favoring short documents (the sampling-side complement of q103's
+    token-weighted allocation). Deterministic exact-integer
+    selection over the distributed prefix sum
+    (operators/curation.py::pps_systematic_sample; the same
+    range-shuffle + broadcast-offset machinery as q60's packing —
+    no global window, no randomness). NULL text is coalesced before
+    tokenizing (the q59/q103 divergence class)."""
+    d = table(spark, sf_dir, "documents")
+    return CU.pps_systematic_sample(
+        d,
+        "doc_id",
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit("")))),
+        k=20,
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1484,6 +1503,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q117_arrival_gate": q117_arrival_gate,
     "q118_dsir_selection": q118_dsir_selection,
     "q119_containment_pairs": q119_containment_pairs,
+    "q120_pps_token_sample": q120_pps_token_sample,
 }
 
 
@@ -2899,4 +2919,27 @@ TRAININGDATA_ORACLES["q119_containment_pairs"] = f"""
            {_CONTAIN} AS containment
     FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
     WHERE {_CONTAIN} >= 0.25
+"""
+
+# q120: systematic PPS — the oracle states the SEMANTICS (a global-
+# order cumulative sum) directly; the engine's distributed prefix sum
+# must equal it bit-for-bit. `//` on positive BIGINTs == Spark `div`.
+TRAININGDATA_ORACLES["q120_pps_token_sample"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({TX.tokens_sql("coalesce(text, '')")})::BIGINT AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+      FROM d
+    ), t AS (
+      SELECT sum(n)::BIGINT AS total FROM d
+    )
+    SELECT doc_id, n AS n_units,
+           ((20 * e) // total - (20 * (e - n)) // total)::BIGINT
+             AS n_picks
+    FROM c, t
+    WHERE (20 * e) // total > (20 * (e - n)) // total
 """

@@ -460,3 +460,58 @@ def test_dsir_empty_and_missing_shingle_docs(spark):
 
     with pytest.raises(ValueError):
         CU.dsir_scores(ddf, tdf, "doc_id", sh, sh, weight_mode="nope")
+
+
+def test_pps_systematic_sample_reference_and_invariants(spark):
+    """Sum of multiplicities is EXACTLY k, heavy items repeat, and
+    the distributed prefix sum equals the sequential semantics for
+    any partitioning."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 40)) for i in range(100)]
+    rows[17] = (17, 2000)  # heavy: weight >> total/k -> n_picks > 1
+    total = sum(w for _, w in rows)
+    k = 10
+
+    def ref():
+        out, cum = {}, 0
+        for i, w in sorted(rows):
+            picks = (k * (cum + w)) // total - (k * cum) // total
+            if picks >= 1:
+                out[i] = picks
+            cum += w
+        return out
+
+    want = ref()
+    assert sum(want.values()) == k
+    assert want[17] > 1
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for parts in (1, 3, 13):
+        got = {
+            r.doc_id: r.n_picks
+            for r in CU.pps_systematic_sample(
+                df, "doc_id", F.col("w"), k=k, range_partitions=parts
+            ).collect()
+        }
+        assert got == want  # bit-identical under any partitioning
+
+    with pytest.raises(ValueError):
+        CU.pps_systematic_sample(df, "doc_id", F.col("w"), k=0)
+
+
+def test_pps_systematic_sample_zero_total_and_plan(spark):
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    assert (
+        CU.pps_systematic_sample(zero, "doc_id", F.col("w"), k=5).count() == 0
+    )
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_id long, w long"
+    )
+    out = CU.pps_systematic_sample(df, "doc_id", F.col("w"), k=5)
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    # offsets come back as a broadcast join, never a CASE chain, and
+    # there is no global-order window (single-partition sort funnel)
+    assert "BroadcastHashJoin" in plan
+    assert "CaseWhen" not in plan
+    assert "Window" not in plan or "partitionBy" not in plan.lower()
