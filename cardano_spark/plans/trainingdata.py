@@ -22,6 +22,8 @@ from cardano_spark.catalog import table
 from cardano_spark.functions import text as TX
 from cardano_spark.functions.hashing import (
     HYPERPLANES,
+    fold_sum,
+    fold_sum_sql,
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_PERMS,
@@ -1318,6 +1320,57 @@ def q120_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning at alpha = 0.5 — the
+    multilingual/multi-source rebalancing rule (sample source i
+    proportional to p_i^alpha, the XLM-R / mT5 recipe) between
+    q103's proportional shares (alpha=1) and q64's flat target
+    (alpha=0): head sources are damped, tail sources boosted, by
+    exactly sqrt.
+
+    Determinism: alpha=0.5 is the one temperature whose power is an
+    IEEE-exact primitive — sqrt is correctly rounded (pow(x, 0.5) in
+    general is NOT), and every other op in the chain is a single
+    multiplication/division of exact inputs. The denominator
+    sum(sqrt(n_i)) IS order-sensitive float addition, so both
+    engines fold it over the SAME sorted array
+    (sort_array + fold_sum here, list_sort + list_reduce there) —
+    the constant-draw-order rule every float oracle in this repo
+    follows. One scan: per-source partial agg, then windows over the
+    |sources|-row aggregate (constant-size frame — the
+    single-partition WindowExec warning is safe, same note as q103).
+
+    Returns per source: n_tokens, token_share (alpha=1),
+    temp_share (alpha=0.5), boost = temp_share/token_share (> 1 =
+    up-sampled tail), keep_rate = min(1, temp_share*total/n_tokens)
+    (the down-sampling a proportional-to-temp_share token draw
+    implies)."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.coalesce(F.col("text"), F.lit("")))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = W.partitionBy()
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    denom = fold_sum(
+        F.sort_array(F.collect_list(sq).over(w)), F.lit(0.0)
+    )
+    tot = F.sum("n_tokens").over(w).cast("double")
+    token_share = F.col("n_tokens").cast("double") / tot
+    temp_share = sq / denom
+    return per_src.select(
+        "source",
+        "n_tokens",
+        token_share.alias("token_share"),
+        temp_share.alias("temp_share"),
+        (temp_share / token_share).alias("boost"),
+        F.least(
+            F.lit(1.0), temp_share * tot / F.col("n_tokens").cast("double")
+        ).alias("keep_rate"),
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1504,6 +1557,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q118_dsir_selection": q118_dsir_selection,
     "q119_containment_pairs": q119_containment_pairs,
     "q120_pps_token_sample": q120_pps_token_sample,
+    "q121_temperature_mixture": q121_temperature_mixture,
 }
 
 
@@ -2942,4 +2996,29 @@ TRAININGDATA_ORACLES["q120_pps_token_sample"] = f"""
              AS n_picks
     FROM c, t
     WHERE (20 * e) // total > (20 * (e - n)) // total
+"""
+
+# q121: alpha=0.5 temperature mixture — sqrt is IEEE-correctly-
+# rounded (unlike pow), and the order-sensitive denominator folds
+# over the SAME sorted array in both engines (constant draw order).
+_Q121_FOLD = fold_sum_sql("t.ws")
+TRAININGDATA_ORACLES["q121_temperature_mixture"] = f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT list_sort(list(sqrt(n_tokens::DOUBLE))) AS ws,
+             sum(n_tokens)::BIGINT AS tot
+      FROM s
+    )
+    SELECT s.source, s.n_tokens,
+           s.n_tokens::DOUBLE / t.tot::DOUBLE AS token_share,
+           sqrt(s.n_tokens::DOUBLE) / {_Q121_FOLD} AS temp_share,
+           (sqrt(s.n_tokens::DOUBLE) / {_Q121_FOLD})
+             / (s.n_tokens::DOUBLE / t.tot::DOUBLE) AS boost,
+           least(1.0, sqrt(s.n_tokens::DOUBLE) / {_Q121_FOLD}
+                      * t.tot::DOUBLE / s.n_tokens::DOUBLE) AS keep_rate
+    FROM s, t
 """

@@ -5,6 +5,8 @@ not the 100 TB run."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
 
@@ -621,3 +623,41 @@ def test_q108_multitable_bucket_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q121_temperature_mixture_semantics_and_single_scan(spark):
+    """alpha=0.5 sits between proportional (alpha=1) and flat
+    (alpha=0): below-average sources get boost > 1, above-average
+    boost < 1, both share vectors sum to 1 — and the corpus is
+    scanned once (totals via windows over the |sources|-row
+    aggregate)."""
+    from cardano_spark.plans.trainingdata import q121_temperature_mixture
+
+    rows = q121_temperature_mixture(spark, SF_SMALL).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-12
+    import math
+
+    # boost = T / (D * sqrt(n)): > 1 exactly below the (T/D)^2
+    # crossover — sources with fewer tokens than that are up-sampled
+    total = sum(r.n_tokens for r in rows)
+    denom = sum(math.sqrt(r.n_tokens) for r in rows)
+    crossover = (total / denom) ** 2
+    assert any(r.n_tokens < crossover for r in rows)
+    assert any(r.n_tokens > crossover for r in rows)
+    for r in rows:
+        if r.n_tokens < crossover:
+            assert r.boost > 1.0, r  # tail up-sampled
+        elif r.n_tokens > crossover:
+            assert r.boost < 1.0, r  # head damped
+        assert 0.0 < r.keep_rate <= 1.0
+    # tempering preserves ORDER but compresses spread: the share
+    # ratio between any two sources is the sqrt of the token ratio
+    rows = sorted(rows, key=lambda r: r.n_tokens)
+    a, b = rows[0], rows[-1]
+    assert (a.temp_share / b.temp_share) == pytest.approx(
+        math.sqrt(a.n_tokens / b.n_tokens), rel=1e-9
+    )
+    plan = _plan(spark, "q121_temperature_mixture")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+    assert "CartesianProduct" not in plan
