@@ -73,6 +73,23 @@ def build_parser() -> argparse.ArgumentParser:
     corpus.add_argument("--min-quality", type=float, default=0.0)
     corpus.add_argument("--min-tokens", type=int, default=1)
     corpus.add_argument("--shards", type=int, default=8)
+    corpus.add_argument(
+        "--target",
+        default=None,
+        help="DSIR target-corpus parquet (text column); requires --select-top",
+    )
+    corpus.add_argument(
+        "--select-top",
+        type=int,
+        default=None,
+        help="keep the N most target-like survivors (DSIR, q118's gate)",
+    )
+    corpus.add_argument(
+        "--token-budget-points",
+        type=int,
+        default=None,
+        help="systematic PPS draw with N points on the token stream (q120)",
+    )
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -139,6 +156,7 @@ def main(
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
+        target = spark.read.parquet(args.target) if args.target else None
         audit = build_corpus(
             spark,
             docs,
@@ -149,12 +167,17 @@ def main(
             min_quality=args.min_quality,
             min_tokens=args.min_tokens,
             n_shards=args.shards,
+            target=target,
+            select_top=args.select_top,
+            token_budget_points=args.token_budget_points,
         )
         print(
             f"corpus build: {audit.n_input} in -> {audit.n_after_exact} "
             f"after exact dedup -> {audit.n_after_neardup} after near-dup "
             f"-> {audit.n_after_decontam} after decontamination -> "
-            f"{audit.n_after_quality} kept; {audit.manifest.n_shards} "
+            f"{audit.n_after_quality} after quality -> "
+            f"{audit.n_after_select} after selection -> "
+            f"{audit.n_after_budget} kept; {audit.manifest.n_shards} "
             f"shards, {audit.manifest.n_rows} rows -> {args.dest}"
         )
         return 0

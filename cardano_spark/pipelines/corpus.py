@@ -3,8 +3,9 @@ corpus build — the pipeline a user actually runs end to end:
 
     exact dedup -> near-dup dedup (MinHash/LSH -> connected
     components -> representative election) -> benchmark
-    decontamination -> quality gate -> deterministic sharded export
-    with manifest
+    decontamination -> quality gate -> optional DSIR target
+    selection -> optional PPS token budget -> deterministic sharded
+    export with manifest
 
 with a per-stage audit of what each gate dropped. Every stage is an
 operator that is individually oracle-verified in the registry (q21,
@@ -49,6 +50,12 @@ class CorpusAudit:
     n_after_decontam: int
     n_after_quality: int
     manifest: ShardManifest
+    #: survivors after the optional DSIR target-selection stage
+    #: (== n_after_quality when the stage is off)
+    n_after_select: int = -1
+    #: survivors after the optional PPS token-budget stage
+    #: (== n_after_select when the stage is off)
+    n_after_budget: int = -1
 
 
 def _drop_neardup(docs: DataFrame, threshold: float) -> DataFrame:
@@ -89,6 +96,9 @@ def build_corpus(
     min_quality: float = 0.0,
     min_tokens: int = 1,
     n_shards: int = 8,
+    target: DataFrame | None = None,
+    select_top: int | None = None,
+    token_budget_points: int | None = None,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -98,6 +108,21 @@ def build_corpus(
     eval set); documents whose distinct 3-gram shingles overlap it
     above ``contamination_max`` are dropped (q58's gate). When
     absent the decontamination stage is a no-op.
+
+    ``target`` + ``select_top``: optional DSIR target selection
+    (q118's gate) — score quality survivors against the target
+    corpus with hashed-2-gram importance weights and keep the
+    ``select_top`` most target-like. The PIPELINE uses
+    ``weight_mode="ratio_fp"`` deliberately: the log mode's float
+    sums depend on partial-aggregation order, so a top-k boundary
+    tie could flip between runs — exact-integer weights keep the
+    two-run determinism guarantee below. Both or neither.
+
+    ``token_budget_points``: optional systematic PPS draw (q120) —
+    keep the documents selected by ``k`` equally-spaced points on
+    the selection survivors' token stream, bounding the exported
+    token volume at ~total/k granularity without favoring short
+    documents. Deterministic by construction.
 
     Determinism: every gate's survivor set is a pure function of the
     input corpus (deterministic survivor rules all the way down), and
@@ -141,7 +166,34 @@ def build_corpus(
     )
     n_quality = kept.count()
 
-    # 5. deterministic sharded export (content-hash shard key)
+    # 5. optional DSIR target selection (exact-integer weights: the
+    # log mode's float sums are partial-agg-order-dependent and
+    # would break the two-run determinism pin)
+    if (target is None) != (select_top is None):
+        raise ValueError("target and select_top must be given together")
+    if target is not None:
+        sh = TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 2)
+        scores = CU.dsir_scores(
+            kept, target, "doc_id", sh, sh, weight_mode="ratio_fp"
+        )
+        chosen = (
+            scores.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+            .limit(int(select_top))
+            .select("doc_id")
+        )
+        kept = kept.join(chosen, "doc_id", "left_semi")
+    n_select = kept.count()
+
+    # 6. optional PPS token budget (deterministic systematic draw)
+    if token_budget_points is not None:
+        toks_b = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        picked = CU.pps_systematic_sample(
+            kept, "doc_id", toks_b, k=int(token_budget_points)
+        ).select("doc_id")
+        kept = kept.join(picked, "doc_id", "left_semi")
+    n_budget = kept.count()
+
+    # 7. deterministic sharded export (content-hash shard key)
     sharded = kept.withColumn(
         "_shard_key",
         md5_long(F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))),
@@ -155,4 +207,6 @@ def build_corpus(
         n_after_decontam=n_decontam,
         n_after_quality=n_quality,
         manifest=manifest,
+        n_after_select=n_select,
+        n_after_budget=n_budget,
     )

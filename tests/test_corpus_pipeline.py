@@ -126,3 +126,81 @@ def test_quality_gate_uses_shared_formula(spark):
         .collect()
     }
     assert q30 == direct
+
+
+def test_build_corpus_selection_and_budget_stages(spark, tmp_path):
+    """The optional DSIR-selection and PPS-budget stages: planted
+    target-like documents survive selection, off-target ones don't,
+    the budget bounds the output, and defaults keep both as no-ops."""
+    import pytest
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    off_text = "one two three four five six seven eight nine ten"
+    # each doc mixes its family's shared vocabulary with enough
+    # PRIVATE filler that pairwise Jaccard stays far below the
+    # near-dup gate (the selection stage, not dedup, must decide)
+    filler = lambda i: " ".join(f"u{i}{c}" for c in "abcdefghij")  # noqa: E731
+    rows = (
+        [(i, f"{target_text} {filler(i)}", "en", "web", 150) for i in range(3)]
+        + [
+            (10 + i, f"{off_text} {filler(10 + i)}", "en", "web", 150)
+            for i in range(3)
+        ]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    target = spark.createDataFrame(
+        [(target_text,)] * 3, "text string"
+    )
+
+    audit = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "sel"),
+        n_shards=2,
+        target=target,
+        select_top=3,
+    )
+    assert audit.n_after_quality == 6
+    assert audit.n_after_select == 3
+    assert audit.n_after_budget == 3  # budget off -> pass-through
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "sel")).select("doc_id").collect()
+    }
+    assert kept == {0, 1, 2}  # the target-like documents
+
+    audit2 = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "bud"),
+        n_shards=2,
+        token_budget_points=2,
+    )
+    assert audit2.n_after_select == audit2.n_after_quality  # selection off
+    assert 1 <= audit2.n_after_budget <= 2  # k points pick <= k docs
+    assert audit2.manifest.n_rows == audit2.n_after_budget
+
+    with pytest.raises(ValueError):
+        build_corpus(
+            spark, docs, str(tmp_path / "err"), target=target  # no select_top
+        )
+
+
+def test_build_corpus_selection_deterministic(spark, tmp_path):
+    """Selection + budget keep the two-run determinism pin (the
+    reason the stage uses ratio_fp weights, not float log sums)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    target = docs.filter(F.col("doc_id") < 10).select("text")
+    kw = dict(n_shards=3, target=target, select_top=25, token_budget_points=10)
+    a1 = build_corpus(spark, docs, str(tmp_path / "a"), **kw)
+    a2 = build_corpus(spark, docs.repartition(7), str(tmp_path / "b"), **kw)
+    assert a1.n_after_select == a2.n_after_select == 25
+    assert a1.n_after_budget == a2.n_after_budget
+    k1 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "a")).select("doc_id").collect()}
+    k2 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "b")).select("doc_id").collect()}
+    assert k1 == k2  # identical survivor SET under different partitioning
+    assert [s["rows"] for s in a1.manifest.shards] == [
+        s["rows"] for s in a2.manifest.shards
+    ]
