@@ -475,3 +475,71 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
 
     flat = df.select("doc_id", "payload", F.col("meta.media_type").alias("media_type"))
     return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def image_ahash(payload: bytes, grid: int = 8) -> tuple[int, int, int, int]:
+    """Average-hash perceptual fingerprint of a decoded image: the
+    classic aHash (downsample to ``grid`` x ``grid``, threshold each
+    cell against the mean, pack the bits) in EXACT integer
+    arithmetic — brightness is the raw channel sum, downsampling is
+    the same floor-mapped nearest-neighbor as :func:`resize_image_nn`
+    (``(u*w) // grid``), and the mean test is cross-multiplied
+    (``s * grid^2 > total``) so no division ever happens. The 64-bit
+    hash returns as two POSITIVE 32-bit halves (hi, lo) — sign-free
+    in every engine, and a (hi, lo) group key works everywhere.
+
+    Returns (width, height, ahash_hi, ahash_lo)."""
+    w, h, ch, px = _png_pixels(payload)
+    cells = grid * grid
+    s = []
+    for v in range(grid):
+        y = v * h // grid
+        for u in range(grid):
+            x = u * w // grid
+            base = (y * w + x) * ch
+            s.append(sum(px[base : base + ch]))
+    total = sum(s)
+    ah = 0
+    for i, sv in enumerate(s):
+        if sv * cells > total:
+            ah |= 1 << i
+    return w, h, ah >> 32, ah & 0xFFFFFFFF
+
+
+def image_ahash_features(
+    ids: DataFrame, seed_mod: int | None = None
+) -> DataFrame:
+    """Synthesize gradient PNGs executor-side (seed =
+    ``100 + (doc_id % seed_mod) * 17`` when ``seed_mod`` is set — the
+    planted-duplicate rule the q122 oracle reproduces — else
+    ``doc_id``), decode for REAL, and emit the aHash fingerprint.
+    Arrow-batched mapInPandas; payloads never visit the driver. The
+    perceptual-dedup step is then a plain groupBy on (hi, lo) — the
+    exact-dedup shape applied to image content instead of text."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = (
+                    100 + (did % seed_mod) * 17 if seed_mod is not None else did
+                )
+                w, h, hi, lo = image_ahash(synthesize_png_gradient(seed))
+                rows.append((did, w, h, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash_hi", "ahash_lo"]
+            )
+
+    return ids.select("doc_id").mapInPandas(run, AHASH_SCHEMA)

@@ -1371,6 +1371,27 @@ def q121_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE dedup — the dedup family applied to the
+    multimodal column: synthesize gradient PNGs executor-side with a
+    planted 4-way duplicate rule (seed = 100 + (doc_id%4)*17),
+    decode them for REAL (full chunk walk + IDAT inflation), compute
+    the classic average-hash (8x8 floor-mapped NN downsample,
+    cross-multiplied mean threshold, exact integers end to end,
+    hash as two positive 32-bit halves), then group by the hash —
+    exact dedup's groupBy shape on image content. The oracle
+    re-derives every aHash arithmetically from the synthesis rule,
+    so a decode bug, a wrong sample index, or a threshold off-by-one
+    hash-mismatches immediately. Arrow-batched mapInPandas (the one
+    Python stage), then one hash exchange on the 2-long group key."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    feats = MM.image_ahash_features(d, seed_mod=4)
+    return feats.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1558,6 +1579,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q119_containment_pairs": q119_containment_pairs,
     "q120_pps_token_sample": q120_pps_token_sample,
     "q121_temperature_mixture": q121_temperature_mixture,
+    "q122_image_ahash_dedup": q122_image_ahash_dedup,
 }
 
 
@@ -3021,4 +3043,47 @@ TRAININGDATA_ORACLES["q121_temperature_mixture"] = f"""
            least(1.0, sqrt(s.n_tokens::DOUBLE) / {_Q121_FOLD}
                       * t.tot::DOUBLE / s.n_tokens::DOUBLE) AS keep_rate
     FROM s, t
+"""
+
+# q122: the oracle re-derives each residue class's aHash purely
+# arithmetically from the synthesis rule (pixel(x,y) =
+# (seed*7 + x*3 + y*5) % 256, all three channels; w = 1 + seed%16,
+# h = 1 + seed%8; floor-mapped 8x8 NN sample; cross-multiplied mean
+# threshold; bits packed into two positive 32-bit halves).
+TRAININGDATA_ORACLES["q122_image_ahash_dedup"] = """
+    WITH ids AS (
+      SELECT doc_id, 100 + (doc_id % 4) * 17 AS seed
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT seed,
+             list_transform(generate_series(0, 63), i ->
+               3 * ((seed * 7
+                     + (((i % 8) * (1 + seed % 16)) // 8) * 3
+                     + (((i // 8) * (1 + seed % 8)) // 8) * 5) % 256)
+             ) AS s
+      FROM (SELECT DISTINCT seed FROM ids)
+    ), th AS (
+      SELECT seed, s,
+             list_reduce(list_prepend(0::BIGINT, s), (a, b) -> a + b)
+               AS tot
+      FROM px
+    ), ah AS (
+      SELECT seed,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(32, 63), i ->
+                 CASE WHEN s[i + 1] * 64 > tot
+                      THEN (1::BIGINT << (i - 32)) ELSE 0 END)),
+               (a, b) -> a + b) AS ahash_hi,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(0, 31), i ->
+                 CASE WHEN s[i + 1] * 64 > tot
+                      THEN (1::BIGINT << i) ELSE 0 END)),
+               (a, b) -> a + b) AS ahash_lo
+      FROM th
+    )
+    SELECT ah.ahash_hi, ah.ahash_lo,
+           count(*)::BIGINT AS n_members,
+           min(ids.doc_id) AS canonical_id
+    FROM ids JOIN ah ON ah.seed = ids.seed
+    GROUP BY ah.ahash_hi, ah.ahash_lo
 """

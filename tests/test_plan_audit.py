@@ -48,6 +48,7 @@ PYTHON_BUDGET = {
     "q46_multimodal_real_decode": 2,
     "q49_image_resize": 1,
     "q50_audio_frame_sample": 1,
+    "q122_image_ahash_dedup": 1,
 }
 
 

@@ -1138,3 +1138,43 @@ def test_containment_pairs_matches_naive_reference(spark):
                 if c >= t:
                     want[(a, b)] = c
         assert got == {k: pytest.approx(v) for k, v in want.items()}
+
+
+def test_image_ahash_properties_and_reference(spark):
+    """aHash invariants: equal images hash equal (the dedup
+    property), the real-decode path agrees with the pure-arithmetic
+    synthesis rule for arbitrary seeds, and halves are positive
+    32-bit values."""
+
+    def ref(seed, g=8):
+        w, h = 1 + seed % 16, 1 + seed % 8
+        s = [
+            3 * ((seed * 7 + ((u * w) // g) * 3 + ((v * h) // g) * 5) % 256)
+            for v in range(g)
+            for u in range(g)
+        ]
+        tot = sum(s)
+        ah = sum((1 << i) for i, sv in enumerate(s) if sv * 64 > tot)
+        return w, h, ah >> 32, ah & 0xFFFFFFFF
+
+    for seed in (0, 1, 7, 100, 117, 134, 151, 255, 1000, 123457):
+        got = MM.image_ahash(MM.synthesize_png_gradient(seed))
+        assert got == ref(seed), seed
+        assert 0 <= got[2] < 2**32 and 0 <= got[3] < 2**32
+
+    # same seed twice -> identical payloads -> identical hash
+    a = MM.image_ahash(MM.synthesize_png_gradient(42))
+    b = MM.image_ahash(MM.synthesize_png_gradient(42))
+    assert a == b
+
+    # the distributed feature op groups planted duplicates together
+    ids = spark.createDataFrame(
+        [(i,) for i in range(24)], "doc_id long"
+    )
+    feats = MM.image_ahash_features(ids, seed_mod=4)
+    groups = (
+        feats.groupBy("ahash_hi", "ahash_lo")
+        .count()
+        .collect()
+    )
+    assert len(groups) == 4 and all(r["count"] == 6 for r in groups)
