@@ -424,6 +424,77 @@ def simhash_pairs(
     )
 
 
+def split64_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hi: Column,
+    lo: Column,
+    max_hamming: int,
+) -> DataFrame:
+    """:func:`simhash_pairs` for a 64-bit fingerprint carried as two
+    POSITIVE 32-bit halves (the aHash convention — sign-free in
+    every engine, where a packed 64-bit value with bit 63 set would
+    go negative and engines disagree on shifting negatives): block
+    on the 8 byte-bands (4 per half — pigeonhole-COMPLETE for
+    ``max_hamming <= 7``, a pair differing in <= 7 bits cannot touch
+    all 8 disjoint bytes; heuristic recall above that, same contract
+    note as q93's segment blocking), verify with the summed
+    bit_count(xor) of the halves on candidates only. Same slim
+    exchange discipline as simhash_pairs: the distinct shuffle
+    carries only surviving (id_a, id_b, hamming) rows.
+
+    Pairs-of-use: :func:`cardano_spark.operators.multimodal.
+    image_ahash_features` upstream, this as the perceptual NEAR-dup
+    step (aHash's design property: visually similar images differ in
+    few bits)."""
+    bands = [
+        F.struct(
+            F.lit(k).alias("band_idx"),
+            simhash_band(F.col("_lo") if k < 4 else F.col("_hi"), k % 4).alias(
+                "band_val"
+            ),
+        )
+        for k in range(8)
+    ]
+    based = (
+        df.select(
+            F.col(id_col).alias("_id"), hi.alias("_hi"), lo.alias("_lo")
+        )
+        .select("_id", "_hi", "_lo", F.explode(F.array(*bands)).alias("b"))
+        .select("_id", "_hi", "_lo", "b.band_idx", "b.band_val")
+    )
+    left = based.select(
+        F.col("_id").alias("id_a"),
+        F.col("_hi").alias("hi_a"),
+        F.col("_lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = based.select(
+        F.col("_id").alias("id_b"),
+        F.col("_hi").alias("hi_b"),
+        F.col("_lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def prefix_blocking_keys(
     df: DataFrame,
     id_col: str,

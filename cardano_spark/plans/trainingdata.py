@@ -1392,6 +1392,26 @@ def q122_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q123_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image NEAR-dup pairs — q122's aHash fingerprints
+    through byte-band Hamming blocking (dedup.split64_hamming_pairs,
+    pigeonhole-COMPLETE at hamming <= 2 over 8 disjoint byte-bands,
+    so the oracle keeps the plain all-pairs statement): hamming 0 =
+    identical renditions (q122's groups), small hamming = visually
+    near renditions — here the planted seed classes whose gradients
+    differ by one brightness step. The multimodal twin of q24
+    (SimHash text near-dup), same slim-exchange discipline."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    # the self-join would otherwise duplicate the Python decode
+    # subtree (both band sides re-derive the features — the q22
+    # re-scan lesson); the (id, w, h, hi, lo) frame is 5 longs per
+    # image, slim enough to checkpoint at any corpus size
+    feats = MM.image_ahash_features(d, seed_mod=4).localCheckpoint(eager=True)
+    return DD.split64_hamming_pairs(
+        feats, "doc_id", F.col("ahash_hi"), F.col("ahash_lo"), max_hamming=2
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1580,6 +1600,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q120_pps_token_sample": q120_pps_token_sample,
     "q121_temperature_mixture": q121_temperature_mixture,
     "q122_image_ahash_dedup": q122_image_ahash_dedup,
+    "q123_image_neardup_pairs": q123_image_neardup_pairs,
 }
 
 
@@ -3086,4 +3107,48 @@ TRAININGDATA_ORACLES["q122_image_ahash_dedup"] = """
            min(ids.doc_id) AS canonical_id
     FROM ids JOIN ah ON ah.seed = ids.seed
     GROUP BY ah.ahash_hi, ah.ahash_lo
+"""
+
+# q123: same arithmetic aHash re-derivation as q122; the byte-band
+# blocking is pigeonhole-complete at max_hamming=2 (<= 7 bits can't
+# touch all 8 disjoint bands), so the oracle states plain all-pairs.
+TRAININGDATA_ORACLES["q123_image_neardup_pairs"] = """
+    WITH ids AS (
+      SELECT doc_id, 100 + (doc_id % 4) * 17 AS seed
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT seed,
+             list_transform(generate_series(0, 63), i ->
+               3 * ((seed * 7
+                     + (((i % 8) * (1 + seed % 16)) // 8) * 3
+                     + (((i // 8) * (1 + seed % 8)) // 8) * 5) % 256)
+             ) AS s
+      FROM (SELECT DISTINCT seed FROM ids)
+    ), th AS (
+      SELECT seed, s,
+             list_reduce(list_prepend(0::BIGINT, s), (a, b) -> a + b)
+               AS tot
+      FROM px
+    ), ah AS (
+      SELECT seed,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(32, 63), i ->
+                 CASE WHEN s[i + 1] * 64 > tot
+                      THEN (1::BIGINT << (i - 32)) ELSE 0 END)),
+               (a, b) -> a + b) AS hi,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(0, 31), i ->
+                 CASE WHEN s[i + 1] * 64 > tot
+                      THEN (1::BIGINT << i) ELSE 0 END)),
+               (a, b) -> a + b) AS lo
+      FROM th
+    ), v AS (
+      SELECT ids.doc_id, ah.hi, ah.lo FROM ids JOIN ah USING (seed)
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)))::BIGINT AS hamming
+      FROM v a JOIN v b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 2
 """

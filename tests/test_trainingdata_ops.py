@@ -1178,3 +1178,36 @@ def test_image_ahash_properties_and_reference(spark):
         .collect()
     )
     assert len(groups) == 4 and all(r["count"] == 6 for r in groups)
+
+
+def test_split64_hamming_pairs_complete_vs_naive(spark):
+    """Pigeonhole completeness: at max_hamming <= 7 the 8-byte-band
+    blocking must return EXACTLY the naive all-pairs result on
+    random 64-bit fingerprints (as two positive halves)."""
+    import random
+
+    rng = random.Random(9)
+    base = rng.getrandbits(64)
+    fps = []
+    for i in range(60):
+        v = base
+        for _ in range(rng.randint(0, 9)):  # flip up to 9 bits
+            v ^= 1 << rng.randrange(64)
+        fps.append((i, v >> 32, v & 0xFFFFFFFF))
+    df = spark.createDataFrame(fps, "doc_id long, hi long, lo long")
+    for k in (0, 2, 7):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in DD.split64_hamming_pairs(
+                df, "doc_id", F.col("hi"), F.col("lo"), max_hamming=k
+            ).collect()
+        }
+        want = {}
+        for i, hi_a, lo_a in fps:
+            for j, hi_b, lo_b in fps:
+                if i >= j:
+                    continue
+                d = bin((hi_a ^ hi_b)).count("1") + bin((lo_a ^ lo_b)).count("1")
+                if d <= k:
+                    want[(i, j)] = d
+        assert got == want, k
