@@ -1412,6 +1412,32 @@ def q123_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs — the q123 shape on the WAV
+    column: real PCM decode (stdlib RIFF/wave parse, int16 unpack) →
+    64-frame energy fingerprint in exact integer arithmetic
+    (multimodal.audio_fingerprint — the aHash rule on the time axis)
+    → byte-band Hamming blocking (dedup.split64_hamming_pairs,
+    pigeonhole-complete at hamming <= 4). The planted seed classes
+    are four same-length renditions whose levels differ by a global
+    shift; at max_hamming=4 the threshold keeps the rendition CHAIN
+    0-1 (4), 1-2 (2), 2-3 (3) and rejects 0-2 (6), 1-3 (5), 0-3 (9)
+    — a genuinely selective cut, not all-pairs-survive. Completes the
+    multimodal dedup family: q122 exact-perceptual image, q123 image
+    near-dup, this the audio twin."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    # checkpoint for the same reason as q123: the band self-join
+    # must not re-run the Python decode subtree (4 longs per clip)
+    feats = MM.audio_fingerprint_features(
+        d, seed_base=132, seed_step=50, seed_mod=4
+    ).localCheckpoint(eager=True)
+    return DD.split64_hamming_pairs(
+        feats, "doc_id", F.col("fp_hi"), F.col("fp_lo"), max_hamming=4
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1601,6 +1627,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q121_temperature_mixture": q121_temperature_mixture,
     "q122_image_ahash_dedup": q122_image_ahash_dedup,
     "q123_image_neardup_pairs": q123_image_neardup_pairs,
+    "q124_audio_fingerprint_neardup": q124_audio_fingerprint_neardup,
 }
 
 
@@ -3151,4 +3178,58 @@ TRAININGDATA_ORACLES["q123_image_neardup_pairs"] = """
               + bit_count(xor(a.lo, b.lo)))::BIGINT AS hamming
       FROM v a JOIN v b ON a.doc_id < b.doc_id
     ) WHERE hamming <= 2
+"""
+
+# q124: the fingerprint re-derived arithmetically from the WAV
+# synthesis rule (sample i = (seed*31 + i*7) % 32768, n = 100 +
+# seed%50, floor-mapped 64-frame segments, cross-multiplied mean
+# test) — value-verifying the real RIFF decode -> energy fold ->
+# band-blocked Hamming chain. Blocking is pigeonhole-complete at
+# max_hamming=4, so the oracle states plain all-pairs.
+TRAININGDATA_ORACLES["q124_audio_fingerprint_neardup"] = """
+    WITH ids AS (
+      SELECT doc_id, 132 + (doc_id % 4) * 50 AS seed
+      FROM documents WHERE doc_id % 3 = 1
+    ), px AS (
+      SELECT seed, 100 + seed % 50 AS n,
+             list_transform(generate_series(0, 99 + seed % 50), i ->
+               (seed * 31 + i * 7) % 32768) AS s
+      FROM (SELECT DISTINCT seed FROM ids)
+    ), th AS (
+      SELECT seed, n, s,
+             list_reduce(list_prepend(0::BIGINT, s), (a, b) -> a + b)
+               AS tot
+      FROM px
+    ), fp AS (
+      SELECT seed,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(32, 63), f ->
+                 CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                        list_transform(
+                          generate_series((f * n) // 64,
+                                          ((f + 1) * n) // 64 - 1),
+                          i -> s[i + 1])),
+                        (a, b) -> a + b) * 64 > tot
+                      THEN (1::BIGINT << (f - 32)) ELSE 0 END)),
+               (a, b) -> a + b) AS hi,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(0, 31), f ->
+                 CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                        list_transform(
+                          generate_series((f * n) // 64,
+                                          ((f + 1) * n) // 64 - 1),
+                          i -> s[i + 1])),
+                        (a, b) -> a + b) * 64 > tot
+                      THEN (1::BIGINT << f) ELSE 0 END)),
+               (a, b) -> a + b) AS lo
+      FROM th
+    ), v AS (
+      SELECT ids.doc_id, fp.hi, fp.lo FROM ids JOIN fp USING (seed)
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)))::BIGINT AS hamming
+      FROM v a JOIN v b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 4
 """

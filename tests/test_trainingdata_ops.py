@@ -1211,3 +1211,43 @@ def test_split64_hamming_pairs_complete_vs_naive(spark):
                 if d <= k:
                     want[(i, j)] = d
         assert got == want, k
+
+
+def test_audio_fingerprint_reference_and_chain(spark):
+    """The REAL-decode fingerprint must equal the arithmetic
+    re-derivation from the synthesis rule (the q124 oracle's
+    statement), and the planted seed classes must form the 0-1-2-3
+    rendition CHAIN at max_hamming=4: 4/2/3 kept, 6/5/9 rejected."""
+    from cardano_spark.operators import multimodal as MM
+
+    def rule_fp(seed):
+        n = 100 + seed % 50
+        s = [(seed * 31 + i * 7) % 32768 for i in range(n)]
+        tot = sum(s)
+        bits = 0
+        for f in range(64):
+            if sum(s[f * n // 64 : (f + 1) * n // 64]) * 64 > tot:
+                bits |= 1 << f
+        return n, bits >> 32, bits & 0xFFFFFFFF
+
+    for seed in (132, 182, 232, 282, 107, 149):
+        assert MM.audio_fingerprint(MM.synthesize_wav_pcm(seed)) == rule_fp(
+            seed
+        ), seed
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    feats = MM.audio_fingerprint_features(
+        ids, seed_base=132, seed_step=50, seed_mod=4
+    )
+    pairs = DD.split64_hamming_pairs(
+        feats, "doc_id", F.col("fp_hi"), F.col("fp_lo"), max_hamming=4
+    ).collect()
+    cross = {
+        (min(r.id_a % 4, r.id_b % 4), max(r.id_a % 4, r.id_b % 4)): r.hamming
+        for r in pairs
+        if r.id_a % 4 != r.id_b % 4
+    }
+    assert cross == {(0, 1): 4, (1, 2): 2, (2, 3): 3}
+    assert all(r.hamming == 0 for r in pairs if r.id_a % 4 == r.id_b % 4)
+    # 10 docs per class: 4*C(10,2) intra + 3*10*10 kept cross pairs
+    assert len(pairs) == 4 * 45 + 3 * 100
