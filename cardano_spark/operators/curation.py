@@ -804,3 +804,112 @@ def repeated_ngram_spans(
             ).alias("repeated_frac"),
         )
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str, rounds: int
+) -> DataFrame:
+    """Greedy BPE merge TRAINING over the corpus — the actual
+    iterative loop (Sennrich et al. 2016), not just the first-round
+    census (q111): each round counts adjacent token pairs, elects the
+    most frequent pair (ties broken by pair string ascending — exact
+    integer counts, so the argmax is deterministic), merges every
+    left-to-right non-overlapping occurrence corpus-wide, and
+    repeats on the re-tokenized corpus. Word-level formulation; the
+    character-level inner loop of production BPE is the identical
+    plan over per-word symbol sequences.
+
+    The merge APPLY is the trick that keeps both engines bit-equal:
+    the corpus is carried as a DOUBLE-SPACED string (`' ' +
+    replace(text, ' ', '  ') + ' '`), so merging pair (a, b) is the
+    plain literal ``replace(' a  b ', ' a+b ')`` — each occurrence
+    owns one of the two separator spaces on each side, so
+    CONSECUTIVE occurrences ("a b a b" -> "a+b a+b") and overlapping
+    self-pairs ("a a a" -> "a+a a", the left-to-right greedy rule)
+    both behave exactly like a sequential BPE trainer, and Spark's
+    ``replace`` and DuckDB's are the same left-to-right
+    non-overlapping scan. No driver-side tokenizer state: the winner
+    stays a 1-row frame broadcast-cross-joined onto the corpus
+    (BroadcastNestedLoopJoin against ONE row, by design), and each
+    round's re-tokenized corpus plus the 1-row winner are
+    localCheckpointed — the lineage cut that keeps round r from
+    re-running rounds 1..r-1 (the q44/q88 iteration discipline).
+
+    Scale: each round is one census shuffle over (pair, partial
+    count) plus a map-side rewrite of the corpus — the same cost
+    profile as a distributed tokenizer trainer; checkpoint size is
+    the corpus itself, unavoidable for an algorithm whose state IS
+    the re-tokenized corpus.
+
+    Returns one row per round: (merge_round, t1, t2, n_pairs) where
+    n_pairs is the pair's census count BEFORE the merge."""
+    cur = docs.select(
+        F.concat(
+            F.lit(" "),
+            F.replace(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(" "),
+                F.lit("  "),
+            ),
+            F.lit(" "),
+        ).alias("_s")
+    ).localCheckpoint(eager=True)
+    winners = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.trim(F.col("_s")), " {2}")
+        staged = cur.select(
+            toks.alias("_t"), (F.size(toks) - 1).alias("_np")
+        ).filter(F.col("_np") >= 1)
+        census = (
+            staged.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_np")),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_t"), i).alias("t1"),
+                            F.element_at(F.col("_t"), i + 1).alias("t2"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+        winner = (
+            census.orderBy(
+                F.desc("n_pairs"), F.asc("t1"), F.asc("t2")
+            )
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"), "t1", "t2", "n_pairs"
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(winner)
+        cur = (
+            cur.crossJoin(F.broadcast(winner.select("t1", "t2")))
+            .select(
+                F.replace(
+                    F.col("_s"),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("t1"),
+                        F.lit("  "),
+                        F.col("t2"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("t1"),
+                        F.lit("+"),
+                        F.col("t2"),
+                        F.lit(" "),
+                    ),
+                ).alias("_s")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out

@@ -1438,6 +1438,57 @@ def q124_audio_fingerprint_neardup(
     )
 
 
+def q125_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the actual greedy merge loop
+    (Sennrich et al. 2016), 6 rounds over the corpus: census adjacent
+    pairs -> elect the most frequent (deterministic integer-count
+    argmax, ties by (t1, t2)) -> merge corpus-wide -> repeat on the
+    re-tokenized corpus. Completes the tokenizer story: q42 unigram
+    census (step 1), q111 first-round pair census (step 2), this the
+    full iteration (steps 2..k). The oracle replays all 6 rounds as
+    unrolled CTEs — the q88 unrolled-iteration pattern — exact
+    because counts are integers and the merge apply is the same
+    left-to-right literal replace in both engines (see
+    curation.bpe_train_merges for the double-spaced-corpus trick)."""
+    d = table(spark, sf_dir, "documents")
+    return CU.bpe_train_merges(d, "text", rounds=6)
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
+    """The q125 oracle, generated: each round is a census CTE, a
+    1-row winner CTE, and a merged-corpus CTE (the last one unused —
+    kept for uniformity). Same double-spaced replace as the Spark
+    plan."""
+    parts = [
+        "WITH c0 AS (SELECT ' ' || replace(coalesce(text, ''),"
+        " ' ', '  ') || ' ' AS s FROM documents)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , cen{r} AS (
+      SELECT p[1] AS t1, p[2] AS t2, count(*)::BIGINT AS n_pairs
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> [tk[i], tk[i + 1]])) AS p
+        FROM (SELECT string_split(trim(s, ' '), '  ') AS tk
+              FROM c{r - 1})
+        WHERE len(tk) >= 2
+      ) GROUP BY t1, t2
+    ), win{r} AS (
+      SELECT {r} AS merge_round, t1, t2, n_pairs
+      FROM cen{r} ORDER BY n_pairs DESC, t1, t2 LIMIT 1
+    ), c{r} AS (
+      SELECT replace(s, ' ' || t1 || '  ' || t2 || ' ',
+                        ' ' || t1 || '+' || t2 || ' ') AS s
+      FROM c{r - 1}, win{r}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT merge_round, t1, t2, n_pairs FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1628,6 +1679,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q122_image_ahash_dedup": q122_image_ahash_dedup,
     "q123_image_neardup_pairs": q123_image_neardup_pairs,
     "q124_audio_fingerprint_neardup": q124_audio_fingerprint_neardup,
+    "q125_bpe_train_merges": q125_bpe_train_merges,
 }
 
 
@@ -3233,3 +3285,7 @@ TRAININGDATA_ORACLES["q124_audio_fingerprint_neardup"] = """
       FROM v a JOIN v b ON a.doc_id < b.doc_id
     ) WHERE hamming <= 4
 """
+
+# q125: the full greedy BPE merge loop replayed as unrolled CTEs
+# (the q88 unrolled-iteration pattern) — see _bpe_merges_oracle.
+TRAININGDATA_ORACLES["q125_bpe_train_merges"] = _bpe_merges_oracle(6)

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cardano_spark.functions import text as TX
+from cardano_spark.operators import curation as CU
 from cardano_spark.operators import dedup as DD
 from cardano_spark.operators import multimodal as MM
 from cardano_spark.operators import similarity as SIM
@@ -1251,3 +1252,73 @@ def test_audio_fingerprint_reference_and_chain(spark):
     assert all(r.hamming == 0 for r in pairs if r.id_a % 4 == r.id_b % 4)
     # 10 docs per class: 4*C(10,2) intra + 3*10*10 kept cross pairs
     assert len(pairs) == 4 * 45 + 3 * 100
+
+
+def _bpe_reference(texts, rounds):
+    """Sequential BPE trainer: the ground truth q125's distributed
+    plan must reproduce — greedy left-to-right merge of the most
+    frequent adjacent pair, ties by (t1, t2)."""
+    corpus = [t.split(" ") if t else [""] for t in texts]
+    out = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for toks in corpus:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (t1, t2), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, t1, t2, n))
+        merged = []
+        for toks in corpus:
+            new, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == t1
+                    and toks[i + 1] == t2
+                ):
+                    new.append(t1 + "+" + t2)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            merged.append(new)
+        corpus = merged
+    return out
+
+
+def test_bpe_train_merges_planted_and_reference(spark):
+    """Hand-verified planted corpus (consecutive occurrences, the
+    self-pair left-to-right rule, merged-token re-entry) plus exact
+    agreement with the sequential reference on a randomized corpus
+    including NULL/empty/one-token docs."""
+    import random
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b b a b"), (3, "a a a")],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in CU.bpe_train_merges(docs, "text", 3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [(1, "a", "b", 4), (2, "a", "a", 2), (3, "a+a", "a", 1)]
+
+    rng = random.Random(17)
+    vocab = ["a", "b", "c", "dd", "e"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(30)
+    ] + ["", "solo"]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in CU.bpe_train_merges(df, "text", 5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _bpe_reference([t or "" for t in texts] + [""], 5)
