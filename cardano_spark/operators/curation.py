@@ -913,3 +913,98 @@ def bpe_train_merges(
     for w in winners[1:]:
         out = out.unionByName(w)
     return out
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022) —
+    :func:`repeated_ngram_spans` is the census, this actually CUTS
+    the repeated text: every token covered by an occurrence of a
+    cross-document repeated n-gram window is removed, EXCEPT the
+    canonical first occurrence of each window (min (doc_id, start) —
+    the paper's keep-one-copy rule), whose tokens survive unless some
+    OTHER repeated occurrence also covers them (interval-union
+    semantics, deterministic in both engines).
+
+    Scale shape: the window fan-out and the census are q110's
+    machinery (slim (doc, start, window-hash) triples checkpointed
+    once, two-phase distinct count); the canonical election rides the
+    SAME census groupBy as a min(struct(doc_id, start)) partial agg —
+    no extra exchange; removal positions explode map-side from the
+    surviving occurrences and reduce to per-doc drop-sets (bounded by
+    doc length); the rebuild is one positional array filter per doc,
+    no Python. Nothing is all-pairs; the only driver-free state is
+    the drop-set join.
+
+    Returns one row per input document:
+    (``id_col``, n_tokens, n_removed, cleaned_text)."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    windows = (
+        base.select(
+            F.col(id_col),
+            F.col("_t"),
+            (F.size(F.col("_t")) - F.lit(n - 1)).alias("_nw"),
+        )
+        .filter(F.col("_nw") >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.col("_nw"))).alias("start"),
+            F.col("_t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start").cast("long").alias("start"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("start"), n))
+            ).alias("_wid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    census = (
+        windows.groupBy("_wid")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("_nd"),
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("_canon"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wid", "_canon")
+    )
+    drops = (
+        windows.join(census, "_wid")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_canon")[id_col])
+                & (F.col("start") == F.col("_canon.start"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    drop_sets = drops.groupBy(id_col).agg(
+        F.collect_set("_pos").alias("_drop")
+    )
+    empty = F.array().cast("array<bigint>")
+    dropped = F.coalesce(F.col("_drop"), empty)
+    return base.join(drop_sets, id_col, "left").select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(dropped).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("_t"),
+                lambda x, i: ~F.array_contains(dropped, (i + 1).cast("bigint")),
+            ),
+        ).alias("cleaned_text"),
+    )

@@ -1489,6 +1489,23 @@ def _bpe_merges_oracle(rounds: int) -> str:
     return "".join(parts) + "\n    " + union
 
 
+def q126_remove_repeated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr dedup APPLIED (Lee et al. 2022): q110 is the
+    census of cross-document repeated 8-gram windows, this actually
+    cuts them — every covered token is removed except the canonical
+    first occurrence (min (doc_id, start)), interval-union semantics
+    where repeated windows overlap. At sf0.01 the corpus has ~1015
+    repeated windows across ~2101 occurrences, so the cut is real
+    work, not a no-op. Returns per-doc (n_tokens, n_removed,
+    cleaned_text) — the oracle rebuilds every cleaned document
+    verbatim, value-verifying census, canonical election, coverage
+    union, and the positional rebuild."""
+    d = table(spark, sf_dir, "documents")
+    return CU.remove_repeated_spans(d, "doc_id", "text", n=8, min_docs=2)
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1680,6 +1697,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q123_image_neardup_pairs": q123_image_neardup_pairs,
     "q124_audio_fingerprint_neardup": q124_audio_fingerprint_neardup,
     "q125_bpe_train_merges": q125_bpe_train_merges,
+    "q126_remove_repeated_spans": q126_remove_repeated_spans,
 }
 
 
@@ -3289,3 +3307,50 @@ TRAININGDATA_ORACLES["q124_audio_fingerprint_neardup"] = """
 # q125: the full greedy BPE merge loop replayed as unrolled CTEs
 # (the q88 unrolled-iteration pattern) — see _bpe_merges_oracle.
 TRAININGDATA_ORACLES["q125_bpe_train_merges"] = _bpe_merges_oracle(6)
+
+# q126: the window key is the n-gram STRING itself (the md5 in the
+# Spark plan is an injective relabeling on any real corpus — 128-bit
+# — so census/canonical decisions are identical); canonical election
+# by (doc_id, start), coverage as a distinct position set, rebuild
+# as a positional list filter.
+TRAININGDATA_ORACLES["q126_remove_repeated_spans"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, u.start,
+             array_to_string(t[u.start : u.start + 7], ' ') AS wid
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(start)
+      WHERE len(t) >= 8
+    ), rep AS (
+      SELECT wid FROM wins GROUP BY wid
+      HAVING count(DISTINCT doc_id) >= 2
+    ), canon AS (
+      SELECT wid, doc_id AS cdoc, start AS cstart FROM (
+        SELECT wid, doc_id, start,
+               row_number() OVER (PARTITION BY wid
+                                  ORDER BY doc_id, start) AS rn
+        FROM wins WHERE wid IN (SELECT wid FROM rep)
+      ) WHERE rn = 1
+    ), drops AS (
+      SELECT DISTINCT w.doc_id, p.pos
+      FROM wins w JOIN canon c USING (wid),
+           unnest(generate_series(w.start, w.start + 7)) AS p(pos)
+      WHERE NOT (w.doc_id = c.cdoc AND w.start = c.cstart)
+    ), dsets AS (
+      SELECT doc_id, count(*)::BIGINT AS n_removed, list(pos) AS ps
+      FROM drops GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.t)::BIGINT AS n_tokens,
+           coalesce(d.n_removed, 0)::BIGINT AS n_removed,
+           -- coalesce: DuckDB's array_to_string of an EMPTY list is
+           -- NULL; Spark's concat_ws is '' (fully-removed docs)
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(1, len(t.t)),
+                           i -> d.ps IS NULL OR NOT list_contains(d.ps, i)),
+               i -> t.t[i]),
+             ' '), '') AS cleaned_text
+    FROM toks t LEFT JOIN dsets d USING (doc_id)
+"""

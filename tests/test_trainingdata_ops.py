@@ -1322,3 +1322,79 @@ def test_bpe_train_merges_planted_and_reference(spark):
         .collect()
     ]
     assert got == _bpe_reference([t or "" for t in texts] + [""], 5)
+
+
+def test_remove_repeated_spans_planted_and_properties(spark):
+    """Planted: the canonical (lowest (doc_id, start)) occurrence
+    survives, later occurrences are cut, overlap unions, NULL/short
+    docs pass through. Property (random corpus): token conservation
+    (kept + removed == total, kept tokens are a subsequence of the
+    original) and no non-canonical repeated window survives."""
+    import random
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z"),
+            (2, "p q a b c d e f g h r"),
+            (3, "just some other tokens here ok"),
+            (4, None),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in CU.remove_repeated_spans(
+            docs, "doc_id", "text", n=8, min_docs=2
+        ).collect()
+    }
+    assert got == {
+        1: (11, 0, "a b c d e f g h x y z"),
+        2: (11, 8, "p q r"),
+        3: (6, 0, "just some other tokens here ok"),
+        4: (1, 0, ""),
+        5: (1, 0, "short"),
+    }
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    shared = " ".join(rng.choice(vocab) for _ in range(9))
+    texts = []
+    for i in range(25):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20)))
+        t = (shared + " " + body).strip() if i % 3 == 0 else body
+        texts.append(t if t else None)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = 4
+    out = {
+        r.doc_id: r
+        for r in CU.remove_repeated_spans(
+            df, "doc_id", "text", n=n, min_docs=2
+        ).collect()
+    }
+    # census of repeated windows + canonical election, sequentially
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        for s in range(len(toks) - n + 1):
+            occ[" ".join(toks[s : s + n])].append((i, s + 1))
+    repeated = {
+        w: sorted(o) for w, o in occ.items() if len({d for d, _ in o}) >= 2
+    }
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        drop = set()
+        for w, o in repeated.items():
+            canon = o[0]
+            for d, s in o:
+                if d == i and (d, s) != canon:
+                    drop.update(range(s, s + n))
+        kept = [tok for p, tok in enumerate(toks, 1) if p not in drop]
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_removed == len(drop)
+        assert r.cleaned_text == " ".join(kept), i
