@@ -523,3 +523,55 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return verts.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def key_skew_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-distribution diagnostic — the measurement behind every
+    skew decision this engine makes (salting in q89, AQE skew-join
+    splitting, broadcast-vs-shuffle choices): for each candidate
+    join/groupBy key, ONE row of the statistics a planner actually
+    reads. Columns: key_col, n_rows, n_keys, top_key (most frequent,
+    ties to the lowest key string), max_n, top_share (max_n/n_rows),
+    p50_n / p99_n (exact interpolated percentiles of the per-key
+    count distribution — the q63 cross-engine-exact percentile).
+
+    Scale shape, per key: one hash exchange for the per-key counts
+    (map-side partial agg), then a 1-row global reduce — the
+    percentile and the min_by(top) ride the same reduce, no per-key
+    sort, no collect. Keys are reported from separate aggregates
+    unioned together: distinct keys genuinely need distinct
+    exchanges, and at 100 TB each report is exactly the shuffle its
+    groupBy would cost (run it BEFORE committing to that groupBy).
+    NULL keys group under the '<NULL>' label (both engines count
+    them the same way)."""
+    reports = []
+    for k in keys:
+        per = df.groupBy(
+            F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")).alias("_k")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        rep = per.agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.min_by(
+                "_k", F.struct((-F.col("_n")).alias("a"), F.col("_k").alias("b"))
+            ).alias("top_key"),
+            F.max("_n").cast("long").alias("max_n"),
+            F.percentile("_n", 0.5).alias("p50_n"),
+            F.percentile("_n", 0.99).alias("p99_n"),
+        ).select(
+            F.lit(k).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "top_key",
+            "max_n",
+            (F.col("max_n").cast("double") / F.col("n_rows").cast("double")).alias(
+                "top_share"
+            ),
+            "p50_n",
+            "p99_n",
+        )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

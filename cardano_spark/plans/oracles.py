@@ -851,3 +851,43 @@ RELATIONAL_ORACLES["q105_hierarchical_shares"] = """
              AS region_share_of_world
     FROM leaf
 """
+
+# q127: per-key count distribution stats; top key via the q72
+# row_number idiom, percentiles via quantile_cont (bit-identical to
+# Spark's exact interpolated percentile — the q63 precedent).
+RELATIONAL_ORACLES["q127_key_skew_report"] = """
+    WITH g1 AS (
+      SELECT coalesce(user_id::VARCHAR, '<NULL>') AS k,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    ), t1 AS (
+      SELECT k FROM g1 ORDER BY n DESC, k LIMIT 1
+    ), s1 AS (
+      SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+             max(n)::BIGINT AS max_n,
+             quantile_cont(n, 0.5) AS p50_n,
+             quantile_cont(n, 0.99) AS p99_n
+      FROM g1
+    ), g2 AS (
+      SELECT coalesce(event_type, '<NULL>') AS k,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    ), t2 AS (
+      SELECT k FROM g2 ORDER BY n DESC, k LIMIT 1
+    ), s2 AS (
+      SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+             max(n)::BIGINT AS max_n,
+             quantile_cont(n, 0.5) AS p50_n,
+             quantile_cont(n, 0.99) AS p99_n
+      FROM g2
+    )
+    SELECT 'user_id' AS key_col, s1.n_rows, s1.n_keys, t1.k AS top_key,
+           s1.max_n, s1.max_n::DOUBLE / s1.n_rows::DOUBLE AS top_share,
+           s1.p50_n, s1.p99_n
+    FROM s1, t1
+    UNION ALL
+    SELECT 'event_type' AS key_col, s2.n_rows, s2.n_keys, t2.k AS top_key,
+           s2.max_n, s2.max_n::DOUBLE / s2.n_rows::DOUBLE AS top_share,
+           s2.p50_n, s2.p99_n
+    FROM s2, t2
+"""

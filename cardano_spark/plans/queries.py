@@ -1535,6 +1535,23 @@ def q99_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic over the events fact — the
+    statistics object every skew decision in this repo reads
+    (q89's salting, the AQE skew-join pin, broadcast-vs-shuffle):
+    per candidate key (user_id, event_type), one row of n_rows,
+    n_keys, top key + share, and exact p50/p99 of the per-key count
+    distribution. event_type is the deliberately skew-prone
+    low-cardinality key (5 values over 10k rows at sf0.01);
+    user_id the healthy high-cardinality one. One hash exchange +
+    1-row reduce per key — exactly the shuffle the groupBy under
+    measurement would cost."""
+    from cardano_spark.operators.relational import key_skew_report
+
+    e = table(spark, sf_dir, "events")
+    return key_skew_report(e, ["user_id", "event_type"])
+
+
 def q101_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval counting: peak number of CONCURRENT
     activity windows (each event opens a 5-minute half-open window)
@@ -1697,5 +1714,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q101_peak_concurrency": q101_peak_concurrency,
     "q102_copurchase_pairs": q102_copurchase_pairs,
     "q105_hierarchical_shares": q105_hierarchical_shares,
+    "q127_key_skew_report": q127_key_skew_report,
     "q71_pivot_priority_status": q71_pivot_priority_status,
 }

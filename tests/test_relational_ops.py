@@ -442,3 +442,23 @@ def test_triangle_counts_random_matches_bruteforce(spark):
     got = {r.vertex: r.n_triangles for r in triangle_counts(df, "s", "t").collect()}
     assert got == want
     assert sum(want.values()) > 0  # fixture actually has triangles
+
+
+def test_key_skew_report_planted(spark):
+    """Known distribution incl. a NULL key: counts, top-key
+    tie-break (highest n, then lowest key string), exact
+    percentiles, and the share division."""
+    from cardano_spark.operators.relational import key_skew_report
+
+    rows = (
+        [("a", 1)] * 5 + [("b", 1)] * 5 + [("c", 1)] * 2 + [(None, 1)] * 3
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    r = key_skew_report(df, ["k"]).collect()[0]
+    assert (r.key_col, r.n_rows, r.n_keys) == ("k", 15, 4)
+    # a and b tie at 5 -> lowest key string wins
+    assert (r.top_key, r.max_n) == ("a", 5)
+    assert abs(r.top_share - 5 / 15) < 1e-15
+    # per-key counts sorted: [2, 3, 5, 5]
+    assert r.p50_n == 4.0  # interpolated between 3 and 5
+    assert abs(r.p99_n - 5.0) < 1e-12
