@@ -1506,6 +1506,125 @@ def q126_remove_repeated_spans(
     return CU.remove_repeated_spans(d, "doc_id", "text", n=8, min_docs=2)
 
 
+def q128_chunk_lang_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Code-switch / mixed-language detection — q29's stopword
+    language scorer applied PER CHUNK (q107's 64/48 window rule),
+    then reduced per document: a document whose chunks don't all
+    vote the same language is a mixed-language (or mislabeled)
+    candidate, the signal monolingual corpus builders filter on and
+    mixture planners (q64/q121) must not double-count. Per-chunk
+    argmax uses q29's exact tie rule (earliest lang in sorted
+    order); per-doc majority uses the same rule over vote counts.
+
+    Scale shape: one corpus scan, map-side chunk explode + per-chunk
+    stopword folds (array expressions, no UDF), ONE hash exchange on
+    doc_id with map-side partial vote sums. Returns (doc_id,
+    n_chunks, majority_lang, majority_votes, majority_share,
+    n_langs)."""
+    d = table(spark, sf_dir, "documents")
+    size, step = 64, 48
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = d.select(
+        "doc_id", toks.alias("_toks"), F.explode(starts).alias("_s")
+    ).select(
+        "doc_id", F.slice(F.col("_toks"), F.col("_s") + 1, size).alias("_ct")
+    )
+    scored = chunks.select(
+        "doc_id",
+        *[
+            TX.stopword_hits(F.col("_ct"), lg).cast("long").alias(f"s_{lg}")
+            for lg in TX.LANGS
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(TX.LANGS):
+        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    votes = scored.select("doc_id", pred.alias("_pred"))
+    agg = votes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        *[
+            F.sum(F.when(F.col("_pred") == lg, 1).otherwise(0))
+            .cast("long")
+            .alias(f"v_{lg}")
+            for lg in TX.LANGS
+        ],
+    )
+    m = F.greatest(*[F.col(f"v_{lg}") for lg in TX.LANGS])
+    maj = F.lit(None).cast("string")
+    for lg in reversed(TX.LANGS):
+        maj = F.when(F.col(f"v_{lg}") == m, F.lit(lg)).otherwise(maj)
+    n_langs = None
+    for lg in TX.LANGS:
+        term = (F.col(f"v_{lg}") > 0).cast("long")
+        n_langs = term if n_langs is None else n_langs + term
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        maj.alias("majority_lang"),
+        m.alias("majority_votes"),
+        (m.cast("double") / F.col("n_chunks").cast("double")).alias(
+            "majority_share"
+        ),
+        n_langs.alias("n_langs"),
+    )
+
+
+def _chunk_lang_oracle() -> str:
+    """q128's oracle, generated from the SAME stopword constants
+    (functions/text.py) and chunk rule as the Spark plan."""
+    score_cols = ",\n             ".join(
+        TX.stopword_hits_sql("ct", lg) + f" AS s_{lg}" for lg in TX.LANGS
+    )
+    pred_case = (
+        "CASE "
+        + " ".join(f"WHEN s_{lg} = g THEN '{lg}'" for lg in TX.LANGS)
+        + " END"
+    )
+    vote_cols = ",\n             ".join(
+        f"sum(CASE WHEN pred = '{lg}' THEN 1 ELSE 0 END)::BIGINT AS v_{lg}"
+        for lg in TX.LANGS
+    )
+    maj_case = (
+        "CASE "
+        + " ".join(f"WHEN v_{lg} = m THEN '{lg}'" for lg in TX.LANGS)
+        + " END"
+    )
+    n_langs = " + ".join(f"(v_{lg} > 0)::BIGINT" for lg in TX.LANGS)
+    g = ", ".join(f"s_{lg}" for lg in TX.LANGS)
+    vm = ", ".join(f"v_{lg}" for lg in TX.LANGS)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, t[u.s + 1 : u.s + 64] AS ct
+      FROM docs,
+           unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS u(s)
+    ), sc AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM ch
+    ), pv AS (
+      SELECT doc_id, {pred_case} AS pred
+      FROM (SELECT *, greatest({g}) AS g FROM sc)
+    ), agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_chunks,
+             {vote_cols}
+      FROM pv GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, {maj_case} AS majority_lang,
+           m AS majority_votes,
+           m::DOUBLE / n_chunks::DOUBLE AS majority_share,
+           ({n_langs}) AS n_langs
+    FROM (SELECT *, greatest({vm}) AS m FROM agg)
+    """
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1698,6 +1817,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q124_audio_fingerprint_neardup": q124_audio_fingerprint_neardup,
     "q125_bpe_train_merges": q125_bpe_train_merges,
     "q126_remove_repeated_spans": q126_remove_repeated_spans,
+    "q128_chunk_lang_consistency": q128_chunk_lang_consistency,
 }
 
 
@@ -3354,3 +3474,6 @@ TRAININGDATA_ORACLES["q126_remove_repeated_spans"] = """
              ' '), '') AS cleaned_text
     FROM toks t LEFT JOIN dsets d USING (doc_id)
 """
+
+# q128: generated from the same stopword constants as the plan.
+TRAININGDATA_ORACLES["q128_chunk_lang_consistency"] = _chunk_lang_oracle()

@@ -1398,3 +1398,38 @@ def test_remove_repeated_spans_planted_and_properties(spark):
         assert r.n_tokens == len(toks)
         assert r.n_removed == len(drop)
         assert r.cleaned_text == " ".join(kept), i
+
+
+def test_chunk_lang_consistency_planted(spark):
+    """A genuinely code-switched document (EN chunk + ES chunk + FR
+    chunk) vs a monolingual one, with the doc built so the 64/48
+    chunk windows isolate the language segments; ties and empty
+    docs follow q29's earliest-lang rule."""
+    from cardano_spark.plans.trainingdata import q128_chunk_lang_consistency
+
+    en = ("the is of and to in " * 8).strip()        # 48 tokens EN
+    es = ("el la que y en un " * 8).strip()          # 48 tokens ES
+    fr = ("le et est pour dans ne " * 8).strip()     # 48 tokens FR
+    mixed = " ".join([en, es, fr])                   # 144 tokens
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, mixed, "en"), (2, en, "en"), (3, "", "en")],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in q128_chunk_lang_consistency(spark, tmp).collect()
+        }
+    r1 = out[1]
+    # 144 tokens -> starts 0,48,96 = 3 chunks; chunk 0 = EN segment
+    # + 16 ES tokens, still EN-majority inside the chunk, etc.
+    assert r1.n_chunks == 3 and r1.n_langs >= 2
+    assert r1.majority_share < 1.0
+    r2 = out[2]
+    assert (r2.n_chunks, r2.majority_lang, r2.majority_share, r2.n_langs) == (
+        1, "en", 1.0, 1,
+    )
+    r3 = out[3]  # empty text: one chunk, zero scores, earliest lang
+    assert (r3.n_chunks, r3.majority_lang, r3.n_langs) == (1, "de", 1)
