@@ -1008,3 +1008,54 @@ def remove_repeated_spans(
             ),
         ).alias("cleaned_text"),
     )
+
+
+def linear_model_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int,
+    salt: str = "qclf",
+) -> DataFrame:
+    """Hashing-trick linear classifier SERVING — the fastText/CCNet
+    quality-filter shape (Joulin et al. 2016; Wenzek et al. 2020
+    score documents with a linear model over hashed bag-of-words
+    features and keep by threshold): each token (with multiplicity)
+    hashes into one of ``n_buckets`` feature buckets
+    (:func:`hash_bucket` — the same retry-stable content hash as the
+    split operator), the model is a (bucket, weight) frame produced
+    by OFFLINE training and joined in as a BROADCAST (models are
+    KB-to-MB sized — never a corpus shuffle), and the per-document
+    logit reduces with map-side partial sums on ``id_col`` — ONE
+    exchange total. Integer weights keep the logit exact
+    (order-free partial sums < 2^53), which is also what makes a
+    threshold decision reproducible across partitionings — a float
+    logit near the boundary could flip with aggregation order.
+
+    ``weights`` columns: (bucket long, weight long). Returns
+    (``id_col``, n_tokens, logit, keep) with keep = (logit > 0) as
+    int."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("_t"),
+    )
+    tb = toks.select(
+        F.col(id_col), hash_bucket(F.col("_t"), n_buckets, salt).alias("bucket")
+    )
+    return (
+        tb.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("weight").cast("long").alias("logit"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logit",
+            (F.col("logit") > 0).cast("int").alias("keep"),
+        )
+    )

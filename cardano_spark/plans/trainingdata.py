@@ -1625,6 +1625,29 @@ def _chunk_lang_oracle() -> str:
     """
 
 
+def q129_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality filter served at corpus scale
+    (curation.linear_model_scores — the fastText/CCNet keep-by-
+    threshold shape): 64 hashed bag-of-words buckets, a broadcast
+    (bucket, weight) model, map-side partial logit sums, ONE
+    exchange. The weight table here is the deterministic stand-in
+    ``w(b) = (b * 2654435761) % 1001 - 500`` (Knuth's multiplicative
+    constant — spread without new magic); a production deployment
+    swaps in offline-trained weights through the same operator.
+    Integer weights make the logit and the keep decision exact under
+    any partitioning, so the oracle hash-checks the full serve."""
+    d = table(spark, sf_dir, "documents")
+    model = spark.range(64).select(
+        F.col("id").cast("long").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1001 - 500)
+        .cast("long")
+        .alias("weight"),
+    )
+    return CU.linear_model_scores(
+        d, "doc_id", "text", model, n_buckets=64, salt="qclf"
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1818,6 +1841,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q125_bpe_train_merges": q125_bpe_train_merges,
     "q126_remove_repeated_spans": q126_remove_repeated_spans,
     "q128_chunk_lang_consistency": q128_chunk_lang_consistency,
+    "q129_quality_classifier": q129_quality_classifier,
 }
 
 
@@ -3477,3 +3501,21 @@ TRAININGDATA_ORACLES["q126_remove_repeated_spans"] = """
 
 # q128: generated from the same stopword constants as the plan.
 TRAININGDATA_ORACLES["q128_chunk_lang_consistency"] = _chunk_lang_oracle()
+
+# q129: hashed-bucket weights re-derived arithmetically; the join +
+# sum restated as plain SQL over the same md5 bucket function.
+TRAININGDATA_ORACLES["q129_quality_classifier"] = f"""
+    WITH w AS (
+      SELECT b, (b * 2654435761) % 1001 - 500 AS wt
+      FROM (SELECT unnest(generate_series(0, 63)) AS b)
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, {hash_bucket_sql("t", 64, "qclf")} AS b FROM tok
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(wt)::BIGINT AS logit,
+           (sum(wt) > 0)::INT AS keep
+    FROM tb JOIN w USING (b) GROUP BY doc_id
+"""

@@ -1433,3 +1433,41 @@ def test_chunk_lang_consistency_planted(spark):
     )
     r3 = out[3]  # empty text: one chunk, zero scores, earliest lang
     assert (r3.n_chunks, r3.majority_lang, r3.n_langs) == (1, "de", 1)
+
+
+def test_linear_model_scores_reference_and_plan(spark):
+    """Exact agreement with a sequential scorer on a planted model
+    (weights chosen so some docs land on each side of the
+    threshold), NULL text scores like '', and the model side joins
+    as a broadcast (no corpus shuffle for the model)."""
+    from cardano_spark.functions.hashing import md5_long
+
+    docs = spark.createDataFrame(
+        [(1, "good good good"), (2, "bad"), (3, None), (4, "good bad")],
+        "doc_id long, text string",
+    )
+    # weight +7 for the bucket of 'good', -3 for 'bad', 0 elsewhere
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(f"qclf|{tok}".encode()).hexdigest()[:15], 16) % 16
+
+    wts = {bucket("good"): 7, bucket("bad"): -3}
+    model = spark.createDataFrame(
+        [(b, wts.get(b, 0)) for b in range(16)], "bucket long, weight long"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.logit, r.keep)
+        for r in CU.linear_model_scores(
+            docs, "doc_id", "text", model, n_buckets=16
+        ).collect()
+    }
+    empty_logit = wts.get(bucket(""), 0)
+    assert out[1] == (3, 21, 1)
+    assert out[2] == (1, -3, 0)
+    assert out[3] == (1, empty_logit, int(empty_logit > 0))
+    assert out[4] == (2, 4, 1)
+    plan = CU.linear_model_scores(
+        docs, "doc_id", "text", model, n_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
