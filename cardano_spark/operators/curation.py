@@ -843,7 +843,23 @@ def bpe_train_merges(
 
     Returns one row per round: (merge_round, t1, t2, n_pairs) where
     n_pairs is the pair's census count BEFORE the merge."""
+    return _bpe_loop(docs, text_col, rounds, keep_cols=())[0]
+
+
+def _bpe_loop(
+    docs: DataFrame,
+    text_col: str,
+    rounds: int,
+    keep_cols: tuple[str, ...],
+) -> tuple[DataFrame, DataFrame]:
+    """The shared BPE iteration: returns (merge table, final
+    re-tokenized corpus). ``keep_cols`` are carried through every
+    round's checkpoint unchanged (Catalyst prunes them from the
+    census subtree, so the training plan is identical with or
+    without them — q125's hash does not move when q130 asks for
+    doc_id/source passthrough)."""
     cur = docs.select(
+        *[F.col(c) for c in keep_cols],
         F.concat(
             F.lit(" "),
             F.replace(
@@ -852,7 +868,7 @@ def bpe_train_merges(
                 F.lit("  "),
             ),
             F.lit(" "),
-        ).alias("_s")
+        ).alias("_s"),
     ).localCheckpoint(eager=True)
     winners = []
     for r in range(1, rounds + 1):
@@ -889,6 +905,7 @@ def bpe_train_merges(
         cur = (
             cur.crossJoin(F.broadcast(winner.select("t1", "t2")))
             .select(
+                *[F.col(c) for c in keep_cols],
                 F.replace(
                     F.col("_s"),
                     F.concat(
@@ -905,14 +922,48 @@ def bpe_train_merges(
                         F.col("t2"),
                         F.lit(" "),
                     ),
-                ).alias("_s")
+                ).alias("_s"),
             )
             .localCheckpoint(eager=True)
         )
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
-    return out
+    return out, cur
+
+
+def bpe_apply_report(
+    docs: DataFrame,
+    text_col: str,
+    rounds: int,
+    group_col: str,
+) -> DataFrame:
+    """Tokenizer APPLY after :func:`bpe_train_merges`' training loop:
+    run the same ``rounds`` merges over the corpus and report the
+    compression they buy, per ``group_col`` — the number a tokenizer
+    team actually reads (tokens before/after = context-window and
+    training-step budget). One extra groupBy over the final corpus;
+    the training loop itself is the shared :func:`_bpe_loop`.
+
+    Returns (``group_col``, n_docs, tokens_before, tokens_after)."""
+    _, final = _bpe_loop(docs, text_col, rounds, keep_cols=(group_col,))
+    n_after = F.size(F.split(F.trim(F.col("_s")), " {2}"))
+    before = docs.select(
+        F.col(group_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "_nb"
+        ),
+    )
+    b = before.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nb").cast("long").alias("tokens_before"),
+    )
+    a = final.select(F.col(group_col), n_after.alias("_na")).groupBy(
+        group_col
+    ).agg(F.sum("_na").cast("long").alias("tokens_after"))
+    return b.join(a, group_col).select(
+        group_col, "n_docs", "tokens_before", "tokens_after"
+    )
 
 
 def remove_repeated_spans(

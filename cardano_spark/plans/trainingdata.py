@@ -1454,13 +1454,14 @@ def q125_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.bpe_train_merges(d, "text", rounds=6)
 
 
-def _bpe_merges_oracle(rounds: int) -> str:
-    """The q125 oracle, generated: each round is a census CTE, a
-    1-row winner CTE, and a merged-corpus CTE (the last one unused —
-    kept for uniformity). Same double-spaced replace as the Spark
-    plan."""
+def _bpe_merges_oracle(rounds: int, carry: str = "") -> str:
+    """The q125/q130 oracle chain, generated: each round is a census
+    CTE, a 1-row winner CTE, and a merged-corpus CTE. Same
+    double-spaced replace as the Spark plan. ``carry`` names columns
+    (with trailing comma) passed through every corpus CTE for a
+    final aggregation (q130); the census never reads them."""
     parts = [
-        "WITH c0 AS (SELECT ' ' || replace(coalesce(text, ''),"
+        f"WITH c0 AS (SELECT {carry}' ' || replace(coalesce(text, ''),"
         " ' ', '  ') || ' ' AS s FROM documents)"
     ]
     for r in range(1, rounds + 1):
@@ -1478,7 +1479,7 @@ def _bpe_merges_oracle(rounds: int) -> str:
       SELECT {r} AS merge_round, t1, t2, n_pairs
       FROM cen{r} ORDER BY n_pairs DESC, t1, t2 LIMIT 1
     ), c{r} AS (
-      SELECT replace(s, ' ' || t1 || '  ' || t2 || ' ',
+      SELECT {carry}replace(s, ' ' || t1 || '  ' || t2 || ' ',
                         ' ' || t1 || '+' || t2 || ' ') AS s
       FROM c{r - 1}, win{r}
     )""")
@@ -1487,6 +1488,28 @@ def _bpe_merges_oracle(rounds: int) -> str:
         for r in range(1, rounds + 1)
     )
     return "".join(parts) + "\n    " + union
+
+
+def _bpe_chain_sql(rounds: int, carry: str) -> str:
+    """Just the WITH-chain of :func:`_bpe_merges_oracle` (everything
+    up to the final SELECT), for oracles that aggregate the final
+    corpus c{rounds} instead of the merge table."""
+    full = _bpe_merges_oracle(rounds, carry)
+    return full[: full.rindex("\n    SELECT merge_round")]
+
+
+def q130_bpe_apply_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer train -> APPLY: q125's 6 learned merges re-tokenize
+    the corpus and the per-source compression is reported — the
+    number a tokenizer team reads (tokens before/after = context
+    budget). Shares the exact training loop with q125 via
+    curation._bpe_loop (passthrough columns are Catalyst-pruned from
+    the census subtree, so q125's plan and hash are untouched); the
+    oracle replays the chain and aggregates the final corpus CTE."""
+    d = table(spark, sf_dir, "documents")
+    return CU.bpe_apply_report(d, "text", rounds=6, group_col="source")
 
 
 def q126_remove_repeated_spans(
@@ -1842,6 +1865,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q126_remove_repeated_spans": q126_remove_repeated_spans,
     "q128_chunk_lang_consistency": q128_chunk_lang_consistency,
     "q129_quality_classifier": q129_quality_classifier,
+    "q130_bpe_apply_compression": q130_bpe_apply_compression,
 }
 
 
@@ -3519,3 +3543,22 @@ TRAININGDATA_ORACLES["q129_quality_classifier"] = f"""
            (sum(wt) > 0)::INT AS keep
     FROM tb JOIN w USING (b) GROUP BY doc_id
 """
+
+# q130: the q125 chain carried with source, final corpus aggregated.
+TRAININGDATA_ORACLES["q130_bpe_apply_compression"] = (
+    _bpe_chain_sql(6, carry="source, ")
+    + """
+    SELECT b.source, b.n_docs, b.tokens_before, a.tokens_after
+    FROM (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(string_split(coalesce(text, ''), ' ')))::BIGINT
+               AS tokens_before
+      FROM documents GROUP BY source
+    ) b JOIN (
+      SELECT source,
+             sum(len(string_split(trim(s, ' '), '  ')))::BIGINT
+               AS tokens_after
+      FROM c6 GROUP BY source
+    ) a USING (source)
+"""
+)

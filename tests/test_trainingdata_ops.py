@@ -1471,3 +1471,45 @@ def test_linear_model_scores_reference_and_plan(spark):
         docs, "doc_id", "text", model, n_buckets=16
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_apply_report_reference(spark):
+    """Per-group compression agrees exactly with applying the
+    sequential reference's merges; tokens_after <= tokens_before and
+    groups with no merged pairs are unchanged."""
+    texts = {
+        1: ("g1", "a b a b a b c"),
+        2: ("g1", "a b b a b"),
+        3: ("g2", "a a a a"),
+        4: ("g2", "z"),
+        5: ("g2", None),
+    }
+    df = spark.createDataFrame(
+        [(k, g, t) for k, (g, t) in texts.items()],
+        "doc_id long, src string, text string",
+    )
+    rounds = 3
+    merges = _bpe_reference([t or "" for _, t in texts.values()], rounds)
+    corpus = {k: (t or "").split(" ") for k, (_, t) in texts.items()}
+    for _, t1, t2, _ in merges:
+        for k, toks in corpus.items():
+            new, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == t1 and toks[i + 1] == t2:
+                    new.append(t1 + "+" + t2)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            corpus[k] = new
+    want = {}
+    for k, (g, t) in texts.items():
+        nb, na = len((t or "").split(" ")), len(corpus[k])
+        d, b, a = want.get(g, (0, 0, 0))
+        want[g] = (d + 1, b + nb, a + na)
+    got = {
+        r.src: (r.n_docs, r.tokens_before, r.tokens_after)
+        for r in CU.bpe_apply_report(df, "text", rounds, "src").collect()
+    }
+    assert got == want
+    assert all(a <= b for _, b, a in got.values())
