@@ -1671,6 +1671,54 @@ def q129_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q131_embedding_dim_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-column QA report — the vector-store intake gate
+    that catches dead dimensions (min == max), saturation, scale
+    drift, and sign imbalance before an index is built over garbage:
+    per dimension, n / min / max (exact float comparisons, widened
+    to double — no arithmetic), the exact int64 sum of the shared
+    floor(v*255) quantization codes (the q85/q113 rule — float sums
+    would re-associate, quantized sums are order-free), the positive
+    count, and the quantized mean (one int/int IEEE division).
+
+    Scale shape: one scan, map-side posexplode (64 rows per vector),
+    ONE hash exchange onto 64 groups with map-side partial
+    min/max/sum — the reduce side is constant-size regardless of
+    corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode(F.col("embedding")).alias("_d", "_v")
+    ).select(
+        F.col("_d").cast("long").alias("dim"),
+        F.col("_v").cast("double").alias("_vd"),
+        F.floor(F.col("_v").cast("double") * F.lit(255.0))
+        .cast("long")
+        .alias("_q"),
+    )
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_vd").alias("min_v"),
+        F.max("_vd").alias("max_v"),
+        F.sum("_q").cast("long").alias("sum_q"),
+        F.sum(F.when(F.col("_vd") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        "min_v",
+        "max_v",
+        "sum_q",
+        "n_pos",
+        (F.col("sum_q").cast("double") / F.col("n").cast("double")).alias(
+            "avg_q"
+        ),
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1866,6 +1914,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q128_chunk_lang_consistency": q128_chunk_lang_consistency,
     "q129_quality_classifier": q129_quality_classifier,
     "q130_bpe_apply_compression": q130_bpe_apply_compression,
+    "q131_embedding_dim_stats": q131_embedding_dim_stats,
 }
 
 
@@ -3562,3 +3611,22 @@ TRAININGDATA_ORACLES["q130_bpe_apply_compression"] = (
     ) a USING (source)
 """
 )
+
+# q131: float32 widening + comparisons are exact; the only sums are
+# the shared floor(v*255) int codes; one int/int IEEE division.
+TRAININGDATA_ORACLES["q131_embedding_dim_stats"] = """
+    WITH x AS (
+      SELECT u.d AS dim, embedding[u.d + 1]::DOUBLE AS v
+      FROM embeddings,
+           unnest(generate_series(0, len(embedding) - 1)) AS u(d)
+    ), agg AS (
+      SELECT dim, count(*)::BIGINT AS n,
+             min(v) AS min_v, max(v) AS max_v,
+             sum(CAST(floor(v * 255.0) AS BIGINT))::BIGINT AS sum_q,
+             sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+      FROM x GROUP BY dim
+    )
+    SELECT dim, n, min_v, max_v, sum_q, n_pos,
+           sum_q::DOUBLE / n::DOUBLE AS avg_q
+    FROM agg
+"""

@@ -1513,3 +1513,33 @@ def test_bpe_apply_report_reference(spark):
     }
     assert got == want
     assert all(a <= b for _, b, a in got.values())
+
+
+def test_embedding_dim_stats_planted(spark):
+    """Planted vectors with a dead dimension, a saturated one, and a
+    known quantized mean; stats verified against hand arithmetic."""
+    import math
+    import os, tempfile
+
+    rows = [
+        (0, [0.5, 0.0, -0.25], 0),
+        (1, [0.5, 0.0, 0.25], 0),
+        (2, [0.5, 0.0, 0.75], 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        from cardano_spark.plans.trainingdata import q131_embedding_dim_stats
+
+        out = {r.dim: r for r in q131_embedding_dim_stats(spark, tmp).collect()}
+    d0 = out[0]  # dead: min == max == 0.5
+    assert (d0.min_v, d0.max_v, d0.n, d0.n_pos) == (0.5, 0.5, 3, 3)
+    assert d0.sum_q == 3 * math.floor(0.5 * 255)  # 127*3
+    d1 = out[1]
+    assert (d1.min_v, d1.max_v, d1.n_pos, d1.sum_q) == (0.0, 0.0, 0, 0)
+    d2 = out[2]
+    # floor(-0.25*255) = -64 (floor, not trunc), 63, 191
+    assert d2.sum_q == -64 + 63 + 191
+    assert (d2.min_v, d2.max_v, d2.n_pos) == (-0.25, 0.75, 2)
+    assert d2.avg_q == d2.sum_q / 3
