@@ -14,7 +14,7 @@ runtime at test scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -1719,6 +1719,40 @@ def q131_embedding_dim_stats(
     )
 
 
+def q132_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/val/test split LEAKAGE audit — the QA step that catches
+    eval contamination BEFORE a model trains on it: near-duplicate
+    pairs (q22's full MinHash+LSH + exact-Jaccard verify, here over
+    the whole corpus) that STRADDLE the q41 content-hash split
+    boundaries. A random split leaks every duplicate family that
+    crosses it; this query is the measurement. The split is a pure
+    function of doc_id (q41's hash_bucket rule), so both sides'
+    split labels are computed as expressions on the pair frame —
+    ZERO extra joins or exchanges on top of the pair detection."""
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    )
+
+    def split_of(c: Column) -> Column:
+        b = hash_bucket(c, 100)
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        split_of(F.col("id_a")).alias("split_a"),
+        split_of(F.col("id_b")).alias("split_b"),
+        "jaccard",
+    ).filter(F.col("split_a") != F.col("split_b"))
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1915,6 +1949,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q129_quality_classifier": q129_quality_classifier,
     "q130_bpe_apply_compression": q130_bpe_apply_compression,
     "q131_embedding_dim_stats": q131_embedding_dim_stats,
+    "q132_split_leakage_audit": q132_split_leakage_audit,
 }
 
 
@@ -3629,4 +3664,43 @@ TRAININGDATA_ORACLES["q131_embedding_dim_stats"] = """
     SELECT dim, n, min_v, max_v, sum_q, n_pos,
            sum_q::DOUBLE / n::DOUBLE AS avg_q
     FROM agg
+"""
+
+# q132: q22's full LSH+verify chain (no doc_id slice) with the q41
+# split rule applied as pure expressions on the pair frame.
+_SPLIT_A = (
+    f"CASE WHEN {hash_bucket_sql('id_a', 100)} < 80 THEN 'train' "
+    f"WHEN {hash_bucket_sql('id_a', 100)} < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+_SPLIT_B = (
+    f"CASE WHEN {hash_bucket_sql('id_b', 100)} < 80 THEN 'train' "
+    f"WHEN {hash_bucket_sql('id_b', 100)} < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+TRAININGDATA_ORACLES["q132_split_leakage_audit"] = f"""
+    WITH d AS (
+      SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+      FROM documents
+    ), h AS (
+      SELECT doc_id, sh, {_HASHES} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {_sig_select()} FROM h
+    ), bands AS (
+      {_band_selects('sig')}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b, {_JACCARD} AS jaccard
+      FROM cand
+      JOIN d da ON da.doc_id = cand.id_a
+      JOIN d db ON db.doc_id = cand.id_b
+      WHERE {_JACCARD} >= 0.8
+    )
+    SELECT id_a, id_b, {_SPLIT_A} AS split_a, {_SPLIT_B} AS split_b,
+           jaccard
+    FROM verified
+    WHERE {_SPLIT_A} <> {_SPLIT_B}
 """

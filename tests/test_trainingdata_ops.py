@@ -1543,3 +1543,46 @@ def test_embedding_dim_stats_planted(spark):
     assert d2.sum_q == -64 + 63 + 191
     assert (d2.min_v, d2.max_v, d2.n_pos) == (-0.25, 0.75, 2)
     assert d2.avg_q == d2.sum_q / 3
+
+
+def test_split_leakage_audit_planted(spark):
+    """Duplicate families planted across and within split
+    boundaries: cross-split dups are reported with correct labels,
+    same-split dups are not."""
+    import hashlib
+    import os, tempfile
+
+    def split_of(did):
+        b = int(hashlib.md5(f"split|{did}".encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    ids = list(range(400))
+    train = [i for i in ids if split_of(i) == "train"]
+    test = [i for i in ids if split_of(i) == "test"]
+    assert len(train) >= 2 and len(test) >= 1
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (train[0], dup, "en"),          # leaks to test[0]
+        (test[0], dup, "en"),
+        (train[1], dup + " iota", "en"),  # near-dup, leaks too
+    ]
+    filler = [
+        (train[2 + k], f"unique doc number {k} with its own words {k}", "en")
+        for k in range(4)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows + filler, "doc_id long, text string, lang string"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        from cardano_spark.plans.trainingdata import q132_split_leakage_audit
+
+        got = {
+            (r.id_a, r.id_b): (r.split_a, r.split_b)
+            for r in q132_split_leakage_audit(spark, tmp).collect()
+        }
+    a, b = sorted((train[0], test[0]))
+    assert got[(a, b)] == (split_of(a), split_of(b))
+    # the two train-side dups never appear as a leak
+    t0, t1 = sorted((train[0], train[1]))
+    assert (t0, t1) not in got
+    assert all(sa != sb for sa, sb in got.values())
