@@ -1154,6 +1154,41 @@ def q106_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_at_k(approx, exact)
 
 
+def q134_ann_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware ANN instrumentation — q106's recall says WHETHER
+    the true neighbor was found; this says WHERE: for each held-out
+    probe (vec_id in [28, 36), disjoint from every other probe set),
+    the exact brute-force top-1 neighbor and its 1-based rank inside
+    the multiprobe sign-LSH candidate ordering (0 = the index missed
+    it entirely — the number that tells you whether a rerank stage
+    of depth r would recover exactness). All values exact: the rank
+    is an integer row_number over the same deterministic
+    (cos desc, id asc) order both engines compute, cut at depth 100
+    in BOTH so the statement is engine-identical."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 28) & (F.col("vec_id") < 36))
+    exact1 = SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=1)
+    approx = SIM.lsh_topk(
+        e, probes, "vec_id", "embedding", k=100, multiprobe=1
+    )
+    return (
+        exact1.select("query_id", "match_id")
+        .join(
+            approx.select("query_id", "match_id", "rank"),
+            ["query_id", "match_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("match_id").alias("true_match_id"),
+            F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias(
+                "rank_in_approx"
+            ),
+            F.col("rank").isNotNull().cast("int").alias("found"),
+        )
+    )
+
+
 def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: 8 seed
     clusters, within-cluster cosine > 0.25 -> keep-first. The
@@ -1763,6 +1798,55 @@ def q132_split_leakage_audit(
     ).filter(F.col("split_a") != F.col("split_b"))
 
 
+def q133_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity — the mode-collapse / template
+    detector for synthetic and scraped corpora (a source whose
+    distinct-trigram-to-occurrence ratio is low is repeating itself;
+    the type-token-ratio family, computed at trigram granularity):
+    per source, docs, total positional 3-gram occurrences, distinct
+    3-grams, and the diversity ratio.
+
+    Scale shape: one scan; trigrams explode map-side WITH
+    multiplicity (positions, not the distinct shingle set — the
+    census needs occurrences); the distinct count is a two-phase
+    aggregate grouped on (source, gram md5) then source — the same
+    collision-free 128-bit key discipline as q110. Output is
+    |sources| rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    k = F.size(toks) - F.lit(2)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = d.select("source", F.explode_outer(grams).alias("_g"))
+    agg = e.groupBy("source").agg(
+        F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.countDistinct(F.md5(F.col("_g"))).cast("long").alias("n_distinct"),
+    )
+    docs_per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return docs_per.join(agg, "source").select(
+        "source",
+        "n_docs",
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_distinct").cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("diversity"),
+    )
+
+
 def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the q22 near-dup pair graph
     — the density diagnostic that separates true duplicate FAMILIES
@@ -1960,6 +2044,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q130_bpe_apply_compression": q130_bpe_apply_compression,
     "q131_embedding_dim_stats": q131_embedding_dim_stats,
     "q132_split_leakage_audit": q132_split_leakage_audit,
+    "q133_ngram_diversity": q133_ngram_diversity,
+    "q134_ann_rank_report": q134_ann_rank_report,
 }
 
 
@@ -3713,4 +3799,71 @@ TRAININGDATA_ORACLES["q132_split_leakage_audit"] = f"""
            jaccard
     FROM verified
     WHERE {_SPLIT_A} <> {_SPLIT_B}
+"""
+
+# q133: the md5 in the Spark distinct is an injective relabeling
+# (the q126 precedent), so count(DISTINCT gram) matches.
+TRAININGDATA_ORACLES["q133_ngram_diversity"] = """
+    WITH t AS (
+      SELECT source, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), gs AS (
+      SELECT source,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i : i + 2], ' '))
+             ELSE [] END AS gs
+      FROM t
+    ), base AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(gs))::BIGINT AS n_grams
+      FROM gs GROUP BY source
+    ), dist AS (
+      SELECT source, count(DISTINCT g)::BIGINT AS n_distinct
+      FROM (SELECT source, unnest(gs) AS g FROM gs) GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_grams,
+           coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
+           CASE WHEN b.n_grams > 0
+                THEN coalesce(d.n_distinct, 0)::DOUBLE / b.n_grams::DOUBLE
+                ELSE 0.0 END AS diversity
+    FROM base b LEFT JOIN dist d USING (source)
+"""
+
+# q134: q106's CTE pattern — exact top-1 (rank=1) LEFT JOIN the
+# multiprobe candidate ordering cut at depth 100 in both engines.
+TRAININGDATA_ORACLES["q134_ann_rank_report"] = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+      FROM embeddings
+    ), ex1 AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.replace('va', 'q.e').replace('vb', 'c.e')} DESC,
+                          c.vec_id ASC
+               ) AS rank
+        FROM v q JOIN v c
+          ON q.vec_id >= 28 AND q.vec_id < 36 AND c.vec_id <> q.vec_id
+      ) WHERE rank = 1
+    ), ap AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.replace('va', 'q.e').replace('vb', 'c.e')} DESC,
+                          c.vec_id ASC
+               ) AS rank
+        FROM v q JOIN v c
+          ON bit_count(xor(q.bucket, c.bucket)) <= 1
+         AND c.vec_id <> q.vec_id
+        WHERE q.vec_id >= 28 AND q.vec_id < 36
+      ) WHERE rank <= 100
+    )
+    SELECT e.query_id, e.match_id AS true_match_id,
+           coalesce(a.rank, 0)::BIGINT AS rank_in_approx,
+           (a.rank IS NOT NULL)::INT AS found
+    FROM ex1 e LEFT JOIN ap a USING (query_id, match_id)
 """

@@ -39,6 +39,7 @@ BNL_BUDGET = {
     "q96_distribution_drift": 1,
     "q100_crossmodal_retrieval": 1,
     "q106_ann_recall_report": 2,
+    "q134_ann_rank_report": 1,  # brute-force ground-truth side, 8 probes
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

@@ -1586,3 +1586,59 @@ def test_split_leakage_audit_planted(spark):
     t0, t1 = sorted((train[0], train[1]))
     assert (t0, t1) not in got
     assert all(sa != sb for sa, sb in got.values())
+
+
+def test_ngram_diversity_planted(spark):
+    """A collapsed source (one trigram repeated) vs a diverse one,
+    plus a source whose docs are all too short for any trigram."""
+    import os, tempfile
+
+    rows = [
+        (1, "rep", "x y z x y z x y z", "en"),   # grams: 7, distinct 3
+        (2, "rep", "x y z x y z", "en"),          # grams: 4, distinct 3
+        (3, "div", "a b c d e f g", "en"),        # 5 grams, all distinct
+        (4, "tiny", "a b", "en"),                 # no trigram
+        (5, "tiny", None, "en"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string, lang string"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        from cardano_spark.plans.trainingdata import q133_ngram_diversity
+
+        got = {
+            r.source: (r.n_docs, r.n_grams, r.n_distinct, r.diversity)
+            for r in q133_ngram_diversity(spark, tmp).collect()
+        }
+    # "rep": trigrams of doc1 = positions 1..7 -> {xyz, yzx, zxy} x cycling
+    assert got["rep"][0] == 2 and got["rep"][1] == 11
+    assert got["rep"][2] == 3 and abs(got["rep"][3] - 3 / 11) < 1e-15
+    assert got["div"] == (1, 5, 5, 1.0)
+    assert got["tiny"] == (2, 0, 0, 0.0)
+
+
+def test_ann_rank_report_semantics(spark):
+    """rank_in_approx is consistent with recall: found=1 iff the
+    exact top-1 appears in the depth-100 candidate list, and when
+    found the rank really is the candidate-order position."""
+    from cardano_spark.catalog import table
+    from cardano_spark.plans.trainingdata import q134_ann_rank_report
+    from tests.conftest import SF_SMALL
+
+    sf = SF_SMALL
+    rows = q134_ann_rank_report(spark, sf).collect()
+    assert len(rows) == 8  # one row per held-out probe
+    e = table(spark, sf, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 28) & (F.col("vec_id") < 36))
+    approx = {
+        (r.query_id, r.match_id): r.rank
+        for r in SIM.lsh_topk(
+            e, probes, "vec_id", "embedding", k=100, multiprobe=1
+        ).collect()
+    }
+    for r in rows:
+        want = approx.get((r.query_id, r.true_match_id))
+        if r.found:
+            assert r.rank_in_approx == want and want is not None
+        else:
+            assert r.rank_in_approx == 0 and want is None
