@@ -1189,6 +1189,63 @@ def q134_ann_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q135_clean_eval_carveout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clean eval-set CONSTRUCTION — the composition a benchmark
+    team actually ships: take the q41 test split, drop every test
+    document with a near-duplicate on the TRAIN side (q132's leak
+    pairs, but with the candidate_filter asking exactly the
+    train-test question so the verify work scales with that subset),
+    then carve exactly min(5, remaining) docs per language by the
+    q79 salted-hash order. Deterministic end to end: the split, the
+    leak detection, and the carve order are all pure content-hash
+    functions, so the eval set reproduces under retries,
+    repartitioning, and re-runs.
+
+    Plan: LSH pair detection (the dominant term, filtered to
+    train-test candidates before the verify joins) -> tiny
+    contaminated-id drop list -> anti join -> one stratum window.
+    Returns (lang, doc_id, pick_order)."""
+    d = table(spark, sf_dir, "documents")
+
+    def bucket_of(c: Column) -> Column:
+        return hash_bucket(c, 100)
+
+    is_test_a = bucket_of(F.col("id_a")) >= 90
+    is_test_b = bucket_of(F.col("id_b")) >= 90
+    is_train_a = bucket_of(F.col("id_a")) < 80
+    is_train_b = bucket_of(F.col("id_b")) < 80
+    pairs = DD.minhash_lsh_pairs(
+        d,
+        "doc_id",
+        TX.distinct_tokens(F.col("text")),
+        threshold=0.8,
+        candidate_filter=(is_train_a & is_test_b)
+        | (is_test_a & is_train_b),
+    )
+    contaminated = (
+        pairs.select(
+            F.when(is_test_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "doc_id"
+            )
+        )
+        .distinct()
+    )
+    test_docs = d.filter(bucket_of(F.col("doc_id")) >= 90).select(
+        "doc_id", "lang"
+    )
+    clean = test_docs.join(contaminated, "doc_id", "left_anti")
+    h = md5_long(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        clean.select("doc_id", "lang", h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("lang", "doc_id", F.col("_rn").cast("long").alias("pick_order"))
+    )
+
+
 def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: 8 seed
     clusters, within-cluster cosine > 0.25 -> keep-first. The
@@ -2046,6 +2103,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q132_split_leakage_audit": q132_split_leakage_audit,
     "q133_ngram_diversity": q133_ngram_diversity,
     "q134_ann_rank_report": q134_ann_rank_report,
+    "q135_clean_eval_carveout": q135_clean_eval_carveout,
 }
 
 
@@ -3866,4 +3924,52 @@ TRAININGDATA_ORACLES["q134_ann_rank_report"] = f"""
            coalesce(a.rank, 0)::BIGINT AS rank_in_approx,
            (a.rank IS NOT NULL)::INT AS found
     FROM ex1 e LEFT JOIN ap a USING (query_id, match_id)
+"""
+
+# q135: q132's verified-pair chain restricted to train-test pairs,
+# drop list applied, then the q79 salted-hash carve per lang.
+_BK_A = hash_bucket_sql("id_a", 100)
+_BK_B = hash_bucket_sql("id_b", 100)
+TRAININGDATA_ORACLES["q135_clean_eval_carveout"] = f"""
+    WITH d AS (
+      SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+      FROM documents
+    ), h AS (
+      SELECT doc_id, sh, {_HASHES} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {_sig_select()} FROM h
+    ), bands AS (
+      {_band_selects('sig')}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN d da ON da.doc_id = cand.id_a
+      JOIN d db ON db.doc_id = cand.id_b
+      WHERE {_JACCARD} >= 0.8
+    ), cont AS (
+      SELECT DISTINCT CASE WHEN {_BK_A} >= 90 THEN id_a ELSE id_b END
+               AS doc_id
+      FROM verified
+      WHERE ({_BK_A} < 80 AND {_BK_B} >= 90)
+         OR ({_BK_A} >= 90 AND {_BK_B} < 80)
+    ), test AS (
+      SELECT doc_id, lang FROM documents
+      WHERE {hash_bucket_sql('doc_id', 100)} >= 90
+    ), clean AS (
+      SELECT t.doc_id, t.lang FROM test t
+      LEFT JOIN cont c USING (doc_id) WHERE c.doc_id IS NULL
+    )
+    SELECT lang, doc_id, rn::BIGINT AS pick_order FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('sample|' || doc_id::VARCHAR),
+                                        1, 15))::BIGINT ASC, doc_id ASC
+             ) AS rn
+      FROM clean
+    ) WHERE rn <= 5
 """

@@ -1642,3 +1642,39 @@ def test_ann_rank_report_semantics(spark):
             assert r.rank_in_approx == want and want is not None
         else:
             assert r.rank_in_approx == 0 and want is None
+
+
+def test_clean_eval_carveout_properties(spark):
+    """Every picked doc is in the test split and has NO train-side
+    near-dup; picks are exactly min(5, clean stratum size) per lang
+    and ordered by the salted hash."""
+    import hashlib
+
+    from cardano_spark.catalog import table
+    from cardano_spark.plans.trainingdata import (
+        q132_split_leakage_audit,
+        q135_clean_eval_carveout,
+    )
+    from tests.conftest import SF_SMALL
+
+    def bucket(did):
+        return int(
+            hashlib.md5(f"split|{did}".encode()).hexdigest()[:15], 16
+        ) % 100
+
+    picks = q135_clean_eval_carveout(spark, SF_SMALL).collect()
+    assert picks, "carve-out must be non-empty at sf0.001"
+    leaks = q132_split_leakage_audit(spark, SF_SMALL).collect()
+    contaminated = set()
+    for r in leaks:
+        for did, s in ((r.id_a, r.split_a), (r.id_b, r.split_b)):
+            if s == "test" and {r.split_a, r.split_b} == {"train", "test"}:
+                contaminated.add(did)
+    per_lang: dict[str, list] = {}
+    for r in picks:
+        assert bucket(r.doc_id) >= 90, "pick outside the test split"
+        assert r.doc_id not in contaminated, "contaminated pick"
+        per_lang.setdefault(r.lang, []).append(r.pick_order)
+    for lang, orders in per_lang.items():
+        assert sorted(orders) == list(range(1, len(orders) + 1))
+        assert len(orders) <= 5
