@@ -13,13 +13,16 @@ least-recently-driver-checked schedule persisted in
 - ``touched``: queries whose plan/semantics changed THIS round — they
   jump the queue regardless of when they were last checked.
 
-Ordering: touched first, then never-checked, then ascending by
-last-checked round (ties by registry insertion order). The first 50
-of that ordering are the driver window; the remainder — always the
-MOST recently verified queries — defer to the tail, and rotate back
-within at most two rounds (105 queries / 50 slots). Every query is
-additionally oracle-checked at sf0.001 in CI (test_oracle_parity)
-regardless of window position.
+Ordering: never-driver-checked first (the r4 verdict's explicit
+priority — a query with no driver row in ANY round outranks
+everything), then touched-this-round (least-recently-checked first,
+so an overflowing touched set defers only its most recently verified
+members), then everyone else ascending by last-checked round (ties
+by registry insertion order). The first 50 of that ordering are the
+driver window; the remainder — always the MOST recently verified
+queries — defer to the tail and rotate back within at most
+ceil(N/50) rounds. Every query is additionally oracle-checked at
+sf0.001 in CI (test_oracle_parity) regardless of window position.
 """
 
 from __future__ import annotations
@@ -53,12 +56,22 @@ def _ordered_names(names: list[str]) -> list[str]:
     last: dict[str, int] = hist.get("last_round", {})
     touched = set(hist.get("touched", []))
     idx = {q: i for i, q in enumerate(names)}
-    # touched -> -1 (head of the queue); never-checked -> 0; else the
-    # round of the last driver row. Ascending = least recently checked
-    # first. Insertion order breaks ties deterministically.
-    return sorted(
-        names, key=lambda q: (-1 if q in touched else last.get(q, 0), idx[q])
-    )
+
+    # class -2: never driver-checked (no row in ANY round — the r4
+    # verdict's first priority); class -1: touched this round,
+    # least-recently-checked first so that when touched + never
+    # overflow the window, only the MOST recently verified touched
+    # queries defer (they rotate back next round via plain LRU);
+    # class 0: everyone else, ascending by last driver row. Insertion
+    # order breaks remaining ties deterministically.
+    def key(q: str) -> tuple[int, int, int]:
+        if q not in last:
+            return (-2, 0, idx[q])
+        if q in touched:
+            return (-1, last[q], idx[q])
+        return (0, last[q], idx[q])
+
+    return sorted(names, key=key)
 
 
 def _raw_queries() -> dict[str, QueryFn]:

@@ -96,8 +96,25 @@ def q78_stream_watermark_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q136_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup gate (q66's loop) as a REAL
+    Structured Streaming job: documents arrive in 3 file batches,
+    each microbatch probes the accumulated band index via
+    foreachBatch, flagged pairs are emitted once (when the later
+    member arrives), the batch's bands merge into the index. The
+    union of all microbatch outputs must equal the BATCH
+    minhash_lsh_pairs result regardless of the arrival batching —
+    so the oracle is exactly q22's SQL on the same slice
+    (stream/batch convergence, the q34/q48/q65 guarantee extended to
+    a custom foreachBatch-stateful operator)."""
+    from cardano_spark.streaming.jobs import incremental_neardup_stream
+
+    return incremental_neardup_stream(spark, sf_dir, threshold=0.8)
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
+    "q136_stream_neardup_gate": q136_stream_neardup_gate,
     "q48_stream_exact_dedup": q48_stream_exact_dedup,
     "q51_stream_sessionize": q51_stream_sessionize,
     "q65_stream_interval_join": q65_stream_interval_join,
@@ -176,3 +193,13 @@ STREAMING_ORACLES: dict[str, str] = {
         GROUP BY event_type
     """,
 }
+
+# stream/batch convergence: the accumulated microbatch outputs must
+# equal the batch LSH pair set — q22's oracle verbatim (same slice,
+# same threshold), restated here so the streaming query is
+# hash-checked against the batch semantics it must converge to.
+from cardano_spark.plans.trainingdata import TRAININGDATA_ORACLES as _TDO
+
+STREAMING_ORACLES["q136_stream_neardup_gate"] = _TDO[
+    "q22_minhash_lsh_neardup"
+]

@@ -456,3 +456,112 @@ def distinct_type_counter_v2(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental near-dup gate (the q66 loop as a real stream)
+# --------------------------------------------------------------------------
+
+
+def incremental_neardup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    threshold: float = 0.8,
+    n_arrival_files: int = 3,
+) -> DataFrame:
+    """The incremental MinHash+LSH dedup loop (q66 /
+    dedup.incremental_minhash_pairs) run as an ACTUAL Structured
+    Streaming job — the deployment mode of a continuously-fed corpus:
+    documents arrive as files, each microbatch is signed/banded and
+    probed against the ACCUMULATED band index (never re-hashing
+    history), flagged pairs are emitted, and the batch's bands merge
+    into the index for the next trigger.
+
+    CONVERGENCE CONTRACT (what the oracle checks): a pair is
+    reported exactly once — when its LATER member arrives (same-batch
+    pairs when both arrive together) — so the union of all microbatch
+    outputs equals the batch :func:`~cardano_spark.operators.dedup.
+    minhash_lsh_pairs` result REGARDLESS of how arrivals are split
+    into batches. Stream/batch convergence, the q34/q48/q65
+    guarantee, here for a custom stateful operator driven through
+    ``foreachBatch``.
+
+    Mechanics: the doc slice is re-written as ``n_arrival_files``
+    id-ranged files in a temp dir and streamed with
+    ``maxFilesPerTrigger=1`` (a real deployment points this at its
+    landing directory instead); cross-batch state (seen docs + band
+    index) is carried as ``localCheckpoint``-ed frames, exactly the
+    state a ParquetMergeSink-backed index holds between runs (that
+    persistence round-trip is exercised in tests)."""
+    import os
+    import tempfile
+
+    from cardano_spark.catalog import table as _table
+    from cardano_spark.functions import text as TX
+    from cardano_spark.operators import dedup as DD
+
+    docs = _table(spark, docs_dir, "documents").filter(
+        F.col("doc_id") % 8 == 0
+    )
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [
+        ids[(len(ids) * i) // n_arrival_files] for i in range(1, n_arrival_files)
+    ] + [ids[-1] + 1]
+    tmp = tempfile.mkdtemp(prefix="neardup_stream_")
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = docs.filter(
+            (F.col("doc_id") < hi)
+            & (F.col("doc_id") >= (lo if lo is not None else -(1 << 62)))
+        )
+        part.coalesce(1).write.parquet(os.path.join(tmp, f"arrival={i}"))
+        lo = hi
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(tmp + "/arrival=*")
+    )
+    shingles = TX.distinct_tokens(F.col("text"))
+    state: dict = {"seen": None, "index": None, "pairs": []}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        if state["seen"] is None:
+            empty = spark.createDataFrame([], schema)
+            state["seen"] = empty
+            state["index"] = DD.band_index(empty, "doc_id", shingles)
+        pairs = DD.incremental_minhash_pairs(
+            state["seen"],
+            batch,
+            "doc_id",
+            shingles,
+            threshold,
+            existing_index=state["index"],
+        ).localCheckpoint(eager=True)
+        state["pairs"].append(pairs)
+        state["seen"] = state["seen"].unionByName(batch).localCheckpoint(
+            eager=True
+        )
+        state["index"] = (
+            state["index"]
+            .unionByName(DD.band_index(batch, "doc_id", shingles))
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["pairs"][0]
+    for p in state["pairs"][1:]:
+        out = out.unionByName(p)
+    # every per-batch frame was eagerly checkpointed, so the arrival
+    # files are no longer referenced
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -607,3 +607,31 @@ def test_distinct_type_counter_v2_gated_or_equivalent(spark, two_file_events_dir
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_incremental_neardup_stream_converges(spark):
+    """Batching-invariance: the union of microbatch outputs equals
+    the batch LSH pair set for ANY arrival split (1, 3, and 5
+    files), pairs are never double-reported, and the index is
+    genuinely incremental (multi-batch state exercised)."""
+    from cardano_spark.catalog import table
+    from cardano_spark.functions import text as TX
+    from cardano_spark.operators import dedup as DD
+    from cardano_spark.streaming.jobs import incremental_neardup_stream
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 8 == 0)
+    batch = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.minhash_lsh_pairs(
+            d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+        ).collect()
+    }
+    for n_files in (1, 3, 5):
+        rows = incremental_neardup_stream(
+            spark, SF_SMALL, threshold=0.8, n_arrival_files=n_files
+        ).collect()
+        got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+        assert len(rows) == len(got), f"double-reported pair at {n_files}"
+        assert got == batch, n_files
+    assert batch, "fixture has no near-dup pairs"
