@@ -2028,6 +2028,45 @@ def q111_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split — the fix for what q132
+    measures: q41's per-document content-hash split leaks every
+    near-dup family that straddles its boundaries (5268 pairs at
+    sf0.01), so the assignment unit here is the near-dup CLUSTER.
+    Verified MinHash+LSH pairs (q22's chain over the full corpus)
+    form the edge set, connected components resolve the families,
+    and the q41 80/10/10 hash rule is applied to the CLUSTER id —
+    every member inherits its cluster's split, so no verified
+    near-dup pair can straddle a boundary BY CONSTRUCTION
+    (tests/test_cluster_safe_split.py re-runs the q132 audit against
+    this assignment and asserts zero leaking pairs).
+
+    Scale shape: pair generation is the banded LSH equi-join (never
+    all-pairs), components are O(log d) large-star/small-star rounds
+    with per-round lineage cuts, and the split is a pure expression
+    on cluster_id — zero exchanges beyond the CC join-back.
+    Singletons keep cluster_id = doc_id (connected_components' left
+    join + coalesce), so the untouched majority of a 100 TB corpus
+    still splits by pure content hash exactly like q41, and the
+    assignment stays a deterministic function of corpus content
+    (retry/re-run/repartition stable)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    )
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = DD.connected_components(d.select("doc_id"), edges, id_col="doc_id")
+    b = hash_bucket(F.col("cluster_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), "cluster_id", split.alias("split")
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2104,6 +2143,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q133_ngram_diversity": q133_ngram_diversity,
     "q134_ann_rank_report": q134_ann_rank_report,
     "q135_clean_eval_carveout": q135_clean_eval_carveout,
+    "q137_cluster_safe_split": q137_cluster_safe_split,
 }
 
 
@@ -3972,4 +4012,47 @@ TRAININGDATA_ORACLES["q135_clean_eval_carveout"] = f"""
              ) AS rn
       FROM clean
     ) WHERE rn <= 5
+"""
+
+# q137: q22's verified-pair chain (full corpus) as the edge set,
+# reachability as the q44-style recursive walk over its symmetric
+# closure, then the q41 hash rule applied to the CLUSTER id.
+TRAININGDATA_ORACLES["q137_cluster_safe_split"] = f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+      FROM documents
+    ), h AS (
+      SELECT doc_id, sh, {_HASHES} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {_sig_select()} FROM h
+    ), bands AS (
+      {_band_selects('sig')}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN d da ON da.doc_id = cand.id_a
+      JOIN d db ON db.doc_id = cand.id_b
+      WHERE {_JACCARD} >= 0.8
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ), walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+    ), comp AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id
+      FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {hash_bucket_sql('cluster_id', 100)} < 80 THEN 'train'
+                WHEN {hash_bucket_sql('cluster_id', 100)} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
 """
