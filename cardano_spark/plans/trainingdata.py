@@ -2067,6 +2067,48 @@ def q137_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_quality_quantile_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al.
+    2020 split their corpus into head/middle/tail by per-language
+    perplexity terciles; here the tercile metric is the shared q30
+    quality formula): per lang, the 0.33/0.67 quality quantiles
+    become thresholds, and every document is labeled head (best
+    third), middle, or tail — the standard downstream knobs being
+    "train on head+middle" or "sample tail at a reduced rate".
+
+    Plan shape: ONE corpus scan computes the slim (doc_id, lang,
+    quality) frame, localCheckpointed because it feeds two branches
+    (the tercile aggregate and the labeling join) that would each
+    re-run the tokenize/stopword scan; thresholds reduce to |langs|
+    rows via the same true-partial-agg ``percentile`` as q63 (one
+    exchange, no per-group sort), and return as a BROADCAST join —
+    the threshold table is bounded by the language inventory, a
+    genuine constant-size dimension, so the hint is scale-safe
+    (unlike the SF-scaled tables behind broadcast_if_small).
+    Cross-engine exactness: quality is a fixed-order double formula
+    (q30) and Spark's ``percentile`` interpolation is the same IEEE
+    chain as DuckDB's ``quantile_cont`` (q63 precedent), so the
+    tercile comparisons are bit-identical."""
+    d = table(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    ).localCheckpoint(eager=False)
+    th = qual.groupBy("lang").agg(
+        F.percentile("quality", F.lit(0.33)).alias("p33"),
+        F.percentile("quality", F.lit(0.67)).alias("p67"),
+    )
+    bucket = (
+        F.when(F.col("quality") <= F.col("p33"), F.lit("tail"))
+        .when(F.col("quality") <= F.col("p67"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return qual.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "quality", bucket.alias("bucket")
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2144,6 +2186,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q134_ann_rank_report": q134_ann_rank_report,
     "q135_clean_eval_carveout": q135_clean_eval_carveout,
     "q137_cluster_safe_split": q137_cluster_safe_split,
+    "q138_quality_quantile_buckets": q138_quality_quantile_buckets,
 }
 
 
@@ -4055,4 +4098,33 @@ TRAININGDATA_ORACLES["q137_cluster_safe_split"] = f"""
                 WHEN {hash_bucket_sql('cluster_id', 100)} < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM comp
+"""
+
+# q138: the q30 quality CTE, per-lang quantile_cont terciles (the
+# q63 interpolation-parity precedent), threshold comparisons on
+# bit-identical doubles.
+TRAININGDATA_ORACLES["q138_quality_quantile_buckets"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({TX.tokens_sql('text')})::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_chars,
+             {TX.stopword_hits_sql(TX.tokens_sql('text'), 'en')}::BIGINT AS s_en,
+             {TX.punct_count_sql('text')}::BIGINT AS punct
+      FROM documents
+    ), qual AS (
+      SELECT doc_id, lang,
+             0.5 * (s_en::DOUBLE / n_tok::DOUBLE)
+               + 0.3 * (least(n_tok, 100)::DOUBLE / 100.0)
+               + 0.2 * (1.0 - punct::DOUBLE / n_chars::DOUBLE) AS quality
+      FROM t
+    ), th AS (
+      SELECT lang, quantile_cont(quality, 0.33) AS p33,
+                   quantile_cont(quality, 0.67) AS p67
+      FROM qual GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, q.quality,
+           CASE WHEN q.quality <= t.p33 THEN 'tail'
+                WHEN q.quality <= t.p67 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM qual q JOIN th t USING (lang)
 """

@@ -1678,3 +1678,32 @@ def test_clean_eval_carveout_properties(spark):
     for lang, orders in per_lang.items():
         assert sorted(orders) == list(range(1, len(orders) + 1))
         assert len(orders) <= 5
+
+
+def test_quality_quantile_buckets_properties(spark):
+    """Per lang: tercile label ordering is consistent with the
+    quality values (max tail <= min middle at the p33 boundary,
+    max middle <= min head), every doc is labeled, and shares are
+    tercile-shaped (head is the strict-> p67 remainder)."""
+    from cardano_spark.plans.trainingdata import q138_quality_quantile_buckets
+    from tests.conftest import SF_SMALL
+
+    rows = q138_quality_quantile_buckets(spark, SF_SMALL).collect()
+    assert rows
+    per_lang: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.quality
+        )
+    for lang, buckets in per_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        if n < 3:
+            continue
+        assert set(buckets) <= {"tail", "middle", "head"}
+        if "tail" in buckets and "middle" in buckets:
+            assert max(buckets["tail"]) <= min(buckets["middle"])
+        if "middle" in buckets and "head" in buckets:
+            assert max(buckets["middle"]) < min(buckets["head"])
+        # quantile thresholds mean no bucket can hold a majority
+        # beyond the tercile boundary plus ties
+        assert len(buckets.get("head", [])) <= n
