@@ -2109,6 +2109,33 @@ def q138_quality_quantile_buckets(
     )
 
 
+def q139_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — the DROP alternative: instead of keeping one
+    representative per near-dup cluster (q72/q104), every member
+    stays in the corpus DOWN-WEIGHTED to 1/cluster_size, so each
+    duplicate family contributes total sampling mass ~1 (the
+    repetition-aware reweighting used when duplicates carry signal —
+    e.g. popular quotes — and hard dropping is too blunt). Weights
+    are 2^20 fixed-point integers (``1048576 div n``), so the value
+    is exact under any partitioning and any engine — the same
+    integer-weight discipline as q118's DSIR ratio weights.
+
+    Plan shape: q44's cluster graph (blocking-pair union -> O(log d)
+    connected components), then ONE window count partitioned by
+    cluster_id — a single exchange on the cluster key carrying slim
+    (doc_id, cluster_id) rows, no join-back. Singletons get weight
+    exactly 2^20."""
+    comp = q44_dedup_clusters(spark, sf_dir)
+    n = F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("long")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        n.alias("n_members"),
+    ).withColumn(
+        "weight_fp", F.expr("CAST(1048576 AS BIGINT) div n_members")
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2187,6 +2214,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q135_clean_eval_carveout": q135_clean_eval_carveout,
     "q137_cluster_safe_split": q137_cluster_safe_split,
     "q138_quality_quantile_buckets": q138_quality_quantile_buckets,
+    "q139_soft_dedup_weights": q139_soft_dedup_weights,
 }
 
 
@@ -4127,4 +4155,33 @@ TRAININGDATA_ORACLES["q138_quality_quantile_buckets"] = f"""
                 WHEN q.quality <= t.p67 THEN 'middle'
                 ELSE 'head' END AS bucket
     FROM qual q JOIN th t USING (lang)
+"""
+
+# q139: q44's reachability walk, then a window count per cluster and
+# the 2^20 fixed-point integer weight.
+TRAININGDATA_ORACLES["q139_soft_dedup_weights"] = """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, substr(text, 1, 20) AS pre, right(text, 20) AS suf
+          FROM documents),
+    e AS (
+      SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+        ON x.pre = y.pre AND x.doc_id <> y.doc_id
+      UNION
+      SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+        ON x.suf = y.suf AND x.doc_id <> y.doc_id
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id
+      FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members,
+           (1048576 // count(*) OVER (PARTITION BY cluster_id))::BIGINT
+             AS weight_fp
+    FROM comp
 """

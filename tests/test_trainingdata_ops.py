@@ -1707,3 +1707,25 @@ def test_quality_quantile_buckets_properties(spark):
         # quantile thresholds mean no bucket can hold a majority
         # beyond the tercile boundary plus ties
         assert len(buckets.get("head", [])) <= n
+
+
+def test_soft_dedup_weights_properties(spark):
+    """Every doc appears once; singletons weigh exactly 2^20; a
+    family's total fixed-point weight is within n (integer-floor
+    rounding) of 2^20; weights agree with cluster sizes."""
+    from cardano_spark.plans.trainingdata import q139_soft_dedup_weights
+    from tests.conftest import SF_SMALL
+
+    rows = q139_soft_dedup_weights(spark, SF_SMALL).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    fams: dict[int, list] = {}
+    for r in rows:
+        assert r.weight_fp == 1048576 // r.n_members
+        fams.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in fams.values()), "need a real cluster"
+    for cid, members in fams.items():
+        n = len(members)
+        assert all(m.n_members == n for m in members)
+        total = sum(m.weight_fp for m in members)
+        assert 1048576 - n < total <= 1048576
