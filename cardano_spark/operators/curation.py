@@ -313,6 +313,26 @@ def _exclusive_prefix_sum(
     return started, run
 
 
+def global_rank(
+    df: DataFrame,
+    key_col: str,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Dense 0-based global rank in ``key_col`` order WITHOUT the
+    single-partition window a bare ``row_number() OVER (ORDER BY
+    ...)`` plans (the classic driver-funnel at corpus scale): the
+    shared distributed prefix sum with UNIT weights — range
+    partitions give globally-ordered disjoint slices, ranks within a
+    slice are a per-partition window, slice offsets come back as the
+    broadcast (pid, offset) join.
+
+    ``key_col`` values MUST be unique (ties would rank in
+    partition-dependent order); callers append a unique id to the
+    key to guarantee it. Returns (``key_col``, ``_rank``)."""
+    ranked, _ = _exclusive_prefix_sum(df, key_col, F.lit(1), range_partitions)
+    return ranked.select(F.col(key_col), F.col("_start").alias("_rank"))
+
+
 def pps_systematic_sample(
     docs: DataFrame,
     id_col: str,

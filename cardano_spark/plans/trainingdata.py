@@ -2136,6 +2136,39 @@ def q139_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q140_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — the step between
+    curation and shard export: every epoch-0 data loader wants the
+    corpus in a fixed pseudo-random order, and ``rand()`` /
+    ``TABLESAMPLE`` break under task retries. The shuffle key is a
+    salted content hash (the q41 discipline), made strictly unique by
+    appending the doc_id, and the 0-based position is the shared
+    distributed prefix sum with unit weights
+    (operators/curation.py::global_rank) — NOT a global-order
+    ``row_number`` window, which would funnel the corpus through ONE
+    partition. Shard = position % 8 gives round-robin shard
+    assignment in shuffled order (contiguous ranges of positions
+    would re-correlate shards with the hash order's local structure;
+    modulo interleaves).
+
+    Cross-engine exactness: both engines order by the SAME
+    fixed-length ASCII string (md5 hex ++ '|' ++ doc_id), so the
+    total order — and hence every position — is identical; ties are
+    impossible by construction."""
+    d = table(spark, sf_dir, "documents")
+    skey = F.concat(
+        F.md5(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))),
+        F.lit("|"),
+        F.col("doc_id").cast("string"),
+    )
+    ranked = CU.global_rank(d.select(skey.alias("skey")), "skey", 32)
+    return ranked.select(
+        F.split(F.col("skey"), "\\|")[1].cast("long").alias("doc_id"),
+        F.col("_rank").cast("long").alias("position"),
+        (F.col("_rank") % 8).cast("long").alias("shard"),
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2215,6 +2248,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q137_cluster_safe_split": q137_cluster_safe_split,
     "q138_quality_quantile_buckets": q138_quality_quantile_buckets,
     "q139_soft_dedup_weights": q139_soft_dedup_weights,
+    "q140_corpus_shuffle_order": q140_corpus_shuffle_order,
 }
 
 
@@ -4184,4 +4218,21 @@ TRAININGDATA_ORACLES["q139_soft_dedup_weights"] = """
            (1048576 // count(*) OVER (PARTITION BY cluster_id))::BIGINT
              AS weight_fp
     FROM comp
+"""
+
+# q140: both engines rank by the SAME fixed-length ASCII string
+# (md5 hex ++ '|' ++ doc_id), so row_number - 1 ≡ the distributed
+# prefix-sum rank; ties are impossible by construction.
+TRAININGDATA_ORACLES["q140_corpus_shuffle_order"] = """
+    WITH k AS (
+      SELECT doc_id,
+             md5('shuffle|' || doc_id::VARCHAR) || '|' || doc_id::VARCHAR
+               AS skey
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             (row_number() OVER (ORDER BY skey) - 1)::BIGINT AS position
+      FROM k
+    )
+    SELECT doc_id, position, (position % 8)::BIGINT AS shard FROM r
 """

@@ -1729,3 +1729,37 @@ def test_soft_dedup_weights_properties(spark):
         assert all(m.n_members == n for m in members)
         total = sum(m.weight_fp for m in members)
         assert 1048576 - n < total <= 1048576
+
+
+def test_corpus_shuffle_order_properties(spark):
+    """Positions are an exact permutation of [0, n); shards balance
+    to within one; the assignment is invariant to input partitioning
+    AND to the range_partitions knob (global_rank contract)."""
+    from pyspark.sql import functions as F
+
+    from cardano_spark.catalog import table
+    from cardano_spark.operators import curation as CU
+    from cardano_spark.plans.trainingdata import q140_corpus_shuffle_order
+    from tests.conftest import SF_SMALL
+
+    rows = q140_corpus_shuffle_order(spark, SF_SMALL).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(n))
+    by_shard: dict[int, int] = {}
+    for r in rows:
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + 1
+    assert max(by_shard.values()) - min(by_shard.values()) <= 1
+
+    d = table(spark, SF_SMALL, "documents")
+    skey = F.concat(
+        F.md5(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))),
+        F.lit("|"),
+        F.col("doc_id").cast("string"),
+    )
+    base = {(r.skey, r._rank) for r in CU.global_rank(
+        d.select(skey.alias("skey")), "skey", 32).collect()}
+    for parts in (1, 7):
+        again = {(r.skey, r._rank) for r in CU.global_rank(
+            d.repartition(parts).select(skey.alias("skey")), "skey", 5
+        ).collect()}
+        assert again == base
