@@ -2169,6 +2169,88 @@ def q140_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_cross_source_neardup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source near-dup provenance matrix — WHICH sources copy
+    from which: q22's verified pairs (full corpus) aggregated to an
+    unordered (source_x, source_y) matrix with pair counts and the
+    summed similarity. The standard diagnostic before mixing crawls
+    (a high off-diagonal cell means two 'independent' sources are
+    re-hosting the same text, so their mixture weights double-count
+    it; the diagonal measures within-source duplication pressure).
+
+    Plan shape: the pair frame is slim (id_a, id_b, jaccard), so the
+    two source-lookup joins shuffle only ids against the (doc_id,
+    source) projection; the matrix aggregate reduces to at most
+    |sources|^2 rows with map-side partials. Similarity is summed as
+    2^20 fixed-point integers (floor of the SAME IEEE double in both
+    engines) — a cross-row float sum would be partial-agg-order
+    dependent, the exact-integer discipline makes it order-free."""
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            F.floor(F.col("jaccard") * F.lit(1048576.0))
+            .cast("long")
+            .alias("_jfp"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_jfp").cast("long").alias("sum_jaccard_fp"),
+        )
+    )
+
+
+def q142_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2 token-length histogram — the sequence-length
+    planning artifact (context-window choice, packing efficiency,
+    truncation loss all read off this table): bucket b holds docs
+    with token count in [2^(b-1), 2^b), i.e. b = bit length of the
+    count — computed as ``length(bin(n))``, an INTEGER in both
+    engines, because ``floor(log2(n))`` through a float log is not
+    guaranteed correctly rounded at exact powers of two.
+
+    One scan, one exchange onto at most |sources| * 64 constant-size
+    groups with map-side partials; NULL text counts as zero tokens
+    (the q59/q103 coalesce discipline)."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).cast(
+        "long"
+    )
+    bucket = F.length(F.bin(n_tok)).cast("long")
+    return (
+        d.select("source", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2249,6 +2331,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q138_quality_quantile_buckets": q138_quality_quantile_buckets,
     "q139_soft_dedup_weights": q139_soft_dedup_weights,
     "q140_corpus_shuffle_order": q140_corpus_shuffle_order,
+    "q141_cross_source_neardup_matrix": q141_cross_source_neardup_matrix,
+    "q142_doc_length_histogram": q142_doc_length_histogram,
 }
 
 
@@ -4235,4 +4319,56 @@ TRAININGDATA_ORACLES["q140_corpus_shuffle_order"] = """
       FROM k
     )
     SELECT doc_id, position, (position % 8)::BIGINT AS shard FROM r
+"""
+
+# q141: q22's verified-pair chain (full corpus), source lookups, the
+# unordered-pair matrix with 2^20 fixed-point similarity sums.
+TRAININGDATA_ORACLES["q141_cross_source_neardup_matrix"] = f"""
+    WITH d AS (
+      SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+      FROM documents
+    ), h AS (
+      SELECT doc_id, sh, {_HASHES} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {_sig_select()} FROM h
+    ), bands AS (
+      {_band_selects('sig')}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b, {_JACCARD} AS jaccard
+      FROM cand
+      JOIN d da ON da.doc_id = cand.id_a
+      JOIN d db ON db.doc_id = cand.id_b
+      WHERE {_JACCARD} >= 0.8
+    ), labeled AS (
+      SELECT least(sa.source, sb.source) AS source_x,
+             greatest(sa.source, sb.source) AS source_y,
+             CAST(floor(v.jaccard * 1048576.0) AS BIGINT) AS jfp
+      FROM verified v
+      JOIN documents sa ON sa.doc_id = v.id_a
+      JOIN documents sb ON sb.doc_id = v.id_b
+    )
+    SELECT source_x, source_y,
+           count(*)::BIGINT AS n_pairs,
+           sum(jfp)::BIGINT AS sum_jaccard_fp
+    FROM labeled GROUP BY source_x, source_y
+"""
+
+# q142: bucket = length(bin(n)) — an integer in both engines (float
+# log2 is not guaranteed correctly rounded at powers of two).
+TRAININGDATA_ORACLES["q142_doc_length_histogram"] = """
+    WITH t AS (
+      SELECT source,
+             len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tok
+      FROM documents
+    )
+    SELECT source, length(bin(n_tok))::BIGINT AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           min(n_tok)::BIGINT AS min_tokens,
+           max(n_tok)::BIGINT AS max_tokens
+    FROM t GROUP BY source, length(bin(n_tok))
 """

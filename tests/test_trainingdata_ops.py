@@ -1763,3 +1763,49 @@ def test_corpus_shuffle_order_properties(spark):
             d.repartition(parts).select(skey.alias("skey")), "skey", 5
         ).collect()}
         assert again == base
+
+
+def test_cross_source_matrix_properties(spark):
+    """Unordered matrix (x <= y), pair mass conserved vs the raw
+    pair frame, and fixed-point sums bounded by n_pairs * 2^20."""
+    from pyspark.sql import functions as F
+
+    from cardano_spark.catalog import table
+    from cardano_spark.functions import text as TX
+    from cardano_spark.operators import dedup as DD
+    from cardano_spark.plans.trainingdata import (
+        q141_cross_source_neardup_matrix,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = q141_cross_source_neardup_matrix(spark, SF_SMALL).collect()
+    assert rows
+    d = table(spark, SF_SMALL, "documents")
+    n_pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+    ).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_x <= r.source_y
+        # jaccard in [0.8, 1] -> fp per pair in [838860, 1048576]
+        assert 838860 * r.n_pairs <= r.sum_jaccard_fp <= 1048576 * r.n_pairs
+
+
+def test_doc_length_histogram_properties(spark):
+    """Buckets partition the corpus; every bucket's min/max token
+    counts sit inside [2^(b-1), 2^b)."""
+    from cardano_spark.plans.trainingdata import q142_doc_length_histogram
+    from tests.conftest import SF_SMALL
+
+    from cardano_spark.catalog import table
+
+    rows = q142_doc_length_histogram(spark, SF_SMALL).collect()
+    assert rows
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        b = r.bucket
+        lo = 0 if b <= 1 else 2 ** (b - 1)
+        assert lo <= r.min_tokens <= r.max_tokens < 2**b
+        assert r.n_docs * r.min_tokens <= r.total_tokens
+        assert r.total_tokens <= r.n_docs * r.max_tokens
