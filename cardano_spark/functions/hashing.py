@@ -70,7 +70,6 @@ HYPERPLANE_TABLES: list[list[list[float]]] = [HYPERPLANES] + [
     for _ in range(N_LSH_TABLES - 1)
 ]
 
-
 def shl1(nbits: Column) -> Column:
     """``1L << nbits`` with a COLUMN shift amount (the PySpark
     ``shiftleft`` wrapper only accepts a literal int). Oracle twin:

@@ -2251,6 +2251,44 @@ def q142_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact cosine rerank — the production PQ shape
+    (FAISS IVFPQ + refine) completing q143: the compressed ADC scan
+    proposes 30 candidates per probe, only those re-join their raw
+    vectors for exact scoring (full-precision floats touched for
+    shortlist x |probes| rows, never the corpus). Same probe range
+    as q143; measured recall@5 0.43/0.58/0.71 at shortlist
+    30/60/100 vs ~0.22 un-reranked — the rerank depth is the recall
+    knob (q85's SQ8 trade, at 64x compression instead of 4x).
+    Cosine rerank is the sequential-fold double chain, so ranks are
+    engine-identical."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 44))
+    return SIM.pq_rerank_topk(
+        e, probes, "vec_id", "embedding", k=5, shortlist=30
+    )
+
+
+def q143_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the
+    memory-bound scale path the IVF/LSH family lacks: corpus vectors
+    compress to 8 small codes (64x smaller than the raw floats — at
+    100 TB the codes table fits in cluster memory where vectors
+    never would) and probes rank by the asymmetric ADC distance.
+    Codebooks are SAMPLE-INIT from the corpus itself (the k-means
+    init step; random constant codebooks measured recall ~0.01 vs
+    ~0.22 sampled — see similarity.pq_codebook), the q36-seeded-IVF
+    precedent, with q113-style per-subspace k-means as the trained
+    upgrade on the same (m, k, cv) frame contract. Encoding and the
+    ADC scan are pure broadcast-equi-join plans over slim code rows;
+    every distance is exact int64, so codes and (dist asc, id asc)
+    ranks are engine-identical. Probes: vec_id in [36, 44) —
+    disjoint from every other probe/centroid range."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 44))
+    return SIM.pq_adc_topk(e, probes, "vec_id", "embedding", k=5)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2333,6 +2371,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q140_corpus_shuffle_order": q140_corpus_shuffle_order,
     "q141_cross_source_neardup_matrix": q141_cross_source_neardup_matrix,
     "q142_doc_length_histogram": q142_doc_length_histogram,
+    "q143_pq_ann_topk": q143_pq_ann_topk,
+    "q144_pq_rerank_topk": q144_pq_rerank_topk,
 }
 
 
@@ -4371,4 +4411,92 @@ TRAININGDATA_ORACLES["q142_doc_length_histogram"] = """
            min(n_tok)::BIGINT AS min_tokens,
            max(n_tok)::BIGINT AS max_tokens
     FROM t GROUP BY source, length(bin(n_tok))
+"""
+
+
+# q143/q144: sample-init codebooks and codes re-derived in SQL —
+# min(struct_pack(d, k)) ≡ Spark's min(struct(d, k)) partial-agg
+# argmin (ties to the lower code); all distances exact int64.
+def _pq_sqdist_sql(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, {SIM.PQ_DSUB}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+
+
+_PQ_CHAIN = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 255.0) AS BIGINT)) AS qa
+      FROM embeddings
+    ), ms AS (
+      SELECT unnest(generate_series(0, {SIM.PQ_M - 1})) AS m
+    ), cbase AS (
+      SELECT qa, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT vec_id, qa FROM q ORDER BY vec_id LIMIT 64)
+    ), cb AS (
+      SELECT ms.m, cbase.k,
+             cbase.qa[ms.m * {SIM.PQ_DSUB} + 1 : ms.m * {SIM.PQ_DSUB} + {SIM.PQ_DSUB}] AS cv
+      FROM cbase CROSS JOIN ms
+    ), sub AS (
+      SELECT q.vec_id, ms.m,
+             q.qa[ms.m * {SIM.PQ_DSUB} + 1 : ms.m * {SIM.PQ_DSUB} + {SIM.PQ_DSUB}] AS sv
+      FROM q CROSS JOIN ms
+    ), dists AS (
+      SELECT s.vec_id, s.m, c.k, {_pq_sqdist_sql('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb c ON c.m = s.m
+    ), codes AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS code
+      FROM dists GROUP BY vec_id, m
+    ), ptab AS (
+      SELECT s.vec_id AS query_id, s.m, c.k AS code,
+             {_pq_sqdist_sql('s.sv', 'c.cv')} AS pd
+      FROM sub s JOIN cb c ON c.m = s.m
+      WHERE s.vec_id >= 36 AND s.vec_id < 44
+    ), adc AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes co JOIN ptab pt ON pt.m = co.m AND pt.code = co.code
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    )"""
+
+TRAININGDATA_ORACLES["q143_pq_ann_topk"] = f"""
+    {_PQ_CHAIN}
+    SELECT query_id, match_id, adc_dist, rn::BIGINT AS rank FROM (
+      SELECT query_id, match_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+             ) AS rn
+      FROM adc
+    ) WHERE rn <= 5
+"""
+
+TRAININGDATA_ORACLES["q144_pq_rerank_topk"] = f"""
+    {_PQ_CHAIN}, short AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+               ) AS rn
+        FROM adc
+      ) WHERE rn <= 30
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), rer AS (
+      SELECT s.query_id, s.match_id,
+             {_COS.replace('va', 'qv.e').replace('vb', 'cv.e')} AS cos_sim
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.match_id
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+      SELECT query_id, match_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+             )::BIGINT AS rank
+      FROM rer
+    ) WHERE rank <= 5
 """

@@ -760,6 +760,18 @@ def test_ann_recall_floors(spark):
     # pinned below)
     assert jl >= 0.12
 
+    # PQ (sample-init codebooks, K=64): measured ~0.22 un-reranked —
+    # the 64x-compression trade; exact rerank at shortlist 100
+    # recovers ~0.71 (0.43/0.58/0.71 at 30/60/100)
+    pq = avg(SIM.pq_adc_topk(e, probes, "vec_id", "embedding", k=k))
+    pqr = avg(
+        SIM.pq_rerank_topk(
+            e, probes, "vec_id", "embedding", k=k, shortlist=100
+        )
+    )
+    assert pq >= 0.12
+    assert pqr >= 0.5
+
     # 1-table multitable IS the single-table operator, bit for bit
     one = SIM.multitable_lsh_topk(
         e, probes, "vec_id", "embedding", k=k, n_tables=1, multiprobe=1
@@ -1809,3 +1821,30 @@ def test_doc_length_histogram_properties(spark):
         assert lo <= r.min_tokens <= r.max_tokens < 2**b
         assert r.n_docs * r.min_tokens <= r.total_tokens
         assert r.total_tokens <= r.n_docs * r.max_tokens
+
+
+def test_pq_rerank_exact_at_full_shortlist(spark):
+    """pq_rerank_topk with shortlist >= n-1 must equal brute force
+    bit for bit (the q85/q112 exactness pin): the ADC stage then
+    passes every candidate through and the rerank IS the exact
+    scorer. Also pins code validity: every code indexes a real
+    codebook row."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    n = e.count()
+    probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 40))
+    exact = SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=3)
+    full = SIM.pq_rerank_topk(
+        e, probes, "vec_id", "embedding", k=3, shortlist=n
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    cb = SIM.pq_codebook(e, "vec_id", "embedding", n_centroids=16)
+    codes = SIM.pq_encode(e, cb, "vec_id", "embedding")
+    assert codes.count() == n * SIM.PQ_M
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16))
+    assert bad.count() == 0
