@@ -2082,22 +2082,32 @@ def q138_quality_quantile_buckets(
     quality) frame, localCheckpointed because it feeds two branches
     (the tercile aggregate and the labeling join) that would each
     re-run the tokenize/stopword scan; thresholds reduce to |langs|
-    rows via the same true-partial-agg ``percentile`` as q63 (one
-    exchange, no per-group sort), and return as a BROADCAST join —
-    the threshold table is bounded by the language inventory, a
-    genuine constant-size dimension, so the hint is scale-safe
-    (unlike the SF-scaled tables behind broadcast_if_small).
-    Cross-engine exactness: quality is a fixed-order double formula
-    (q30) and Spark's ``percentile`` interpolation is the same IEEE
-    chain as DuckDB's ``quantile_cont`` (q63 precedent), so the
-    tercile comparisons are bit-identical."""
+    rows via a true-partial-agg percentile (one exchange, no
+    per-group sort), and return as a BROADCAST join — the threshold
+    table is bounded by the language inventory, a genuine
+    constant-size dimension, so the hint is scale-safe (unlike the
+    SF-scaled tables behind broadcast_if_small).
+
+    Cross-engine exactness: thresholds are DISCRETE percentiles
+    (actual data values — identical doubles in both engines, swept
+    across group sizes in CI-adjacent probing). The interpolated
+    ``percentile``/``quantile_cont`` pair is NOT usable here: on
+    double inputs Spark computes ``lo + (hi-lo)*frac`` while DuckDB
+    computes ``lo*(1-frac) + hi*frac`` — two roundings, a 1-ulp
+    threshold shift that flips boundary docs (caught by the sf0.001
+    parity suite; q63's integer-input cont percentiles round
+    identically, which is why that precedent held)."""
     d = table(spark, sf_dir, "documents")
     qual = d.select(
         "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
     ).localCheckpoint(eager=False)
     th = qual.groupBy("lang").agg(
-        F.percentile("quality", F.lit(0.33)).alias("p33"),
-        F.percentile("quality", F.lit(0.67)).alias("p67"),
+        F.expr(
+            "percentile_disc(0.33) WITHIN GROUP (ORDER BY quality)"
+        ).alias("p33"),
+        F.expr(
+            "percentile_disc(0.67) WITHIN GROUP (ORDER BY quality)"
+        ).alias("p67"),
     )
     bucket = (
         F.when(F.col("quality") <= F.col("p33"), F.lit("tail"))
@@ -4286,9 +4296,10 @@ TRAININGDATA_ORACLES["q137_cluster_safe_split"] = f"""
     FROM comp
 """
 
-# q138: the q30 quality CTE, per-lang quantile_cont terciles (the
-# q63 interpolation-parity precedent), threshold comparisons on
-# bit-identical doubles.
+# q138: the q30 quality CTE, per-lang DISCRETE tercile thresholds
+# (actual data values; interpolated cont percentiles diverge by 1
+# ulp on double inputs — lo+(hi-lo)*f vs lo*(1-f)+hi*f), threshold
+# comparisons on bit-identical doubles.
 TRAININGDATA_ORACLES["q138_quality_quantile_buckets"] = f"""
     WITH t AS (
       SELECT doc_id, lang,
@@ -4304,8 +4315,8 @@ TRAININGDATA_ORACLES["q138_quality_quantile_buckets"] = f"""
                + 0.2 * (1.0 - punct::DOUBLE / n_chars::DOUBLE) AS quality
       FROM t
     ), th AS (
-      SELECT lang, quantile_cont(quality, 0.33) AS p33,
-                   quantile_cont(quality, 0.67) AS p67
+      SELECT lang, quantile_disc(quality, 0.33) AS p33,
+                   quantile_disc(quality, 0.67) AS p67
       FROM qual GROUP BY lang
     )
     SELECT q.doc_id, q.lang, q.quality,
