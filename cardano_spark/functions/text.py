@@ -79,6 +79,32 @@ def ngram_shingles_sql(expr: str, n: int) -> str:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Adjacent word n-grams WITH multiplicity (the LM-counting twin
+    of :func:`ngram_shingles`, which deduplicates for set-similarity).
+    Empty array when the document has fewer than n tokens (guards
+    Spark's descending-``sequence`` behavior when stop < start)."""
+    toks = F.split(text, " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams_sql(expr: str, n: int) -> str:
+    toks = f"string_split({expr}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN list_transform("
+        f"generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """How many tokens (with multiplicity) are stopwords of ``lang``."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

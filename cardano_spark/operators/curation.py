@@ -680,6 +680,78 @@ def dsir_scores(
     )
 
 
+def rare_ngram_scores(
+    docs: DataFrame,
+    id_col: str,
+    grams: Column,
+    train_pred: Column,
+    min_count: int = 2,
+) -> DataFrame:
+    """N-gram language-model rarity scores — the integer-exact form
+    of CCNet-style LM filtering (Wenzek et al. 2020 score documents
+    by KenLM perplexity; the reference partition here plays the role
+    of the LM training corpus). A document full of n-grams the
+    reference partition has seen is "fluent"; one dominated by
+    never/rarely-seen n-grams is the high-perplexity tail that LM
+    filtering drops.
+
+    Model = n-grams with multiplicity count >= ``min_count`` in the
+    ``train_pred`` slice of the corpus. Every document (train slice
+    included — standard when the score feeds a filter) is scored by
+    the share of its n-gram OCCURRENCES outside that vocabulary:
+    ``rare_fp = (n_rare * 2^20) div n_ngrams`` (0 when the document
+    has no n-grams). Integer counts and integer division only — a
+    true perplexity needs ln(), the one primitive whose last ulp
+    differs across engines (the q118 ratio_fp precedent), and the
+    rank ordering this score induces is what the downstream filter
+    consumes.
+
+    Scale shape: two corpus scans, like dsir_scores — pass 1 reduces
+    the train slice to a vocabulary histogram (map-side partial agg),
+    pass 2 explodes occurrences and hash-joins them against the
+    vocabulary on the gram key. The vocabulary scales with corpus
+    vocabulary (sublinear in tokens but far beyond broadcast range at
+    100 TB), so the join is a plain shuffled hash join — both sides
+    exchange on ``_g``, AQE free to pick broadcast at small SF.
+    Nothing wide is cached; the exploded frame streams through the
+    join into a map-side partial count.
+
+    Returns (``id_col``, n_ngrams, n_rare, rare_fp)."""
+    occ = docs.select(
+        F.col(id_col), F.explode_outer(grams).alias("_g")
+    )
+    vocab = (
+        docs.filter(train_pred)
+        .select(F.explode(grams).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(min_count))
+        .select("_g", F.lit(1).alias("_known"))
+    )
+    scored = occ.join(vocab, "_g", "left").groupBy(id_col).agg(
+        F.count("_g").cast("long").alias("n_ngrams"),
+        F.sum(
+            F.when(
+                F.col("_g").isNotNull() & F.col("_known").isNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_rare"),
+    )
+    return scored.select(
+        id_col,
+        "n_ngrams",
+        "n_rare",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.expr(f"(n_rare * CAST({DSIR_SCALE} AS BIGINT)) div n_ngrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rare_fp"),
+    )
+
+
 def boilerplate_spans(
     docs: DataFrame,
     id_col: str,

@@ -207,6 +207,134 @@ def brute_force_topk(
     )
 
 
+def _label_scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(query_id, query_label, match_id, match_label, same_label,
+    cos_sim) for every query x corpus pair — the shared scoring scan
+    behind hard-negative mining and the triplet-margin report.
+    Probes broadcast, corpus scanned once, norms precomputed per side
+    (one dot per pair, the brute_force_topk discipline)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).alias("match_label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    return c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).select(
+        "query_id",
+        "query_label",
+        "match_id",
+        "match_label",
+        (F.col("match_label") == F.col("query_label")).alias("same_label"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_sim"
+        ),
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCSE
+    style): per query vector, the top-k most-similar corpus vectors
+    with a DIFFERENT label — the near-miss negatives that make an
+    embedding model actually learn a boundary, vs random negatives it
+    separates for free. Label = whatever partitions positives from
+    negatives (cluster id, source, supervision class).
+
+    Shape: the probe set is broadcast, the corpus scanned ONCE; the
+    per-query top-k collapses through a rank window partitioned on
+    query_id — at 1000 executors that is |probes| ordered partitions
+    of bounded size (candidates stream through TakeOrdered partials),
+    never a corpus shuffle. Cosine is the shared sequential-fold
+    double chain, bit-identical cross-engine.
+
+    Returns (query_id, query_label, match_id, match_label, cos_sim,
+    rank)."""
+    scored = _label_scored_pairs(
+        corpus, queries, id_col, vec_col, label_col
+    ).filter(~F.col("same_label"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "match_id",
+            "match_label",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def triplet_margin_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per query: its best in-label positive, its hardest out-of-label
+    negative, and the triplet margin ``pos_cos - neg_cos`` — the
+    curriculum/QA artifact behind contrastive batch construction
+    (margin <= 0 flags anchors whose nearest neighbor CROSSES the
+    label boundary: mislabeled data or genuinely hard regions).
+    Queries with no same-label peer in the corpus drop out (an anchor
+    with no positive has no triplet) — inner-join semantics, stated
+    rather than NULL-padded. Both extremes come off the one scored
+    scan via rank-1 windows partitioned on (query_id, side); the
+    margin is a single subtraction of two identically-folded doubles,
+    deterministic cross-engine.
+
+    Returns (query_id, query_label, pos_id, pos_cos, neg_id, neg_cos,
+    margin)."""
+    scored = _label_scored_pairs(corpus, queries, id_col, vec_col, label_col)
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos = best.filter(F.col("same_label")).select(
+        "query_id",
+        "query_label",
+        F.col("match_id").alias("pos_id"),
+        F.col("cos_sim").alias("pos_cos"),
+    )
+    neg = best.filter(~F.col("same_label")).select(
+        "query_id",
+        F.col("match_id").alias("neg_id"),
+        F.col("cos_sim").alias("neg_cos"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "query_label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

@@ -2261,6 +2261,43 @@ def q142_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_rare_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM rarity filter, integer-exact (CU.rare_ngram_scores):
+    the reference partition (doc_id % 4 == 0, the LM training corpus
+    in CCNet's design) defines a bigram vocabulary at min_count=2;
+    every document is scored by the share of its bigram occurrences
+    outside it — the rank signal a KenLM-perplexity filter provides,
+    without the cross-engine ln(). NULL text is zero tokens (the
+    q59/q103 coalesce discipline)."""
+    d = table(spark, sf_dir, "documents")
+    grams = TX.word_ngrams(F.coalesce(F.col("text"), F.lit("")), 2)
+    return CU.rare_ngram_scores(
+        d, "doc_id", grams, F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        min_count=2,
+    )
+
+
+def q146_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives (highest cosine, DIFFERENT label) for 16
+    probe anchors — the contrastive-batch construction step. Probes
+    broadcast, corpus scanned once, per-query rank window."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    return SIM.hard_negative_topk(
+        e, probes, "vec_id", "embedding", "label", k=5
+    )
+
+
+def q147_triplet_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor triplet margin (best positive cos - hardest negative
+    cos) for 16 probes: margin <= 0 flags anchors whose nearest
+    neighbor crosses the label boundary (mislabeled rows / hard
+    regions) — the QA artifact behind contrastive curricula."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    return SIM.triplet_margin_report(e, probes, "vec_id", "embedding", "label")
+
+
 def q144_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ shortlist + exact cosine rerank — the production PQ shape
     (FAISS IVFPQ + refine) completing q143: the compressed ADC scan
@@ -2383,6 +2420,9 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q142_doc_length_histogram": q142_doc_length_histogram,
     "q143_pq_ann_topk": q143_pq_ann_topk,
     "q144_pq_rerank_topk": q144_pq_rerank_topk,
+    "q145_rare_bigram_lm": q145_rare_bigram_lm,
+    "q146_hard_negative_topk": q146_hard_negative_topk,
+    "q147_triplet_margin_report": q147_triplet_margin_report,
 }
 
 
