@@ -90,6 +90,20 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="systematic PPS draw with N points on the token stream (q120)",
     )
+    corpus.add_argument(
+        "--split-mode",
+        choices=["doc", "cluster_safe"],
+        default=None,
+        help="80/10/10 train/val/test export: 'doc' = q41's per-document "
+        "content-hash rule; 'cluster_safe' = q137's near-dup-cluster rule "
+        "(no verified near-dup pair straddles a boundary by construction)",
+    )
+    corpus.add_argument(
+        "--shuffle-order",
+        action="store_true",
+        help="export in q140's deterministic epoch-0 shuffle order "
+        "(contiguous position-range shards, internally ordered)",
+    )
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -170,6 +184,15 @@ def main(
             target=target,
             select_top=args.select_top,
             token_budget_points=args.token_budget_points,
+            split_mode=args.split_mode,
+            shuffle_order=args.shuffle_order,
+        )
+        splits = (
+            "; splits " + ", ".join(
+                f"{s}={audit.split_counts[s]}" for s in ("train", "val", "test")
+            )
+            if audit.split_counts is not None
+            else ""
         )
         print(
             f"corpus build: {audit.n_input} in -> {audit.n_after_exact} "
@@ -178,7 +201,7 @@ def main(
             f"{audit.n_after_quality} after quality -> "
             f"{audit.n_after_select} after selection -> "
             f"{audit.n_after_budget} kept; {audit.manifest.n_shards} "
-            f"shards, {audit.manifest.n_rows} rows -> {args.dest}"
+            f"shards, {audit.manifest.n_rows} rows -> {args.dest}{splits}"
         )
         return 0
     if args.cmd == "scrape-companies":

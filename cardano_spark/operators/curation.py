@@ -713,8 +713,16 @@ def rare_ngram_scores(
     vocabulary (sublinear in tokens but far beyond broadcast range at
     100 TB), so the join is a plain shuffled hash join — both sides
     exchange on ``_g``, AQE free to pick broadcast at small SF.
-    Nothing wide is cached; the exploded frame streams through the
-    join into a map-side partial count.
+    The raw n-gram string is a SKEWED key at corpus scale (stop-word
+    bigrams dominate Zipf-fashion): the occurrence side piles onto a
+    few hot partitions. This is the AQE skew-join's textbook case —
+    the hot keys are join-only (no aggregation on ``_g``), so
+    ``spark.sql.adaptive.skewJoin`` splits them safely; corpora with
+    extreme head tokens can route through
+    :func:`cardano_spark.operators.skew.salted_join` instead (the
+    vocabulary side replicates per salt — correct because vocab is
+    unique per ``_g``). Nothing wide is cached; the exploded frame
+    streams through the join into a map-side partial count.
 
     Returns (``id_col``, n_ngrams, n_rare, rare_fp)."""
     occ = docs.select(

@@ -218,7 +218,11 @@ def _label_scored_pairs(
     cos_sim) for every query x corpus pair — the shared scoring scan
     behind hard-negative mining and the triplet-margin report.
     Probes broadcast, corpus scanned once, norms precomputed per side
-    (one dot per pair, the brute_force_topk discipline)."""
+    (one dot per pair, the brute_force_topk discipline). Embeddings
+    are assumed non-zero, the standing cosine/brute_force_topk
+    contract: a zero-norm vector folds to 0/0 = NaN cos_sim, which
+    Spark's descending sort ranks FIRST (and DuckDB's NaN ordering
+    differs subtly) — filter degenerate vectors upstream."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
@@ -297,9 +301,11 @@ def triplet_margin_report(
     curriculum/QA artifact behind contrastive batch construction
     (margin <= 0 flags anchors whose nearest neighbor CROSSES the
     label boundary: mislabeled data or genuinely hard regions).
-    Queries with no same-label peer in the corpus drop out (an anchor
-    with no positive has no triplet) — inner-join semantics, stated
-    rather than NULL-padded. Both extremes come off the one scored
+    The inner join drops an anchor in EITHER degenerate case: no
+    same-label peer in the corpus (no positive — e.g. a singleton
+    label), or no out-of-label row at all (no negative — e.g. a
+    single-label corpus); an anchor without both sides has no
+    triplet — inner-join semantics, stated rather than NULL-padded. Both extremes come off the one scored
     scan via rank-1 windows partitioned on (query_id, side); the
     margin is a single subtraction of two identically-folded doubles,
     deterministic cross-engine.
@@ -1325,6 +1331,7 @@ def pq_adc_topk(
     vec_col: str,
     k: int,
     n_centroids: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: probes keep their exact
     quantized vectors, corpus vectors are represented ONLY by codes,
@@ -1336,10 +1343,19 @@ def pq_adc_topk(
     vector ever travels. All distances exact int64; ranking ties
     break (dist asc, id asc) — engine-identical.
 
-    Recall on the near-uniform synthetic corpus: ~0.22 @5 (K=64) —
-    PQ trades recall for the 64x memory cut; pq_rerank_topk is the
-    exactness lever."""
-    cb = pq_codebook(corpus, id_col, vec_col, n_centroids)
+    ``codebook`` defaults to the sample-init :func:`pq_codebook`;
+    pass :func:`pq_codebook_trained`'s frame (same ``(m, k, cv)``
+    contract) for the trained scan — the plan is identical either
+    way and ``n_centroids`` is then ignored.
+
+    Recall on the near-uniform synthetic corpus: ~0.22 @5 (K=64,
+    sample-init) — PQ trades recall for the 64x memory cut;
+    pq_rerank_topk is the exactness lever."""
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, id_col, vec_col, n_centroids)
+    )
     codes = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed(
         id_col, "match_id"
     )
@@ -1384,6 +1400,7 @@ def pq_rerank_topk(
     k: int,
     shortlist: int = 100,
     n_centroids: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ shortlist + exact cosine rerank — the production PQ shape
     (FAISS IVFPQ + refine): the ADC scan ranks by compressed codes,
@@ -1392,9 +1409,11 @@ def pq_rerank_topk(
     shortlist * |probes| rows instead of the whole corpus. Measured
     recall@5 on the near-uniform corpus: 0.43 / 0.58 / 0.71 at
     shortlist 30 / 60 / 100 (vs ~0.22 un-reranked) — the rerank
-    depth is the recall knob, same trade as q85's SQ8 rerank."""
+    depth is the recall knob, same trade as q85's SQ8 rerank.
+    ``codebook`` passes through to :func:`pq_adc_topk`."""
     short = pq_adc_topk(
-        corpus, probes, id_col, vec_col, k=shortlist, n_centroids=n_centroids
+        corpus, probes, id_col, vec_col, k=shortlist,
+        n_centroids=n_centroids, codebook=codebook,
     ).select("query_id", "match_id")
     q = probes.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -1418,6 +1437,227 @@ def pq_rerank_topk(
     )
     return (
         rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pq_codebook_trained(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Per-subspace k-means PQ codebook training — the upgrade the
+    :func:`pq_codebook` docstring names, on the same ``(m, k, cv)``
+    frame contract so it slots straight into :func:`pq_encode` /
+    :func:`pq_adc_topk` (exactly as q57's trained centroids slot into
+    q36's seeded-IVF plan).
+
+    Determinism on the integer grid (the q113 discipline, adapted to
+    L2): subvectors are the exact floor(x*255) integer codes, every
+    assignment distance is exact int64 (:func:`_pq_sqdist`, argmin
+    ties to the LOWER code), and the Lloyd UPDATE keeps centroids ON
+    the integer grid via the elementwise floor-mean ``sum div
+    count`` — integer division of exact int64 partial sums, so the
+    trained codebook is bit-identical under any partitioning and a
+    DuckDB oracle replays the loop verbatim. (A true float mean would
+    make the centroid a partial-agg-order-dependent double; the floor
+    snap costs < 1 quantization step of centroid precision per
+    round, well inside the 255-step grid.) Clusters that lose all
+    members drop out of the codebook — both engines agree; codes
+    stay dense in [0, n_centroids) only as long as every centroid
+    keeps members, which the recall floor, not the contract, cares
+    about.
+
+    Shape per round: one pass over the slim (id, m, sv) subvector
+    rows (map-side explode of the corpus scan), broadcast codebook
+    join (K x PQ_M rows), argmin partial agg, then a second partial
+    agg onto (m, code) — at most K x PQ_M groups — computing the
+    PQ_DSUB elementwise sums. The new codebook is localCheckpointed
+    (the q44/q125 iteration discipline: consumers must not re-run
+    the training lineage). Returns (``m``, ``k``, ``cv``)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    staged = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_qa"))
+    subs = staged.select(id_col, _pq_subspaces(F.col("_qa")).alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    cb = pq_codebook(corpus, id_col, vec_col, n_centroids).localCheckpoint(
+        eager=False
+    )
+    for _ in range(n_iter):
+        dists = subs.join(F.broadcast(cb), "m").select(
+            id_col, "m", "sv", "k", _pq_sqdist(F.col("sv"), F.col("cv")).alias("d")
+        )
+        assigned = dists.groupBy(id_col, "m").agg(
+            F.min(F.struct("d", "k"))["k"].alias("k"),
+            F.first("sv").alias("sv"),
+        )
+        cb = (
+            assigned.groupBy("m", "k")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("sv")[d]).alias(f"_s{d}") for d in range(PQ_DSUB)],
+            )
+            .select(
+                "m",
+                "k",
+                F.array(
+                    *[
+                        F.expr(f"_s{d} div _n").cast("long")
+                        for d in range(PQ_DSUB)
+                    ]
+                ).alias("cv"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 30,
+    codebook: DataFrame | None = None,
+    coarse: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ + exact rerank — the composition FAISS ships as
+    IVFPQ+refine and the actual 100 TB ANN architecture: a COARSE
+    quantizer routes each probe to ``nprobe`` inverted lists (the
+    q36/q57 IVF shape — only ~nprobe/n_coarse of the corpus is ever
+    touched), the candidates inside those lists rank by the
+    compressed PQ asymmetric distance (the q143 ADC scan — 8 int
+    codes per vector, 64x smaller than the raw floats, so the
+    scanned index fits in cluster memory), and only the top
+    ``shortlist`` survivors re-join their raw vectors for exact
+    cosine scoring (the q144 refine). Every stage reuses the exact
+    machinery its standalone query verifies: seeded-or-passed coarse
+    centroids (``coarse`` = (cid, centroid), e.g.
+    :func:`spherical_kmeans_sums`), sampled-or-trained codebooks
+    (``codebook`` = (m, k, cv), e.g. :func:`pq_codebook_trained`).
+
+    Scale shape: coarse assignment is the one corpus-sized argmax
+    (slim rows, map-side partials); the probe routing table
+    (|probes| * nprobe rows) and the probe ADC distance table
+    (|probes| * PQ_M * K rows) broadcast; the codes frame joins them
+    (cid restriction FIRST, so the ADC join fans out only over
+    probed lists), collapses per (query, match) with a map-side
+    partial sum, and the rerank touches raw vectors for
+    |probes| * shortlist ids only. All ADC arithmetic exact int64;
+    the rerank is the sequential-fold double chain — ranks are
+    engine-identical end to end."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    if coarse is not None:
+        seeds = coarse.select(
+            F.col("cid").cast("long").alias("cid"),
+            as_double(F.col("centroid")).alias("cv"),
+        ).withColumn("cn", norm(F.col("cv")))
+    else:
+        seeds = v.filter(F.col("vid") < n_coarse).select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+        )
+    # corpus -> list assignment: slim (match_id, cid), 1 row/vector
+    assign = _assign_nearest(
+        v,
+        seeds,
+        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        [],
+    ).select(F.col("vid").alias("match_id"), "cid")
+    # probe -> nprobe nearest lists (tiny frame, window top-k)
+    q = probes.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    wr = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
+    routing = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "vid",
+            "cid",
+            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), "cid")
+    )
+    # PQ index over the whole corpus (built once, 8 codes/vector)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, id_col, vec_col)
+    )
+    codes = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed(
+        id_col, "match_id"
+    )
+    # probe ADC distance table (query x m x K, broadcast-sized)
+    pstage = probes.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("_pa")
+    )
+    psubs = pstage.select(
+        "query_id", _pq_subspaces(F.col("_pa")).alias("s")
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    ptab = psubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("k").alias("code"),
+        _pq_sqdist(F.col("sv"), F.col("cv")).alias("pd"),
+    )
+    # ADC scan restricted to probed lists: cid join FIRST bounds the
+    # fan-out to |queries probing this list| per code row
+    scored = (
+        codes.join(assign, "match_id")
+        .join(F.broadcast(routing), "cid")
+        .join(F.broadcast(ptab), ["query_id", "m", "code"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("pd").cast("long").alias("adc_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("match_id")
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "match_id")
+    )
+    # exact rerank over shortlist x |probes| raw vectors only
+    qv = q.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
+    mv = v.select(
+        F.col("vid").alias("match_id"), F.col("v").alias("mv"), F.col("vn").alias("mn")
+    )
+    rer = (
+        mv.join(F.broadcast(short), "match_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("mv")) / (F.col("qn") * F.col("mn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

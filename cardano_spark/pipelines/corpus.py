@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cardano_spark.functions import text as TX
-from cardano_spark.functions.hashing import md5_long
+from cardano_spark.functions.hashing import hash_bucket, md5_long
 from cardano_spark.operators import curation as CU
 from cardano_spark.operators import dedup as DD
 from cardano_spark.sinks.shards import ShardManifest, write_training_shards
@@ -56,6 +56,12 @@ class CorpusAudit:
     #: survivors after the optional PPS token-budget stage
     #: (== n_after_select when the stage is off)
     n_after_budget: int = -1
+    #: per-split survivor counts when ``split_mode`` is on
+    #: ({"train": n, "val": n, "test": n}); None otherwise
+    split_counts: dict | None = None
+    #: per-split manifests when ``split_mode`` is on; None otherwise
+    #: (``manifest`` then aggregates the three)
+    split_manifests: dict | None = None
 
 
 def _drop_neardup(docs: DataFrame, threshold: float) -> DataFrame:
@@ -99,6 +105,8 @@ def build_corpus(
     target: DataFrame | None = None,
     select_top: int | None = None,
     token_budget_points: int | None = None,
+    split_mode: str | None = None,
+    shuffle_order: bool = False,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -123,6 +131,31 @@ def build_corpus(
     the selection survivors' token stream, bounding the exported
     token volume at ~total/k granularity without favoring short
     documents. Deterministic by construction.
+
+    ``split_mode``: ``None`` (single export, no split), ``"doc"``
+    (q41's per-document 80/10/10 content-hash rule), or
+    ``"cluster_safe"`` (q137's rule: near-dup clusters over the
+    EXPORT survivors at ``neardup_threshold`` are the assignment
+    unit, so no verified near-dup pair can straddle a split boundary
+    by construction — the fix for what the q132 audit measures;
+    relevant even after the dedup stage, whose representative
+    election leaves sub-threshold/residual families only when run
+    at a different threshold, and always the safe default).
+    Split exports land under ``dest/train|val|test`` with per-split
+    manifests; the audit's ``manifest`` aggregates them.
+
+    ``shuffle_order``: when True, export in q140's deterministic
+    epoch-0 shuffle order instead of content-hash shard ranges: the
+    salted-content-hash key (unique via the appended doc_id) defines
+    a pseudo-random total order, ``curation.global_rank``'s
+    distributed prefix sum assigns the 0-based position (never a
+    single-partition global window), and shards are CONTIGUOUS
+    position ranges, internally position-sorted — a loader reading
+    shard 0..n in order consumes the exact global shuffle order, and
+    each shard is an unbiased sample (a contiguous slice of a
+    pseudo-random permutation; q140's modulo interleave is the
+    row-level variant of the same guarantee). Retry/re-run/
+    repartition stable like every other stage.
 
     Determinism: every gate's survivor set is a pure function of the
     input corpus (deterministic survivor rules all the way down), and
@@ -193,12 +226,93 @@ def build_corpus(
         kept = kept.join(picked, "doc_id", "left_semi")
     n_budget = kept.count()
 
-    # 7. deterministic sharded export (content-hash shard key)
-    sharded = kept.withColumn(
-        "_shard_key",
-        md5_long(F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))),
-    )
-    manifest = write_training_shards(sharded, dest, "_shard_key", n_shards)
+    # 7. optional split assignment (doc-level q41 rule, or q137's
+    # cluster-safe rule over the export survivors)
+    split_counts: dict | None = None
+    if split_mode not in (None, "doc", "cluster_safe"):
+        raise ValueError(f"unknown split_mode: {split_mode!r}")
+    if split_mode is not None:
+        if split_mode == "cluster_safe":
+            pairs = DD.minhash_lsh_pairs(
+                kept,
+                "doc_id",
+                TX.distinct_tokens(F.coalesce(F.col("text"), F.lit(""))),
+                threshold=neardup_threshold,
+            )
+            comp = DD.connected_components(
+                kept.select("doc_id"),
+                pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+                id_col="doc_id",
+            ).select(F.col("node").alias("doc_id"), "cluster_id")
+            kept = kept.join(comp, "doc_id")
+            bucket = hash_bucket(F.col("cluster_id"), 100)
+        else:
+            bucket = hash_bucket(F.col("doc_id"), 100)
+        kept = kept.withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        if split_mode == "cluster_safe":
+            kept = kept.drop("cluster_id")
+        # the split column is consumed by three export branches and
+        # the audit count — cut the (possibly LSH-bearing) lineage
+        kept = kept.localCheckpoint(eager=False)
+        split_counts = {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        for s in ("train", "val", "test"):
+            split_counts.setdefault(s, 0)
+
+    # 8. deterministic sharded export: content-hash shard ranges, or
+    # q140's epoch-0 shuffle order (contiguous position ranges)
+    def _export(frame: DataFrame, path: str) -> ShardManifest:
+        if shuffle_order:
+            skey = F.concat(
+                F.md5(
+                    F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
+                ),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+            # rank over the SLIM key frame (q140's shape: only the
+            # 45-byte key rides the prefix-sum exchange), join back
+            ranked = CU.global_rank(
+                frame.select(skey.alias("_skey")), "_skey", 32
+            )
+            ordered = (
+                frame.withColumn("_skey", skey)
+                .join(ranked, "_skey")
+                .withColumn("_order", F.col("_rank").cast("long"))
+                .drop("_skey", "_rank")
+            )
+            return write_training_shards(ordered, path, "_order", n_shards)
+        sharded = frame.withColumn(
+            "_shard_key",
+            md5_long(F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))),
+        )
+        return write_training_shards(sharded, path, "_shard_key", n_shards)
+
+    split_manifests: dict | None = None
+    if split_mode is None:
+        manifest = _export(kept, dest)
+    else:
+        split_manifests = {
+            s: _export(kept.filter(F.col("split") == s), f"{dest}/{s}")
+            for s in ("train", "val", "test")
+        }
+        manifest = ShardManifest(
+            n_shards=sum(m.n_shards for m in split_manifests.values()),
+            n_rows=sum(m.n_rows for m in split_manifests.values()),
+            total_bytes=sum(m.total_bytes for m in split_manifests.values()),
+            shards=[
+                dict(sh, file=f"{s}/{sh['file']}")
+                for s in ("train", "val", "test")
+                for sh in split_manifests[s].shards
+            ],
+        )
 
     return CorpusAudit(
         n_input=n_input,
@@ -209,4 +323,6 @@ def build_corpus(
         manifest=manifest,
         n_after_select=n_select,
         n_after_budget=n_budget,
+        split_counts=split_counts,
+        split_manifests=split_manifests,
     )

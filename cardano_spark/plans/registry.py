@@ -23,6 +23,17 @@ driver window; the remainder — always the MOST recently verified
 queries — defer to the tail and rotate back within at most
 ceil(N/50) rounds. Every query is additionally oracle-checked at
 sf0.001 in CI (test_oracle_parity) regardless of window position.
+
+When MORE than 50 queries are never-checked (the r5 failure: 51
+never-checked, insertion order silently pushed q136 out every
+round), the never-checked class orders by the persisted
+``pending_first_check`` queue FIRST: queries displaced from the
+window in a prior round while still never-checked. The update tool
+(tools/update_window_history.py) refreshes the queue each round
+fold, so displaced never-checked queries re-enter FIFO — any
+never-checked query waits at most ceil(|never|/50) rounds for its
+first driver row, regardless of how many new queries register ahead
+of it in insertion order.
 """
 
 from __future__ import annotations
@@ -55,18 +66,25 @@ def _ordered_names(names: list[str]) -> list[str]:
     hist = _load_history()
     last: dict[str, int] = hist.get("last_round", {})
     touched = set(hist.get("touched", []))
+    pending: dict[str, int] = {
+        q: i for i, q in enumerate(hist.get("pending_first_check", []))
+    }
     idx = {q: i for i, q in enumerate(names)}
 
     # class -2: never driver-checked (no row in ANY round — the r4
-    # verdict's first priority); class -1: touched this round,
-    # least-recently-checked first so that when touched + never
-    # overflow the window, only the MOST recently verified touched
-    # queries defer (they rotate back next round via plain LRU);
-    # class 0: everyone else, ascending by last driver row. Insertion
-    # order breaks remaining ties deterministically.
+    # verdict's first priority); within it, queries displaced from a
+    # PRIOR round's window while never-checked (pending_first_check)
+    # come first, FIFO, so a never-checked query cannot be displaced
+    # indefinitely by newer registrations (the r5 q136 hole).
+    # class -1: touched this round, least-recently-checked first so
+    # that when touched + never overflow the window, only the MOST
+    # recently verified touched queries defer (they rotate back next
+    # round via plain LRU); class 0: everyone else, ascending by
+    # last driver row. Insertion order breaks remaining ties
+    # deterministically.
     def key(q: str) -> tuple[int, int, int]:
         if q not in last:
-            return (-2, 0, idx[q])
+            return (-2, pending.get(q, len(pending)), idx[q])
         if q in touched:
             return (-1, last[q], idx[q])
         return (0, last[q], idx[q])

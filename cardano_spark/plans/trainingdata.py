@@ -2336,6 +2336,125 @@ def q143_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_topk(e, probes, "vec_id", "embedding", k=5)
 
 
+def q150_split_leakage_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-output twin of q132 — the form the leakage audit must
+    take at 100 TB, where the full pair list IS the bottleneck (q132
+    returns 530 k rows at sf0.1; the answer grows with dup-family
+    mass): per straddling split-boundary pair, ONE summary row
+    family — pair count, distinct docs involved, 2^20 fixed-point
+    similarity mass (the q141 integer-sum discipline: a cross-row
+    float sum would be partial-agg-order dependent) — carrying the
+    top-3 worst exemplar pairs (the q127 report discipline: enough
+    to eyeball the leak class without shipping the answer). Output
+    is <= 3 boundary rows x 3 exemplars = <= 9 rows at ANY corpus
+    size.
+
+    Shape: q132's exact pair machinery (banded LSH, split predicate
+    pushed below the verify via candidate_filter), then the labeled
+    pair frame localCheckpoints once for its three consumers
+    (aggregate, distinct-doc count, exemplar window); the exemplar
+    window partitions on the <= 3 boundary keys with TakeOrdered
+    partials — nothing corpus-sized shuffles twice."""
+    d = table(spark, sf_dir, "documents")
+
+    def split_of(c: Column) -> Column:
+        b = hash_bucket(c, 100)
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    pairs = DD.minhash_lsh_pairs(
+        d,
+        "doc_id",
+        TX.distinct_tokens(F.col("text")),
+        threshold=0.8,
+        candidate_filter=split_of(F.col("id_a")) != split_of(F.col("id_b")),
+    )
+    lab = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.least(
+            split_of(F.col("id_a")), split_of(F.col("id_b"))
+        ).alias("split_x"),
+        F.greatest(
+            split_of(F.col("id_a")), split_of(F.col("id_b"))
+        ).alias("split_y"),
+        F.floor(F.col("jaccard") * F.lit(1048576.0))
+        .cast("long")
+        .alias("_jfp"),
+    ).localCheckpoint(eager=False)
+    agg = lab.groupBy("split_x", "split_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_jfp").cast("long").alias("sum_jaccard_fp"),
+    )
+    docs_cnt = (
+        lab.select("split_x", "split_y", F.col("id_a").alias("_i"))
+        .unionByName(lab.select("split_x", "split_y", F.col("id_b").alias("_i")))
+        .groupBy("split_x", "split_y")
+        .agg(F.count_distinct("_i").cast("long").alias("n_docs"))
+    )
+    w = W.partitionBy("split_x", "split_y").orderBy(
+        F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")
+    )
+    ex = lab.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+    return ex.join(agg, ["split_x", "split_y"]).join(
+        docs_cnt, ["split_x", "split_y"]
+    ).select(
+        "split_x",
+        "split_y",
+        "n_pairs",
+        "n_docs",
+        "sum_jaccard_fp",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("id_a").alias("ex_id_a"),
+        F.col("id_b").alias("ex_id_b"),
+        F.col("jaccard").alias("ex_jaccard"),
+    )
+
+
+def q148_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q143's ADC scan driven by TRAINED codebooks — per-subspace
+    k-means on the integer grid (similarity.pq_codebook_trained,
+    2 Lloyd rounds from the sample init; centroid update = exact
+    floor-mean ``sum div count``, so training is bit-reproducible
+    and the oracle replays both rounds verbatim). Same probes as
+    q143 ([36, 44)) for a like-for-like recall read: measured
+    recall@5 at sf0.01 is 0.15 sampled -> 0.225 trained(2) -> 0.275
+    trained(4); the CI floor pins trained > sampled."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 44))
+    cb = SIM.pq_codebook_trained(e, "vec_id", "embedding", n_iter=2)
+    return SIM.pq_adc_topk(
+        e, probes, "vec_id", "embedding", k=5, codebook=cb
+    )
+
+
+def q149_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ + exact rerank (similarity.ivfpq_topk) — the FAISS
+    IVFPQ+refine composition, every stage from an already-verified
+    query: q36's seeded coarse routing (8 lists, nprobe 2) bounds
+    the scan to ~1/4 of the corpus, q148's TRAINED codebooks drive
+    the in-list ADC ranking over 8-byte codes (the index that fits
+    in cluster memory at 100 TB where raw vectors never would), and
+    q144's exact-cosine refine rescores only the 30-deep shortlist.
+    Probes vec_id in [44, 52) — disjoint from every other
+    probe/centroid range."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 44) & (F.col("vec_id") < 52))
+    cb = SIM.pq_codebook_trained(e, "vec_id", "embedding", n_iter=2)
+    return SIM.ivfpq_topk(
+        e, probes, "vec_id", "embedding",
+        k=5, n_coarse=8, nprobe=2, shortlist=30, codebook=cb,
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2423,6 +2542,9 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q145_rare_bigram_lm": q145_rare_bigram_lm,
     "q146_hard_negative_topk": q146_hard_negative_topk,
     "q147_triplet_margin_report": q147_triplet_margin_report,
+    "q148_pq_trained_topk": q148_pq_trained_topk,
+    "q149_ivfpq_topk": q149_ivfpq_topk,
+    "q150_split_leakage_summary": q150_split_leakage_summary,
 }
 
 
@@ -4550,4 +4672,269 @@ TRAININGDATA_ORACLES["q144_pq_rerank_topk"] = f"""
              )::BIGINT AS rank
       FROM rer
     ) WHERE rank <= 5
+"""
+
+# q145: bigram-LM rarity — the vocabulary histogram (train slice,
+# multiplicity count >= min_count) and the occurrence-share score
+# restated in SQL. The LEFT JOIN from `documents` keeps zero-bigram
+# documents at (0, 0, 0) — the Spark side's explode_outer twin; `//`
+# is DuckDB floor division over positive BIGINTs, exactly Spark's
+# `div`. Uses the word_ngrams_sql multiplicity twin (NOT the
+# deduplicating ngram_shingles_sql — occurrences, not shingles).
+TRAININGDATA_ORACLES["q145_rare_bigram_lm"] = f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest({TX.word_ngrams_sql("coalesce(text, '')", 2)}) AS s
+      FROM documents
+    ), vocab AS (
+      SELECT s FROM g WHERE doc_id % 4 = 0 GROUP BY s HAVING count(*) >= 2
+    ), sc AS (
+      SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+             sum(CASE WHEN v.s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_rare
+      FROM g LEFT JOIN vocab v ON g.s = v.s
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(sc.n_ngrams, 0)::BIGINT AS n_ngrams,
+           coalesce(sc.n_rare, 0)::BIGINT AS n_rare,
+           (CASE WHEN coalesce(sc.n_ngrams, 0) > 0
+                 THEN (sc.n_rare * {CU.DSIR_SCALE}) // sc.n_ngrams
+                 ELSE 0 END)::BIGINT AS rare_fp
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+# q146/q147 share the labeled pair scan: probes vec_id < 16, every
+# other corpus vector scored by the _COS sequential fold (bit-
+# identical to Spark's dot/norm chain). NULL-label rows drop out of
+# both engines identically (<> and == are both NULL on NULL).
+_LABEL_SCORED = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS match_id, c.label AS match_label,
+             (c.label = q.label) AS same_label,
+             {_COS.replace('va', 'q.e').replace('vb', 'c.e')} AS cos_sim
+      FROM v q JOIN v c ON q.vec_id < 16 AND c.vec_id <> q.vec_id
+    )"""
+
+TRAININGDATA_ORACLES["q146_hard_negative_topk"] = f"""
+    {_LABEL_SCORED}
+    SELECT query_id, query_label, match_id, match_label, cos_sim, rank
+    FROM (
+      SELECT query_id, query_label, match_id, match_label, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+             )::BIGINT AS rank
+      FROM scored WHERE NOT same_label
+    ) WHERE rank <= 5
+"""
+
+TRAININGDATA_ORACLES["q147_triplet_margin_report"] = f"""
+    {_LABEL_SCORED}, best AS (
+      SELECT * FROM (
+        SELECT query_id, query_label, match_id, same_label, cos_sim,
+               row_number() OVER (
+                 PARTITION BY query_id, same_label
+                 ORDER BY cos_sim DESC, match_id ASC
+               ) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), pos AS (
+      SELECT query_id, query_label, match_id AS pos_id, cos_sim AS pos_cos
+      FROM best WHERE same_label
+    ), neg AS (
+      SELECT query_id, match_id AS neg_id, cos_sim AS neg_cos
+      FROM best WHERE NOT same_label
+    )
+    SELECT pos.query_id, query_label, pos_id, pos_cos, neg_id, neg_cos,
+           pos_cos - neg_cos AS margin
+    FROM pos JOIN neg ON pos.query_id = neg.query_id
+"""
+
+
+# q148/q149: TRAINED codebooks — the 2 Lloyd rounds replayed in SQL.
+# Update = elementwise `sum // count`: DuckDB `//` and Spark `div`
+# both truncate toward zero (verified: -7 // 2 = -3 in both), so the
+# floor-mean centroids are bit-identical even where subvector sums go
+# negative. Final codes/ptab re-derive against cb2, exactly like the
+# Spark side's post-loop pq_encode.
+def _pq_trained_round_sql(r: int) -> str:
+    sums = ", ".join(
+        f"(sum(s.sv[{i}]) // count(*))::BIGINT"
+        for i in range(1, SIM.PQ_DSUB + 1)
+    )
+    return f""", d{r} AS (
+      SELECT s.vec_id, s.m, c.k, {_pq_sqdist_sql('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb{r - 1} c ON c.m = s.m
+    ), a{r} AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS k
+      FROM d{r} GROUP BY vec_id, m
+    ), cb{r} AS (
+      SELECT a.m, a.k, [{sums}] AS cv
+      FROM a{r} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY a.m, a.k
+    )"""
+
+
+def _pq_trained_chain(probe_lo: int, probe_hi: int) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 255.0) AS BIGINT)) AS qa
+      FROM embeddings
+    ), ms AS (
+      SELECT unnest(generate_series(0, {SIM.PQ_M - 1})) AS m
+    ), cbase AS (
+      SELECT qa, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT vec_id, qa FROM q ORDER BY vec_id LIMIT 64)
+    ), cb0 AS (
+      SELECT ms.m, cbase.k,
+             cbase.qa[ms.m * {SIM.PQ_DSUB} + 1 : ms.m * {SIM.PQ_DSUB} + {SIM.PQ_DSUB}] AS cv
+      FROM cbase CROSS JOIN ms
+    ), sub AS (
+      SELECT q.vec_id, ms.m,
+             q.qa[ms.m * {SIM.PQ_DSUB} + 1 : ms.m * {SIM.PQ_DSUB} + {SIM.PQ_DSUB}] AS sv
+      FROM q CROSS JOIN ms
+    ){_pq_trained_round_sql(1)}{_pq_trained_round_sql(2)}, df AS (
+      SELECT s.vec_id, s.m, c.k, {_pq_sqdist_sql('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb2 c ON c.m = s.m
+    ), codes AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS code
+      FROM df GROUP BY vec_id, m
+    ), ptab AS (
+      SELECT s.vec_id AS query_id, s.m, c.k AS code,
+             {_pq_sqdist_sql('s.sv', 'c.cv')} AS pd
+      FROM sub s JOIN cb2 c ON c.m = s.m
+      WHERE s.vec_id >= {probe_lo} AND s.vec_id < {probe_hi}
+    )"""
+
+
+TRAININGDATA_ORACLES["q148_pq_trained_topk"] = f"""
+    {_pq_trained_chain(36, 44)}, adc AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes co JOIN ptab pt ON pt.m = co.m AND pt.code = co.code
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    )
+    SELECT query_id, match_id, adc_dist, rn::BIGINT AS rank FROM (
+      SELECT query_id, match_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+             ) AS rn
+      FROM adc
+    ) WHERE rn <= 5
+"""
+
+TRAININGDATA_ORACLES["q149_ivfpq_topk"] = f"""
+    {_pq_trained_chain(44, 52)}, v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id AS match_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), routing AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN seeds s WHERE v.vec_id >= 44 AND v.vec_id < 52
+      ) WHERE rn <= 2
+    ), adc AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes co
+      JOIN assign a ON a.match_id = co.vec_id
+      JOIN routing r ON r.cid = a.cid
+      JOIN ptab pt ON pt.m = co.m AND pt.code = co.code
+                  AND pt.query_id = r.query_id
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    ), short AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+        ) AS rn
+        FROM adc
+      ) WHERE rn <= 30
+    ), rer AS (
+      SELECT s.query_id, s.match_id,
+             {_COS.replace('va', 'qv.e').replace('vb', 'mv.e')} AS cos_sim
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v mv ON mv.vec_id = s.match_id
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+      SELECT query_id, match_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+             )::BIGINT AS rank
+      FROM rer
+    ) WHERE rank <= 5
+"""
+
+
+# q150: q132's verified-pair chain, collapsed to the <= 9-row summary
+# (count / distinct docs / 2^20 fixed-point mass + top-3 exemplars).
+TRAININGDATA_ORACLES["q150_split_leakage_summary"] = f"""
+    WITH d AS (
+      SELECT doc_id, {TX.distinct_tokens_sql('text')} AS sh
+      FROM documents
+    ), h AS (
+      SELECT doc_id, sh, {_HASHES} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {_sig_select()} FROM h
+    ), bands AS (
+      {_band_selects('sig')}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b, {_JACCARD} AS jaccard
+      FROM cand
+      JOIN d da ON da.doc_id = cand.id_a
+      JOIN d db ON db.doc_id = cand.id_b
+      WHERE {_JACCARD} >= 0.8
+    ), lab AS (
+      SELECT id_a, id_b, jaccard,
+             least({_SPLIT_A}, {_SPLIT_B}) AS split_x,
+             greatest({_SPLIT_A}, {_SPLIT_B}) AS split_y,
+             CAST(floor(jaccard * 1048576.0) AS BIGINT) AS jfp
+      FROM verified
+      WHERE {_SPLIT_A} <> {_SPLIT_B}
+    ), agg AS (
+      SELECT split_x, split_y, count(*)::BIGINT AS n_pairs,
+             sum(jfp)::BIGINT AS sum_jaccard_fp
+      FROM lab GROUP BY split_x, split_y
+    ), dc AS (
+      SELECT split_x, split_y, count(DISTINCT i)::BIGINT AS n_docs FROM (
+        SELECT split_x, split_y, id_a AS i FROM lab
+        UNION ALL
+        SELECT split_x, split_y, id_b AS i FROM lab
+      ) GROUP BY split_x, split_y
+    ), ex AS (
+      SELECT split_x, split_y, id_a, id_b, jaccard,
+             row_number() OVER (
+               PARTITION BY split_x, split_y
+               ORDER BY jaccard DESC, id_a ASC, id_b ASC
+             ) AS rn
+      FROM lab
+    )
+    SELECT e.split_x, e.split_y, a.n_pairs, c.n_docs, a.sum_jaccard_fp,
+           e.rn::BIGINT AS rank,
+           e.id_a AS ex_id_a, e.id_b AS ex_id_b, e.jaccard AS ex_jaccard
+    FROM ex e
+    JOIN agg a USING (split_x, split_y)
+    JOIN dc c USING (split_x, split_y)
+    WHERE e.rn <= 3
 """

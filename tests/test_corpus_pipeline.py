@@ -204,3 +204,121 @@ def test_build_corpus_selection_deterministic(spark, tmp_path):
     assert [s["rows"] for s in a1.manifest.shards] == [
         s["rows"] for s in a2.manifest.shards
     ]
+
+
+def test_build_corpus_cluster_safe_split_zero_leak(spark, tmp_path):
+    """split_mode='cluster_safe' + shuffle_order end to end on real
+    sf0.001 documents: the q132 audit re-run over the EXPORTED splits
+    finds ZERO near-dup pairs straddling a boundary (q137's
+    by-construction guarantee carried through the deployable
+    pipeline), every kept doc lands in exactly one split, and the
+    shuffle-order shards reconstruct the exact global epoch-0
+    permutation."""
+    from cardano_spark.functions import text as TX
+    from cardano_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    dest = str(tmp_path / "out")
+    audit = build_corpus(
+        spark,
+        docs,
+        dest,
+        n_shards=2,
+        # keep near-dup families IN the export so the split rule has
+        # real work: detect at 0.95, split-cluster at the same 0.95
+        neardup_threshold=0.95,
+        split_mode="cluster_safe",
+        shuffle_order=True,
+    )
+    assert audit.split_counts is not None
+    assert sum(audit.split_counts.values()) == audit.n_after_budget
+    assert set(audit.split_manifests) == {"train", "val", "test"}
+    assert audit.manifest.n_rows == audit.n_after_budget
+
+    exported = spark.read.parquet(f"{dest}/*")
+    labeled = exported.select("doc_id", "split")
+    assert labeled.count() == labeled.select("doc_id").distinct().count()
+
+    # zero-leak: q132's measurement against the exported assignment
+    pairs = DD.minhash_lsh_pairs(
+        exported,
+        "doc_id",
+        TX.distinct_tokens(F.coalesce(F.col("text"), F.lit(""))),
+        threshold=0.95,
+    )
+    leaks = (
+        pairs.join(
+            labeled.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert leaks.count() == 0
+
+    # shuffle order: per split, _order values are exactly 0..n-1 and
+    # shard files cover contiguous, internally-sorted ranges
+    for s, m in audit.split_manifests.items():
+        part = spark.read.parquet(f"{dest}/{s}")
+        orders = sorted(r["_order"] for r in part.select("_order").collect())
+        assert orders == list(range(len(orders)))
+
+
+def test_build_corpus_cluster_safe_deterministic_under_repartition(
+    spark, tmp_path
+):
+    """The split assignment and shard membership are pure functions of
+    corpus content: re-running with a differently-partitioned input
+    reproduces identical per-split doc sets and manifests."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a1 = build_corpus(
+        spark, docs, str(tmp_path / "a"), n_shards=2,
+        neardup_threshold=0.95, split_mode="cluster_safe",
+        shuffle_order=True,
+    )
+    a2 = build_corpus(
+        spark, docs.repartition(7), str(tmp_path / "b"), n_shards=2,
+        neardup_threshold=0.95, split_mode="cluster_safe",
+        shuffle_order=True,
+    )
+    assert a1.split_counts == a2.split_counts
+    for s in ("train", "val", "test"):
+        d1 = spark.read.parquet(f"{tmp_path}/a/{s}")
+        d2 = spark.read.parquet(f"{tmp_path}/b/{s}")
+        assert sorted(
+            (r.doc_id, r._order) for r in d1.select("doc_id", "_order").collect()
+        ) == sorted(
+            (r.doc_id, r._order) for r in d2.select("doc_id", "_order").collect()
+        )
+        assert [sh["rows"] for sh in a1.split_manifests[s].shards] == [
+            sh["rows"] for sh in a2.split_manifests[s].shards
+        ]
+
+
+def test_cli_build_corpus_split_flags(spark, tmp_path, capsys):
+    from cardano_spark.__main__ import main
+
+    dest = str(tmp_path / "out")
+    rc = main(
+        [
+            "build-corpus",
+            "--src", f"{SF_SMALL}/documents.parquet",
+            "--dest", dest,
+            "--shards", "2",
+            "--split-mode", "cluster_safe",
+            "--shuffle-order",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "splits train=" in out
+    with open(f"{dest}/train/_manifest.json", encoding="utf-8") as f:
+        m = json.load(f)
+    assert m["n_rows"] > 0

@@ -40,6 +40,9 @@ BNL_BUDGET = {
     "q100_crossmodal_retrieval": 1,
     "q106_ann_recall_report": 2,
     "q134_ann_rank_report": 1,  # brute-force ground-truth side, 8 probes
+    "q146_hard_negative_topk": 1,  # broadcast probe set vs corpus scan
+    "q147_triplet_margin_report": 1,  # same _label_scored_pairs scan
+    "q149_ivfpq_topk": 2,  # coarse assignment + probe routing (q36 shape)
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

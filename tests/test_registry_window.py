@@ -28,9 +28,24 @@ def test_window_prioritizes_touched_then_least_recent():
     touched = [q for q in hist["touched"] if q in qs]
     # 1) every never-driver-checked query sits inside the window —
     #    the hard invariant (r4 verdict: no query may stay
-    #    driver-unchecked forever; new queries are never-checked)
+    #    driver-unchecked forever; new queries are never-checked) —
+    #    UNLESS never-checked genuinely overflow the 50 slots, in
+    #    which case every displaced one must be queued in
+    #    pending_first_check so it enters FIFO next round (the r5
+    #    q136 hole: insertion order displaced the same query every
+    #    round)
     never = [q for q in qs if q not in last]
-    assert set(never) <= set(window), f"never-checked outside window: {set(never) - set(window)}"
+    never_displaced = set(never) - set(window)
+    if len(never) <= registry.DRIVER_WINDOW:
+        assert not never_displaced, (
+            f"never-checked outside window: {never_displaced}"
+        )
+    else:
+        assert len(never_displaced) == len(never) - registry.DRIVER_WINDOW
+        assert never_displaced <= set(hist.get("pending_first_check", [])), (
+            f"displaced never-checked not queued: "
+            f"{never_displaced - set(hist.get('pending_first_check', []))}"
+        )
     # 2) touched queries sit inside the window unless never+touched
     #    genuinely overflow the 50 slots; any displaced touched query
     #    must be among the MOST recently driver-verified of the
@@ -95,3 +110,53 @@ def test_registry_contract():
     # window is exactly DRIVER_WINDOW when the registry is bigger
     assert len(qs) > registry.DRIVER_WINDOW
     assert len(registry.deferred_names()) == len(qs) - registry.DRIVER_WINDOW
+
+
+def test_overflow_never_checked_rotates_fifo(tmp_path, monkeypatch):
+    """The r5 design hole, simulated: 60 never-checked queries (> 50
+    slots) must ALL receive their first driver row within
+    ceil(60/50) = 2 rounds — the pending_first_check queue carries
+    the displaced tail to the front of the next round's window
+    instead of letting insertion order displace the same queries
+    forever."""
+    names = [f"sim_q{i:03d}" for i in range(60)]
+    hist = {"round": 1, "touched": [], "last_round": {},
+            "pending_first_check": []}
+    hist_path = tmp_path / "window_history.json"
+
+    def ordered() -> list[str]:
+        pending = {q: i for i, q in enumerate(hist["pending_first_check"])}
+        last = hist["last_round"]
+        idx = {q: i for i, q in enumerate(names)}
+
+        def key(q):
+            if q not in last:
+                return (-2, pending.get(q, len(pending)), idx[q])
+            return (0, last[q], idx[q])
+
+        return sorted(names, key=key)
+
+    import json
+
+    from cardano_spark.plans import registry as reg
+
+    monkeypatch.setattr(reg, "_HISTORY_PATH", str(hist_path))
+    first_row: dict[str, int] = {}
+    for rnd in (1, 2):
+        hist_path.write_text(json.dumps(hist))
+        # the registry's own ordering must agree with the simulation
+        assert reg._ordered_names(names) == ordered()
+        window = ordered()[: reg.DRIVER_WINDOW]
+        for q in window:  # driver stamps the window
+            hist["last_round"][q] = rnd
+            first_row.setdefault(q, rnd)
+        # fold (mirrors tools/update_window_history.py)
+        hist["pending_first_check"] = [
+            q for q in ordered()[reg.DRIVER_WINDOW :]
+            if q not in hist["last_round"]
+        ]
+        hist["round"] = rnd + 1
+    assert set(first_row) == set(names), (
+        f"never got a driver row: {set(names) - set(first_row)}"
+    )
+    assert max(first_row.values()) <= 2

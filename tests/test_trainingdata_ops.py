@@ -1848,3 +1848,223 @@ def test_pq_rerank_exact_at_full_shortlist(spark):
     assert codes.count() == n * SIM.PQ_M
     bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16))
     assert bad.count() == 0
+
+
+def test_rare_ngram_scores_planted(spark):
+    """Bigram-LM rarity on a planted corpus: vocabulary = bigrams with
+    multiplicity count >= 2 in the train slice (doc_id % 4 == 0);
+    every doc scored by occurrences outside it; zero-bigram docs
+    (empty / single-token) stay present at (0, 0, 0)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),   # train: bigrams ab,ba,ab,bc
+            (1, "a b x y"),     # ab known; bx,xy rare
+            (2, ""),            # 1 empty token -> no bigrams
+            (3, "z"),           # single token -> no bigrams
+            (4, "a b d e"),     # train: ab,bd,de (count-1 each)
+        ],
+        "doc_id long, text string",
+    )
+    grams = TX.word_ngrams(F.coalesce(F.col("text"), F.lit("")), 2)
+    out = CU.rare_ngram_scores(
+        docs, "doc_id", grams, F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        min_count=2,
+    )
+    got = {r.doc_id: (r.n_ngrams, r.n_rare, r.rare_fp) for r in out.collect()}
+    # vocab: only "a b" (3 occurrences across docs 0 and 4)
+    s = CU.DSIR_SCALE
+    assert got[0] == (4, 2, 2 * s // 4)   # ba, bc rare
+    assert got[1] == (3, 2, 2 * s // 3)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (3, 2, 2 * s // 3)   # bd, de rare
+    assert "CartesianProduct" not in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    rows = [
+        (0, "A", [1.0, 0.0]),
+        (1, "A", [0.9, 0.1]),     # q0's positive
+        (2, "B", [1.0, 0.01]),    # q0's hardest negative
+        (3, "B", [0.0, 1.0]),     # easy negative
+        (4, "B", [0.8, 0.6]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def _cos(a, b):
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_hard_negative_topk_planted(spark, labeled_vecs):
+    probes = labeled_vecs.filter(F.col("vec_id") == 0)
+    out = SIM.hard_negative_topk(
+        labeled_vecs, probes, "vec_id", "embedding", "label", k=2
+    ).collect()
+    # same-label c1 excluded; order: c2 (cos ~ 1) then c4 then c3
+    assert [(r.match_id, r.rank) for r in out] == [(2, 1), (4, 2)]
+    assert all(r.query_label == "A" and r.match_label == "B" for r in out)
+    assert out[0].cos_sim == pytest.approx(
+        _cos([1.0, 0.0], [1.0, 0.01]), abs=1e-12
+    )
+    # single-label corpus: no out-of-label negatives exist -> empty
+    mono = labeled_vecs.withColumn("label", F.lit("A"))
+    assert (
+        SIM.hard_negative_topk(
+            mono, mono.filter(F.col("vec_id") == 0),
+            "vec_id", "embedding", "label", k=2,
+        ).count()
+        == 0
+    )
+
+
+def test_triplet_margin_report_planted(spark, labeled_vecs):
+    probes = labeled_vecs.filter(F.col("vec_id").isin(0, 3))
+    out = {
+        r.query_id: r
+        for r in SIM.triplet_margin_report(
+            labeled_vecs, probes, "vec_id", "embedding", "label"
+        ).collect()
+    }
+    r0 = out[0]
+    assert (r0.pos_id, r0.neg_id) == (1, 2)
+    assert r0.margin == pytest.approx(
+        _cos([1.0, 0.0], [0.9, 0.1]) - _cos([1.0, 0.0], [1.0, 0.01]),
+        abs=1e-12,
+    )
+    assert r0.margin < 0  # nearest neighbor crosses the label boundary
+    r3 = out[3]  # easy B anchor: best positive c4, hardest negative c1
+    assert (r3.pos_id, r3.neg_id) == (4, 1)
+    assert r3.margin > 0
+    # both inner-join drop conditions: no same-label peer -> dropped;
+    # no out-of-label negative (single-label corpus) -> dropped
+    only = labeled_vecs.filter(F.col("vec_id").isin(0, 2))  # A vs B only
+    lone = SIM.triplet_margin_report(
+        only, only, "vec_id", "embedding", "label"
+    )
+    assert lone.count() == 0  # each anchor lacks a same-label peer
+    mono = labeled_vecs.withColumn("label", F.lit("A"))
+    assert (
+        SIM.triplet_margin_report(
+            mono, mono.filter(F.col("vec_id") == 0),
+            "vec_id", "embedding", "label",
+        ).count()
+        == 0
+    )
+
+
+def test_pq_trained_codebook_determinism_and_recall(spark):
+    """pq_codebook_trained is bit-identical under input repartitioning
+    (exact int64 distances + floor-mean `sum div count` updates keep
+    every centroid on the integer grid — nothing partial-agg-order
+    dependent), and training IMPROVES the measured ADC recall over
+    the sample init (sf0.1 measured: 0.219 sampled -> 0.275 trained
+    at 2 rounds -> 0.275+ at 4; floors sit under with drift margin)."""
+    from cardano_spark.catalog import table
+
+    e = table(spark, "/root/testdata/sf0.1", "embeddings")
+    cb = SIM.pq_codebook_trained(e, "vec_id", "embedding", n_iter=2)
+    cb_re = SIM.pq_codebook_trained(
+        e.repartition(7), "vec_id", "embedding", n_iter=2
+    )
+    assert sorted(map(tuple, cb.collect())) == sorted(
+        map(tuple, cb_re.collect())
+    )
+
+    probes = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 52))
+    exact = SIM.brute_force_topk(
+        e, probes, "vec_id", "embedding", k=5
+    ).localCheckpoint()
+
+    def avg(approx):
+        return SIM.recall_at_k(approx, exact).agg(F.avg("recall")).collect()[0][0]
+
+    sampled = avg(SIM.pq_adc_topk(e, probes, "vec_id", "embedding", k=5))
+    trained = avg(
+        SIM.pq_adc_topk(e, probes, "vec_id", "embedding", k=5, codebook=cb)
+    )
+    assert trained >= 0.22
+    assert trained >= sampled - 0.02  # training must not hurt
+
+
+def test_ivfpq_exactness_and_recall(spark):
+    """ivfpq_topk's boundary contract: probing EVERY coarse list with
+    a corpus-wide shortlist degenerates to exact brute force bit for
+    bit (routing passes everything, the rerank IS the exact scorer).
+    At production settings (nprobe 2/8, shortlist 30) the measured
+    recall floor beats the un-reranked trained ADC scan while
+    touching ~1/4 of the corpus."""
+    from cardano_spark.catalog import table
+
+    e = table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = e.count()
+    probes = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 24))
+    exact = SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=3)
+    full = SIM.ivfpq_topk(
+        e, probes, "vec_id", "embedding",
+        k=3, n_coarse=8, nprobe=8, shortlist=n,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    wide = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 52))
+    truth = SIM.brute_force_topk(
+        e, wide, "vec_id", "embedding", k=5
+    ).localCheckpoint()
+    cb = SIM.pq_codebook_trained(e, "vec_id", "embedding", n_iter=2)
+    got = SIM.recall_at_k(
+        SIM.ivfpq_topk(
+            e, wide, "vec_id", "embedding",
+            k=5, n_coarse=8, nprobe=2, shortlist=30, codebook=cb,
+        ),
+        truth,
+    ).agg(F.avg("recall")).collect()[0][0]
+    assert got >= 0.25  # measured 0.331 at sf0.1
+
+
+def test_split_leakage_summary_consistent_with_audit(spark):
+    """q150 is the exact aggregation of q132: per boundary pair, its
+    n_pairs/sum must re-derive from the full audit, exemplars must be
+    the audit's top-3 by (jaccard desc, id_a, id_b), and the output
+    stays <= 9 rows regardless of how many pairs leak."""
+    from cardano_spark.plans.trainingdata import (
+        q132_split_leakage_audit,
+        q150_split_leakage_summary,
+    )
+    from tests.conftest import SF_SMALL
+
+    full = q132_split_leakage_audit(spark, SF_SMALL).collect()
+    summ = q150_split_leakage_summary(spark, SF_SMALL).collect()
+    assert len(summ) <= 9
+    by_pair = {}
+    for r in full:
+        key = tuple(sorted((r.split_a, r.split_b)))
+        by_pair.setdefault(key, []).append(r)
+    seen = {}
+    for r in summ:
+        key = (r.split_x, r.split_y)
+        rows = by_pair[key]
+        assert r.n_pairs == len(rows)
+        assert r.sum_jaccard_fp == sum(
+            int(x.jaccard * 1048576.0) for x in rows
+        )
+        docs = {x.id_a for x in rows} | {x.id_b for x in rows}
+        assert r.n_docs == len(docs)
+        top = sorted(rows, key=lambda x: (-x.jaccard, x.id_a, x.id_b))[:3]
+        assert (r.ex_id_a, r.ex_id_b) == (
+            top[r.rank - 1].id_a, top[r.rank - 1].id_b
+        )
+        seen.setdefault(key, set()).add(r.rank)
+    # every leaking boundary appears, with dense exemplar ranks
+    assert set(seen) == set(by_pair)
+    for key, ranks in seen.items():
+        assert ranks == set(range(1, min(3, len(by_pair[key])) + 1))

@@ -11,7 +11,13 @@ CORRECTNESS_rNN.json for round N):
 - sets ``round`` to the new round;
 - replaces ``touched`` with the queries named on the command line
   (the ones whose plans/semantics the new round intends to change —
-  they jump the rotation queue; extend the list by re-running).
+  they jump the rotation queue; extend the list by re-running);
+- refreshes ``pending_first_check``: never-driver-checked queries
+  that fall OUTSIDE the new round's 50-slot window, in window order.
+  The registry sorts these ahead of other never-checked queries next
+  round (FIFO), so when more than 50 queries are never-checked, none
+  can be displaced indefinitely by newer registrations (the r5 q136
+  hole).
 """
 
 from __future__ import annotations
@@ -52,9 +58,25 @@ def main() -> None:
     with open(HIST, "w", encoding="utf-8") as f:
         json.dump(hist, f, indent=1, sort_keys=True)
         f.write("\n")
+    # Refresh the pending-first-check queue against the NEW history:
+    # the registry re-reads window_history.json on each call, so the
+    # ordering below reflects the stamps written above.
+    sys.path.insert(0, os.path.dirname(HIST).rsplit(os.sep + "cardano_spark", 1)[0])
+    from cardano_spark.plans import registry
+
+    ordered = list(registry.all_queries())
+    last = hist["last_round"]
+    pending = [
+        q for q in ordered[registry.DRIVER_WINDOW :] if q not in last
+    ]
+    hist["pending_first_check"] = pending
+    with open(HIST, "w", encoding="utf-8") as f:
+        json.dump(hist, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(
         f"stamped {len(results)} queries at round {checked_round}; "
-        f"round={new_round}, touched={touched}"
+        f"round={new_round}, touched={touched}, "
+        f"pending_first_check={pending}"
     )
 
 
