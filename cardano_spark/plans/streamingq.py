@@ -96,6 +96,22 @@ def q78_stream_watermark_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q117's arrival gate as a REAL Structured Streaming job
+    (streaming/jobs.py::quality_gate_stream): per microbatch, each
+    arriving doc clears the near-dup probe (against the accumulated
+    foreachBatch-carried band index), the 3-gram benchmark
+    decontamination gate (stream-static broadcast), and the shared
+    quality formula. Union of microbatch flag frames must equal the
+    BATCH q117 regardless of arrival batching — oracle is q117's SQL
+    verbatim (the q136 convergence-contract discipline applied to
+    the complete quality gate), and pytest pins equality at 1/3/5
+    arrival files."""
+    from cardano_spark.streaming.jobs import quality_gate_stream
+
+    return quality_gate_stream(spark, sf_dir)
+
+
 def q136_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental near-dup gate (q66's loop) as a REAL
     Structured Streaming job: documents arrive in 3 file batches,
@@ -115,6 +131,7 @@ def q136_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q136_stream_neardup_gate": q136_stream_neardup_gate,
+    "q151_stream_quality_gate": q151_stream_quality_gate,
     "q48_stream_exact_dedup": q48_stream_exact_dedup,
     "q51_stream_sessionize": q51_stream_sessionize,
     "q65_stream_interval_join": q65_stream_interval_join,
@@ -203,3 +220,7 @@ from cardano_spark.plans.trainingdata import TRAININGDATA_ORACLES as _TDO
 STREAMING_ORACLES["q136_stream_neardup_gate"] = _TDO[
     "q22_minhash_lsh_neardup"
 ]
+
+# same discipline for the streaming quality gate: the union of
+# microbatch flag frames must equal batch q117 exactly.
+STREAMING_ORACLES["q151_stream_quality_gate"] = _TDO["q117_arrival_gate"]

@@ -565,3 +565,167 @@ def incremental_neardup_stream(
 
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def quality_gate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    n_arrival_files: int = 3,
+) -> DataFrame:
+    """q117's arrival gate (near-dup probe + benchmark
+    decontamination + quality floor) as a REAL Structured Streaming
+    job — the streaming twin of ``build-corpus``'s daily-increment
+    mode: documents land as files, and every microbatch clears each
+    arriving document through all three gates against the
+    ACCUMULATED corpus state carried across triggers via
+    ``foreachBatch``:
+
+    - is_neardup: the batch is signed/banded ONCE and probed against
+      the accumulated band index (q136's state — cost ∝ |batch|, the
+      historical corpus is never re-hashed); a doc is flagged when
+      any verified pair's larger side is it.
+    - is_contaminated: q58's 3-gram overlap gate against the STATIC
+      benchmark frame (stream-static broadcast, stateless — the
+      bench set is localCheckpointed once, not re-derived per
+      trigger).
+    - quality_ok: the shared q30 formula + 5-token floor, map-side.
+
+    CONVERGENCE CONTRACT (what the oracle checks): each arriving doc
+    is flagged exactly once, with flags identical to the BATCH q117
+    over the same slice, REGARDLESS of how arrivals are split into
+    batches (arrival files are id-ranged, so a pair's larger side
+    always arrives with-or-after its smaller side — the q136
+    discipline). Oracle = q117's SQL verbatim; pytest additionally
+    pins equality at 1/3/5 arrival files.
+
+    A real deployment points the stream at its landing directory and
+    persists seen/index via ParquetMergeSink between runs; the
+    id-ranged re-write below is the test-harness side only."""
+    import os
+    import shutil
+    import tempfile
+
+    from cardano_spark.catalog import table as _table
+    from cardano_spark.functions import text as TX
+    from cardano_spark.operators import curation as CU
+    from cardano_spark.operators import dedup as DD
+
+    d = _table(spark, docs_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    existing = d.filter(F.col("doc_id") < 300).localCheckpoint(eager=True)
+    new = d.filter(F.col("doc_id") >= 300)
+    bench = (
+        _table(spark, docs_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .localCheckpoint(eager=True)
+    )
+
+    ids = sorted(r[0] for r in new.select("doc_id").collect())
+    cuts = [
+        ids[(len(ids) * i) // n_arrival_files]
+        for i in range(1, n_arrival_files)
+    ] + [ids[-1] + 1]
+    tmp = tempfile.mkdtemp(prefix="quality_gate_stream_")
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = new.filter(
+            (F.col("doc_id") < hi)
+            & (F.col("doc_id") >= (lo if lo is not None else -(1 << 62)))
+        )
+        part.coalesce(1).write.parquet(os.path.join(tmp, f"arrival={i}"))
+        lo = hi
+
+    shingles = TX.distinct_tokens(F.col("text"))
+    state: dict = {
+        "seen": existing,
+        "index": DD.band_index(existing, "doc_id", shingles).localCheckpoint(
+            eager=True
+        ),
+        "flags": [],
+    }
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        pairs = DD.incremental_minhash_pairs(
+            state["seen"],
+            batch,
+            "doc_id",
+            shingles,
+            threshold=0.8,
+            existing_index=state["index"],
+        )
+        # id-ranged arrivals put every pair's larger side in THIS
+        # batch, so flagging id_b reproduces q117's keep-first rule
+        dups = (
+            pairs.select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("_dup", F.lit(1))
+        )
+        contam = CU.benchmark_contamination(
+            batch,
+            bench,
+            "doc_id",
+            TX.ngram_shingles(F.col("text"), 3),
+            TX.ngram_shingles(F.col("text"), 3),
+        ).select("doc_id", "contamination")
+        n_tok = F.size(TX.tokens(F.col("text")))
+        flags = (
+            batch.select(
+                "doc_id",
+                F.when(
+                    (TX.quality_score(F.col("text")) >= 0.3) & (n_tok >= 5), 1
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("quality_ok"),
+            )
+            .join(dups, "doc_id", "left")
+            .join(contam, "doc_id")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_dup"), F.lit(0))
+                .cast("long")
+                .alias("is_neardup"),
+                F.when(F.col("contamination") > 0.05, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("is_contaminated"),
+                "quality_ok",
+            )
+            .withColumn(
+                "keep",
+                (
+                    (F.col("is_neardup") == 0)
+                    & (F.col("is_contaminated") == 0)
+                    & (F.col("quality_ok") == 1)
+                ).cast("long"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state["flags"].append(flags)
+        state["seen"] = state["seen"].unionByName(batch).localCheckpoint(
+            eager=True
+        )
+        state["index"] = (
+            state["index"]
+            .unionByName(DD.band_index(batch, "doc_id", shingles))
+            .localCheckpoint(eager=True)
+        )
+
+    schema = new.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(tmp + "/arrival=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["flags"][0]
+    for p in state["flags"][1:]:
+        out = out.unionByName(p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

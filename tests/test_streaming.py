@@ -635,3 +635,32 @@ def test_incremental_neardup_stream_converges(spark):
         assert len(rows) == len(got), f"double-reported pair at {n_files}"
         assert got == batch, n_files
     assert batch, "fixture has no near-dup pairs"
+
+
+def test_quality_gate_stream_converges(spark):
+    """Batching-invariance for the streaming quality gate: the union
+    of per-microbatch flag frames equals the BATCH q117 arrival gate
+    for ANY arrival split (1, 3, 5 files), each doc is flagged
+    exactly once, and the gate flags are non-trivial on the
+    fixture."""
+    from cardano_spark.plans.trainingdata import q117_arrival_gate
+    from cardano_spark.streaming.jobs import quality_gate_stream
+    from tests.conftest import SF_SMALL
+
+    batch = {
+        r.doc_id: (r.is_neardup, r.is_contaminated, r.quality_ok, r.keep)
+        for r in q117_arrival_gate(spark, SF_SMALL).collect()
+    }
+    for n_files in (1, 3, 5):
+        rows = quality_gate_stream(
+            spark, SF_SMALL, n_arrival_files=n_files
+        ).collect()
+        got = {
+            r.doc_id: (r.is_neardup, r.is_contaminated, r.quality_ok, r.keep)
+            for r in rows
+        }
+        assert len(rows) == len(got), f"double-flagged doc at {n_files}"
+        assert got == batch, n_files
+    assert batch, "fixture has no arriving docs"
+    # the gates actually fire on the fixture (not vacuously clean)
+    assert any(v[3] == 0 for v in batch.values())
