@@ -2455,6 +2455,36 @@ def q149_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ training decision as a DRIVER-VERIFIED measurement
+    (q106's discipline applied to the q143/q148 pair): per probe
+    ([36, 44), the PQ probe range), recall@5 of the sample-init ADC
+    scan AND the trained-codebook ADC scan against exact brute-force
+    ground truth, labeled by strategy — the number that justifies
+    paying the 2-round training cost (sf0.1 mean: 0.219 sampled vs
+    0.275 trained). Integer hit/true counts + one IEEE division;
+    the exact frame is localCheckpointed once for both recall joins."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 44))
+    exact = SIM.brute_force_topk(
+        e, probes, "vec_id", "embedding", k=5
+    ).localCheckpoint(eager=False)
+    sampled = SIM.pq_adc_topk(e, probes, "vec_id", "embedding", k=5)
+    cb = SIM.pq_codebook_trained(e, "vec_id", "embedding", n_iter=2)
+    trained = SIM.pq_adc_topk(
+        e, probes, "vec_id", "embedding", k=5, codebook=cb
+    )
+    rs = SIM.recall_at_k(sampled, exact).withColumn(
+        "strategy", F.lit("pq_sampled")
+    )
+    rt = SIM.recall_at_k(trained, exact).withColumn(
+        "strategy", F.lit("pq_trained")
+    )
+    return rs.unionByName(rt).select(
+        "strategy", "query_id", "n_hit", "n_true", "recall"
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2545,6 +2575,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q148_pq_trained_topk": q148_pq_trained_topk,
     "q149_ivfpq_topk": q149_ivfpq_topk,
     "q150_split_leakage_summary": q150_split_leakage_summary,
+    "q152_pq_recall_report": q152_pq_recall_report,
 }
 
 
@@ -4937,4 +4968,79 @@ TRAININGDATA_ORACLES["q150_split_leakage_summary"] = f"""
     JOIN agg a USING (split_x, split_y)
     JOIN dc c USING (split_x, split_y)
     WHERE e.rn <= 3
+"""
+
+
+# q152: both ADC strategies and the exact ground truth restated in
+# SQL over the shared trained chain — d1 (round-1 distances vs the
+# sample-init cb0) doubles as the sampled encode, so nothing is
+# recomputed differently from q143/q148's own oracles.
+TRAININGDATA_ORACLES["q152_pq_recall_report"] = f"""
+    {_pq_trained_chain(36, 44)}, codes0 AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS code
+      FROM d1 GROUP BY vec_id, m
+    ), ptab0 AS (
+      SELECT s.vec_id AS query_id, s.m, c.k AS code,
+             {_pq_sqdist_sql('s.sv', 'c.cv')} AS pd
+      FROM sub s JOIN cb0 c ON c.m = s.m
+      WHERE s.vec_id >= 36 AND s.vec_id < 44
+    ), adc_s AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes0 co JOIN ptab0 pt ON pt.m = co.m AND pt.code = co.code
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    ), top_s AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+        ) AS rn FROM adc_s
+      ) WHERE rn <= 5
+    ), adc_t AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes co JOIN ptab pt ON pt.m = co.m AND pt.code = co.code
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    ), top_t AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+        ) AS rn FROM adc_t
+      ) WHERE rn <= 5
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), ex AS (
+      SELECT query_id, match_id FROM (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY {_COS.replace('va', 'qv.e').replace('vb', 'cv.e')} DESC,
+                          cv.vec_id ASC
+               ) AS rank
+        FROM v qv JOIN v cv
+          ON qv.vec_id >= 36 AND qv.vec_id < 44 AND cv.vec_id <> qv.vec_id
+      ) WHERE rank <= 5
+    ), truth AS (
+      SELECT query_id, count(*) AS n_true FROM ex GROUP BY query_id
+    ), hit_s AS (
+      SELECT e.query_id, count(*) AS n_hit
+      FROM ex e JOIN top_s a USING (query_id, match_id)
+      GROUP BY e.query_id
+    ), hit_t AS (
+      SELECT e.query_id, count(*) AS n_hit
+      FROM ex e JOIN top_t a USING (query_id, match_id)
+      GROUP BY e.query_id
+    )
+    SELECT 'pq_sampled' AS strategy, t.query_id,
+           coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           t.n_true::BIGINT AS n_true,
+           coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE AS recall
+    FROM truth t LEFT JOIN hit_s h USING (query_id)
+    UNION ALL
+    SELECT 'pq_trained', t.query_id,
+           coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           t.n_true::BIGINT AS n_true,
+           coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE AS recall
+    FROM truth t LEFT JOIN hit_t h USING (query_id)
 """
