@@ -1034,3 +1034,127 @@ def minhash_estimate_report(
         "exact_j",
         F.abs(F.col("est_j") - F.col("exact_j")).alias("abs_err"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every positional k-gram of the
+    token stream, then in each window of ``w`` consecutive hash
+    positions select the MINIMUM hash (ties to the leftmost
+    position), and keep the distinct selections. The guarantee the
+    paper proves: any token run of length >= w + k - 1 shared by two
+    documents shares at least one selected fingerprint, while only
+    ~2/(w+1) of positions are kept — substring-granular overlap
+    detection (plagiarism, quotation, partial copies) with a BOUNDED
+    index, the gap between q32's whole-doc fingerprint and q110's
+    every-position census.
+
+    Shape: entirely map-side until the final explode — per row one
+    positional-hash array (the q110 window-hash discipline,
+    md5_long over the joined k-gram), one sliding argmin pass
+    (array_min over (hash, pos) structs — lexicographic struct
+    comparison, identical in DuckDB), one distinct. No exchange at
+    all; the fingerprint frame is the slim (id, pos, fp) index a
+    100 TB deployment stores bucketed by fp. Documents shorter than
+    w + k - 1 tokens emit nothing (no full window exists).
+
+    Returns (``id_col``, ``pos``, ``fp``) — pos is the 1-based token
+    position of the selected k-gram."""
+    from cardano_spark.functions.hashing import md5_long
+
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_h = F.size(toks) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: F.struct(
+            md5_long(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
+            i.cast("long").alias("pos"),
+        ),
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.when(n_h >= 1, hashes)
+        .otherwise(F.array().cast("array<struct<h:long,pos:long>>"))
+        .alias("_hs"),
+    ).withColumn("_nw", F.size(F.col("_hs")) - F.lit(w - 1))
+    sels = F.transform(
+        F.sequence(F.lit(1), F.col("_nw")),
+        lambda s: F.array_min(F.slice(F.col("_hs"), s, w)),
+    )
+    # the checkpoint is load-bearing, not a cache hint: CollapseProject
+    # inlines a non-cheap alias referenced once, and `_sel`'s transform
+    # references `_hs` exactly once — inlined, the n-gram md5 array
+    # re-evaluates PER WINDOW (the q22 HOF-CSE lesson, here quadratic;
+    # unkillable runtimes measured at sf0.1). Materializing the
+    # selection frame pins one evaluation per row, and q154's
+    # self-join reads it instead of re-running the chain per side.
+    # Slim state: ~2n/(w+1) 16-byte structs per doc — this IS the
+    # index a deployment stores.
+    raw = staged.select(
+        id_col,
+        F.when(F.col("_nw") >= 1, sels)
+        .otherwise(F.array().cast("array<struct<h:long,pos:long>>"))
+        .alias("_sel"),
+    ).localCheckpoint(eager=False)
+    # duplicate selections are provably ADJACENT (two windows picking
+    # the same (h, pos) are at most w-1 apart, and every window
+    # between them is a subset of their union, so it picks it too) —
+    # so adjacent-dedup IS distinct, at O(n) per row instead of
+    # array_distinct's O(n^2) pairwise struct scan
+    fps = raw.select(
+        id_col,
+        F.filter(
+            F.col("_sel"),
+            lambda x, i: (i == F.lit(0))
+            | (x != F.element_at(F.col("_sel"), i)),
+        ).alias("_fp"),
+    )
+    ex = fps.select(id_col, F.explode(F.col("_fp")).alias("_s"))
+    return ex.select(
+        id_col,
+        F.col("_s.pos").alias("pos"),
+        F.col("_s.h").alias("fp"),
+    )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Pairwise substring-overlap detection over the winnowing index:
+    documents sharing >= ``min_shared`` distinct selected
+    fingerprints, with the shared count — the MOSS pair report. By
+    the winnowing guarantee this catches every pair sharing a token
+    run of length >= w + k - 1 (each shared run contributes a shared
+    selection; fingerprint-value collisions can only ADD pairs,
+    never hide one).
+
+    Shape: the fingerprint index self-joins on the fp VALUE — an
+    equi-join whose fan-out is bounded by fingerprint frequency (a
+    fp shared by f docs contributes C(f,2) candidate rows; winnowing
+    keeps ~2/(w+1) of positions, and boilerplate-heavy fps behave
+    like the q81 span-df regime — cap them upstream with a df filter
+    if a corpus's chrome dominates). One exchange on fp, one on the
+    pair key with map-side partial counts."""
+    fp = winnowing_fingerprints(docs, id_col, text_col, k=k, w=w)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("fp").alias("_f"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("fp").alias("_f"))
+    return (
+        a.join(b, "_f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_f")
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )

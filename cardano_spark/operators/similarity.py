@@ -1486,8 +1486,14 @@ def pq_codebook_trained(
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     staged = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_qa"))
-    subs = staged.select(id_col, _pq_subspaces(F.col("_qa")).alias("s")).select(
-        id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    # each Lloyd round (and q148/q152's post-loop encode) consumes
+    # this frame — checkpoint so the corpus scan + quantize + explode
+    # run ONCE, not once per round (8 slim longs per vector per
+    # subspace: checkpointable at any corpus size)
+    subs = (
+        staged.select(id_col, _pq_subspaces(F.col("_qa")).alias("s"))
+        .select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .localCheckpoint(eager=False)
     )
     cb = pq_codebook(corpus, id_col, vec_col, n_centroids).localCheckpoint(
         eager=False

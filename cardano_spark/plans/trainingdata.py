@@ -2455,6 +2455,37 @@ def q149_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing fingerprint index (Schleimer et al. 2003, MOSS —
+    dedup.winnowing_fingerprints, k=5-gram hashes, window w=4):
+    ~2/(w+1) of positions selected, yet every shared token run of
+    length >= w+k-1 = 8 between any two documents is guaranteed to
+    share a selection — substring-granular overlap detection with a
+    bounded index, between q32's whole-doc hash and q110's
+    every-position census. Entirely map-side (one explode, zero
+    exchanges); selection = lexicographic (hash, pos) argmin, so
+    both engines pick identical fingerprints."""
+    d = table(spark, sf_dir, "documents")
+    return DD.winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+
+
+def q154_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS pair report over q153's index: document pairs sharing
+    >= 2 distinct selected fingerprints, with the shared count (the
+    winnowing guarantee makes this catch every pair sharing a token
+    run >= 8; value collisions can only add pairs, never hide one).
+    The index self-joins on the fingerprint VALUE — fan-out bounded
+    by fingerprint frequency, the q81 span-df regime, never
+    all-pairs. Same doc_id % 4 slice as q25 for a direct comparison:
+    Jaccard measures bag overlap, this measures RUN overlap."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return DD.winnowing_overlap_pairs(
+        d, "doc_id", "text", k=5, w=4, min_shared=2
+    )
+
+
 def q152_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ training decision as a DRIVER-VERIFIED measurement
     (q106's discipline applied to the q143/q148 pair): per probe
@@ -2576,6 +2607,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q149_ivfpq_topk": q149_ivfpq_topk,
     "q150_split_leakage_summary": q150_split_leakage_summary,
     "q152_pq_recall_report": q152_pq_recall_report,
+    "q153_winnowing_fingerprints": q153_winnowing_fingerprints,
+    "q154_winnowing_overlap": q154_winnowing_overlap,
 }
 
 
@@ -5043,4 +5076,49 @@ TRAININGDATA_ORACLES["q152_pq_recall_report"] = f"""
            t.n_true::BIGINT AS n_true,
            coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE AS recall
     FROM truth t LEFT JOIN hit_t h USING (query_id)
+"""
+
+
+# q153/q154: winnowing — positional k-gram hashes, sliding struct
+# argmin (lexicographic (h, pos): min hash, ties leftmost — Spark
+# array_min and DuckDB list_aggregate 'min' compare structs the same
+# way), then row-level DISTINCT (DuckDB's list_distinct is not
+# implemented for structs; the set is identical either way).
+def _winnow_sel_sql(k: int, w: int) -> str:
+    toks = "string_split(coalesce(text, ''), ' ')"
+    gram = f"array_to_string(({toks})[i : i + {k - 1}], ' ')"
+    hs = (
+        f"CASE WHEN len({toks}) - {k - 1} >= 1 THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> struct_pack(h := {md5_long_sql(gram)}, pos := i::BIGINT)) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {hs} AS hs FROM documents
+    ), sel AS (
+      SELECT DISTINCT doc_id, s['pos']::BIGINT AS pos, s['h']::BIGINT AS fp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(hs) - {w - 1}),
+                 s -> list_aggregate(hs[s : s + {w - 1}], 'min'))) AS s
+        FROM h WHERE len(hs) - {w - 1} >= 1
+      )
+    )"""
+
+
+TRAININGDATA_ORACLES["q153_winnowing_fingerprints"] = f"""
+    {_winnow_sel_sql(5, 4)}
+    SELECT doc_id, pos, fp FROM sel
+"""
+
+TRAININGDATA_ORACLES["q154_winnowing_overlap"] = f"""
+    {_winnow_sel_sql(5, 4).replace("FROM documents",
+                                   "FROM documents WHERE doc_id % 4 = 0")}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(DISTINCT a.fp)::BIGINT AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.fp) >= 2
 """

@@ -2068,3 +2068,84 @@ def test_split_leakage_summary_consistent_with_audit(spark):
     assert set(seen) == set(by_pair)
     for key, ranks in seen.items():
         assert ranks == set(range(1, min(3, len(by_pair[key])) + 1))
+
+
+def test_winnowing_guarantee_and_reference(spark):
+    """The Schleimer et al. 2003 contract on planted docs: (a) the
+    selection equals a sequential reference implementation exactly
+    (min hash per window, ties leftmost, distinct); (b) two documents
+    sharing a token run of length >= w + k - 1 share at least one
+    fingerprint; (c) short docs emit nothing; (d) the pair report
+    finds exactly the run-sharing pair."""
+    import hashlib
+
+    k, w = 5, 4
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, run + " one two three four five six"),
+            (2, "x1 y1 z1 w1 " + run + " p q r"),     # shares the run
+            (3, "p2 q2 r2 s2 t2 u2 v2 w2 x2 y2 z2"),  # disjoint
+            (4, "too short"),                          # < w+k-1 tokens
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.winnowing_fingerprints(docs, "doc_id", "text", k=k, w=w)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def reference(text: str) -> set:
+        toks = (text or "").split(" ")
+        hs = [
+            (md5_long(" ".join(toks[i : i + k])), i + 1)
+            for i in range(len(toks) - k + 1)
+        ]
+        sels = set()
+        for s in range(len(hs) - w + 1):
+            sels.add(min(hs[s : s + w]))  # (hash, pos): ties leftmost
+        return {(pos, h) for h, pos in sels}
+
+    for r in docs.collect():
+        expect = reference(r.text) if r.text else set()
+        assert got.get(r.doc_id, set()) == expect, r.doc_id
+    assert 4 not in got and 5 not in got
+    # (b) the shared 8-token run forces a shared fingerprint VALUE
+    shared = {f for _, f in got[1]} & {f for _, f in got[2]}
+    assert shared
+    assert not ({f for _, f in got[1]} & {f for _, f in got.get(3, set())})
+    # (d) the pair report finds exactly (1, 2)
+    pairs = DD.winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=k, w=w, min_shared=1
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].n_shared == len(shared)
+
+
+def test_winnowing_density(spark):
+    """Winnowing keeps ~2/(w+1) of positions (the paper's expected
+    density) on real corpus text — the bounded-index claim: between
+    1/w (best case) and 1 (degenerate)."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents")
+    fp = DD.winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+    n_sel = fp.count()
+    n_pos = (
+        d.select(
+            F.greatest(
+                F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+                - F.lit(4),
+                F.lit(0),
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    density = n_sel / n_pos
+    assert 1 / 4 <= density <= 0.75  # expected ~2/(4+1) = 0.4
