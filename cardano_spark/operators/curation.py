@@ -1210,3 +1210,100 @@ def linear_model_scores(
             (F.col("logit") > 0).cast("int").alias("keep"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    toks: Column,
+    terms: DataFrame,
+    k1_x10: int = 12,
+    b_x4: int = 3,
+) -> DataFrame:
+    """BM25 keyword scoring (Robertson & Zaragoza 2009) in EXACT
+    integer arithmetic — the lexical ranker of a hybrid-search stack
+    (ANN retrieves by meaning, this by term statistics; rrf_fuse
+    combines them). ``terms`` is a 1-column (``term``) frame — the
+    parsed query.
+
+    Cross-engine exactness (the q118 ratio_fp discipline): BM25's
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)`` idf is the one piece
+    whose last ulp differs across engines, and ln is monotone — so
+    the scores here keep the RATIONAL idf ``(N - df + 0.5) /
+    (df + 0.5) + 1`` in 2^20 fixed point (identical per-term
+    ordering; the cross-term sum weights rare terms more steeply
+    than true BM25 — documented, deterministic, hash-checkable).
+    The tf saturation uses the standard k1/b defaults as exact
+    rationals (k1 = k1_x10/10, b = b_x4/4), multiplied through by
+    the integer corpus totals so every intermediate is int64:
+
+        idf_fp  = ((2N - 2df + 1) * 2^20) div (2df + 1) + 2^20
+        tf_part = (4 * tf * (10 + k1_x10) * T * 2^20) div
+                  ((40*tf + k1_x10*(4 - b_x4)) * T + k1_x10*b_x4*dl*N)
+        score_fp += (idf_fp * tf_part) div 2^20
+
+    (both sides of the tf ratio are the exact rational scaled by
+    40*T: 40*(k1+1) = 4*(10+k1_x10), 40*k1*(1-b) = k1_x10*(4-b_x4),
+    40*k1*b = k1_x10*b_x4; T = total corpus tokens)
+
+    int64 headroom: idf_fp ~ N * 2^20 and the tf denominator carries
+    dl * N — exact to N ~ 2^21 corpus docs per partition-independent
+    sum; beyond that, pre-scale the fixed point down (the ordering
+    is what downstream consumes).
+
+    Shape: one corpus scan explodes (doc, token) occurrences,
+    semi-joined against the BROADCAST term frame (a parsed query is
+    a handful of rows) before anything aggregates — the corpus-sized
+    exchange carries only matching occurrences. df/tf/dl reduce with
+    map-side partials; N and T are a 1-row broadcast.
+
+    Returns (``id_col``, dl, n_terms_matched, score_fp) for every
+    document with >= 1 matching term."""
+    t = docs.select(F.col(id_col), toks.alias("_t")).select(
+        id_col,
+        F.size(F.col("_t")).cast("long").alias("dl"),
+        F.explode(F.col("_t")).alias("term"),
+    )
+    occ = t.join(F.broadcast(terms.select("term")), "term")
+    totals = docs.select(toks.alias("_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.col("_t"))).cast("long").alias("total_tokens"),
+    )
+    per = occ.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    dfreq = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    kk = int(k1_x10)
+    bb = int(b_x4)
+    scored = (
+        per.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "dl",
+            F.expr(
+                f"((2*n_docs - 2*df + 1) * 1048576) div (2*df + 1) + 1048576"
+            ).alias("_idf_fp"),
+            F.expr(
+                f"(4 * tf * (10 + {kk}) * total_tokens * 1048576) div "
+                f"((40*tf + {kk}*(4 - {bb})) * total_tokens "
+                f"+ {kk}*{bb}*dl*n_docs)"
+            ).alias("_tf_fp"),
+        )
+    )
+    return (
+        scored.select(
+            id_col,
+            "dl",
+            F.expr("(_idf_fp * _tf_fp) div 1048576").alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.first("dl").alias("dl"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("_s").cast("long").alias("score_fp"),
+        )
+    )

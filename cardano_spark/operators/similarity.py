@@ -1672,3 +1672,51 @@ def ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) —
+    the standard hybrid-search combiner: each input frame is one
+    retriever's ranked list (``id_col``, ``rank`` 1-based), and every
+    candidate scores ``sum over lists of 1 / (k_rrf + rank)``. Rank
+    positions only — no score calibration across retrievers, which
+    is why RRF survives mixing a BM25 arm with an ANN arm.
+
+    Exactness: the reciprocal is 2^20 fixed point (``1048576 div
+    (k + rank)``) — integer sums, partial-agg-order free, so the
+    fused ordering is engine-identical (the q118/q139 discipline).
+
+    Shape: ranked lists are topk-bounded by contract (each retriever
+    already cut at its own k), so everything here is probe-sized:
+    one union, one groupBy on the id, one rank window over the
+    fused candidates. Returns (``id_col``, rrf_fp, n_lists, rank),
+    rank <= ``topk`` by (rrf_fp desc, id asc)."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"1048576 div ({int(k_rrf)} + rank)")
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("rrf_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.orderBy(F.desc("rrf_fp"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            id_col, "rrf_fp", "n_lists", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -2486,6 +2486,92 @@ def q154_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_probe_terms(d: DataFrame) -> DataFrame:
+    """The q155/q156 query terms, derived from the corpus itself so
+    the query is self-contained and drop-proof: the 5 tokens ranked
+    11-15 by (occurrence count desc, token asc) — mid-frequency
+    keywords (the head is stop-word-like and matches everything, the
+    tail matches nothing). Vocabulary-sized TakeOrdered, tiny."""
+    occ = d.select(
+        F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "term"
+        )
+    )
+    ranked = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("term"))
+        .limit(15)
+    )
+    w = W.orderBy(F.desc("_n"), F.asc("term"))
+    return (
+        ranked.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") > 10)
+        .select("term")
+    )
+
+
+def q155_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (curation.bm25_scores) — the lexical
+    ranker of a hybrid-search stack: top-10 documents for a 5-term
+    query by exact-integer BM25 (rational idf in 2^20 fixed point —
+    ln is monotone, so per-term ordering matches true BM25; the
+    cross-term sum weights rare terms more steeply, documented in
+    the operator). Query terms are the corpus's tokens ranked 11-15
+    by frequency (mid-frequency keywords, derived in-query so the
+    statement is drop-proof). One corpus scan, occurrences semi-join
+    the broadcast term frame BEFORE any aggregate."""
+    d = table(spark, sf_dir, "documents")
+    scores = CU.bm25_scores(
+        d,
+        "doc_id",
+        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+        _bm25_probe_terms(d),
+    )
+    # TakeOrdered cut FIRST (distributed), then the rank window runs
+    # on 10 rows — a bare global row_number here would funnel every
+    # scored doc through one partition (the q43 lesson)
+    top = scores.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(10)
+    w = W.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "dl",
+        "n_terms_matched",
+        "score_fp",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q156_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the composition every RAG deployment runs:
+    a LEXICAL arm (q155's BM25 top-20) and a SEMANTIC arm (exact
+    cosine top-20 for probe vec_id 7 over the document embeddings —
+    vec_id aligns 1:1 with doc_id in this corpus) fused by
+    reciprocal-rank fusion (similarity.rrf_fuse, integer 2^20
+    reciprocals — rank positions only, no score calibration across
+    arms, which is exactly why RRF is the standard combiner).
+    Everything past the two retrievers is probe-sized."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    scores = CU.bm25_scores(
+        d,
+        "doc_id",
+        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+        _bm25_probe_terms(d),
+    )
+    # same TakeOrdered-then-rank shape as q155 (no corpus-sized
+    # global window)
+    lex_top = scores.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(20)
+    wl = W.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    lex = lex_top.withColumn("rank", F.row_number().over(wl)).select(
+        "doc_id", "rank"
+    )
+    sem = SIM.brute_force_topk(
+        e, e.filter(F.col("vec_id") == 7), "vec_id", "embedding", k=20
+    ).select(F.col("match_id").alias("doc_id"), "rank")
+    return SIM.rrf_fuse([lex, sem], "doc_id", k_rrf=60, topk=10)
+
+
 def q152_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ training decision as a DRIVER-VERIFIED measurement
     (q106's discipline applied to the q143/q148 pair): per probe
@@ -2609,6 +2695,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q152_pq_recall_report": q152_pq_recall_report,
     "q153_winnowing_fingerprints": q153_winnowing_fingerprints,
     "q154_winnowing_overlap": q154_winnowing_overlap,
+    "q155_bm25_topk": q155_bm25_topk,
+    "q156_hybrid_rrf": q156_hybrid_rrf,
 }
 
 
@@ -5121,4 +5209,91 @@ TRAININGDATA_ORACLES["q154_winnowing_overlap"] = f"""
     FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(DISTINCT a.fp) >= 2
+"""
+
+
+# q155/q156: the exact-integer BM25 chain restated — `//` and `div`
+# agree (all operands positive), idf is the rational 2^20 fixed-point
+# form (ln is monotone; see curation.bm25_scores), and the probe
+# terms derive from the corpus in-statement (frequency ranks 11-15; the synthetic
+# vocabulary has ~31 distinct tokens).
+_BM25_CHAIN = """
+    WITH tok AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok
+    ), vocab AS (
+      SELECT term, count(*)::BIGINT AS n FROM occ GROUP BY term
+    ), probe AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+        FROM vocab
+      ) WHERE r > 10 AND r <= 15
+    ), totals AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(len(t))::BIGINT AS total_tokens
+      FROM tok
+    ), per AS (
+      SELECT o.doc_id, o.term, count(*)::BIGINT AS tf, min(o.dl) AS dl
+      FROM occ o JOIN probe p USING (term)
+      GROUP BY o.doc_id, o.term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM per GROUP BY term
+    ), sc AS (
+      SELECT per.doc_id, per.dl,
+             (((2*n_docs - 2*df + 1) * 1048576) // (2*df + 1) + 1048576)
+               AS idf_fp,
+             ((4 * tf * 22 * total_tokens * 1048576) //
+              ((40*tf + 12) * total_tokens + 36*dl*n_docs)) AS tf_fp
+      FROM per JOIN dfreq USING (term) CROSS JOIN totals
+    ), bm AS (
+      SELECT doc_id, min(dl)::BIGINT AS dl,
+             count(*)::BIGINT AS n_terms_matched,
+             sum((idf_fp * tf_fp) // 1048576)::BIGINT AS score_fp
+      FROM sc GROUP BY doc_id
+    )"""
+
+TRAININGDATA_ORACLES["q155_bm25_topk"] = f"""
+    {_BM25_CHAIN}
+    SELECT doc_id, dl, n_terms_matched, score_fp, rn::BIGINT AS rank
+    FROM (
+      SELECT doc_id, dl, n_terms_matched, score_fp,
+             row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rn
+      FROM bm
+    ) WHERE rn <= 10
+"""
+
+TRAININGDATA_ORACLES["q156_hybrid_rrf"] = f"""
+    {_BM25_CHAIN}, lex AS (
+      SELECT doc_id, rn AS rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rn
+        FROM bm
+      ) WHERE rn <= 20
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), sem AS (
+      SELECT match_id AS doc_id, rank FROM (
+        SELECT c.vec_id AS match_id,
+               row_number() OVER (
+                 ORDER BY {_COS.replace('va', 'q.e').replace('vb', 'c.e')} DESC,
+                          c.vec_id ASC
+               ) AS rank
+        FROM v q JOIN v c ON q.vec_id = 7 AND c.vec_id <> 7
+      ) WHERE rank <= 20
+    ), fused AS (
+      SELECT doc_id, sum(1048576 // (60 + rank))::BIGINT AS rrf_fp,
+             count(*)::BIGINT AS n_lists
+      FROM (
+        SELECT doc_id, rank FROM lex
+        UNION ALL
+        SELECT doc_id, rank FROM sem
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_fp, n_lists, rn::BIGINT AS rank FROM (
+      SELECT doc_id, rrf_fp, n_lists,
+             row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC) AS rn
+      FROM fused
+    ) WHERE rn <= 10
 """

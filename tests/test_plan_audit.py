@@ -43,6 +43,8 @@ BNL_BUDGET = {
     "q146_hard_negative_topk": 1,  # broadcast probe set vs corpus scan
     "q147_triplet_margin_report": 1,  # same _label_scored_pairs scan
     "q149_ivfpq_topk": 2,  # coarse assignment + probe routing (q36 shape)
+    "q155_bm25_topk": 1,  # 1-row corpus-totals broadcast (q55 idf shape)
+    "q156_hybrid_rrf": 2,  # same totals row + brute-force ANN arm (q27)
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

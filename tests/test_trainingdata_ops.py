@@ -2149,3 +2149,103 @@ def test_winnowing_density(spark):
     )
     density = n_sel / n_pos
     assert 1 / 4 <= density <= 0.75  # expected ~2/(4+1) = 0.4
+
+
+def test_bm25_scores_reference_and_properties(spark):
+    """Exact-integer BM25 against a sequential reference implementing
+    the SAME fixed-point arithmetic, plus the ranking properties that
+    make it BM25: more occurrences score higher, longer docs are
+    penalized at equal tf, rarer terms weigh more, and the ranking
+    agrees with true float BM25 (ln idf, k1=1.2, b=0.75) on the
+    planted corpus."""
+    import math
+
+    docs = [
+        (0, "spark spark spark filler filler filler"),
+        (1, "spark filler filler filler filler filler"),
+        (2, "spark filler"),
+        (3, "catalyst filler filler filler filler filler"),
+        (4, "filler filler filler filler filler filler"),
+        (5, "spark catalyst filler filler filler filler"),
+    ]
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = spark.createDataFrame([("spark",), ("catalyst",)], "term string")
+    out = {
+        r.doc_id: r
+        for r in CU.bm25_scores(
+            frame, "doc_id", TX.tokens(F.col("text")), terms
+        ).collect()
+    }
+
+    # sequential reference, same integer formulas
+    N = len(docs)
+    T = sum(len(t.split(" ")) for _, t in docs)
+    toks = {i: t.split(" ") for i, t in docs}
+    dfreq = {
+        q: sum(1 for i in toks if q in toks[i]) for q in ("spark", "catalyst")
+    }
+    expect = {}
+    for i in toks:
+        s = 0
+        m = 0
+        for q in ("spark", "catalyst"):
+            tf = toks[i].count(q)
+            if not tf:
+                continue
+            m += 1
+            dl = len(toks[i])
+            idf = ((2 * N - 2 * dfreq[q] + 1) * 1048576) // (
+                2 * dfreq[q] + 1
+            ) + 1048576
+            tfp = (4 * tf * 22 * T * 1048576) // (
+                (40 * tf + 12) * T + 36 * dl * N
+            )
+            s += (idf * tfp) // 1048576
+        if m:
+            expect[i] = (len(toks[i]), m, s)
+    assert {
+        i: (r.dl, r.n_terms_matched, r.score_fp) for i, r in out.items()
+    } == expect
+
+    # properties: tf monotone (0 > 1), length penalty (2 > 1),
+    # rarity (3's single rare catalyst > 1's single common spark)
+    assert out[0].score_fp > out[1].score_fp
+    assert out[2].score_fp > out[1].score_fp
+    assert out[3].score_fp > out[1].score_fp
+    assert 4 not in out  # no matching term -> absent
+
+    # ordering agrees with true float BM25 on this corpus
+    def true_bm25(i):
+        s = 0.0
+        for q in ("spark", "catalyst"):
+            tf = toks[i].count(q)
+            if not tf:
+                continue
+            dl = len(toks[i])
+            idf = math.log((N - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * N / T))
+        return s
+
+    fp_order = sorted(out, key=lambda i: (-out[i].score_fp, i))
+    true_order = sorted(out, key=lambda i: (-true_bm25(i), i))
+    assert fp_order == true_order
+
+
+def test_rrf_fuse_reference(spark):
+    """RRF against hand-computed 2^20 integer reciprocals: a doc in
+    both lists beats a higher-ranked doc in one, n_lists counts
+    membership, topk cuts, ties break by id."""
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(11, 1), (13, 2), (10, 3)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in SIM.rrf_fuse([lex, sem], "doc_id", topk=3).collect()}
+    c = lambda r: 1048576 // (60 + r)
+    assert out[11].rrf_fp == c(2) + c(1) and out[11].n_lists == 2
+    assert out[10].rrf_fp == c(1) + c(3) and out[10].n_lists == 2
+    assert out[11].rank == 1 and out[10].rank == 2  # both-list docs lead
+    assert set(out) == {10, 11, 12} or set(out) == {10, 11, 13}
+    third = 12 if 12 in out else 13
+    assert out[third].n_lists == 1
