@@ -1307,3 +1307,55 @@ def bm25_scores(
             F.sum("_s").cast("long").alias("score_fp"),
         )
     )
+
+
+#: the normalization chain shared by normalize_text / normalize_text_sql
+#: — (pattern, replacement), applied IN ORDER. Java regex and RE2 agree
+#: on every construct used here (literal unicode classes, \x escapes,
+#: \s); the chain is deliberately minimal-and-exact rather than full
+#: NFKC (which needs ICU — Python-side, and not oracle-replayable).
+_NORMALIZE_CHAIN: list[tuple[str, str]] = [
+    # zero-width characters out entirely
+    ("[​‌‍﻿]", ""),
+    # control characters (keep \t \n \r for the whitespace collapse)
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+    # typographic quotes/dashes/ellipsis to ASCII
+    ("[‘’‚]", "'"),
+    ("[“”„]", "\""),
+    ("[–—−]", "-"),
+    ("…", "..."),
+    # nbsp + all whitespace runs collapse to one space
+    ("[ \\s]+", " "),
+    # at most one leading/trailing space survives the collapse
+    ("^ | $", ""),
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Deterministic text normalization — the cleanup every corpus
+    pipeline runs BEFORE hashing/dedup (C4 and CCNet both normalize
+    first; un-normalized, the same paragraph with a curly apostrophe
+    or a double space hashes differently and every downstream dedup
+    operator under-recalls): zero-width strip, control-char strip,
+    typographic quotes/dashes/ellipsis to ASCII, whitespace collapse,
+    trim. NULL stays NULL (gate with coalesce at the call site, the
+    q59 discipline).
+
+    A pure per-row regexp_replace chain — shuffle-free, and exactly
+    replayable in SQL (:func:`normalize_text_sql` runs the same
+    chain; Java regex and RE2 agree on every construct used)."""
+    out = text
+    for pat, rep in _NORMALIZE_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text` (same chain, 'g' flag —
+    DuckDB replaces only the first match without it)."""
+    out = expr
+    for pat, rep in _NORMALIZE_CHAIN:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out

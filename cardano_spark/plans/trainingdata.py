@@ -2572,6 +2572,29 @@ def q156_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rrf_fuse([lex, sem], "doc_id", k_rrf=60, topk=10)
 
 
+def q157_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's exact dedup AFTER text normalization
+    (curation.normalize_text: zero-width/control strip, typographic
+    quotes/dashes/ellipsis to ASCII, whitespace collapse) — the
+    order every real pipeline runs (C4/CCNet normalize before
+    hashing): un-normalized, a curly apostrophe or a double space
+    makes byte-identical content hash apart and every downstream
+    dedup under-recalls. Same groupBy-on-digest shape and output
+    contract as q21; the normalization chain is a shuffle-free
+    per-row projection, exactly replayed by the oracle's
+    normalize_text_sql."""
+    d = table(spark, sf_dir, "documents")
+    norm = CU.normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        d.select("doc_id", F.md5(norm).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
 def q152_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ training decision as a DRIVER-VERIFIED measurement
     (q106's discipline applied to the q143/q148 pair): per probe
@@ -2697,6 +2720,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q154_winnowing_overlap": q154_winnowing_overlap,
     "q155_bm25_topk": q155_bm25_topk,
     "q156_hybrid_rrf": q156_hybrid_rrf,
+    "q157_normalized_dedup": q157_normalized_dedup,
 }
 
 
@@ -5296,4 +5320,15 @@ TRAININGDATA_ORACLES["q156_hybrid_rrf"] = f"""
              row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC) AS rn
       FROM fused
     ) WHERE rn <= 10
+"""
+
+
+# q157: the same regexp_replace chain, replayed by normalize_text_sql
+# (RE2 'g' flag = Java regex replace-all; every construct shared).
+TRAININGDATA_ORACLES["q157_normalized_dedup"] = f"""
+    SELECT md5({CU.normalize_text_sql("coalesce(text, '')")}) AS content_md5,
+           min(doc_id) AS canonical_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY 1
 """

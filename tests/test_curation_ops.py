@@ -515,3 +515,84 @@ def test_pps_systematic_sample_zero_total_and_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "CaseWhen" not in plan
     assert "Window" not in plan or "partitionBy" not in plan.lower()
+
+
+def test_normalize_text_planted_and_idempotent(spark):
+    """The normalization chain on planted degenerate inputs: curly
+    quotes/dashes/ellipsis to ASCII, zero-width and control strip,
+    whitespace collapse + trim; NULL passes through; the chain is
+    idempotent (normalize twice == normalize once) and makes
+    byte-different renditions of the same content hash-equal."""
+    rows = [
+        (0, "don\u2019t  stop\u2026 now"),
+        (1, "don't stop... now"),                    # ASCII twin of 0
+        (2, "  spaced\tout text  "),
+        (3, "zero\u200bwidth\x07ctrl"),
+        (4, "\u201cquoted\u201d \u2014 dash"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", CU.normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert out[0] == "don't stop... now"
+    assert out[0] == out[1]
+    assert out[2] == "spaced out text"
+    assert out[3] == "zerowidthctrl"
+    assert out[4] == chr(34) + "quoted" + chr(34) + " - dash"
+    assert out[5] is None
+    assert out[6] == ""
+    # idempotence
+    twice = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id",
+            CU.normalize_text(CU.normalize_text(F.col("text"))).alias("norm"),
+        ).collect()
+    }
+    assert twice == out
+    # the SQL twin produces the same strings
+    import duckdb
+
+    con = duckdb.connect()
+    for i, t in rows:
+        if t is None:
+            continue
+        got = con.execute(
+            f"SELECT {CU.normalize_text_sql('?')}", [t]
+        ).fetchone()[0]
+        assert got == out[i], i
+
+
+def test_normalized_dedup_collapses_variants(spark):
+    """q157's composition: renditions differing only by typography /
+    whitespace collapse into ONE group post-normalization while plain
+    exact dedup keeps them apart — the reason normalization runs
+    before hashing."""
+    from cardano_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (0, "don\u2019t  stop\u2026 now"),
+            (1, "don't stop... now"),
+            (2, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = DD.exact_dedup_groups(df, "doc_id", "text")
+    assert plain.count() == 3  # byte-level: all distinct
+    norm = df.select(
+        "doc_id",
+        F.md5(CU.normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "content_md5"
+        ),
+    ).groupBy("content_md5").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    got = {r.canonical_id: r.n_copies for r in norm.collect()}
+    assert got == {0: 2, 2: 1}
