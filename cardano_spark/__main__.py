@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="export in q140's deterministic epoch-0 shuffle order "
         "(contiguous position-range shards, internally ordered)",
     )
+    corpus.add_argument(
+        "--normalize",
+        action="store_true",
+        help="normalize text before every gate (curation.normalize_text: "
+        "zero-width/control strip, typographic punctuation to ASCII, "
+        "whitespace collapse — the C4/CCNet pre-hashing cleanup)",
+    )
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -186,6 +193,7 @@ def main(
             token_budget_points=args.token_budget_points,
             split_mode=args.split_mode,
             shuffle_order=args.shuffle_order,
+            normalize=args.normalize,
         )
         splits = (
             "; splits " + ", ".join(

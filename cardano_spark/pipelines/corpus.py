@@ -107,6 +107,7 @@ def build_corpus(
     token_budget_points: int | None = None,
     split_mode: str | None = None,
     shuffle_order: bool = False,
+    normalize: bool = False,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -157,12 +158,27 @@ def build_corpus(
     row-level variant of the same guarantee). Retry/re-run/
     repartition stable like every other stage.
 
+    ``normalize``: when True, ``curation.normalize_text`` rewrites
+    the text column FIRST (zero-width/control strip, typographic
+    punctuation to ASCII, whitespace collapse — the C4/CCNet
+    pre-hashing cleanup), so every downstream gate — exact dedup,
+    LSH shingles, contamination, quality, splits, shard hashing —
+    sees normalized content; typography-only renditions collapse in
+    the exact-dedup stage instead of slipping through (q157's
+    demonstration, applied to the deployable pipeline). NULL text
+    stays NULL. A shuffle-free projection; exported documents carry
+    the normalized text.
+
     Determinism: every gate's survivor set is a pure function of the
     input corpus (deterministic survivor rules all the way down), and
     shard membership is a pure function of the content hash — two
     runs over the same input produce identical shards and manifest
     (pinned by tests/test_corpus_pipeline.py).
     """
+    if normalize:
+        docs = docs.withColumn(
+            "text", CU.normalize_text(F.col("text"))
+        )
     n_input = docs.count()
 
     # 1. exact dedup: keep the smallest id per content digest

@@ -2572,6 +2572,78 @@ def q156_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rrf_fuse([lex, sem], "doc_id", k_rrf=60, topk=10)
 
 
+def q158_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus DATASHEET (Gebru et al. 2021's
+    "datasheets for datasets", as a query): one row per source with
+    the numbers a consumer checks before mixing it — volume (docs,
+    tokens), exact-dup mass (distinct digests vs docs), hygiene
+    (NULL-text and short-doc counts), quality (mean of the shared
+    q30 formula, 2^20-fixed-point floor per doc so the cross-row
+    mean is an exact integer sum — the q131 quantized-mean
+    discipline; NULL/empty text excluded), and the dominant language
+    with its share. ONE corpus scan: every per-source stat reduces
+    with map-side partials onto |sources| groups; the lang mode
+    rides a (source, lang) sub-aggregate collapsed by a
+    min(struct(-n, lang)) argmax (ties to the smaller lang string —
+    engine-identical)."""
+    d = table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_tok = F.size(TX.tokens(txt)).cast("long")
+    qfp = F.when(
+        F.col("text").isNotNull() & (F.length("text") > 0),
+        F.floor(TX.quality_score(F.col("text")) * F.lit(1048576.0)).cast(
+            "long"
+        ),
+    )
+    base = d.select(
+        "source",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.md5(txt).alias("_digest"),
+        qfp.alias("_qfp"),
+        F.col("text").isNull().cast("long").alias("_is_null"),
+        (n_tok < 16).cast("long").alias("_short"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.count_distinct("_digest").cast("long").alias("n_distinct_texts"),
+        F.sum("_is_null").cast("long").alias("n_null_text"),
+        F.sum("_short").cast("long").alias("n_short_docs"),
+        F.count("_qfp").cast("long").alias("n_scored"),
+        F.sum("_qfp").cast("long").alias("_qsum"),
+    )
+    top = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.struct((-F.col("_n")).alias("negn"), F.col("lang"))
+            ).alias("_b")
+        )
+        .select(
+            "source",
+            F.col("_b.lang").alias("top_lang"),
+            (-F.col("_b.negn")).cast("long").alias("top_lang_n"),
+        )
+    )
+    return per.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+        "n_null_text",
+        "n_short_docs",
+        F.expr("CASE WHEN n_scored > 0 THEN _qsum div n_scored ELSE 0 END")
+        .cast("long")
+        .alias("mean_quality_fp"),
+        "top_lang",
+        "top_lang_n",
+    )
+
+
 def q157_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21's exact dedup AFTER text normalization
     (curation.normalize_text: zero-width/control strip, typographic
@@ -2721,6 +2793,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q155_bm25_topk": q155_bm25_topk,
     "q156_hybrid_rrf": q156_hybrid_rrf,
     "q157_normalized_dedup": q157_normalized_dedup,
+    "q158_corpus_datasheet": q158_corpus_datasheet,
 }
 
 
@@ -5331,4 +5404,54 @@ TRAININGDATA_ORACLES["q157_normalized_dedup"] = f"""
            count(*)::BIGINT AS n_copies
     FROM documents
     GROUP BY 1
+"""
+
+
+# q158: the datasheet restated — same quantized quality floor, same
+# min(struct(-n, lang)) language argmax; DuckDB `//` on positive
+# operands = Spark `div`.
+TRAININGDATA_ORACLES["q158_corpus_datasheet"] = f"""
+    WITH base AS (
+      SELECT source, lang,
+             len({TX.tokens_sql("coalesce(text, '')")})::BIGINT AS n_tok,
+             md5(coalesce(text, '')) AS digest,
+             CASE WHEN text IS NOT NULL AND length(text) > 0 THEN
+               CAST(floor((
+                 0.5 * ({TX.stopword_hits_sql(TX.tokens_sql('text'), 'en')}::DOUBLE
+                        / len({TX.tokens_sql('text')})::DOUBLE)
+                 + 0.3 * (least(len({TX.tokens_sql('text')}), 100)::DOUBLE / 100.0)
+                 + 0.2 * (1.0 - {TX.punct_count_sql('text')}::DOUBLE
+                          / length(text)::DOUBLE)
+               ) * 1048576.0) AS BIGINT)
+             END AS qfp,
+             CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null
+      FROM documents
+    ), per AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS total_tokens,
+             count(DISTINCT digest)::BIGINT AS n_distinct_texts,
+             sum(is_null)::BIGINT AS n_null_text,
+             sum(CASE WHEN n_tok < 16 THEN 1 ELSE 0 END)::BIGINT
+               AS n_short_docs,
+             count(qfp)::BIGINT AS n_scored,
+             sum(qfp)::BIGINT AS qsum
+      FROM base GROUP BY source
+    ), lc AS (
+      SELECT source, lang, count(*)::BIGINT AS n
+      FROM base GROUP BY source, lang
+    ), top AS (
+      SELECT source,
+             min(struct_pack(negn := -n, lang := lang))['lang'] AS top_lang,
+             (-min(struct_pack(negn := -n, lang := lang))['negn'])::BIGINT
+               AS top_lang_n
+      FROM lc GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.n_distinct_texts,
+           (p.n_docs - p.n_distinct_texts)::BIGINT AS n_exact_dups,
+           p.n_null_text, p.n_short_docs,
+           (CASE WHEN p.n_scored > 0 THEN p.qsum // p.n_scored
+                 ELSE 0 END)::BIGINT AS mean_quality_fp,
+           t.top_lang, t.top_lang_n
+    FROM per p JOIN top t USING (source)
 """

@@ -322,3 +322,38 @@ def test_cli_build_corpus_split_flags(spark, tmp_path, capsys):
     with open(f"{dest}/train/_manifest.json", encoding="utf-8") as f:
         m = json.load(f)
     assert m["n_rows"] > 0
+
+
+def test_build_corpus_normalize_collapses_variants(spark, tmp_path):
+    """normalize=True runs the q157 cleanup before every gate:
+    typography-only renditions collapse in the exact-dedup stage
+    (without it they both survive), and exported text is the
+    normalized form."""
+    from cardano_spark.operators import curation as CU
+
+    base = ("the quick brown fox jumps over the lazy dog and runs on "
+            "through the quiet field while the sun sets over the hills")
+    curly = base.replace("the quick", "the\u00a0 quick").replace(
+        "dog", "dog\u200b"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "web", len(base)),
+            (2, curly, "en", "web", len(curly)),
+            (3, "another long and different document with plenty of the "
+                "usual common words to pass the quality gate", "en", "web", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plain = build_corpus(spark, docs, str(tmp_path / "a"), n_shards=1)
+    assert plain.n_after_exact == 3  # byte-level: variants both survive
+    norm = build_corpus(
+        spark, docs, str(tmp_path / "b"), n_shards=1, normalize=True
+    )
+    assert norm.n_after_exact == 2   # variants collapsed, keep doc 1
+    exported = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "b")).collect()
+    }
+    assert 2 not in exported
+    assert exported[1] == base  # normalized form (base is already clean)

@@ -2249,3 +2249,61 @@ def test_rrf_fuse_reference(spark):
     assert set(out) == {10, 11, 12} or set(out) == {10, 11, 13}
     third = 12 if 12 in out else 13
     assert out[third].n_lists == 1
+
+
+def test_corpus_datasheet_planted(spark, monkeypatch):
+    """The per-source datasheet on a planted corpus with known
+    answers for every column: volume, exact-dup mass, hygiene
+    counts, quantized mean quality, and the language mode with
+    deterministic tie-break (smaller lang string wins a count tie)."""
+    from cardano_spark.catalog import table as real_table
+    from cardano_spark.plans import trainingdata as TD
+
+    good = "the quick brown fox jumps over the lazy dog runs on and " \
+           "on through the field while the sun sets over the hills"
+    rows = [
+        (0, good, "en", "web", len(good)),
+        (1, good, "en", "web", len(good)),       # exact dup of 0
+        (2, "tiny doc", "de", "web", 8),          # short (< 16 tokens)
+        (3, None, "xx", "web", 0),                # NULL text
+        (4, good + " x", "de", "web", len(good) + 2),
+        (5, good, "fr", "books", len(good)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        TD, "table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_table(sp, sf, name),
+    )
+    out = {r.source: r for r in TD.q158_corpus_datasheet(spark, "_").collect()}
+    web = out["web"]
+    assert (web.n_docs, web.n_distinct_texts, web.n_exact_dups) == (5, 4, 1)
+    assert web.n_null_text == 1 and web.n_short_docs == 2  # tiny + NULL
+    assert web.total_tokens == sum(
+        len((t or "").split(" ")) for _, t, _, s, _ in rows if s == "web"
+    )
+    # lang mode: en and de tie at 2 in web (xx has 1) -> 'de'
+    # (the min(struct(-n, lang)) tie-break: smaller lang string)
+    assert (web.top_lang, web.top_lang_n) == ("de", 2)
+    books = out["books"]
+    assert (books.n_docs, books.top_lang, books.top_lang_n) == (1, "fr", 1)
+    # quantized mean: floor(q*2^20) per scored doc, integer div
+    import math
+
+    def q(t):
+        toks = t.split(" ")
+        stop = sum(1 for w in toks if w in ("the", "of", "and", "to", "a",
+                                            "in", "is", "it", "on", "for"))
+        # reuse the repo's own formula pieces for the expected value
+        from cardano_spark.functions.text import STOPWORDS
+        stop = sum(1 for w in toks if w in STOPWORDS["en"])
+        punct = sum(1 for c in t if c in ".,;:!?")
+        return (0.5 * stop / len(toks)
+                + 0.3 * min(len(toks), 100) / 100.0
+                + 0.2 * (1 - punct / len(t)))
+
+    scored = [t for _, t, _, s, _ in rows if s == "web" and t]
+    expect = sum(math.floor(q(t) * 1048576.0) for t in scored) // len(scored)
+    assert web.mean_quality_fp == expect
