@@ -206,3 +206,91 @@ def test_sql_literal_rejects_non_finite_floats():
     for bad in (float("inf"), float("-inf"), float("nan")):
         with pytest.raises(ValueError):
             _sql_literal(bad)
+
+
+# -- round-6 text operators --------------------------------------------------
+
+_doc_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=16))
+def test_normalize_text_idempotent_property(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode,
+    and the DuckDB twin produces the identical string — the property
+    that makes q157's digest grouping a fixed point."""
+    import duckdb
+
+    from cardano_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    once = {
+        r.i: r.n
+        for r in df.select(
+            "i", CU.normalize_text(F.col("t")).alias("n")
+        ).collect()
+    }
+    twice = {
+        r.i: r.n
+        for r in df.select(
+            "i",
+            CU.normalize_text(CU.normalize_text(F.col("t"))).alias("n"),
+        ).collect()
+    }
+    assert twice == once
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        got = con.execute(
+            f"SELECT {CU.normalize_text_sql('?')}", [t]
+        ).fetchone()[0]
+        assert got == once[i], (i, t)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnowing_matches_sequential_reference_property(spark, docs):
+    """winnowing_fingerprints on random small-alphabet token streams
+    equals the sequential reference (min per window, ties leftmost,
+    distinct) — the small alphabet forces hash ties and repeated
+    k-grams, the cases a fixture misses."""
+    import hashlib
+
+    from cardano_spark.operators import dedup as DD
+
+    k, w = 3, 2
+    frame = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {}
+    for r in DD.winnowing_fingerprints(frame, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, toks in enumerate(docs):
+        toks = " ".join(toks).split(" ")  # empty list -> [''], as Spark
+        hs = [
+            (md5_long(" ".join(toks[j : j + k])), j + 1)
+            for j in range(len(toks) - k + 1)
+        ]
+        expect = set()
+        for s in range(len(hs) - w + 1):
+            h, pos = min(hs[s : s + w])
+            expect.add((pos, h))
+        assert got.get(i, set()) == expect, i
