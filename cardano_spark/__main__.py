@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
         "zero-width/control strip, typographic punctuation to ASCII, "
         "whitespace collapse — the C4/CCNet pre-hashing cleanup)",
     )
+    corpus.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        help="annotate the export with q60 packing columns (seq_id, "
+        "seq_offset) for N-token training sequences over the export order",
+    )
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -194,6 +201,7 @@ def main(
             split_mode=args.split_mode,
             shuffle_order=args.shuffle_order,
             normalize=args.normalize,
+            pack_budget=args.pack_budget,
         )
         splits = (
             "; splits " + ", ".join(

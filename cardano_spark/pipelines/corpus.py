@@ -108,6 +108,7 @@ def build_corpus(
     split_mode: str | None = None,
     shuffle_order: bool = False,
     normalize: bool = False,
+    pack_budget: int | None = None,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -168,6 +169,19 @@ def build_corpus(
     demonstration, applied to the deployable pipeline). NULL text
     stays NULL. A shuffle-free projection; exported documents carry
     the normalized text.
+
+    ``pack_budget``: when set, the export carries the TRAINER-facing
+    packing columns (q60's machinery, ``curation.pack_sequences``):
+    each surviving doc is annotated with the ``budget``-token
+    training sequence its first token lands in (``seq_id``) and its
+    offset there (``seq_offset``) — the concat-then-chunk layout a
+    loader materializes without re-deriving the global token stream.
+    Packing runs over the EXPORT ORDER: shuffle-order exports pack
+    along the epoch-0 permutation (position order), plain exports
+    pack in doc_id order; with splits, each split packs its own
+    stream from sequence 0 (a loader never packs across split
+    boundaries). The prefix sum is distributed (range partitions +
+    broadcast offsets — never a global window).
 
     Determinism: every gate's survivor set is a pure function of the
     input corpus (deterministic survivor rules all the way down), and
@@ -283,7 +297,22 @@ def build_corpus(
             split_counts.setdefault(s, 0)
 
     # 8. deterministic sharded export: content-hash shard ranges, or
-    # q140's epoch-0 shuffle order (contiguous position ranges)
+    # q140's epoch-0 shuffle order (contiguous position ranges);
+    # optional q60 packing columns over the export order
+    def _pack(frame: DataFrame, order_col: str) -> DataFrame:
+        if pack_budget is None:
+            return frame
+        toks_n = F.size(
+            TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).cast("long")
+        packed = CU.pack_sequences(
+            frame.select(F.col(order_col), toks_n.alias("_nt")),
+            order_col,
+            F.col("_nt"),
+            int(pack_budget),
+        ).select(order_col, "seq_id", "seq_offset")
+        return frame.join(packed, order_col)
+
     def _export(frame: DataFrame, path: str) -> ShardManifest:
         if shuffle_order:
             skey = F.concat(
@@ -304,8 +333,10 @@ def build_corpus(
                 .withColumn("_order", F.col("_rank").cast("long"))
                 .drop("_skey", "_rank")
             )
-            return write_training_shards(ordered, path, "_order", n_shards)
-        sharded = frame.withColumn(
+            return write_training_shards(
+                _pack(ordered, "_order"), path, "_order", n_shards
+            )
+        sharded = _pack(frame, "doc_id").withColumn(
             "_shard_key",
             md5_long(F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))),
         )

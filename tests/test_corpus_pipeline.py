@@ -357,3 +357,37 @@ def test_build_corpus_normalize_collapses_variants(spark, tmp_path):
     }
     assert 2 not in exported
     assert exported[1] == base  # normalized form (base is already clean)
+
+
+def test_build_corpus_pack_budget_annotations(spark, tmp_path):
+    """pack_budget annotates the export with q60's concat-then-chunk
+    columns over the EXPORT ORDER: token-stream positions reconstruct
+    exactly (seq_id*budget + seq_offset == exclusive prefix sum of
+    token counts in order), every budget boundary is respected, and
+    with shuffle_order the stream follows the epoch-0 permutation."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    budget = 256
+    build_corpus(
+        spark, docs, str(tmp_path / "a"), n_shards=2,
+        shuffle_order=True, pack_budget=budget,
+    )
+    out = spark.read.parquet(str(tmp_path / "a")).select(
+        "_order", "text", "seq_id", "seq_offset"
+    ).orderBy("_order").collect()
+    pos = 0
+    for r in out:
+        assert r.seq_id * budget + r.seq_offset == pos, r._order
+        assert 0 <= r.seq_offset < budget
+        pos += len((r.text or "").split(" "))
+
+    # plain export packs in doc_id order
+    build_corpus(
+        spark, docs, str(tmp_path / "b"), n_shards=2, pack_budget=budget
+    )
+    out2 = spark.read.parquet(str(tmp_path / "b")).select(
+        "doc_id", "text", "seq_id", "seq_offset"
+    ).orderBy("doc_id").collect()
+    pos = 0
+    for r in out2:
+        assert r.seq_id * budget + r.seq_offset == pos, r.doc_id
+        pos += len((r.text or "").split(" "))
