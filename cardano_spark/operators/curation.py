@@ -1331,6 +1331,158 @@ _NORMALIZE_CHAIN: list[tuple[str, str]] = [
 ]
 
 
+#: Gopher rule 7's required English words (Rae et al. 2021 A1.1:
+#: "contain at least two of the following English words").
+GOPHER_REQUIRED_WORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1 — the filter stack MassiveWeb shipped with, and the
+    `GopherQualityFilter` every modern curation toolkit carries) as a
+    per-document PASS bitmask plus the combined keep decision:
+
+    - bit 0: 50 <= word count <= 100,000
+    - bit 1: mean word length in [3, 10] characters
+    - bit 2: symbol-to-word ratio ('#' or '...') <= 0.1
+    - bit 3: <= 90% of lines start with a bullet ('•' or '- ')
+    - bit 4: <= 30% of lines end with an ellipsis ('...' or '…')
+    - bit 5: >= 80% of words contain >= 1 alphabetic character
+    - bit 6: >= 2 distinct words from :data:`GOPHER_REQUIRED_WORDS`
+
+    The REPORT form (bitmask, not a bare filter) is deliberate: rule
+    incidence per source is what a curation team tunes on, and the
+    keep column is derivable (flags == 127) — the q62 constraint-
+    report discipline applied to the published rule set.
+
+    Cross-engine exactness: every ratio threshold is restated as an
+    INTEGER cross-multiplication (mean word length in [3,10] ⇔
+    3*words <= chars <= 10*words; symbol ratio <= 0.1 ⇔
+    10*symbols <= words; …), so no IEEE division is compared — the
+    verdict is bit-stable under any partitioning and identical in
+    DuckDB. Rule 7 counts presence per literal word (8 fixed
+    ``array_contains`` terms), not a multiset intersect, so both
+    engines agree on duplicates.
+
+    Shape: a pure per-row projection over the corpus scan — token
+    and line arrays, array folds, zero exchanges. NULL text
+    normalizes to '' (fails rules 1/2/6, deterministically).
+
+    Returns (``id_col``, n_words, flags, keep)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(txt, " ")
+    lines = F.split(txt, "\n")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_sym = F.size(F.regexp_extract_all(txt, F.lit(r"#|\.\.\."), 0)).cast(
+        "long"
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("•") | l.startswith("- "))
+    ).cast("long")
+    n_ell = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast(
+        "long"
+    )
+    n_req = sum(
+        (
+            F.array_contains(toks, w).cast("long")
+            for w in GOPHER_REQUIRED_WORDS
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    rules = [
+        (n_words >= 50) & (n_words <= 100_000),
+        (3 * n_words <= n_chars) & (n_chars <= 10 * n_words),
+        10 * n_sym <= n_words,
+        10 * n_bullet <= 9 * n_lines,
+        10 * n_ell <= 3 * n_lines,
+        5 * n_alpha >= 4 * n_words,
+        n_req >= 2,
+    ]
+    flags = sum(
+        (r.cast("long") * F.lit(1 << i) for i, r in enumerate(rules)),
+        start=F.lit(0).cast("long"),
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        flags.alias("flags"),
+    ).select(
+        id_col,
+        "n_words",
+        "flags",
+        (F.col("flags") == F.lit((1 << 7) - 1)).cast("int").alias("keep"),
+    )
+
+
+def gopher_quality_flags_sql(id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`gopher_quality_flags` over ``documents``
+    — the same integer cross-multiplied rules, same bit layout."""
+    txt = "coalesce(text, '')"
+    toks = f"string_split({txt}, ' ')"
+    lines = f"string_split({txt}, chr(10))"
+    n_words = f"len({toks})::BIGINT"
+    n_lines = f"len({lines})::BIGINT"
+    n_chars = f"list_sum(list_transform({toks}, t -> length(t)))::BIGINT"
+    n_sym = f"len(regexp_extract_all({txt}, '#|\\.\\.\\.'))::BIGINT"
+    n_bullet = (
+        f"len(list_filter({lines}, l -> starts_with(l, '•') "
+        f"OR starts_with(l, '- ')))::BIGINT"
+    )
+    n_ell = (
+        f"len(list_filter({lines}, l -> ends_with(l, '...') "
+        f"OR ends_with(l, '…')))::BIGINT"
+    )
+    n_alpha = (
+        f"len(list_filter({toks}, t -> regexp_matches(t, '[a-zA-Z]')))"
+        f"::BIGINT"
+    )
+    n_req = " + ".join(
+        f"(CASE WHEN list_contains({toks}, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_REQUIRED_WORDS
+    )
+    rules = [
+        f"(n_words >= 50 AND n_words <= 100000)",
+        f"(3 * n_words <= n_chars AND n_chars <= 10 * n_words)",
+        f"(10 * n_sym <= n_words)",
+        f"(10 * n_bullet <= 9 * n_lines)",
+        f"(10 * n_ell <= 3 * n_lines)",
+        f"(5 * n_alpha >= 4 * n_words)",
+        f"(n_req >= 2)",
+    ]
+    flags = " + ".join(
+        f"(CASE WHEN {r} THEN {1 << i} ELSE 0 END)"
+        for i, r in enumerate(rules)
+    )
+    return f"""
+    WITH g AS (
+      SELECT {id_expr},
+             {n_words} AS n_words,
+             {n_chars} AS n_chars,
+             {n_sym} AS n_sym,
+             {n_lines} AS n_lines,
+             {n_bullet} AS n_bullet,
+             {n_ell} AS n_ell,
+             {n_alpha} AS n_alpha,
+             ({n_req})::BIGINT AS n_req
+      FROM documents
+    )
+    SELECT {id_expr}, n_words, ({flags})::BIGINT AS flags,
+           (CASE WHEN ({flags}) = 127 THEN 1 ELSE 0 END)::INT AS keep
+    FROM g
+    """
+
+
 def normalize_text(text: Column) -> Column:
     """Deterministic text normalization — the cleanup every corpus
     pipeline runs BEFORE hashing/dedup (C4 and CCNet both normalize

@@ -2697,6 +2697,22 @@ def q152_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_gopher_quality_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Gopher rule stack (Rae et al. 2021 A1.1 — the document
+    filter MassiveWeb shipped with; curation.gopher_quality_flags)
+    as a per-document PASS bitmask + keep decision: word-count
+    bounds, mean-word-length bounds, symbol/bullet/ellipsis ratios,
+    alpha-word fraction, required-stopword presence. The report form
+    (bits, not a filter) is what a curation team tunes on; every
+    ratio is an integer cross-multiplication, so the verdict is
+    bit-stable across engines and partitionings. Pure per-row
+    projection — zero exchanges at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    return CU.gopher_quality_flags(d, "doc_id", "text")
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2794,6 +2810,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q156_hybrid_rrf": q156_hybrid_rrf,
     "q157_normalized_dedup": q157_normalized_dedup,
     "q158_corpus_datasheet": q158_corpus_datasheet,
+    "q159_gopher_quality_flags": q159_gopher_quality_flags,
 }
 
 
@@ -5455,3 +5472,10 @@ TRAININGDATA_ORACLES["q158_corpus_datasheet"] = f"""
            t.top_lang, t.top_lang_n
     FROM per p JOIN top t USING (source)
 """
+
+
+# q159: the Gopher bitmask restated by the operator's own SQL twin —
+# integer cross-multiplied thresholds, identical bit layout.
+TRAININGDATA_ORACLES["q159_gopher_quality_flags"] = (
+    CU.gopher_quality_flags_sql("doc_id")
+)

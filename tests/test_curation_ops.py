@@ -596,3 +596,45 @@ def test_normalized_dedup_collapses_variants(spark):
     )
     got = {r.canonical_id: r.n_copies for r in norm.collect()}
     assert got == {0: 2, 2: 1}
+
+
+def test_gopher_quality_flags_each_rule_and_shuffle_free(spark):
+    long_good = " ".join(
+        ["the", "be", "to", "of"] + ["word"] * 60
+    )  # 64 words, all alpha, mean len in [3,10], 4 required words
+    docs = spark.createDataFrame(
+        [
+            (0, long_good),                        # passes all 7
+            (1, "the be " + "word " * 10),         # <50 words -> bit0 off
+            (2, " ".join(["the", "be"] + ["ab"] * 62)),   # mean len <3
+            (3, " ".join(["the", "be"] + ["#"] * 62)),    # symbols + alpha
+            (4, "the be to of " + " ".join(["word"] * 56)
+                + "\n" + "\n".join(["- b"] * 10)),  # 10/11 bullet lines
+            (5, "the be " + " ".join(["word"] * 58) + "\nend..."
+                + "\nend…"),                       # wc 61; 2/3 ellipsis ends
+            (6, " ".join(["the", "be"] + ["1234"] * 62)),  # alpha frac 2/64
+            (7, " ".join(["the"] + ["word"] * 63)),       # 1 required word
+        ],
+        "doc_id long, text string",
+    )
+    out = CU.gopher_quality_flags(docs, "doc_id", "text")
+    got = {r.doc_id: (r.n_words, r.flags, r.keep) for r in out.collect()}
+    assert got[0] == (64, 127, 1)
+    assert got[1][1] & 1 == 0 and got[1][2] == 0        # word count
+    assert got[2][1] & 2 == 0                           # mean word length
+    # doc 3: 62 '#' symbols in 64 words -> bit2 off; alpha 2/64 -> bit5 off
+    assert got[3][1] & 4 == 0 and got[3][1] & 32 == 0
+    assert got[4][1] & 8 == 0                           # bullet lines > 90%
+    assert got[5][1] & 16 == 0 and got[5][1] & 1 == 1   # ellipsis lines
+    assert got[6][1] & 32 == 0                          # alpha fraction
+    assert got[7][1] & 64 == 0                          # < 2 required words
+    # every other doc fails ONLY its targeted rule(s)
+    assert got[1][1] | 1 == 127
+    assert got[2][1] | 2 == 127
+    assert got[4][1] | 8 == 127
+    assert got[5][1] | 16 == 127
+    assert got[6][1] | 32 == 127
+    assert got[7][1] | 64 == 127
+    # pure per-row projection: no exchange anywhere in the plan
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
