@@ -1123,6 +1123,74 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """SUBSTRING-granular benchmark decontamination over the
+    winnowing index — the fourth arm of the decontamination family
+    (q58 n-gram overlap, q73 Bloom, q67 semantic): per corpus
+    document, how many of its distinct winnowing fingerprints occur
+    anywhere in the benchmark set. By the winnowing guarantee
+    (Schleimer et al. 2003), any train document sharing a token run
+    of length >= w + k - 1 with ANY benchmark document reports
+    n_hit_fp >= 1 — the property n-gram-fraction tests lack (a long
+    verbatim quote inside an otherwise clean document dilutes a
+    Jaccard-style fraction but cannot hide from a shared selected
+    fingerprint). This is the data-portraits / membership-testing
+    shape applied pre-training.
+
+    Scale shape: the benchmark index is small by contract (eval sets
+    are thousands of documents) — its distinct fingerprint VALUES
+    broadcast, and every corpus fingerprint probes map-side; the only
+    corpus-sized exchanges are the per-doc distinct + count on
+    ``id_col``. Documents too short to emit a fingerprint
+    (< w + k - 1 tokens) report (0, 0, 0) — kept, not dropped
+    (same contract as benchmark_contamination's zero-shingle rule).
+    Fingerprint-value collisions can only ADD hits, never hide one
+    (the overlap-pairs argument), so contaminated = 0 is a sound
+    clearance at the guarantee's run length.
+
+    Returns (``id_col``, n_fp, n_hit_fp, contaminated int)."""
+    fp_d = (
+        winnowing_fingerprints(docs, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    fp_b = (
+        winnowing_fingerprints(bench, id_col, text_col, k=k, w=w)
+        .select("fp")
+        .distinct()
+    )
+    hit = F.broadcast(fp_b.withColumn("_hit", F.lit(1)))
+    per = (
+        fp_d.join(hit, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("fp").cast("long").alias("n_fp"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias(
+                "n_hit_fp"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce("n_hit_fp", F.lit(0)).cast("long").alias("n_hit_fp"),
+            (F.coalesce("n_hit_fp", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def winnowing_overlap_pairs(
     docs: DataFrame,
     id_col: str,

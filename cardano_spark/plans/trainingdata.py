@@ -2713,6 +2713,30 @@ def q159_gopher_quality_flags(
     return CU.gopher_quality_flags(d, "doc_id", "text")
 
 
+def q160_winnowing_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-granular benchmark decontamination
+    (dedup.winnowing_contamination) — the fourth decontamination arm
+    after q58 (n-gram fraction), q73 (Bloom), q67 (semantic): per
+    TRAIN document (doc_id >= 20; the q58 bench slice doc_id < 20 is
+    the eval set), the count of its distinct winnowing fingerprints
+    that occur anywhere in the benchmark, and the keep/drop verdict.
+    The winnowing guarantee makes this catch every train doc sharing
+    a >= w+k-1 = 8-token run with the eval set — the long-verbatim-
+    quote case a Jaccard fraction dilutes away. Bench fingerprint
+    values broadcast; corpus-sized exchanges only on doc_id."""
+    d = table(spark, sf_dir, "documents")
+    return DD.winnowing_contamination(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        k=5,
+        w=4,
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2811,6 +2835,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q157_normalized_dedup": q157_normalized_dedup,
     "q158_corpus_datasheet": q158_corpus_datasheet,
     "q159_gopher_quality_flags": q159_gopher_quality_flags,
+    "q160_winnowing_decontamination": q160_winnowing_decontamination,
 }
 
 
@@ -5479,3 +5504,30 @@ TRAININGDATA_ORACLES["q158_corpus_datasheet"] = f"""
 TRAININGDATA_ORACLES["q159_gopher_quality_flags"] = (
     CU.gopher_quality_flags_sql("doc_id")
 )
+
+
+# q160: one winnow chain over ALL documents serves both sides — the
+# train-side distinct (doc, fp) index and the bench-side (doc_id < 20)
+# fingerprint-value set; LEFT joins keep zero-fingerprint docs at
+# (0, 0, 0), the benchmark_contamination contract.
+TRAININGDATA_ORACLES["q160_winnowing_decontamination"] = f"""
+    {_winnow_sel_sql(5, 4)}
+    , dfp AS (
+      SELECT DISTINCT doc_id, fp FROM sel WHERE doc_id >= 20
+    ), bfp AS (
+      SELECT DISTINCT fp FROM sel WHERE doc_id < 20
+    ), per AS (
+      SELECT d.doc_id, count(*)::BIGINT AS n_fp,
+             sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hit_fp
+      FROM dfp d LEFT JOIN bfp b ON d.fp = b.fp
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(p.n_fp, 0)::BIGINT AS n_fp,
+           coalesce(p.n_hit_fp, 0)::BIGINT AS n_hit_fp,
+           (CASE WHEN coalesce(p.n_hit_fp, 0) > 0 THEN 1 ELSE 0 END)::INT
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) t
+    LEFT JOIN per p USING (doc_id)
+"""

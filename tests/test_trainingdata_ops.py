@@ -2307,3 +2307,35 @@ def test_corpus_datasheet_planted(spark, monkeypatch):
     scored = [t for _, t, _, s, _ in rows if s == "web" and t]
     expect = sum(math.floor(q(t) * 1048576.0) for t in scored) // len(scored)
     assert web.mean_quality_fp == expect
+
+
+def test_winnowing_contamination_guarantee_and_broadcast(spark):
+    """winnowing_contamination on planted docs: a train doc sharing a
+    >= w+k-1 token run with the bench set is flagged; a disjoint doc
+    reports (n_fp, 0, 0); a too-short doc reports (0, 0, 0) and is
+    KEPT in the output; the bench fingerprint set probes via
+    broadcast."""
+    k, w = 5, 4
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    bench = spark.createDataFrame(
+        [(100, "s1 s2 s3 " + run + " s4 s5")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, run + " one two three four five six"),   # leaked run
+            (2, "p2 q2 r2 s2 t2 u2 v2 w2 x2 y2 z2"),     # disjoint
+            (3, "too short"),                             # no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.winnowing_contamination(docs, bench, "doc_id", "text", k=k, w=w)
+    got = {r.doc_id: (r.n_fp, r.n_hit_fp, r.contaminated)
+           for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] >= 1 and got[1][2] == 1   # the guarantee
+    assert got[2] == (got[2][0], 0, 0) and got[2][0] > 0
+    assert got[3] == (0, 0, 0)                 # short doc kept, zeroed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
