@@ -2737,6 +2737,62 @@ def q160_winnowing_decontamination(
     )
 
 
+def q161_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order — quality-first scheduling (the
+    curriculum-learning recipe for LLM pretraining: present the
+    cleanest data first, the tail last), composed from two proven
+    pieces: q138's per-language quality TERCILES (percentile_disc
+    thresholds, broadcast back — CCNet's head/middle/tail) define the
+    coarse phase, and within each phase documents shuffle in q140's
+    deterministic salted-hash order. Position is the distributed
+    prefix-sum rank (curation.global_rank) over the composite key
+    ``phase_digit ++ md5(salt|doc_id) ++ '|' ++ doc_id`` — never a
+    single-partition global window; the key is a fixed-length ASCII
+    string, so both engines produce the identical total order and
+    ties are impossible (q140's argument, with a phase prefix).
+
+    100 TB shape: one corpus scan for the slim quality frame
+    (localCheckpointed — it feeds the tercile aggregate AND the
+    labeling join), |langs|-row broadcast thresholds, then the q140
+    rank machinery (range shuffle + broadcast offsets)."""
+    d = table(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    ).localCheckpoint(eager=False)
+    th = qual.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.33) WITHIN GROUP (ORDER BY quality)"
+        ).alias("p33"),
+        F.expr(
+            "percentile_disc(0.67) WITHIN GROUP (ORDER BY quality)"
+        ).alias("p67"),
+    )
+    digit = (
+        F.when(F.col("quality") > F.col("p67"), F.lit("0"))   # head first
+        .when(F.col("quality") > F.col("p33"), F.lit("1"))    # middle
+        .otherwise(F.lit("2"))                                # tail last
+    )
+    skey = F.concat(
+        digit,
+        F.md5(
+            F.concat(F.lit("curriculum|"), F.col("doc_id").cast("string"))
+        ),
+        F.lit("|"),
+        F.col("doc_id").cast("string"),
+    )
+    keyed = qual.join(F.broadcast(th), "lang").select(skey.alias("skey"))
+    ranked = CU.global_rank(keyed, "skey", 32)
+    phase = F.substring(F.col("skey"), 1, 1)
+    return ranked.select(
+        F.split(F.col("skey"), "\\|")[1].cast("long").alias("doc_id"),
+        F.when(phase == "0", F.lit("head"))
+        .when(phase == "1", F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.col("_rank").cast("long").alias("position"),
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2836,6 +2892,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q158_corpus_datasheet": q158_corpus_datasheet,
     "q159_gopher_quality_flags": q159_gopher_quality_flags,
     "q160_winnowing_decontamination": q160_winnowing_decontamination,
+    "q161_curriculum_order": q161_curriculum_order,
 }
 
 
@@ -5530,4 +5587,42 @@ TRAININGDATA_ORACLES["q160_winnowing_decontamination"] = f"""
              AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) t
     LEFT JOIN per p USING (doc_id)
+"""
+
+
+# q161: q138's discrete-percentile threshold CTE + the q140 key
+# discipline — both engines order by the SAME fixed-length ASCII
+# string, so row_number - 1 ≡ the distributed prefix-sum rank.
+TRAININGDATA_ORACLES["q161_curriculum_order"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({TX.tokens_sql('text')})::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_chars,
+             {TX.stopword_hits_sql(TX.tokens_sql('text'), 'en')}::BIGINT AS s_en,
+             {TX.punct_count_sql('text')}::BIGINT AS punct
+      FROM documents
+    ), qual AS (
+      SELECT doc_id, lang,
+             0.5 * (s_en::DOUBLE / n_tok::DOUBLE)
+               + 0.3 * (least(n_tok, 100)::DOUBLE / 100.0)
+               + 0.2 * (1.0 - punct::DOUBLE / n_chars::DOUBLE) AS quality
+      FROM t
+    ), th AS (
+      SELECT lang, quantile_disc(quality, 0.33) AS p33,
+                   quantile_disc(quality, 0.67) AS p67
+      FROM qual GROUP BY lang
+    ), keyed AS (
+      SELECT q.doc_id,
+             CASE WHEN q.quality > t.p67 THEN '0'
+                  WHEN q.quality > t.p33 THEN '1'
+                  ELSE '2' END
+             || md5('curriculum|' || q.doc_id::VARCHAR)
+             || '|' || q.doc_id::VARCHAR AS skey
+      FROM qual q JOIN th t USING (lang)
+    )
+    SELECT doc_id,
+           CASE substr(skey, 1, 1) WHEN '0' THEN 'head'
+                WHEN '1' THEN 'middle' ELSE 'tail' END AS bucket,
+           (row_number() OVER (ORDER BY skey) - 1)::BIGINT AS position
+    FROM keyed
 """

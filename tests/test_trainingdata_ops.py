@@ -2339,3 +2339,30 @@ def test_winnowing_contamination_guarantee_and_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
+
+
+def test_curriculum_order_phases_and_no_global_window(spark):
+    """q161's contract on the real sf0.001 corpus: positions are a
+    0..n-1 permutation; every head document precedes every middle,
+    every middle precedes every tail; the order is invariant under
+    input repartitioning; and no un-partitioned window appears (the
+    rank rides the distributed prefix sum)."""
+    from cardano_spark.plans.trainingdata import q161_curriculum_order
+    from tests.conftest import SF_SMALL
+
+    out = q161_curriculum_order(spark, SF_SMALL).collect()
+    n = len(out)
+    assert sorted(r.position for r in out) == list(range(n))
+    bounds = {"head": [], "middle": [], "tail": []}
+    for r in out:
+        bounds[r.bucket].append(r.position)
+    assert bounds["head"] and bounds["middle"] and bounds["tail"]
+    assert max(bounds["head"]) < min(bounds["middle"])
+    assert max(bounds["middle"]) < min(bounds["tail"])
+    again = {r.doc_id: r.position
+             for r in q161_curriculum_order(spark, SF_SMALL).collect()}
+    assert {r.doc_id: r.position for r in out} == again
+    df = q161_curriculum_order(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines and all("_pid" in ln for ln in window_lines)
