@@ -1331,6 +1331,81 @@ _NORMALIZE_CHAIN: list[tuple[str, str]] = [
 ]
 
 
+def length_batch_report(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    budget: int,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Length-bucketed batch packing — the dynamic-batching layout
+    every padded-tensor consumer runs (fairseq ``--max-tokens``,
+    inference servers batching same-length requests): sort the
+    corpus by (token count, id), slice the sorted stream into
+    batches of ``budget`` raw tokens, and report the PADDING overhead
+    per batch — each batch materializes as max_len × n_docs padded
+    tokens, and length-sorting is precisely what keeps that close to
+    the raw sum. The report (not a bare assignment) is the tuning
+    artifact: waste_fp per batch tells you whether the budget or the
+    bucketing needs to move.
+
+    Batch assignment is the shared distributed prefix sum
+    (:func:`_exclusive_prefix_sum`) over the composite key
+    ``lpad(n_tokens) ++ '|' ++ lpad(id)`` — zero-padded so string
+    order IS (length, id) order and ties are impossible; batch_id =
+    exclusive_start div budget (a document straddling a boundary
+    joins the earlier batch — deterministic, exact integers). The
+    true sequential greedy (admit while max_len*(n+1) <= budget) is
+    inherently stateful; this budget-slice form is its
+    order-preserving distributed counterpart, and the waste column
+    measures exactly what the greedy would optimize.
+
+    Scale shape: one slim (key, n) projection, the prefix sum's
+    range shuffle + broadcast offsets, one groupBy on batch_id with
+    map-side partials. Output rows = ceil(total_tokens/budget) —
+    bounded, never corpus-sized.
+
+    Returns (batch_id, n_docs, max_len, sum_tokens, padded_tokens,
+    waste_fp) with waste_fp = (padded - sum) * 2^20 div padded."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    skey = F.concat(
+        F.lpad(n_tokens.cast("string"), 10, "0"),
+        F.lit("|"),
+        F.lpad(F.col(id_col).cast("string"), 18, "0"),
+    )
+    keyed = docs.select(skey.alias("_skey"), n_tokens.alias("_n"))
+    started, _ = _exclusive_prefix_sum(
+        keyed, "_skey", F.col("_n"), range_partitions
+    )
+    per = (
+        started.select(
+            F.expr(f"_start div {int(budget)}").alias("batch_id"),
+            F.col("n_tokens"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_len"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+    return per.select(
+        "batch_id",
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        (F.col("max_len") * F.col("n_docs")).alias("padded_tokens"),
+        F.expr(
+            "CASE WHEN max_len * n_docs > 0 THEN "
+            "((max_len * n_docs - sum_tokens) * 1048576) "
+            "div (max_len * n_docs) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("waste_fp"),
+    )
+
+
 #: Gopher rule 7's required English words (Rae et al. 2021 A1.1:
 #: "contain at least two of the following English words").
 GOPHER_REQUIRED_WORDS: list[str] = [

@@ -2793,6 +2793,26 @@ def q161_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_length_batch_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batch packing report
+    (curation.length_batch_report, budget 512): the corpus laid out
+    in (token count, doc_id) order and sliced into 512-raw-token
+    batches, with each batch's padded materialization
+    (max_len × n_docs) and 2^20 fixed-point padding-waste fraction —
+    the dynamic-batching layout padded-tensor consumers run
+    (fairseq --max-tokens; inference servers batch same-length
+    requests), and the report that tunes the budget. q60 packs the
+    CONCATENATED stream (no padding, order given); this packs the
+    PADDED one (order chosen to minimize waste). Rank is the shared
+    distributed prefix sum — no global window; output rows =
+    ceil(total_tokens/512), never corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    return CU.length_batch_report(d, "doc_id", n_tok, budget=512)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2893,6 +2913,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q159_gopher_quality_flags": q159_gopher_quality_flags,
     "q160_winnowing_decontamination": q160_winnowing_decontamination,
     "q161_curriculum_order": q161_curriculum_order,
+    "q162_length_batch_report": q162_length_batch_report,
 }
 
 
@@ -5625,4 +5646,38 @@ TRAININGDATA_ORACLES["q161_curriculum_order"] = f"""
                 WHEN '1' THEN 'middle' ELSE 'tail' END AS bucket,
            (row_number() OVER (ORDER BY skey) - 1)::BIGINT AS position
     FROM keyed
+"""
+
+
+# q162: the same (length, id) zero-padded key; DuckDB's exclusive
+# running sum is a 1-PRECEDING window frame; `//` on non-negative
+# operands = Spark `div`.
+TRAININGDATA_ORACLES["q162_length_batch_report"] = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len({TX.tokens_sql("coalesce(text, '')")})::BIGINT AS n
+      FROM documents
+    ), keyed AS (
+      SELECT lpad(n::VARCHAR, 10, '0') || '|'
+               || lpad(doc_id::VARCHAR, 18, '0') AS skey, n
+      FROM tok
+    ), s AS (
+      SELECT n,
+             coalesce(sum(n) OVER (ORDER BY skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM keyed
+    ), per AS (
+      SELECT (st // 512)::BIGINT AS batch_id,
+             count(*)::BIGINT AS n_docs,
+             max(n)::BIGINT AS max_len,
+             sum(n)::BIGINT AS sum_tokens
+      FROM s GROUP BY 1
+    )
+    SELECT batch_id, n_docs, max_len, sum_tokens,
+           (max_len * n_docs)::BIGINT AS padded_tokens,
+           (CASE WHEN max_len * n_docs > 0 THEN
+              ((max_len * n_docs - sum_tokens) * 1048576)
+                // (max_len * n_docs)
+            ELSE 0 END)::BIGINT AS waste_fp
+    FROM per
 """

@@ -638,3 +638,41 @@ def test_gopher_quality_flags_each_rule_and_shuffle_free(spark):
     # pure per-row projection: no exchange anywhere in the plan
     plan = _plan(out).split("== Initial Plan ==")[0]
     assert "Exchange" not in plan
+
+
+def test_length_batch_report_reference_and_no_global_window(spark):
+    """Driver-side reference replay of the budget-slice batching on a
+    scrambled 60-doc corpus: identical batch stats; batches cover the
+    stream exactly; max_len is non-decreasing across batch ids (the
+    length-sort property that bounds padding)."""
+    rows = [(i, "w " * (i % 13 + 1) + "end") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    n = F.size(TX.tokens(F.col("text")))
+    out = sorted(
+        CU.length_batch_report(docs, "doc_id", n, budget=16,
+                               range_partitions=4).collect(),
+        key=lambda r: r.batch_id,
+    )
+    # reference: exclusive prefix sum over (n, doc_id)-sorted stream
+    lens = sorted((i % 13 + 2, i) for i in range(60))
+    ref = {}
+    cum = 0
+    for ln, _ in lens:
+        b = cum // 16
+        d, m, s = ref.get(b, (0, 0, 0))
+        ref[b] = (d + 1, max(m, ln), s + ln)
+        cum += ln
+    assert len(out) == len(ref)
+    for r in out:
+        d, m, s = ref[r.batch_id]
+        assert (r.n_docs, r.max_len, r.sum_tokens) == (d, m, s), r.batch_id
+        assert r.padded_tokens == m * d
+        assert r.waste_fp == ((m * d - s) * 1048576) // (m * d)
+    assert [r.batch_id for r in out] == list(range(len(out)))
+    maxes = [r.max_len for r in out]
+    assert maxes == sorted(maxes)  # length-sorted batches
+    plan = CU.length_batch_report(
+        docs, "doc_id", n, budget=16
+    )._jdf.queryExecution().executedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines and all("_pid" in ln for ln in window_lines)
