@@ -118,6 +118,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="annotate the export with q60 packing columns (seq_id, "
         "seq_offset) for N-token training sequences over the export order",
     )
+    corpus.add_argument(
+        "--quality-rules",
+        choices=["gopher"],
+        default=None,
+        help="additionally require the full Gopher rule stack (q159: "
+        "word-count/mean-length bounds, symbol/bullet/ellipsis ratios, "
+        "alpha fraction, required stopwords) in the quality gate",
+    )
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -202,6 +210,7 @@ def main(
             shuffle_order=args.shuffle_order,
             normalize=args.normalize,
             pack_budget=args.pack_budget,
+            quality_rules=args.quality_rules,
         )
         splits = (
             "; splits " + ", ".join(

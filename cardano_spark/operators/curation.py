@@ -1413,42 +1413,12 @@ GOPHER_REQUIRED_WORDS: list[str] = [
 ]
 
 
-def gopher_quality_flags(
-    docs: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """The Gopher document-quality rule set (Rae et al. 2021,
-    Appendix A1.1 — the filter stack MassiveWeb shipped with, and the
-    `GopherQualityFilter` every modern curation toolkit carries) as a
-    per-document PASS bitmask plus the combined keep decision:
-
-    - bit 0: 50 <= word count <= 100,000
-    - bit 1: mean word length in [3, 10] characters
-    - bit 2: symbol-to-word ratio ('#' or '...') <= 0.1
-    - bit 3: <= 90% of lines start with a bullet ('•' or '- ')
-    - bit 4: <= 30% of lines end with an ellipsis ('...' or '…')
-    - bit 5: >= 80% of words contain >= 1 alphabetic character
-    - bit 6: >= 2 distinct words from :data:`GOPHER_REQUIRED_WORDS`
-
-    The REPORT form (bitmask, not a bare filter) is deliberate: rule
-    incidence per source is what a curation team tunes on, and the
-    keep column is derivable (flags == 127) — the q62 constraint-
-    report discipline applied to the published rule set.
-
-    Cross-engine exactness: every ratio threshold is restated as an
-    INTEGER cross-multiplication (mean word length in [3,10] ⇔
-    3*words <= chars <= 10*words; symbol ratio <= 0.1 ⇔
-    10*symbols <= words; …), so no IEEE division is compared — the
-    verdict is bit-stable under any partitioning and identical in
-    DuckDB. Rule 7 counts presence per literal word (8 fixed
-    ``array_contains`` terms), not a multiset intersect, so both
-    engines agree on duplicates.
-
-    Shape: a pure per-row projection over the corpus scan — token
-    and line arrays, array folds, zero exchanges. NULL text
-    normalizes to '' (fails rules 1/2/6, deterministically).
-
-    Returns (``id_col``, n_words, flags, keep)."""
-    txt = F.coalesce(F.col(text_col), F.lit(""))
+def gopher_flag_columns(text: Column) -> tuple[Column, Column]:
+    """The (n_words, flags) column pair behind
+    :func:`gopher_quality_flags` — exposed as bare Columns so the
+    corpus pipeline can gate on ``flags == 127`` INSIDE its existing
+    projection (shuffle-free; no per-stage join)."""
+    txt = F.coalesce(text, F.lit(""))
     toks = F.split(txt, " ")
     lines = F.split(txt, "\n")
     n_words = F.size(toks).cast("long")
@@ -1488,6 +1458,45 @@ def gopher_quality_flags(
         (r.cast("long") * F.lit(1 << i) for i, r in enumerate(rules)),
         start=F.lit(0).cast("long"),
     )
+    return n_words, flags
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1 — the filter stack MassiveWeb shipped with, and the
+    `GopherQualityFilter` every modern curation toolkit carries) as a
+    per-document PASS bitmask plus the combined keep decision:
+
+    - bit 0: 50 <= word count <= 100,000
+    - bit 1: mean word length in [3, 10] characters
+    - bit 2: symbol-to-word ratio ('#' or '...') <= 0.1
+    - bit 3: <= 90% of lines start with a bullet ('•' or '- ')
+    - bit 4: <= 30% of lines end with an ellipsis ('...' or '…')
+    - bit 5: >= 80% of words contain >= 1 alphabetic character
+    - bit 6: >= 2 distinct words from :data:`GOPHER_REQUIRED_WORDS`
+
+    The REPORT form (bitmask, not a bare filter) is deliberate: rule
+    incidence per source is what a curation team tunes on, and the
+    keep column is derivable (flags == 127) — the q62 constraint-
+    report discipline applied to the published rule set.
+
+    Cross-engine exactness: every ratio threshold is restated as an
+    INTEGER cross-multiplication (mean word length in [3,10] ⇔
+    3*words <= chars <= 10*words; symbol ratio <= 0.1 ⇔
+    10*symbols <= words; …), so no IEEE division is compared — the
+    verdict is bit-stable under any partitioning and identical in
+    DuckDB. Rule 7 counts presence per literal word (8 fixed
+    ``array_contains`` terms), not a multiset intersect, so both
+    engines agree on duplicates.
+
+    Shape: a pure per-row projection over the corpus scan — token
+    and line arrays, array folds, zero exchanges. NULL text
+    normalizes to '' (fails rules 1/2/6, deterministically).
+
+    Returns (``id_col``, n_words, flags, keep)."""
+    n_words, flags = gopher_flag_columns(F.col(text_col))
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),

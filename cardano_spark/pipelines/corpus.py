@@ -109,6 +109,7 @@ def build_corpus(
     shuffle_order: bool = False,
     normalize: bool = False,
     pack_budget: int | None = None,
+    quality_rules: str | None = None,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -183,6 +184,13 @@ def build_corpus(
     boundaries). The prefix sum is distributed (range partitions +
     broadcast offsets — never a global window).
 
+    ``quality_rules``: ``"gopher"`` additionally requires every
+    document to pass the full Gopher rule stack (q159,
+    ``curation.gopher_flag_columns`` — word-count/mean-length
+    bounds, symbol/bullet/ellipsis ratios, alpha fraction, required
+    stopwords; all integer-exact). The flags compute INLINE in the
+    stage-4 filter — no join, no extra exchange.
+
     Determinism: every gate's survivor set is a pure function of the
     input corpus (deterministic survivor rules all the way down), and
     shard membership is a pure function of the content hash — two
@@ -221,12 +229,19 @@ def build_corpus(
         near = near.join(clean_ids, "doc_id", "left_semi")
     n_decontam = near.count()
 
-    # 4. quality gate (shared q30 formula + a token floor)
+    # 4. quality gate (shared q30 formula + a token floor; optional
+    # Gopher rule stack — q159's flags column inline, so the gate
+    # stays a shuffle-free filter on the same scan)
+    if quality_rules not in (None, "gopher"):
+        raise ValueError(f"unknown quality_rules: {quality_rules!r}")
     toks = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
-    kept = near.filter(
-        (TX.quality_score(F.col("text")) >= F.lit(float(min_quality)))
-        & (toks >= F.lit(int(min_tokens)))
-    )
+    gate = (
+        TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
+    ) & (toks >= F.lit(int(min_tokens)))
+    if quality_rules == "gopher":
+        _, gflags = CU.gopher_flag_columns(F.col("text"))
+        gate = gate & (gflags == F.lit(127))
+    kept = near.filter(gate)
     n_quality = kept.count()
 
     # 5. optional DSIR target selection (exact-integer weights: the

@@ -391,3 +391,44 @@ def test_build_corpus_pack_budget_annotations(spark, tmp_path):
     for r in out2:
         assert r.seq_id * budget + r.seq_offset == pos, r.doc_id
         pos += len((r.text or "").split(" "))
+
+
+def test_build_corpus_gopher_rules_gate(spark, tmp_path):
+    """--quality-rules gopher drops exactly the rule-failing docs
+    (word-count floor; required-words floor) on top of the base
+    quality gate, and the flags compute inline (no extra exchange
+    vs the plain run is pinned by the operator's own test; here we
+    pin stage accounting + export membership)."""
+    passing = " ".join(["the", "be", "to", "of"] + ["word"] * 60)
+    rows = [
+        (1, passing, "en", "web", len(passing)),
+        # fails Gopher rule 1 only (13 words), passes the base gate
+        (2, "the be " + "word " * 10, "en", "web", 60),
+        # fails Gopher rule 7 only (one required word)
+        (3, " ".join(["the"] + ["word"] * 63), "en", "web", 300),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = build_corpus(
+        spark, docs, str(tmp_path / "a"), n_shards=1, min_tokens=3
+    )
+    assert base.n_after_quality == 3
+    gated = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "b"),
+        n_shards=1,
+        min_tokens=3,
+        quality_rules="gopher",
+    )
+    assert gated.n_after_quality == 1
+    kept = spark.read.parquet(str(tmp_path / "b")).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {1}
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_rules"):
+        build_corpus(
+            spark, docs, str(tmp_path / "c"), quality_rules="fineweb"
+        )
