@@ -1194,6 +1194,83 @@ def spherical_kmeans_sums(
     ).localCheckpoint(eager=False)
 
 
+def ivf_incremental_report(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF index MAINTENANCE — the operational path of an ANN index
+    at corpus scale (FAISS ``IndexIVF.add`` + imbalance monitoring):
+    a 100 TB deployment cannot retrain the coarse quantizer per
+    arrival batch, so new vectors are assigned to the FROZEN trained
+    centroids and the per-list occupancy drift is the signal that
+    decides when a retrain/rebalance pays. This is the q66
+    incremental-cost discipline applied to the ANN family: the
+    recurring cost is ∝ |new| × k (one broadcast-argmax pass over
+    the arrival batch), never a corpus rescan — the trained model
+    frame is the only state carried between batches.
+
+    Per final-round cluster: base occupancy under the trained model,
+    arrival-batch occupancy under the SAME frozen model, and the
+    growth ratio in 2^20 fixed point ((n_new * 2^20) div n_base;
+    -1 when a surviving centroid attracts no base member in the
+    final assignment — possible when Lloyd's last re-estimation
+    moved it). A skewed growth column = the arrival distribution
+    drifted from the training distribution (the imbalance-factor
+    alarm).
+
+    Training is :func:`spherical_kmeans_sums` (bit-reproducible
+    integer-grid Lloyd, q113's machinery), so the WHOLE maintenance
+    report — training, both assignments, the drift ratios — is
+    oracle-replayable. Both assignments are the shared
+    :func:`_assign_nearest` broadcast argmax (ties to smallest cid).
+
+    Returns (cluster_id, n_base, n_new, growth_fp)."""
+    sums = spherical_kmeans_sums(base, id_col, vec_col, k, n_iter, dim)
+    seeds = sums.select("cid", F.col("centroid").alias("s"))
+    cos = dot(F.col("q"), F.col("s")) / (
+        norm(F.col("q")) * norm(F.col("s"))
+    )
+
+    def _q(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("vid"),
+            quantize_double(F.col(vec_col)).alias("q"),
+        )
+
+    nb = (
+        _assign_nearest(_q(base), seeds, cos, [])
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+    nn = (
+        _assign_nearest(_q(new), seeds, cos, [])
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    return (
+        sums.select("cid")
+        .join(nb, "cid", "left")
+        .join(nn, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.expr(
+                "CASE WHEN coalesce(n_base, 0) > 0 THEN "
+                "(coalesce(n_new, 0) * 1048576) div n_base "
+                "ELSE -1 END"
+            )
+            .cast("long")
+            .alias("growth_fp"),
+        )
+    )
+
+
 def _kmeans_iterate(
     corpus: DataFrame,
     id_col: str,

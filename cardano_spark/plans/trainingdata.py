@@ -2813,6 +2813,28 @@ def q162_length_batch_report(
     return CU.length_batch_report(d, "doc_id", n_tok, budget=512)
 
 
+def q163_ivf_incremental_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN index maintenance (similarity.ivf_incremental_report):
+    vectors with vec_id % 10 == 9 stand in for an arrival batch; the
+    rest is the indexed base. Train the coarse quantizer on the base
+    (q113's bit-reproducible integer-grid Lloyd, k=8, 2 rounds),
+    assign BOTH sides to the frozen model, and report per-list
+    occupancy + 2^20 fixed-point growth — the FAISS imbalance-factor
+    alarm as an oracle-checked query. Recurring cost ∝ |new| × k;
+    the corpus is only scanned by training, never by maintenance."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.ivf_incremental_report(
+        e.filter(F.col("vec_id") % 10 != 9),
+        e.filter(F.col("vec_id") % 10 == 9),
+        "vec_id",
+        "embedding",
+        k=8,
+        n_iter=2,
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2914,6 +2936,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q160_winnowing_decontamination": q160_winnowing_decontamination,
     "q161_curriculum_order": q161_curriculum_order,
     "q162_length_batch_report": q162_length_batch_report,
+    "q163_ivf_incremental_report": q163_ivf_incremental_report,
 }
 
 
@@ -5680,4 +5703,65 @@ TRAININGDATA_ORACLES["q162_length_batch_report"] = f"""
                 // (max_len * n_docs)
             ELSE 0 END)::BIGINT AS waste_fp
     FROM per
+"""
+
+
+# q163: the q113 training chain restated over the BASE slice, then
+# both sides assigned to the frozen s1 model; growth is integer
+# fixed-point (`//` = `div`, non-negative operands).
+TRAININGDATA_ORACLES["q163_ivf_incremental_report"] = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), b AS (
+      SELECT * FROM v WHERE vec_id % 10 <> 9
+    ), nw AS (
+      SELECT * FROM v WHERE vec_id % 10 = 9
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM b WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, s0.cid, row_number() OVER (
+          PARTITION BY b.vec_id
+          ORDER BY {_COS.replace('va', 'b.q').replace('vb', 's0.s')} DESC,
+                   s0.cid ASC
+        ) AS rn
+        FROM b CROSS JOIN s0
+      ) WHERE rn = 1
+    ), s1 AS (
+      SELECT a0.cid,
+             [{", ".join(f"sum(b.q[{d + 1}])" for d in range(64))}] AS s
+      FROM a0 JOIN b USING (vec_id) GROUP BY a0.cid
+    ), ab AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY b.vec_id
+          ORDER BY {_COS.replace('va', 'b.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM b CROSS JOIN s1
+      ) WHERE rn = 1
+    ), an AS (
+      SELECT vec_id, cid FROM (
+        SELECT nw.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY nw.vec_id
+          ORDER BY {_COS.replace('va', 'nw.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM nw CROSS JOIN s1
+      ) WHERE rn = 1
+    ), cb AS (
+      SELECT cid, count(*)::BIGINT AS n FROM ab GROUP BY cid
+    ), cn AS (
+      SELECT cid, count(*)::BIGINT AS n FROM an GROUP BY cid
+    )
+    SELECT s1.cid::BIGINT AS cluster_id,
+           coalesce(cb.n, 0)::BIGINT AS n_base,
+           coalesce(cn.n, 0)::BIGINT AS n_new,
+           (CASE WHEN coalesce(cb.n, 0) > 0 THEN
+              (coalesce(cn.n, 0) * 1048576) // cb.n
+            ELSE -1 END)::BIGINT AS growth_fp
+    FROM s1 LEFT JOIN cb USING (cid) LEFT JOIN cn USING (cid)
 """

@@ -2366,3 +2366,85 @@ def test_curriculum_order_phases_and_no_global_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines and all("_pid" in ln for ln in window_lines)
+
+
+def test_ivf_incremental_report_reference_and_drift(spark):
+    """ivf_incremental_report vs a sequential replay of the same rule
+    (train on base, assign both sides to the frozen model) on a
+    seeded 8-dim corpus; a drifted arrival batch (all vectors near
+    one mode) concentrates n_new on that cluster — the imbalance
+    alarm the report exists for."""
+    import math
+    import random
+
+    rng = random.Random(47)
+    base_vecs = {}
+    for i in range(40):
+        mode = i % 2
+        base_vecs[i] = [
+            (1.0 if d == mode else 0.1) + rng.uniform(-0.05, 0.05)
+            for d in range(8)
+        ]
+    # arrival batch: ALL near mode 1
+    new_vecs = {
+        100 + j: [
+            (1.0 if d == 1 else 0.1) + rng.uniform(-0.05, 0.05)
+            for d in range(8)
+        ]
+        for j in range(10)
+    }
+    k, n_iter = 2, 2
+
+    def q(v):
+        return [math.floor(x * 255.0) for x in v]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            sum(x * x for x in a) ** 0.5 * sum(y * y for y in b) ** 0.5
+        )
+
+    qb = {i: q(v) for i, v in base_vecs.items()}
+    qn = {i: q(v) for i, v in new_vecs.items()}
+    sums = {c: list(qb[c]) for c in range(k)}
+    for it in range(n_iter):
+        assign = {
+            i: max(sums, key=lambda c: (cos(qb[i], sums[c]), -c)) for i in qb
+        }
+        if it < n_iter - 1:
+            sums = {}
+            for i, c in assign.items():
+                acc = sums.setdefault(c, [0.0] * 8)
+                for d in range(8):
+                    acc[d] += qb[i][d]
+    nb = {}
+    for i, c in assign.items():
+        nb[c] = nb.get(c, 0) + 1
+    nn = {}
+    for i in qn:
+        c = max(sums, key=lambda c: (cos(qn[i], sums[c]), -c))
+        nn[c] = nn.get(c, 0) + 1
+
+    base = spark.createDataFrame(
+        [(i, v) for i, v in base_vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(i, v) for i, v in new_vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.cluster_id: (r.n_base, r.n_new, r.growth_fp)
+        for r in SIM.ivf_incremental_report(
+            base, new, "vec_id", "embedding", k=k, n_iter=n_iter, dim=8
+        ).collect()
+    }
+    assert set(out) == set(sums)
+    for c in sums:
+        eb, en = nb.get(c, 0), nn.get(c, 0)
+        gfp = (en * 1048576) // eb if eb > 0 else -1
+        assert out[c] == (eb, en, gfp), c
+    # the planted drift: every arrival lands in mode-1's cluster
+    drifted = [c for c, (_, en, _) in out.items() if en == 10]
+    assert len(drifted) == 1
+    assert sum(v[0] for v in out.values()) == 40
+    assert sum(v[1] for v in out.values()) == 10
