@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     shards.add_argument("--key", required=True, help="id column for the content-hash shard key")
     shards.add_argument("--shards", type=int, default=8)
     shards.add_argument("--max-rows-per-file", type=int, default=None)
+    shards.add_argument(
+        "--incremental",
+        action="store_true",
+        help="diff-export: stable hash-mod shard membership + per-shard "
+        "content digests in the manifest; rewrite only shards whose "
+        "content changed since the previous export "
+        "(sinks/shards.py::write_training_shards_incremental)",
+    )
     corpus = sub.add_parser(
         "build-corpus",
         help="end-to-end corpus build: exact + near-dup dedup, optional "
@@ -171,8 +179,26 @@ def main(
         from pyspark.sql import functions as F
 
         from cardano_spark.functions.hashing import md5_long
-        from cardano_spark.sinks.shards import write_training_shards
+        from cardano_spark.sinks.shards import (
+            write_training_shards,
+            write_training_shards_incremental,
+        )
 
+        if args.incremental:
+            res = write_training_shards_incremental(
+                spark.read.parquet(args.src),
+                args.dest,
+                args.key,
+                args.shards,
+                args.max_rows_per_file,
+            )
+            m = res.manifest
+            print(
+                f"wrote {res.n_rewritten}/{m.n_shards} shards "
+                f"({res.n_deleted} deleted), {m.n_rows} rows, "
+                f"{m.total_bytes} bytes -> {args.dest}"
+            )
+            return 0
         df = spark.read.parquet(args.src).withColumn(
             "_shard_key",
             md5_long(F.concat(F.lit("shard|"), F.col(args.key).cast("string"))),

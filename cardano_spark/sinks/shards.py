@@ -116,6 +116,160 @@ def write_training_shards(
     return manifest
 
 
+@dataclass
+class IncrementalExportResult:
+    manifest: ShardManifest
+    n_rewritten: int
+    n_deleted: int
+    rewritten: list[int]  # shard ids actually written this run
+
+
+def write_training_shards_incremental(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    max_rows_per_file: int | None = None,
+) -> IncrementalExportResult:
+    """Diff-export: rewrite ONLY the shards whose content changed
+    since the previous export — the operation that makes a recurring
+    100 TB corpus build affordable (a daily rebuild that touches 1%
+    of documents should write ~1% of the bytes, not all of them).
+
+    Differences from :func:`write_training_shards` (the full
+    exporter) and ``ParquetMergeSink`` (the keyed upsert sink):
+
+    - Shard membership is ``md5_long(key) pmod n_shards`` — a pure
+      content function, STABLE under any input change (range
+      sharding re-samples boundaries per run, shifting membership
+      and invalidating every file even for a one-doc edit).
+    - The change test is a per-shard CONTENT digest over all columns
+      (bit_xor + a 2^20-modular sum + count of the per-row
+      ``md5_long(to_json(struct(*)))`` — three commuting,
+      partition-order-free signals; sum stays exact past 2^40 rows
+      per shard), compared against the digests persisted in
+      ``_manifest.json``. The upsert sink, by contrast, needs the
+      CHANGES handed to it; this recomputes the corpus and derives
+      them.
+    - The rewrite itself is ONE Spark job: ``partitionBy(_shard)``
+      with dynamic partition overwrite over the changed-shard
+      filter — Spark's native mechanism for replacing a subset of
+      partitions; untouched shard directories are never opened.
+      Shards present in the old manifest but empty now are deleted
+      explicitly (dynamic overwrite cannot see them — no rows carry
+      their id).
+
+    The written layout is ``path/_shard=N/*.parquet`` (each shard
+    internally sorted by ``key_col``); ``spark.read.parquet(path)``
+    reads the corpus back with ``_shard`` as a partition column.
+
+    Returns the updated manifest (shards carry their digests) plus
+    the rewrite accounting."""
+    from cardano_spark.functions.hashing import md5_long
+
+    spark = df.sparkSession
+    cols = df.columns
+    staged = df.withColumn(
+        "_shard",
+        F.pmod(md5_long(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int"),
+    ).withColumn(
+        "_rh", md5_long(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    )
+    digests = {
+        int(r["_shard"]): {
+            "xor": int(r["xor"]),
+            "msum": int(r["msum"]),
+            "rows": int(r["rows"]),
+        }
+        for r in staged.groupBy("_shard")
+        .agg(
+            F.expr("bit_xor(_rh)").alias("xor"),
+            F.sum(F.col("_rh") % F.lit(1048576)).alias("msum"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    }
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old: dict[int, dict] = {}
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")):
+        m = read_manifest(path, spark)
+        for sh in m.shards:
+            if "shard_id" in sh and "digest" in sh:
+                old[int(sh["shard_id"])] = sh["digest"]
+
+    changed = sorted(
+        s for s, d in digests.items() if old.get(s) != d
+    )
+    stale = sorted(s for s in old if s not in digests)
+
+    if changed:
+        writer = (
+            staged.filter(F.col("_shard").isin([int(s) for s in changed]))
+            .drop("_rh")
+            .repartition(len(changed), F.col("_shard"))
+            .sortWithinPartitions("_shard", key_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_shard")
+        )
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
+        writer.parquet(path)
+    for s in stale:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_shard={s}"), True)
+
+    # manifest: per-shard dir sizes via the FileSystem, digests from
+    # this run's aggregate (rows were counted distributed above)
+    shards = []
+    for s in sorted(digests):
+        spath = jvm.org.apache.hadoop.fs.Path(f"{path}/_shard={s}")
+        nbytes = (
+            int(fs.getContentSummary(spath).getLength())
+            if fs.exists(spath)
+            else 0
+        )
+        shards.append(
+            {
+                "file": f"_shard={s}",
+                "shard_id": s,
+                "rows": digests[s]["rows"],
+                "bytes": nbytes,
+                "digest": digests[s],
+            }
+        )
+    manifest = ShardManifest(
+        n_shards=len(shards),
+        n_rows=sum(s["rows"] for s in shards),
+        total_bytes=sum(s["bytes"] for s in shards),
+        shards=shards,
+    )
+    payload = json.dumps(
+        {
+            "n_shards": manifest.n_shards,
+            "n_rows": manifest.n_rows,
+            "total_bytes": manifest.total_bytes,
+            "shards": manifest.shards,
+        },
+        indent=2,
+    ).encode()
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")
+    out = fs.create(mpath, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    return IncrementalExportResult(
+        manifest=manifest,
+        n_rewritten=len(changed),
+        n_deleted=len(stale),
+        rewritten=[int(s) for s in changed],
+    )
+
+
 def read_manifest(path: str, spark: SparkSession | None = None) -> ShardManifest:
     """Read ``_manifest.json``; pass ``spark`` for non-local schemes
     (the Hadoop FileSystem route), plain ``open`` otherwise."""

@@ -107,3 +107,113 @@ def test_write_training_shards_empty_input(spark, tmp_path):
     assert m.n_rows == 0
     assert read_manifest(out).n_rows == 0
     assert spark.read.parquet(out).count() == 0  # schema-bearing empty table
+
+
+def _shard_of(doc_id: int, n: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    return h % n
+
+
+def _dir_state(path):
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("_shard="):
+            files = sorted(os.listdir(os.path.join(path, d)))
+            out[d] = [
+                (f, os.path.getmtime(os.path.join(path, d, f)))
+                for f in files
+                if f.endswith(".parquet")
+            ]
+    return out
+
+
+def test_incremental_export_rewrites_only_changed_shards(spark, tmp_path):
+    from cardano_spark.sinks.shards import (
+        read_manifest,
+        write_training_shards_incremental,
+    )
+
+    dest = str(tmp_path / "inc")
+    rows = [(i, f"text {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r1 = write_training_shards_incremental(df, dest, "doc_id", 4)
+    assert r1.n_rewritten == len(
+        {_shard_of(i, 4) for i in range(60)}
+    )  # first run writes every non-empty shard
+    assert r1.manifest.n_rows == 60
+    state1 = _dir_state(dest)
+
+    # identical re-run: nothing rewritten, no file touched
+    r2 = write_training_shards_incremental(df, dest, "doc_id", 4)
+    assert r2.n_rewritten == 0 and r2.n_deleted == 0
+    assert _dir_state(dest) == state1
+    assert r2.manifest.n_rows == 60
+
+    # one-doc edit: exactly that doc's shard rewritten
+    rows3 = [(i, f"text {i}" if i != 17 else "EDITED") for i in range(60)]
+    df3 = spark.createDataFrame(rows3, "doc_id long, text string")
+    r3 = write_training_shards_incremental(df3, dest, "doc_id", 4)
+    target = _shard_of(17, 4)
+    assert r3.rewritten == [target]
+    state3 = _dir_state(dest)
+    for d, files in state1.items():
+        if d == f"_shard={target}":
+            assert state3[d] != files
+        else:
+            assert state3[d] == files, d
+    # read-back integrity
+    back = spark.read.parquet(dest)
+    assert back.count() == 60
+    assert back.filter("doc_id = 17").select("text").collect()[0][0] == "EDITED"
+    m = read_manifest(dest)
+    assert m.n_rows == 60 and all("digest" in s for s in m.shards)
+
+
+def test_incremental_export_deletes_emptied_shards(spark, tmp_path):
+    import os
+
+    from cardano_spark.sinks.shards import write_training_shards_incremental
+
+    dest = str(tmp_path / "inc")
+    rows = [(i, f"t {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    write_training_shards_incremental(df, dest, "doc_id", 4)
+    victim = _shard_of(0, 4)
+    survivors = [r for r in rows if _shard_of(r[0], 4) != victim]
+    df2 = spark.createDataFrame(survivors, "doc_id long, text string")
+    r2 = write_training_shards_incremental(df2, dest, "doc_id", 4)
+    assert r2.n_deleted == 1
+    assert not os.path.exists(os.path.join(dest, f"_shard={victim}"))
+    assert spark.read.parquet(dest).count() == len(survivors)
+    assert r2.manifest.n_rows == len(survivors)
+
+
+def test_cli_export_shards_incremental(spark, tmp_path, capsys):
+    from cardano_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"d {i}") for i in range(30)], "doc_id long, text string"
+    ).write.parquet(src)
+    dest = str(tmp_path / "out")
+    rc = main(
+        [
+            "export-shards", "--src", src, "--dest", dest,
+            "--key", "doc_id", "--shards", "3", "--incremental",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "/3 shards" in out and "30 rows" in out
+    rc = main(
+        [
+            "export-shards", "--src", src, "--dest", dest,
+            "--key", "doc_id", "--shards", "3", "--incremental",
+        ]
+    )
+    assert rc == 0
+    assert "wrote 0/3 shards" in capsys.readouterr().out
