@@ -2835,6 +2835,46 @@ def q163_ivf_incremental_report(
     )
 
 
+def q164_epoch_shuffle_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-epoch training orders — q140 for epochs 0..2 in one
+    result: each epoch salts the hash key with its epoch number, so
+    the three permutations are mutually DECORRELATED yet each is a
+    pure function of corpus content (task retries, re-runs and
+    repartitionings reproduce every epoch bit-for-bit — the property
+    a seeded ``rand()`` loses under retry). Per epoch the position
+    is the distributed prefix-sum rank over the fixed-length ASCII
+    key (q140's argument verbatim); epochs rank independently over
+    slim key frames — three range shuffles of 45-byte rows, nothing
+    corpus-wide ever funnels through one partition."""
+    d = table(spark, sf_dir, "documents")
+    parts = []
+    for epoch in range(3):
+        skey = F.concat(
+            F.md5(
+                F.concat(
+                    F.lit(f"shuffle|{epoch}|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+        ranked = CU.global_rank(d.select(skey.alias("skey")), "skey", 32)
+        parts.append(
+            ranked.select(
+                F.split(F.col("skey"), "\\|")[1].cast("long").alias("doc_id"),
+                F.lit(epoch).cast("long").alias("epoch"),
+                F.col("_rank").cast("long").alias("position"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -2937,6 +2977,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q161_curriculum_order": q161_curriculum_order,
     "q162_length_batch_report": q162_length_batch_report,
     "q163_ivf_incremental_report": q163_ivf_incremental_report,
+    "q164_epoch_shuffle_orders": q164_epoch_shuffle_orders,
 }
 
 
@@ -5764,4 +5805,22 @@ TRAININGDATA_ORACLES["q163_ivf_incremental_report"] = f"""
               (coalesce(cn.n, 0) * 1048576) // cb.n
             ELSE -1 END)::BIGINT AS growth_fp
     FROM s1 LEFT JOIN cb USING (cid) LEFT JOIN cn USING (cid)
+"""
+
+
+# q164: three epoch-salted key chains, each ranked independently —
+# both engines order each epoch by the same fixed-length string.
+TRAININGDATA_ORACLES["q164_epoch_shuffle_orders"] = """
+    WITH k AS (
+      SELECT d.doc_id, e.epoch,
+             md5('shuffle|' || e.epoch::VARCHAR || '|'
+                 || d.doc_id::VARCHAR)
+               || '|' || d.doc_id::VARCHAR AS skey
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) e
+    )
+    SELECT doc_id, epoch::BIGINT AS epoch,
+           (row_number() OVER (PARTITION BY epoch ORDER BY skey) - 1)::BIGINT
+             AS position
+    FROM k
 """

@@ -2448,3 +2448,27 @@ def test_ivf_incremental_report_reference_and_drift(spark):
     assert len(drifted) == 1
     assert sum(v[0] for v in out.values()) == 40
     assert sum(v[1] for v in out.values()) == 10
+
+
+def test_epoch_shuffle_orders_decorrelated_permutations(spark):
+    """q164: each epoch is a 0..n-1 permutation; epochs are pairwise
+    different (decorrelation — the per-epoch salt actually moves
+    documents); identical across re-runs."""
+    from cardano_spark.plans.trainingdata import q164_epoch_shuffle_orders
+    from tests.conftest import SF_SMALL
+
+    rows = q164_epoch_shuffle_orders(spark, SF_SMALL).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+    assert set(by_epoch) == {0, 1, 2}
+    n = len(by_epoch[0])
+    for e, pos in by_epoch.items():
+        assert sorted(pos.values()) == list(range(n)), e
+    assert by_epoch[0] != by_epoch[1]
+    assert by_epoch[1] != by_epoch[2]
+    again = {
+        (r.epoch, r.doc_id): r.position
+        for r in q164_epoch_shuffle_orders(spark, SF_SMALL).collect()
+    }
+    assert {(e, d): p for e, m in by_epoch.items() for d, p in m.items()} == again
