@@ -1194,6 +1194,29 @@ def spherical_kmeans_sums(
     ).localCheckpoint(eager=False)
 
 
+def assign_to_model(
+    df: DataFrame, sums: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign vectors to a FROZEN spherical-k-means model (the
+    ``(cid, centroid)`` sum frame of :func:`spherical_kmeans_sums`)
+    — the maintenance half of :func:`ivf_incremental_report`, split
+    out so a streaming job can run it per microbatch against
+    persisted model state. One broadcast-argmax pass
+    (:func:`_assign_nearest`, ties to smallest cid); cost ∝
+    ``|df| × k``. Returns (``id_col``, cid)."""
+    seeds = sums.select("cid", F.col("centroid").alias("s"))
+    cos = dot(F.col("q"), F.col("s")) / (
+        norm(F.col("q")) * norm(F.col("s"))
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        quantize_double(F.col(vec_col)).alias("q"),
+    )
+    return _assign_nearest(v, seeds, cos, []).select(
+        F.col("vid").alias(id_col), "cid"
+    )
+
+
 def ivf_incremental_report(
     base: DataFrame,
     new: DataFrame,
@@ -1231,31 +1254,30 @@ def ivf_incremental_report(
 
     Returns (cluster_id, n_base, n_new, growth_fp)."""
     sums = spherical_kmeans_sums(base, id_col, vec_col, k, n_iter, dim)
-    seeds = sums.select("cid", F.col("centroid").alias("s"))
-    cos = dot(F.col("q"), F.col("s")) / (
-        norm(F.col("q")) * norm(F.col("s"))
-    )
-
-    def _q(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("vid"),
-            quantize_double(F.col(vec_col)).alias("q"),
-        )
-
     nb = (
-        _assign_nearest(_q(base), seeds, cos, [])
+        assign_to_model(base, sums, id_col, vec_col)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
     )
     nn = (
-        _assign_nearest(_q(new), seeds, cos, [])
+        assign_to_model(new, sums, id_col, vec_col)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
+    return ivf_maintenance_summary(sums, nb, nn)
+
+
+def ivf_maintenance_summary(
+    sums: DataFrame, n_base: DataFrame, n_new: DataFrame
+) -> DataFrame:
+    """Assemble the :func:`ivf_incremental_report` output contract
+    from a model frame plus per-cluster (cid, n_base) / (cid, n_new)
+    count frames — shared by the batch report and its streaming twin
+    (which accumulates the n_new counts across microbatches)."""
     return (
         sums.select("cid")
-        .join(nb, "cid", "left")
-        .join(nn, "cid", "left")
+        .join(n_base, "cid", "left")
+        .join(n_new, "cid", "left")
         .select(
             F.col("cid").cast("long").alias("cluster_id"),
             F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),

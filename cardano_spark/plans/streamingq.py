@@ -128,9 +128,27 @@ def q136_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup_stream(spark, sf_dir, threshold=0.8)
 
 
+def q165_stream_ivf_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q163's ANN index maintenance as a REAL Structured Streaming
+    job (streaming/jobs.py::ivf_maintenance_stream): the coarse
+    quantizer trains once on the indexed base and is FROZEN as
+    foreachBatch-carried state; arriving vectors (3 file batches)
+    each run one broadcast-argmax assignment against it, per-list
+    counts accumulate, and the final occupancy-drift report must
+    equal the BATCH q163 regardless of arrival batching (assignment
+    against a frozen model is a pure per-row function). Oracle =
+    q163's SQL verbatim; pytest pins equality at 1/3/5 files."""
+    from cardano_spark.streaming.jobs import ivf_maintenance_stream
+
+    return ivf_maintenance_stream(spark, sf_dir, k=8, n_iter=2)
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q136_stream_neardup_gate": q136_stream_neardup_gate,
+    "q165_stream_ivf_maintenance": q165_stream_ivf_maintenance,
     "q151_stream_quality_gate": q151_stream_quality_gate,
     "q48_stream_exact_dedup": q48_stream_exact_dedup,
     "q51_stream_sessionize": q51_stream_sessionize,
@@ -224,3 +242,9 @@ STREAMING_ORACLES["q136_stream_neardup_gate"] = _TDO[
 # same discipline for the streaming quality gate: the union of
 # microbatch flag frames must equal batch q117 exactly.
 STREAMING_ORACLES["q151_stream_quality_gate"] = _TDO["q117_arrival_gate"]
+
+# frozen-model assignment is a pure per-row function, so the
+# accumulated streaming report must equal batch q163 exactly.
+STREAMING_ORACLES["q165_stream_ivf_maintenance"] = _TDO[
+    "q163_ivf_incremental_report"
+]

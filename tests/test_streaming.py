@@ -664,3 +664,27 @@ def test_quality_gate_stream_converges(spark):
     assert batch, "fixture has no arriving docs"
     # the gates actually fire on the fixture (not vacuously clean)
     assert any(v[3] == 0 for v in batch.values())
+
+
+def test_ivf_maintenance_stream_converges(spark):
+    """Batching-invariance for the streaming index-maintenance
+    report: the accumulated per-list occupancy report equals the
+    BATCH q163 for ANY arrival split (1, 3, 5 files), and the
+    arrival batch is non-trivially spread over clusters."""
+    from cardano_spark.plans.trainingdata import q163_ivf_incremental_report
+    from cardano_spark.streaming.jobs import ivf_maintenance_stream
+    from tests.conftest import SF_SMALL
+
+    batch = {
+        r.cluster_id: (r.n_base, r.n_new, r.growth_fp)
+        for r in q163_ivf_incremental_report(spark, SF_SMALL).collect()
+    }
+    for n_files in (1, 3, 5):
+        rows = ivf_maintenance_stream(
+            spark, SF_SMALL, k=8, n_iter=2, n_arrival_files=n_files
+        ).collect()
+        got = {r.cluster_id: (r.n_base, r.n_new, r.growth_fp) for r in rows}
+        assert len(rows) == len(got), f"duplicate cluster row at {n_files}"
+        assert got == batch, n_files
+    assert sum(v[1] for v in batch.values()) > 0
+    assert len([v for v in batch.values() if v[1] > 0]) > 1
