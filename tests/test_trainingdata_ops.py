@@ -2472,3 +2472,51 @@ def test_epoch_shuffle_orders_decorrelated_permutations(spark):
         for r in q164_epoch_shuffle_orders(spark, SF_SMALL).collect()
     }
     assert {(e, d): p for e, m in by_epoch.items() for d, p in m.items()} == again
+
+
+def test_ivfpq_residual_pipeline_contracts(spark):
+    """Residual IVFPQ on a seeded 2-mode corpus where the coarse
+    quantizer DOES explain the structure: exhaustive settings
+    (nprobe = n_coarse, corpus-wide shortlist) must reproduce exact
+    brute-force cosine top-k (the q149 exactness pin, for the
+    residual path); the integer-grid L2 coarse loop is
+    partitioning-invariant."""
+    import random
+
+    rng = random.Random(53)
+    vecs = {}
+    for i in range(60):
+        mode = i % 2
+        vecs[i] = [
+            (1.0 if d == mode else 0.05) + rng.uniform(-0.3, 0.3)
+            for d in range(64)
+        ]
+    e = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    probes = e.filter(F.col("vec_id") >= 55)
+    exact = {
+        (r.query_id, r.rank): r.match_id
+        for r in SIM.brute_force_topk(
+            e, probes, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.match_id
+        for r in SIM.ivfpq_residual_topk(
+            e, probes, "vec_id", "embedding",
+            k=3, n_coarse=2, nprobe=2, shortlist=60, n_centroids=16,
+        ).collect()
+    }
+    assert full == exact  # exhaustive residual path ≡ brute force
+    a = SIM.ivfpq_residual_topk(
+        e, probes, "vec_id", "embedding",
+        k=3, n_coarse=2, nprobe=1, shortlist=10, n_centroids=16,
+    ).collect()
+    b = SIM.ivfpq_residual_topk(
+        e.repartition(13), probes, "vec_id", "embedding",
+        k=3, n_coarse=2, nprobe=1, shortlist=10, n_centroids=16,
+    ).collect()
+    key = lambda r: (r.query_id, r.rank, r.match_id)
+    assert sorted(map(key, a)) == sorted(map(key, b))
