@@ -1309,6 +1309,63 @@ def bm25_scores(
     )
 
 
+def bm25_prf_topk(
+    docs: DataFrame,
+    id_col: str,
+    toks: Column,
+    terms: DataFrame,
+    fb_k: int = 10,
+    n_expansion: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (the Rocchio/RM3 lexical
+    core): score with :func:`bm25_scores`, treat the top ``fb_k``
+    documents as relevant, extract the ``n_expansion`` most frequent
+    non-query terms from them (total occurrences across the feedback
+    docs, ties to the smaller term — deterministic), and re-score
+    with the expanded query. The classic recall lever of the keyword
+    arm: a document using only the VOCABULARY of the relevant set
+    (never the original terms) becomes reachable in pass 2.
+
+    Shape: two corpus-scan BM25 passes (inherent to PRF), a
+    feedback mini-aggregate over ``fb_k`` documents' tokens, and
+    broadcast-sized term frames throughout. Top-k cuts are
+    TakeOrdered-first, then the rank window runs on ``k`` rows.
+
+    Returns (``id_col``, dl, n_terms_matched, score_fp, rank)."""
+    from pyspark.sql import Window as _W
+
+    probe = terms.select("term").localCheckpoint(eager=False)
+    first = bm25_scores(docs, id_col, toks, probe)
+    fb = (
+        first.orderBy(F.desc("score_fp"), F.asc(id_col))
+        .limit(int(fb_k))
+        .select(id_col)
+    )
+    fb_occ = (
+        docs.join(fb, id_col, "left_semi")
+        .select(F.explode(toks).alias("term"))
+        .join(probe, "term", "left_anti")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    expansion = (
+        fb_occ.orderBy(F.desc("_n"), F.asc("term"))
+        .limit(int(n_expansion))
+        .select("term")
+    )
+    second = bm25_scores(docs, id_col, toks, probe.unionByName(expansion))
+    top = second.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(int(k))
+    w = _W.orderBy(F.desc("score_fp"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col,
+        "dl",
+        "n_terms_matched",
+        "score_fp",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: the normalization chain shared by normalize_text / normalize_text_sql
 #: — (pattern, replacement), applied IN ORDER. Java regex and RE2 agree
 #: on every construct used here (literal unicode classes, \x escapes,

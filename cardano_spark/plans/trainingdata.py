@@ -2903,6 +2903,28 @@ def q166_ivfpq_residual_topk(
     )
 
 
+def q167_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (Rocchio/RM3's lexical
+    core — the classic recall lever of the keyword arm): run q155's
+    5-term query, take the top-10 documents AS IF relevant, extract
+    the 5 most frequent non-query terms from them (total occurrences
+    across the feedback docs; ties to the smaller term —
+    deterministic), and re-score the corpus with the EXPANDED
+    10-term query. Both passes are curation.bm25_scores' exact
+    integer chain, so the whole feedback loop hash-checks.
+
+    Shape: two corpus-scan BM25 passes (inherent to PRF) plus a
+    feedback mini-aggregate over 10 documents' tokens; term frames
+    stay broadcast-sized throughout; top-k cuts are
+    TakeOrdered-first (the q155 discipline)."""
+    d = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    return CU.bm25_prf_topk(
+        d, "doc_id", toks, _bm25_probe_terms(d),
+        fb_k=10, n_expansion=5, k=10,
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3007,6 +3029,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q163_ivf_incremental_report": q163_ivf_incremental_report,
     "q164_epoch_shuffle_orders": q164_epoch_shuffle_orders,
     "q166_ivfpq_residual_topk": q166_ivfpq_residual_topk,
+    "q167_bm25_prf_topk": q167_bm25_prf_topk,
 }
 
 
@@ -5978,4 +6001,75 @@ TRAININGDATA_ORACLES["q166_ivfpq_residual_topk"] = f"""
              )::BIGINT AS rank
       FROM rer
     ) WHERE rank <= 5
+"""
+
+
+# q167: the BM25 chain twice — pass 1 on the rank-11-15 probe, the
+# feedback/expansion CTEs, pass 2 on probe ∪ expansion. Same integer
+# idf/tf forms as _BM25_CHAIN (suffixes keep the CTEs apart).
+def _bm25_pass_sql(sfx: str, probe_cte: str) -> str:
+    return f""", per{sfx} AS (
+      SELECT o.doc_id, o.term, count(*)::BIGINT AS tf, min(o.dl) AS dl
+      FROM occ o JOIN {probe_cte} p USING (term)
+      GROUP BY o.doc_id, o.term
+    ), dfreq{sfx} AS (
+      SELECT term, count(*)::BIGINT AS df FROM per{sfx} GROUP BY term
+    ), sc{sfx} AS (
+      SELECT per{sfx}.doc_id, per{sfx}.dl,
+             (((2*n_docs - 2*df + 1) * 1048576) // (2*df + 1) + 1048576)
+               AS idf_fp,
+             ((4 * tf * 22 * total_tokens * 1048576) //
+              ((40*tf + 12) * total_tokens + 36*dl*n_docs)) AS tf_fp
+      FROM per{sfx} JOIN dfreq{sfx} USING (term) CROSS JOIN totals
+    ), bm{sfx} AS (
+      SELECT doc_id, min(dl)::BIGINT AS dl,
+             count(*)::BIGINT AS n_terms_matched,
+             sum((idf_fp * tf_fp) // 1048576)::BIGINT AS score_fp
+      FROM sc{sfx} GROUP BY doc_id
+    )"""
+
+
+TRAININGDATA_ORACLES["q167_bm25_prf_topk"] = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok
+    ), vocab AS (
+      SELECT term, count(*)::BIGINT AS n FROM occ GROUP BY term
+    ), probe AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+        FROM vocab
+      ) WHERE r > 10 AND r <= 15
+    ), totals AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(len(t))::BIGINT AS total_tokens
+      FROM tok
+    ){_bm25_pass_sql('1', 'probe')}, fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY score_fp DESC, doc_id ASC
+        ) AS rn FROM bm1
+      ) WHERE rn <= 10
+    ), expn AS (
+      SELECT term FROM (
+        SELECT o.term, row_number() OVER (
+          ORDER BY count(*) DESC, o.term ASC
+        ) AS r
+        FROM occ o
+        JOIN fb USING (doc_id)
+        LEFT JOIN probe p ON o.term = p.term
+        WHERE p.term IS NULL
+        GROUP BY o.term
+      ) WHERE r <= 5
+    ), probe2 AS (
+      SELECT term FROM probe UNION ALL SELECT term FROM expn
+    ){_bm25_pass_sql('2', 'probe2')}
+    SELECT doc_id, dl, n_terms_matched, score_fp, rn::BIGINT AS rank
+    FROM (
+      SELECT doc_id, dl, n_terms_matched, score_fp,
+             row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rn
+      FROM bm2
+    ) WHERE rn <= 10
 """

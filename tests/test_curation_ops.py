@@ -676,3 +676,38 @@ def test_length_batch_report_reference_and_no_global_window(spark):
     )._jdf.queryExecution().executedPlan().toString()
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines and all("_pid" in ln for ln in window_lines)
+
+
+def test_bm25_prf_reaches_vocabulary_only_doc(spark):
+    """The PRF contract on planted docs: a document sharing only the
+    RELEVANT SET'S vocabulary (never the query term) is invisible to
+    pass 1 but retrieved by the expanded pass-2 query; expansion
+    terms are the most frequent non-query feedback terms."""
+    rows = [
+        # relevant set: "apple" docs that co-mention "orchard"
+        (1, "apple orchard harvest apple orchard"),
+        (2, "apple orchard tree apple"),
+        (3, "apple orchard fruit basket"),
+        # vocabulary-only doc: orchard but NO apple
+        (4, "orchard orchard walk in the morning"),
+        # noise
+        (5, "quantum flux capacitor array"),
+        (6, "database index scan plan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = TX.tokens(F.col("text"))
+    probe = spark.createDataFrame([("apple",)], "term string")
+    base = {
+        r.doc_id
+        for r in CU.bm25_scores(docs, "doc_id", toks, probe).collect()
+    }
+    assert base == {1, 2, 3}  # pass 1 cannot see doc 4
+    out = CU.bm25_prf_topk(
+        docs, "doc_id", toks, probe, fb_k=3, n_expansion=2, k=10
+    ).collect()
+    got = {r.doc_id: r for r in out}
+    assert 4 in got            # expansion reached the vocabulary-only doc
+    assert 5 not in got and 6 not in got
+    assert got[4].n_terms_matched >= 1
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))
