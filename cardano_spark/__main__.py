@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
         "seq_offset) for N-token training sequences over the export order",
     )
     corpus.add_argument(
+        "--emit-attributes",
+        action="store_true",
+        help="write a per-input-document attribute/provenance ledger "
+        "(tagger columns + survived_<stage> flags) under dest/_attributes",
+    )
+    corpus.add_argument(
         "--quality-rules",
         choices=["gopher"],
         default=None,
@@ -237,6 +243,7 @@ def main(
             normalize=args.normalize,
             pack_budget=args.pack_budget,
             quality_rules=args.quality_rules,
+            emit_attributes=args.emit_attributes,
         )
         splits = (
             "; splits " + ", ".join(

@@ -62,6 +62,9 @@ class CorpusAudit:
     #: per-split manifests when ``split_mode`` is on; None otherwise
     #: (``manifest`` then aggregates the three)
     split_manifests: dict | None = None
+    #: path of the per-document attribute/provenance ledger when
+    #: ``emit_attributes`` is on; None otherwise
+    attributes_path: str | None = None
 
 
 def _drop_neardup(docs: DataFrame, threshold: float) -> DataFrame:
@@ -110,6 +113,7 @@ def build_corpus(
     normalize: bool = False,
     pack_budget: int | None = None,
     quality_rules: str | None = None,
+    emit_attributes: bool = False,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -191,6 +195,14 @@ def build_corpus(
     stopwords; all integer-exact). The flags compute INLINE in the
     stage-4 filter — no join, no extra exchange.
 
+    ``emit_attributes``: when True, write a per-INPUT-document
+    attribute/provenance ledger under ``dest/_attributes`` (the
+    Dolma taggers-and-attributes design): tagger columns (token
+    count, 2^20-quantized quality, Gopher flag bitmask, lang,
+    source) plus one ``survived_<stage>`` flag per gate — the
+    artifact that answers "why was this document dropped" without
+    re-running the pipeline.
+
     Determinism: every gate's survivor set is a pure function of the
     input corpus (deterministic survivor rules all the way down), and
     shard membership is a pure function of the content hash — two
@@ -209,10 +221,14 @@ def build_corpus(
     )
     exact = docs.join(canonical, "doc_id", "left_semi")
     n_exact = exact.count()
+    stage_ids: list[tuple[str, DataFrame]] = [
+        ("exact", exact.select("doc_id"))
+    ]
 
     # 2. near-dup dedup (detect -> cluster -> elect -> apply)
     near = _drop_neardup(exact, neardup_threshold)
     n_near = near.count()
+    stage_ids.append(("neardup", near.select("doc_id")))
 
     # 3. benchmark decontamination (optional)
     if benchmark is not None:
@@ -228,6 +244,7 @@ def build_corpus(
         ).select("doc_id")
         near = near.join(clean_ids, "doc_id", "left_semi")
     n_decontam = near.count()
+    stage_ids.append(("decontam", near.select("doc_id")))
 
     # 4. quality gate (shared q30 formula + a token floor; optional
     # Gopher rule stack — q159's flags column inline, so the gate
@@ -243,6 +260,7 @@ def build_corpus(
         gate = gate & (gflags == F.lit(127))
     kept = near.filter(gate)
     n_quality = kept.count()
+    stage_ids.append(("quality", kept.select("doc_id")))
 
     # 5. optional DSIR target selection (exact-integer weights: the
     # log mode's float sums are partial-agg-order-dependent and
@@ -261,6 +279,7 @@ def build_corpus(
         )
         kept = kept.join(chosen, "doc_id", "left_semi")
     n_select = kept.count()
+    stage_ids.append(("select", kept.select("doc_id")))
 
     # 6. optional PPS token budget (deterministic systematic draw)
     if token_budget_points is not None:
@@ -270,6 +289,7 @@ def build_corpus(
         ).select("doc_id")
         kept = kept.join(picked, "doc_id", "left_semi")
     n_budget = kept.count()
+    stage_ids.append(("budget", kept.select("doc_id")))
 
     # 7. optional split assignment (doc-level q41 rule, or q137's
     # cluster-safe rule over the export survivors)
@@ -376,6 +396,52 @@ def build_corpus(
             ],
         )
 
+    # optional per-document attribute/provenance ledger (the Dolma
+    # taggers-and-attributes design): one row per INPUT document with
+    # its tagger values (token count, quantized quality, Gopher flag
+    # bitmask) and a survived_<stage> flag per gate — the artifact
+    # that answers "why was this document dropped" without re-running
+    # the pipeline. Slim id-frame joins only; written next to the
+    # shards so the export is self-describing.
+    attributes_path = None
+    if emit_attributes:
+        toks_a = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        qfp = F.when(
+            F.col("text").isNotNull() & (F.length("text") > 0),
+            F.floor(
+                TX.quality_score(F.col("text")) * F.lit(1048576.0)
+            ).cast("long"),
+        )
+        _, gflags = CU.gopher_flag_columns(F.col("text"))
+        ledger = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            toks_a.cast("long").alias("n_tokens"),
+            qfp.alias("quality_fp"),
+            gflags.alias("gopher_flags"),
+        )
+        for name, frame in stage_ids:
+            ledger = ledger.join(
+                frame.withColumn(f"_s_{name}", F.lit(1)), "doc_id", "left"
+            )
+        ledger = ledger.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "quality_fp",
+            "gopher_flags",
+            *[
+                F.coalesce(F.col(f"_s_{name}"), F.lit(0))
+                .cast("int")
+                .alias(f"survived_{name}")
+                for name, _ in stage_ids
+            ],
+        )
+        attributes_path = f"{dest}/_attributes"
+        ledger.write.mode("overwrite").parquet(attributes_path)
+
     return CorpusAudit(
         n_input=n_input,
         n_after_exact=n_exact,
@@ -387,4 +453,5 @@ def build_corpus(
         n_after_budget=n_budget,
         split_counts=split_counts,
         split_manifests=split_manifests,
+        attributes_path=attributes_path,
     )

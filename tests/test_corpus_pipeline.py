@@ -432,3 +432,49 @@ def test_build_corpus_gopher_rules_gate(spark, tmp_path):
         build_corpus(
             spark, docs, str(tmp_path / "c"), quality_rules="fineweb"
         )
+
+
+def test_build_corpus_emit_attributes_ledger(spark, tmp_path):
+    """--emit-attributes writes one ledger row per INPUT doc whose
+    survived_<stage> flags replay the audit exactly: monotone along
+    the stage chain, stage sums equal the audit counts, and dropped
+    docs carry the reason (first zero flag) the audit implies."""
+    bench = spark.createDataFrame(
+        [("the secret benchmark answer is too close for comfort",)],
+        "text string",
+    )
+    audit = build_corpus(
+        spark,
+        _docs(spark),
+        str(tmp_path / "out"),
+        benchmark=bench,
+        contamination_max=0.2,
+        min_quality=0.3,
+        min_tokens=3,
+        n_shards=2,
+        emit_attributes=True,
+    )
+    assert audit.attributes_path == str(tmp_path / "out") + "/_attributes"
+    led = {
+        r.doc_id: r
+        for r in spark.read.parquet(audit.attributes_path).collect()
+    }
+    assert set(led) == {1, 2, 3, 4, 5, 6}          # every INPUT doc
+    stages = ["exact", "neardup", "decontam", "quality"]
+    for r in led.values():
+        flags = [getattr(r, f"survived_{s}") for s in stages]
+        assert flags == sorted(flags, reverse=True), r.doc_id  # monotone
+    sums = {
+        s: sum(getattr(r, f"survived_{s}") for r in led.values())
+        for s in stages
+    }
+    assert sums["exact"] == audit.n_after_exact
+    assert sums["neardup"] == audit.n_after_neardup
+    assert sums["decontam"] == audit.n_after_decontam
+    assert sums["quality"] == audit.n_after_quality
+    # doc 2 = exact dup, doc 5 = contaminated, doc 4/6 = quality
+    assert led[2].survived_exact == 0
+    assert led[5].survived_decontam == 0 and led[5].survived_neardup == 1
+    assert led[4].survived_quality == 0 and led[4].survived_decontam == 1
+    assert led[6].quality_fp is None                # NULL text -> no score
+    assert led[3].survived_quality == 1
