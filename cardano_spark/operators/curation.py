@@ -1327,24 +1327,30 @@ def bm25_prf_topk(
     arm: a document using only the VOCABULARY of the relevant set
     (never the original terms) becomes reachable in pass 2.
 
-    Shape: two corpus-scan BM25 passes (inherent to PRF), a
-    feedback mini-aggregate over ``fb_k`` documents' tokens, and
-    broadcast-sized term frames throughout. Top-k cuts are
-    TakeOrdered-first, then the rank window runs on ``k`` rows.
+    Shape: the corpus tokenizes ONCE into a slim (id, tokens) frame
+    behind a localCheckpoint — both BM25 passes, the probe
+    derivation and the feedback aggregate read it instead of
+    re-scanning (and re-tokenizing) the corpus per stage, which
+    would be 10+ table scans at 100 TB. Term frames stay
+    broadcast-sized throughout; top-k cuts are TakeOrdered-first,
+    then the rank window runs on ``k`` rows.
 
     Returns (``id_col``, dl, n_terms_matched, score_fp, rank)."""
     from pyspark.sql import Window as _W
 
+    tok = docs.select(F.col(id_col), toks.alias("_t")).localCheckpoint(
+        eager=False
+    )
     probe = terms.select("term").localCheckpoint(eager=False)
-    first = bm25_scores(docs, id_col, toks, probe)
+    first = bm25_scores(tok, id_col, F.col("_t"), probe)
     fb = (
         first.orderBy(F.desc("score_fp"), F.asc(id_col))
         .limit(int(fb_k))
         .select(id_col)
     )
     fb_occ = (
-        docs.join(fb, id_col, "left_semi")
-        .select(F.explode(toks).alias("term"))
+        tok.join(fb, id_col, "left_semi")
+        .select(F.explode(F.col("_t")).alias("term"))
         .join(probe, "term", "left_anti")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1354,7 +1360,9 @@ def bm25_prf_topk(
         .limit(int(n_expansion))
         .select("term")
     )
-    second = bm25_scores(docs, id_col, toks, probe.unionByName(expansion))
+    second = bm25_scores(
+        tok, id_col, F.col("_t"), probe.unionByName(expansion)
+    )
     top = second.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(int(k))
     w = _W.orderBy(F.desc("score_fp"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
