@@ -45,6 +45,9 @@ BNL_BUDGET = {
     "q149_ivfpq_topk": 2,  # coarse assignment + probe routing (q36 shape)
     "q155_bm25_topk": 1,  # 1-row corpus-totals broadcast (q55 idf shape)
     "q156_hybrid_rrf": 2,  # same totals row + brute-force ANN arm (q27)
+    "q163_ivf_incremental_report": 2,  # frozen-model argmax, both sides (q36 shape)
+    "q166_ivfpq_residual_topk": 1,  # probe routing vs k-row coarse frame (q149 shape)
+    "q167_bm25_prf_topk": 3,  # 1-row totals broadcast per BM25 pass + feedback probe
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-
