@@ -2955,6 +2955,106 @@ def q168_dedup_aware_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nDCG@10 discount table in 2^20 fixed point — floor(2^20 /
+#: log2(i+1)) computed ONCE here and injected as literals into both
+#: the Spark plan and the DuckDB oracle, so the irrational log never
+#: computes in either engine (the q138 float-divergence class,
+#: avoided by construction). _NDCG_CUM[j] = ideal DCG with j
+#: relevant results.
+import math as _math
+
+_NDCG_DISC = [int((1 << 20) / _math.log2(i + 1)) for i in range(1, 11)]
+_NDCG_CUM = [sum(_NDCG_DISC[: j + 1]) for j in range(10)]
+
+
+def q169_retrieval_ndcg_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval-quality evaluation as an oracle-checked report —
+    nDCG@10 with LABEL relevance (a retrieved vector is relevant iff
+    it shares the probe's label) for two retrievers over the same 16
+    probes: EXACT brute-force cosine (how well the embedding space
+    aligns with labels at all — the ceiling) and the q36 seeded-IVF
+    path at nprobe 2 (what the ANN approximation costs in ranking
+    terms, not just recall — the q152 report discipline with a
+    position-weighted metric). All arithmetic integer: the discount
+    table is precomputed 2^20 fixed point (no log in either engine),
+    DCG is a sum of discount literals, ideal DCG indexes the
+    cumulative table at min(n_rel, 10), and ndcg_fp =
+    (dcg * 2^20) div idcg."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    qlbl = probes.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    rc = (
+        e.select(F.col("vec_id").alias("mid"), F.col("label").alias("_ml"))
+        .join(F.broadcast(qlbl), F.col("_ml") == F.col("_ql"))
+        .filter(F.col("mid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(x) for x in _NDCG_DISC]), F.col("rank").cast("int")
+    ).cast("long")
+    mlbl = e.select(
+        F.col("vec_id").alias("match_id"), F.col("label").alias("_ml")
+    )
+
+    def _dcg(ranked: DataFrame, name: str) -> DataFrame:
+        slim = ranked.select("query_id", "match_id", "rank")
+        return (
+            mlbl.join(F.broadcast(slim), "match_id")
+            .join(F.broadcast(qlbl), "query_id")
+            .select(
+                "query_id",
+                ((F.col("_ml") == F.col("_ql")).cast("long") * disc).alias(
+                    "_g"
+                ),
+            )
+            .groupBy("query_id")
+            .agg(F.sum("_g").cast("long").alias("dcg_fp"))
+            .withColumn("strategy", F.lit(name))
+        )
+
+    exact = _dcg(
+        SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=10),
+        "exact",
+    )
+    ivf = _dcg(
+        SIM.ivf_topk(
+            e, probes, "vec_id", "embedding",
+            n_centroids=8, nprobe=2, k=10,
+        ),
+        "ivf",
+    )
+    cum = F.element_at(
+        F.array(*[F.lit(x) for x in _NDCG_CUM]),
+        F.least(F.col("n_rel"), F.lit(10)).cast("int"),
+    ).cast("long")
+    return (
+        exact.unionByName(ivf)
+        .join(F.broadcast(rc), "query_id")
+        .select(
+            "strategy", "query_id", "n_rel", "dcg_fp",
+            cum.alias("idcg_fp"),
+        )
+        .select(
+            "strategy",
+            "query_id",
+            "n_rel",
+            "dcg_fp",
+            "idcg_fp",
+            F.expr(
+                "CASE WHEN idcg_fp > 0 THEN (dcg_fp * 1048576) div idcg_fp "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("ndcg_fp"),
+        )
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3061,6 +3161,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q166_ivfpq_residual_topk": q166_ivfpq_residual_topk,
     "q167_bm25_prf_topk": q167_bm25_prf_topk,
     "q168_dedup_aware_pps": q168_dedup_aware_pps,
+    "q169_retrieval_ndcg_report": q169_retrieval_ndcg_report,
 }
 
 
@@ -6155,4 +6256,90 @@ TRAININGDATA_ORACLES["q168_dedup_aware_pps"] = f"""
              AS n_picks
     FROM c, t
     WHERE (20 * e) // total > (20 * (e - n)) // total
+"""
+
+
+# q169: both retriever chains restated (brute = q152's ex CTE shape,
+# IVF = q36's seeded chain with 16 probes / top 10), DCG as a sum of
+# the SAME precomputed discount literals, idcg via the cumulative
+# literal list indexed at least(n_rel, 10).
+_NDCG_DISC_SQL = "[" + ", ".join(str(x) for x in _NDCG_DISC) + "]"
+_NDCG_CUM_SQL = "[" + ", ".join(str(x) for x in _NDCG_CUM) + "]"
+
+TRAININGDATA_ORACLES["q169_retrieval_ndcg_report"] = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), ex AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY {_COS.replace('va', 'qv.e').replace('vb', 'cv.e')} DESC,
+                          cv.vec_id ASC
+               ) AS rank
+        FROM v qv JOIN v cv
+          ON qv.vec_id < 16 AND cv.vec_id <> qv.vec_id
+      ) WHERE rank <= 10
+    ), seeds AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id AS match_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), routing AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC, s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN seeds s WHERE v.vec_id < 16
+      ) WHERE rn <= 2
+    ), ivf AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT c.query_id, c.match_id, row_number() OVER (
+          PARTITION BY c.query_id
+          ORDER BY {_COS.replace('va', 'q.e').replace('vb', 'm.e')} DESC,
+                   c.match_id ASC
+        ) AS rank
+        FROM (
+          SELECT p.query_id, a.match_id
+          FROM routing p JOIN assign a USING (cid)
+          WHERE a.match_id <> p.query_id
+        ) c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v m ON m.vec_id = c.match_id
+      ) WHERE rank <= 10
+    ), rc AS (
+      SELECT q.vec_id AS query_id, count(*)::BIGINT AS n_rel
+      FROM v q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 16 GROUP BY 1
+    ), dcg AS (
+      SELECT 'exact' AS strategy, r.query_id,
+             sum(CASE WHEN m.label = q.label
+                 THEN list_extract({_NDCG_DISC_SQL}, r.rank)
+                 ELSE 0 END)::BIGINT AS dcg_fp
+      FROM ex r JOIN v q ON q.vec_id = r.query_id
+               JOIN v m ON m.vec_id = r.match_id
+      GROUP BY r.query_id
+      UNION ALL
+      SELECT 'ivf', r.query_id,
+             sum(CASE WHEN m.label = q.label
+                 THEN list_extract({_NDCG_DISC_SQL}, r.rank)
+                 ELSE 0 END)::BIGINT
+      FROM ivf r JOIN v q ON q.vec_id = r.query_id
+                JOIN v m ON m.vec_id = r.match_id
+      GROUP BY r.query_id
+    )
+    SELECT d.strategy, d.query_id, rc.n_rel, d.dcg_fp,
+           list_extract({_NDCG_CUM_SQL}, least(rc.n_rel, 10))::BIGINT
+             AS idcg_fp,
+           (CASE WHEN list_extract({_NDCG_CUM_SQL}, least(rc.n_rel, 10)) > 0
+                 THEN (d.dcg_fp * 1048576)
+                      // list_extract({_NDCG_CUM_SQL}, least(rc.n_rel, 10))
+                 ELSE 0 END)::BIGINT AS ndcg_fp
+    FROM dcg d JOIN rc USING (query_id)
 """

@@ -48,6 +48,7 @@ BNL_BUDGET = {
     "q163_ivf_incremental_report": 2,  # frozen-model argmax, both sides (q36 shape)
     "q166_ivfpq_residual_topk": 1,  # probe routing vs k-row coarse frame (q149 shape)
     "q167_bm25_prf_topk": 3,  # 1-row totals broadcast per BM25 pass + feedback probe
+    "q169_retrieval_ndcg_report": 3,  # brute ground truth + IVF assignment/routing (q106+q36 shapes)
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

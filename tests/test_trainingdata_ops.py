@@ -2557,3 +2557,34 @@ def test_dedup_aware_pps_mass_and_budget(spark):
         if n >= 2:
             fams.setdefault(n, 0)
     assert fams, "fixture has no duplicate families"
+
+
+def test_retrieval_ndcg_report_invariants(spark):
+    """q169: the fixed-point discount table matches the float
+    definition to <1 ulp of the quantization; per-row invariants
+    hold (dcg <= idcg <= full table sum, ndcg in [0, 2^20], idcg
+    indexes the cumulative table at min(n_rel, 10)); both
+    strategies report all 16 probes."""
+    import math
+
+    from cardano_spark.plans.trainingdata import (
+        _NDCG_CUM,
+        _NDCG_DISC,
+        q169_retrieval_ndcg_report,
+    )
+    from tests.conftest import SF_SMALL
+
+    for i, d in enumerate(_NDCG_DISC, start=1):
+        assert d == int((1 << 20) / math.log2(i + 1))
+    assert _NDCG_CUM[-1] == sum(_NDCG_DISC)
+    rows = q169_retrieval_ndcg_report(spark, SF_SMALL).collect()
+    by_strat = {}
+    for r in rows:
+        by_strat.setdefault(r.strategy, set()).add(r.query_id)
+        assert 0 <= r.dcg_fp <= r.idcg_fp <= sum(_NDCG_DISC), r
+        assert 0 <= r.ndcg_fp <= (1 << 20), r
+        assert r.idcg_fp == _NDCG_CUM[min(r.n_rel, 10) - 1], r
+        assert r.ndcg_fp == (r.dcg_fp * 1048576) // r.idcg_fp, r
+    assert set(by_strat) == {"exact", "ivf"}
+    assert by_strat["exact"] == by_strat["ivf"]
+    assert len(by_strat["exact"]) == 16
