@@ -3055,6 +3055,50 @@ def q169_retrieval_ndcg_report(
     )
 
 
+def q170_datasheet_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RELEASE DIFF — the governance artifact reviewed before
+    shipping a new snapshot (q158's datasheet discipline applied to
+    the delta): per source, document/token volume of the previous
+    release (doc_id % 10 != 7 stands in for it) vs the candidate,
+    what the new arrivals add, and how the exact-dup mass moved
+    (new docs duplicating existing content show up HERE, before any
+    training run). ONE corpus scan: every column is a conditional
+    aggregate over the same (source, digest, n_tok, is_new)
+    projection — the q62 one-pass constraint-report shape; output is
+    |sources| rows at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        "source",
+        (F.col("doc_id") % 10 == 7).cast("int").alias("_new"),
+        F.size(TX.tokens(txt)).cast("long").alias("_nt"),
+        F.md5(txt).alias("_dg"),
+    )
+    prev_dg = F.when(F.col("_new") == 0, F.col("_dg"))
+    return base.groupBy("source").agg(
+        F.sum(1 - F.col("_new")).cast("long").alias("n_docs_prev"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_cur"),
+        F.sum(F.col("_new")).cast("long").alias("n_docs_added"),
+        F.sum(F.col("_nt") * (1 - F.col("_new")))
+        .cast("long")
+        .alias("tokens_prev"),
+        F.sum("_nt").cast("long").alias("tokens_cur"),
+        F.count_distinct(prev_dg).cast("long").alias("n_distinct_prev"),
+        F.count_distinct("_dg").cast("long").alias("n_distinct_cur"),
+    ).select(
+        "source",
+        "n_docs_prev",
+        "n_docs_cur",
+        "n_docs_added",
+        "tokens_prev",
+        "tokens_cur",
+        (F.col("n_docs_prev") - F.col("n_distinct_prev")).alias(
+            "n_dups_prev"
+        ),
+        (F.col("n_docs_cur") - F.col("n_distinct_cur")).alias("n_dups_cur"),
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3162,6 +3206,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q167_bm25_prf_topk": q167_bm25_prf_topk,
     "q168_dedup_aware_pps": q168_dedup_aware_pps,
     "q169_retrieval_ndcg_report": q169_retrieval_ndcg_report,
+    "q170_datasheet_diff": q170_datasheet_diff,
 }
 
 
@@ -6342,4 +6387,29 @@ TRAININGDATA_ORACLES["q169_retrieval_ndcg_report"] = f"""
                       // list_extract({_NDCG_CUM_SQL}, least(rc.n_rel, 10))
                  ELSE 0 END)::BIGINT AS ndcg_fp
     FROM dcg d JOIN rc USING (query_id)
+"""
+
+
+# q170: the same one-pass conditional aggregate — DuckDB's
+# count(DISTINCT CASE ...) ignores NULLs exactly like Spark's
+# count_distinct over the when-gated column.
+TRAININGDATA_ORACLES["q170_datasheet_diff"] = f"""
+    WITH base AS (
+      SELECT source,
+             (CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS is_new,
+             len({TX.tokens_sql("coalesce(text, '')")})::BIGINT AS nt,
+             md5(coalesce(text, '')) AS dg
+      FROM documents
+    )
+    SELECT source,
+           sum(1 - is_new)::BIGINT AS n_docs_prev,
+           count(*)::BIGINT AS n_docs_cur,
+           sum(is_new)::BIGINT AS n_docs_added,
+           sum(nt * (1 - is_new))::BIGINT AS tokens_prev,
+           sum(nt)::BIGINT AS tokens_cur,
+           (sum(1 - is_new)
+            - count(DISTINCT CASE WHEN is_new = 0 THEN dg END))::BIGINT
+             AS n_dups_prev,
+           (count(*) - count(DISTINCT dg))::BIGINT AS n_dups_cur
+    FROM base GROUP BY source
 """

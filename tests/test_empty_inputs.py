@@ -140,3 +140,49 @@ def test_round4_operators_on_empty_inputs(spark, no_docs):
         .count()
         == 0
     )
+
+
+def test_round6_session2_operators_on_empty_inputs(spark, no_docs):
+    """The session's new operators on empty slices: per-row reports
+    return empty, the maintenance report survives an EMPTY ARRIVAL
+    BATCH (the quiet-watermark case — every cluster reports n_new=0,
+    growth 0), and batching/PRF degrade to empty rather than raise."""
+    from cardano_spark.operators import curation as CU
+
+    e = table(spark, SF_SMALL, "embeddings")
+    no_vecs = e.filter(F.lit(False))
+
+    assert CU.gopher_quality_flags(no_docs, "doc_id", "text").count() == 0
+    assert (
+        DD.winnowing_contamination(
+            no_docs, no_docs, "doc_id", "text"
+        ).count()
+        == 0
+    )
+    # empty bench: nothing is contaminated, every doc still reported
+    d = table(spark, SF_SMALL, "documents").limit(5)
+    rows = DD.winnowing_contamination(
+        d, no_docs, "doc_id", "text"
+    ).collect()
+    assert len(rows) == 5 and all(r.contaminated == 0 for r in rows)
+
+    n = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    assert CU.length_batch_report(no_docs, "doc_id", n, budget=16).count() == 0
+
+    # empty arrival batch: report intact, zero growth everywhere
+    base = e.filter(F.col("vec_id") < 40)
+    rep = SIM.ivf_incremental_report(
+        base, no_vecs, "vec_id", "embedding", k=4, n_iter=2
+    ).collect()
+    assert rep and all(
+        r.n_new == 0 and r.growth_fp == (0 if r.n_base > 0 else -1)
+        for r in rep
+    )
+    assert sum(r.n_base for r in rep) == 40
+
+    # PRF with an empty term frame: no matches either pass -> empty
+    terms = spark.createDataFrame([], "term string")
+    assert (
+        CU.bm25_prf_topk(d, "doc_id", TX.tokens(F.col("text")), terms).count()
+        == 0
+    )

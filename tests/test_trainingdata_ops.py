@@ -2588,3 +2588,27 @@ def test_retrieval_ndcg_report_invariants(spark):
     assert set(by_strat) == {"exact", "ivf"}
     assert by_strat["exact"] == by_strat["ivf"]
     assert len(by_strat["exact"]) == 16
+
+
+def test_datasheet_diff_consistency(spark):
+    """q170's per-source deltas re-derive from q158's full datasheet
+    (cur columns) and basic accounting holds (prev + added = cur;
+    dup mass monotone when a new doc duplicates old content)."""
+    from cardano_spark.plans.trainingdata import (
+        q158_corpus_datasheet,
+        q170_datasheet_diff,
+    )
+    from tests.conftest import SF_SMALL
+
+    full = {
+        r.source: r for r in q158_corpus_datasheet(spark, SF_SMALL).collect()
+    }
+    diff = {r.source: r for r in q170_datasheet_diff(spark, SF_SMALL).collect()}
+    assert set(full) == set(diff)
+    for s, r in diff.items():
+        assert r.n_docs_prev + r.n_docs_added == r.n_docs_cur, s
+        assert r.tokens_prev <= r.tokens_cur, s
+        assert r.n_docs_cur == full[s].n_docs, s
+        assert r.tokens_cur == full[s].total_tokens, s
+        assert r.n_dups_cur == full[s].n_exact_dups, s
+        assert 0 <= r.n_dups_prev <= r.n_dups_cur + r.n_docs_added, s
