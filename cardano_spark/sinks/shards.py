@@ -163,6 +163,13 @@ def write_training_shards_incremental(
     internally sorted by ``key_col``); ``spark.read.parquet(path)``
     reads the corpus back with ``_shard`` as a partition column.
 
+    Cost model: TWO source scans — the digest aggregate must read
+    every row regardless, and the rewrite re-reads to avoid
+    materializing the corpus (checkpointing 100 TB to compare 1% of
+    it would invert the savings). The write itself touches only
+    changed shards' bytes, which is the term that dominates a
+    recurring build.
+
     Returns the updated manifest (shards carry their digests) plus
     the rewrite accounting."""
     from cardano_spark.functions.hashing import md5_long
