@@ -1994,6 +1994,136 @@ def ivfpq_residual_topk(
     )
 
 
+def mmr_rerank_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist: int = 30,
+    lambda_x10: int = 7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity knob of a retrieval stack: greedily pick
+    ``k`` results from the ``shortlist``-deep exact-cosine
+    candidates, each round maximizing ``λ·relevance − (1−λ)·max
+    similarity to the already-picked set`` — near-duplicate results
+    collapse to one representative and the tail of the list covers
+    the query's distinct aspects (RAG context windows are the
+    textbook consumer: k slots should not be k copies).
+
+    Exactness: relevance and candidate-pair similarities quantize to
+    ``floor(cos·2^20)`` int64 ONCE (the q141 jfp discipline — the
+    doubles they floor are the same sequential folds both engines
+    run), λ enters as the integer pair (λ·10, 10−λ·10), so every
+    round's argmax — and its smaller-id tie-break — is
+    engine-identical, and the greedy unrolls verbatim into the
+    oracle's k CTE layers.
+
+    Scale shape: MMR is inherently sequential in k, so it runs ON
+    THE SHORTLIST (the industry contract — nobody MMRs a corpus):
+    candidate frame |probes|·shortlist, pairwise-sim frame
+    |probes|·shortlist², both localCheckpointed once; each of the k
+    rounds is a broadcast-sized join chain, no corpus contact after
+    the two candidate scans.
+
+    Returns (query_id, match_id, rel_fp, mmr_rank)."""
+    if not 0 <= lambda_x10 <= 10:
+        raise ValueError("lambda_x10 must be in [0, 10]")
+    cand = (
+        brute_force_topk(corpus, probes, id_col, vec_col, k=shortlist)
+        .select(
+            "query_id",
+            "match_id",
+            F.floor(F.col("cos_sim") * F.lit(1048576.0))
+            .cast("long")
+            .alias("rel_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = corpus.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_e")
+    ).withColumn("_n", norm(F.col("_e")))
+    a = cand.select("query_id", F.col("match_id").alias("m_a"))
+    b = cand.select("query_id", F.col("match_id").alias("m_b"))
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("m_a") != F.col("m_b"))
+        .join(v.select(F.col("_vid").alias("m_a"),
+                       F.col("_e").alias("_ea"),
+                       F.col("_n").alias("_na")), "m_a")
+        .join(v.select(F.col("_vid").alias("m_b"),
+                       F.col("_e").alias("_eb"),
+                       F.col("_n").alias("_nb")), "m_b")
+        .select(
+            "query_id",
+            "m_a",
+            "m_b",
+            F.floor(
+                dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb"))
+                * F.lit(1048576.0)
+            )
+            .cast("long")
+            .alias("sim_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam, mu = int(lambda_x10), 10 - int(lambda_x10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("match_id")
+    )
+    selected: DataFrame | None = None
+    picks: list[DataFrame] = []
+    for r in range(1, int(k) + 1):
+        if selected is None:
+            scored = cand.withColumn(
+                "_score", F.lit(lam) * F.col("rel_fp")
+            )
+        else:
+            remaining = cand.join(
+                selected.select("query_id", "match_id"),
+                ["query_id", "match_id"],
+                "left_anti",
+            )
+            msim = (
+                psim.join(
+                    selected.select(
+                        "query_id", F.col("match_id").alias("m_b")
+                    ),
+                    ["query_id", "m_b"],
+                )
+                .groupBy("query_id", F.col("m_a").alias("match_id"))
+                .agg(F.max("sim_fp").alias("_ms"))
+            )
+            scored = remaining.join(
+                msim, ["query_id", "match_id"], "left"
+            ).withColumn(
+                "_score",
+                F.lit(lam) * F.col("rel_fp")
+                - F.lit(mu) * F.coalesce(F.col("_ms"), F.lit(0)),
+            )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "match_id",
+                "rel_fp",
+                F.lit(r).cast("long").alias("mmr_rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str,

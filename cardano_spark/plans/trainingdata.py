@@ -3099,6 +3099,25 @@ def q170_datasheet_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998; similarity.mmr_rerank_topk, λ = 0.7) — the diversity stage
+    of the retrieval stack: greedy top-5 from the 30-deep exact
+    shortlist for probes vec_id 20..27, each round trading relevance
+    against max similarity to the already-picked set (RAG context
+    slots should not be near-copies). Relevance and pair sims
+    quantize to floor(cos·2^20) ONCE, so the k greedy rounds — ties
+    included — unroll verbatim into the oracle's CTE layers. MMR is
+    sequential in k by definition, so it runs on the shortlist
+    (|probes|·30 rows); the corpus is touched only by the two
+    candidate scans."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 28))
+    return SIM.mmr_rerank_topk(
+        e, probes, "vec_id", "embedding", k=5, shortlist=30, lambda_x10=7
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3207,6 +3226,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q168_dedup_aware_pps": q168_dedup_aware_pps,
     "q169_retrieval_ndcg_report": q169_retrieval_ndcg_report,
     "q170_datasheet_diff": q170_datasheet_diff,
+    "q171_mmr_rerank_topk": q171_mmr_rerank_topk,
 }
 
 
@@ -6413,3 +6433,82 @@ TRAININGDATA_ORACLES["q170_datasheet_diff"] = f"""
            (count(*) - count(DISTINCT dg))::BIGINT AS n_dups_cur
     FROM base GROUP BY source
 """
+
+
+# q171: the greedy MMR rounds unrolled into CTE layers generated by
+# the same loop shape the Spark side runs — round 1 picks max
+# relevance; round r scores remaining candidates with
+# lam*rel - mu*max(sim to sel{r-1}) and picks the argmax (ties to
+# the smaller match_id, both engines).
+def _mmr_oracle_sql(
+    probe_lo: int, probe_hi: int, k: int, shortlist: int, lam: int
+) -> str:
+    mu = 10 - lam
+    parts = [f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cand AS (
+      SELECT query_id, match_id,
+             CAST(floor(cos_sim * 1048576.0) AS BIGINT) AS rel_fp
+      FROM (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS match_id,
+               {_COS.replace('va', 'qv.e').replace('vb', 'cv.e')} AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY {_COS.replace('va', 'qv.e').replace('vb', 'cv.e')} DESC,
+                          cv.vec_id ASC
+               ) AS rn
+        FROM v qv JOIN v cv
+          ON qv.vec_id >= {probe_lo} AND qv.vec_id < {probe_hi}
+         AND cv.vec_id <> qv.vec_id
+      ) WHERE rn <= {shortlist}
+    ), psim AS (
+      SELECT a.query_id, a.match_id AS m_a, b.match_id AS m_b,
+             CAST(floor(
+               ({_COS.replace('va', 'va2.e').replace('vb', 'vb2.e')})
+               * 1048576.0) AS BIGINT) AS sim_fp
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.match_id <> b.match_id
+      JOIN v va2 ON va2.vec_id = a.match_id
+      JOIN v vb2 ON vb2.vec_id = b.match_id
+    ), pick1 AS (
+      SELECT query_id, match_id, rel_fp, 1::BIGINT AS mmr_rank FROM (
+        SELECT c.*, row_number() OVER (
+          PARTITION BY c.query_id
+          ORDER BY {lam} * c.rel_fp DESC, c.match_id ASC
+        ) AS rn FROM cand c
+      ) WHERE rn = 1
+    ), sel1 AS (SELECT query_id, match_id FROM pick1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""", pick{r} AS (
+      SELECT query_id, match_id, rel_fp, {r}::BIGINT AS mmr_rank FROM (
+        SELECT c.query_id, c.match_id, c.rel_fp, row_number() OVER (
+          PARTITION BY c.query_id
+          ORDER BY {lam} * c.rel_fp - {mu} * coalesce(ms.msim, 0) DESC,
+                   c.match_id ASC
+        ) AS rn
+        FROM cand c
+        LEFT JOIN sel{r - 1} sx
+          ON sx.query_id = c.query_id AND sx.match_id = c.match_id
+        LEFT JOIN (
+          SELECT p.query_id, p.m_a AS match_id, max(p.sim_fp) AS msim
+          FROM psim p JOIN sel{r - 1} s
+            ON s.query_id = p.query_id AND s.match_id = p.m_b
+          GROUP BY p.query_id, p.m_a
+        ) ms ON ms.query_id = c.query_id AND ms.match_id = c.match_id
+        WHERE sx.match_id IS NULL
+      ) WHERE rn = 1
+    ), sel{r} AS (
+      SELECT query_id, match_id FROM sel{r - 1}
+      UNION ALL SELECT query_id, match_id FROM pick{r}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM pick{r}" for r in range(1, k + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+TRAININGDATA_ORACLES["q171_mmr_rerank_topk"] = _mmr_oracle_sql(
+    20, 28, k=5, shortlist=30, lam=7
+)

@@ -2612,3 +2612,68 @@ def test_datasheet_diff_consistency(spark):
         assert r.tokens_cur == full[s].total_tokens, s
         assert r.n_dups_cur == full[s].n_exact_dups, s
         assert 0 <= r.n_dups_prev <= r.n_dups_cur + r.n_docs_added, s
+
+
+def test_mmr_rerank_matches_sequential_reference(spark):
+    """mmr_rerank_topk vs a sequential Python replay of the greedy
+    (same quantization, same tie-break) on a seeded corpus of two
+    tight clusters + scattered singles; MMR's pick set must differ
+    from plain top-k (the diversity effect is non-vacuous)."""
+    import math
+    import random
+
+    rng = random.Random(61)
+    vecs = {}
+    for i in range(24):
+        if i < 8:
+            base = [1.0, 0.1] + [0.0] * 6      # cluster A (near query)
+        elif i < 16:
+            base = [0.8, 0.6] + [0.0] * 6      # cluster B
+        else:
+            base = [rng.uniform(-1, 1) for _ in range(8)]
+        vecs[i] = [x + rng.uniform(-0.02, 0.02) for x in base]
+    e = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    probes = e.filter(F.col("vec_id") == 0)
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    q = vecs[0]
+    cands = sorted(
+        ((math.floor(cos(q, vecs[i]) * 1048576), i) for i in vecs if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:12]
+    rel = {i: r for r, i in cands}
+    sim = {
+        (a, b): math.floor(cos(vecs[a], vecs[b]) * 1048576)
+        for _, a in cands
+        for _, b in cands
+        if a != b
+    }
+    picked = []
+    for r in range(5):
+        best = None
+        for _, c in cands:
+            if c in picked:
+                continue
+            ms = max((sim[(c, s)] for s in picked), default=0)
+            score = 7 * rel[c] - 3 * ms
+            if best is None or (score, -c) > best[0]:
+                best = ((score, -c), c)
+        picked.append(best[1])
+
+    out = sorted(
+        SIM.mmr_rerank_topk(
+            e, probes, "vec_id", "embedding", k=5, shortlist=12,
+            lambda_x10=7,
+        ).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.match_id for r in out] == picked
+    plain = [i for _, i in cands[:5]]
+    assert picked != plain  # diversity actually moved the list
