@@ -294,3 +294,75 @@ def test_winnowing_matches_sequential_reference_property(spark, docs):
             h, pos = min(hs[s : s + w])
             expect.add((pos, h))
         assert got.get(i, set()) == expect, i
+
+
+_gopher_token = st.sampled_from(
+    ["the", "be", "to", "of", "and", "word", "ab", "x", "1234", "#",
+     "...", "•", "- ", "end...", "…", "αβ", "longishword"]
+)
+_gopher_line = st.lists(_gopher_token, min_size=0, max_size=12).map(
+    " ".join
+)
+_gopher_doc = st.one_of(
+    st.none(),
+    st.lists(_gopher_line, min_size=1, max_size=4).map("\n".join),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_gopher_doc, min_size=1, max_size=16))
+def test_gopher_flags_cross_engine_and_reference_property(spark, texts):
+    """gopher_quality_flags == its DuckDB twin == a direct Python
+    restatement of the Rae et al. rules, on adversarial documents
+    (bullets, ellipses, symbols, non-Latin tokens, newlines, NULL) —
+    agreement with the REFERENCE pins intent, not just cross-engine
+    consistency."""
+    import re
+
+    import duckdb
+
+    from cardano_spark.operators import curation as CU
+
+    def ref(text):
+        t = text or ""
+        toks = t.split(" ")
+        lines = t.split("\n")
+        n_words, n_lines = len(toks), len(lines)
+        n_chars = sum(len(x) for x in toks)
+        n_sym = len(re.findall(r"#|\.\.\.", t))
+        n_bullet = sum(
+            ln.startswith("•") or ln.startswith("- ") for ln in lines
+        )
+        n_ell = sum(
+            ln.endswith("...") or ln.endswith("…") for ln in lines
+        )
+        n_alpha = sum(bool(re.search("[a-zA-Z]", x)) for x in toks)
+        n_req = sum(w in toks for w in CU.GOPHER_REQUIRED_WORDS)
+        rules = [
+            50 <= n_words <= 100_000,
+            3 * n_words <= n_chars <= 10 * n_words,
+            10 * n_sym <= n_words,
+            10 * n_bullet <= 9 * n_lines,
+            10 * n_ell <= 3 * n_lines,
+            5 * n_alpha >= 4 * n_words,
+            n_req >= 2,
+        ]
+        flags = sum((1 << i) for i, r in enumerate(rules) if r)
+        return (n_words, flags, int(flags == 127))
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.flags, r.keep)
+        for r in CU.gopher_quality_flags(df, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        assert got[i] == ref(t), (i, t)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for did, nw, fl, kp in con.execute(
+        CU.gopher_quality_flags_sql("doc_id")
+    ).fetchall():
+        assert got[did] == (nw, fl, kp), did
