@@ -366,3 +366,86 @@ def test_gopher_flags_cross_engine_and_reference_property(spark, texts):
         CU.gopher_quality_flags_sql("doc_id")
     ).fetchall():
         assert got[did] == (nw, fl, kp), did
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lens=st.lists(st.integers(1, 30), min_size=1, max_size=60),
+    budget=st.integers(4, 64),
+)
+def test_length_batch_report_matches_reference_property(
+    spark, lens, budget
+):
+    """length_batch_report == a sequential replay of the budget-slice
+    rule for arbitrary length multisets and budgets, under scrambled
+    input partitioning."""
+    from cardano_spark.operators import curation as CU
+
+    rows = [(i, "w " * (n - 1) + "x") for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(5)
+    n = F.size(F.split(F.col("text"), " "))
+    got = {
+        r.batch_id: (r.n_docs, r.max_len, r.sum_tokens, r.padded_tokens,
+                     r.waste_fp)
+        for r in CU.length_batch_report(
+            docs, "doc_id", n, budget=budget, range_partitions=3
+        ).collect()
+    }
+    ref: dict = {}
+    cum = 0
+    for ln, _ in sorted((n, i) for i, n in enumerate(lens)):
+        b = cum // budget
+        d, m, s = ref.get(b, (0, 0, 0))
+        ref[b] = (d + 1, max(m, ln), s + ln)
+        cum += ln
+    assert set(got) == set(ref)
+    for b, (d, m, s) in ref.items():
+        pad = m * d
+        waste = ((pad - s) * 1048576) // pad
+        assert got[b] == (d, m, s, pad, waste), b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    run_len=st.integers(8, 14),
+    prefix=st.integers(0, 6),
+    data=st.data(),
+)
+def test_winnowing_contamination_guarantee_property(
+    spark, run_len, prefix, data
+):
+    """The decontamination guarantee on randomized plants: a train
+    doc embedding a >= w+k-1 = 8-token run from a bench doc is
+    ALWAYS flagged, wherever the run sits in either document."""
+    from cardano_spark.operators import dedup as DD
+
+    vocab = [f"t{j}" for j in range(40)]
+    run = [
+        data.draw(st.sampled_from(vocab), label=f"run{j}")
+        for j in range(run_len)
+    ]
+    bench_pad = [
+        data.draw(st.sampled_from(vocab), label=f"bp{j}")
+        for j in range(data.draw(st.integers(0, 5), label="bpn"))
+    ]
+    train_pad = [f"z{j}" for j in range(prefix)]  # disjoint filler
+    bench = spark.createDataFrame(
+        [(100, " ".join(bench_pad + run))], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(train_pad + run + ["z90", "z91"])),
+            (2, " ".join(f"q{j}" for j in range(12))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in DD.winnowing_contamination(
+            docs, bench, "doc_id", "text", k=5, w=4
+        ).collect()
+    }
+    assert got[1] == 1, (run, prefix)
+    assert got[2] == 0
