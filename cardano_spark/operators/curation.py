@@ -1264,7 +1264,10 @@ def bm25_scores(
         F.size(F.col("_t")).cast("long").alias("dl"),
         F.explode(F.col("_t")).alias("term"),
     )
-    occ = t.join(F.broadcast(terms.select("term")), "term")
+    # distinct() so a raw query with repeated words cannot fan out the
+    # occurrence join and silently double-count tf/df — callers may
+    # pass the parsed query verbatim
+    occ = t.join(F.broadcast(terms.select("term").distinct()), "term")
     totals = docs.select(toks.alias("_t")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(F.col("_t"))).cast("long").alias("total_tokens"),
@@ -1417,7 +1420,12 @@ def length_batch_report(
     Batch assignment is the shared distributed prefix sum
     (:func:`_exclusive_prefix_sum`) over the composite key
     ``lpad(n_tokens) ++ '|' ++ lpad(id)`` — zero-padded so string
-    order IS (length, id) order and ties are impossible; batch_id =
+    order IS (length, id) order and ties are impossible. The id pad
+    is 19 chars = the full int64 digit width, so no non-negative id
+    can be TRUNCATED by lpad (ids MUST be non-negative: a '-' sign
+    would both truncate and mis-sort; both engines' lpad truncate
+    identically so parity would hold, but batch assignment would be
+    order-ambiguous); batch_id =
     exclusive_start div budget (a document straddling a boundary
     joins the earlier batch — deterministic, exact integers). The
     true sequential greedy (admit while max_len*(n+1) <= budget) is
@@ -1437,7 +1445,7 @@ def length_batch_report(
     skey = F.concat(
         F.lpad(n_tokens.cast("string"), 10, "0"),
         F.lit("|"),
-        F.lpad(F.col(id_col).cast("string"), 18, "0"),
+        F.lpad(F.col(id_col).cast("string"), 19, "0"),
     )
     keyed = docs.select(skey.alias("_skey"), n_tokens.alias("_n"))
     started, _ = _exclusive_prefix_sum(

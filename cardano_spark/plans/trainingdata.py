@@ -2981,7 +2981,14 @@ def q169_retrieval_ndcg_report(
     table is precomputed 2^20 fixed point (no log in either engine),
     DCG is a sum of discount literals, ideal DCG indexes the
     cumulative table at min(n_rel, 10), and ndcg_fp =
-    (dcg * 2^20) div idcg."""
+    (dcg * 2^20) div idcg.
+
+    DEGENERATE-PROBE POLICY: a probe whose label has no OTHER member
+    in the corpus (n_rel = 0, idcg undefined) is DROPPED from the
+    report by the inner join on the relevant-count frame — not shown
+    as ndcg 0, since 0 would misread as 'retriever failed' when no
+    retriever could score. The oracle mirrors the inner join, so the
+    report row count is (probes with n_rel >= 1) × strategies."""
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 16)
     qlbl = probes.select(
@@ -5972,7 +5979,7 @@ TRAININGDATA_ORACLES["q162_length_batch_report"] = f"""
       FROM documents
     ), keyed AS (
       SELECT lpad(n::VARCHAR, 10, '0') || '|'
-               || lpad(doc_id::VARCHAR, 18, '0') AS skey, n
+               || lpad(doc_id::VARCHAR, 19, '0') AS skey, n
       FROM tok
     ), s AS (
       SELECT n,

@@ -183,16 +183,28 @@ def write_training_shards_incremental(
     ).withColumn(
         "_rh", md5_long(F.to_json(F.struct(*[F.col(c) for c in cols])))
     )
+    # four independent signals per shard (xor, 2^20-modular sum,
+    # full-width 2^63-modular sum, count): a content change slipping
+    # past ALL FOUR would need simultaneous collisions in each —
+    # margin against the (already negligible) chance of a silent
+    # skipped rewrite leaving manifest digests that match data never
+    # rewritten. The wide sum runs in decimal(38,0) because ANSI-mode
+    # int64 sum raises on overflow.
     digests = {
         int(r["_shard"]): {
             "xor": int(r["xor"]),
             "msum": int(r["msum"]),
+            "wsum": int(r["wsum"]),
             "rows": int(r["rows"]),
         }
         for r in staged.groupBy("_shard")
         .agg(
             F.expr("bit_xor(_rh)").alias("xor"),
             F.sum(F.col("_rh") % F.lit(1048576)).alias("msum"),
+            F.expr(
+                "cast(sum(cast(_rh as decimal(38,0)))"
+                " % 9223372036854775807 as long)"
+            ).alias("wsum"),
             F.count(F.lit(1)).alias("rows"),
         )
         .collect()

@@ -35,6 +35,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _arrival_cuts(
+    df: DataFrame, id_col: str, n_arrival_files: int
+) -> list[int] | None:
+    """Exclusive upper bounds for the ``n_arrival_files`` id-ranged
+    arrival slices, derived WITHOUT collecting the id column to the
+    driver: the cut ids are exact order statistics (rank
+    ``(N*i)//n`` in id order, matching ``sorted(ids)[(N*i)//n]``
+    bit-for-bit so the streaming convergence contracts are
+    unchanged), computed with the distributed prefix-sum rank
+    (:func:`~cardano_spark.operators.curation.global_rank` — range
+    shuffle + 32-scalar offset collect). Only ``n_arrival_files``
+    scalars ever reach the driver regardless of corpus size; the
+    previous ``sorted(... .collect())`` materialized the full id
+    column, a driver OOM at 100× scale.
+
+    Returns ``None`` on an empty frame (the old code raised
+    IndexError on ``ids[-1]``); callers emit the zero-arrival
+    result."""
+    from cardano_spark.operators.curation import global_rank
+
+    n = df.count()
+    if n == 0:
+        return None
+    rank_targets = [
+        (n * i) // n_arrival_files for i in range(1, n_arrival_files)
+    ]
+    need = sorted(set(rank_targets))
+    by_rank = {
+        r["_rank"]: r[id_col]
+        for r in global_rank(df.select(id_col), id_col)
+        .filter(F.col("_rank").isin(need))
+        .collect()
+    }
+    hi = df.agg(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+    return [by_rank[t] for t in rank_targets] + [hi + 1]
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -503,10 +540,14 @@ def incremental_neardup_stream(
     docs = _table(spark, docs_dir, "documents").filter(
         F.col("doc_id") % 8 == 0
     )
-    ids = sorted(r[0] for r in docs.select("doc_id").collect())
-    cuts = [
-        ids[(len(ids) * i) // n_arrival_files] for i in range(1, n_arrival_files)
-    ] + [ids[-1] + 1]
+    shingles = TX.distinct_tokens(F.col("text"))
+    cuts = _arrival_cuts(docs, "doc_id", n_arrival_files)
+    if cuts is None:
+        # empty slice: the batch twin over nothing — an empty pairs frame
+        empty = spark.createDataFrame([], docs.schema)
+        return DD.incremental_minhash_pairs(
+            empty, empty, "doc_id", shingles, threshold
+        )
     tmp = tempfile.mkdtemp(prefix="neardup_stream_")
     lo = None
     for i, hi in enumerate(cuts):
@@ -523,7 +564,6 @@ def incremental_neardup_stream(
         .option("maxFilesPerTrigger", "1")
         .load(tmp + "/arrival=*")
     )
-    shingles = TX.distinct_tokens(F.col("text"))
     state: dict = {"seen": None, "index": None, "pairs": []}
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -619,11 +659,21 @@ def quality_gate_stream(
         .localCheckpoint(eager=True)
     )
 
-    ids = sorted(r[0] for r in new.select("doc_id").collect())
-    cuts = [
-        ids[(len(ids) * i) // n_arrival_files]
-        for i in range(1, n_arrival_files)
-    ] + [ids[-1] + 1]
+    cuts = _arrival_cuts(new, "doc_id", n_arrival_files)
+    if cuts is None:
+        # empty arrival slice: the report with zero arrival batches
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("is_neardup", T.LongType()),
+                    T.StructField("is_contaminated", T.LongType()),
+                    T.StructField("quality_ok", T.LongType()),
+                    T.StructField("keep", T.LongType()),
+                ]
+            ),
+        )
     tmp = tempfile.mkdtemp(prefix="quality_gate_stream_")
     lo = None
     for i, hi in enumerate(cuts):
@@ -781,11 +831,19 @@ def ivf_maintenance_stream(
         .localCheckpoint(eager=True)
     )
 
-    ids = sorted(r[0] for r in new.select("vec_id").collect())
-    cuts = [
-        ids[(len(ids) * i) // n_arrival_files]
-        for i in range(1, n_arrival_files)
-    ] + [ids[-1] + 1]
+    cuts = _arrival_cuts(new, "vec_id", n_arrival_files)
+    if cuts is None:
+        # empty arrival slice: drift report with zero new vectors
+        n_new_empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cid", T.LongType()),
+                    T.StructField("n_new", T.LongType()),
+                ]
+            ),
+        )
+        return SIM.ivf_maintenance_summary(sums, n_base, n_new_empty)
     tmp = tempfile.mkdtemp(prefix="ivf_maintenance_stream_")
     lo = None
     for i, hi in enumerate(cuts):

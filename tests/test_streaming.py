@@ -688,3 +688,65 @@ def test_ivf_maintenance_stream_converges(spark):
         assert got == batch, n_files
     assert sum(v[1] for v in batch.values()) > 0
     assert len([v for v in batch.values() if v[1] > 0]) > 1
+
+
+@pytest.fixture()
+def empty_arrival_dir(spark, tmp_path):
+    """An sf-dir twin where every streaming job's ARRIVAL slice is
+    empty: documents carry only ids the jobs treat as pre-existing
+    corpus (doc_id % 8 == 0 AND < 300), embeddings only indexed base
+    vectors (vec_id % 10 != 9)."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    d = str(tmp_path / "empty_arrivals")
+    table(spark, SF_SMALL, "documents").filter(
+        (F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 300)
+    ).write.parquet(f"{d}/documents.parquet")
+    table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") % 10 != 9
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_streaming_jobs_on_empty_arrival_slice(spark, empty_arrival_dir):
+    """The quiet-watermark-window case (every incremental run hits
+    it): an EMPTY arrival slice must produce the zero-arrival report,
+    not IndexError on the cut derivation — the neardup stream over an
+    id-universe with no % 8 == 0 survivors, the quality gate with no
+    doc_id >= 300 arrivals, IVF maintenance with no vec_id % 10 == 9
+    vectors."""
+    from cardano_spark.streaming.jobs import (
+        incremental_neardup_stream,
+        ivf_maintenance_stream,
+        quality_gate_stream,
+    )
+
+    gate = quality_gate_stream(spark, empty_arrival_dir, n_arrival_files=3)
+    assert gate.count() == 0
+    assert gate.columns == [
+        "doc_id", "is_neardup", "is_contaminated", "quality_ok", "keep",
+    ]
+
+    ivf = ivf_maintenance_stream(
+        spark, empty_arrival_dir, k=4, n_iter=1, n_arrival_files=3
+    ).collect()
+    assert len(ivf) == 4
+    assert all(r.n_new == 0 for r in ivf)
+    assert sum(r.n_base for r in ivf) > 0
+
+    # neardup: no doc survives the % 8 == 0 slice at all
+    import os
+    import shutil
+
+    nd_dir = empty_arrival_dir + "_none"
+    os.makedirs(nd_dir, exist_ok=True)
+    spark.read.parquet(f"{empty_arrival_dir}/documents.parquet").filter(
+        F.col("doc_id") % 8 != 0
+    ).write.parquet(f"{nd_dir}/documents.parquet")
+    try:
+        pairs = incremental_neardup_stream(spark, nd_dir, n_arrival_files=3)
+        assert pairs.count() == 0
+        assert {"id_a", "id_b"} <= set(pairs.columns)
+    finally:
+        shutil.rmtree(nd_dir, ignore_errors=True)
