@@ -563,6 +563,21 @@ def ann_topk(
         return multitable_lsh_topk(
             corpus, queries, id_col, vec_col, k, multiprobe=multiprobe
         )
+    if strategy == "pq":
+        # the pinned PRODUCTION-RECALL operating point (measured
+        # recall@5 0.975 at sf0.1 vs exact; see ANN_PRODUCTION_PQ and
+        # the q172 frontier): trained 16-subspace codes, full ADC
+        # scan, exact rerank of a 50-deep shortlist
+        cfg = ANN_PRODUCTION_PQ
+        cb = pq_codebook_trained(
+            corpus, id_col, vec_col,
+            n_centroids=cfg["n_centroids"], n_iter=cfg["n_iter"],
+            n_sub=cfg["n_sub"],
+        )
+        return pq_rerank_topk(
+            corpus, queries, id_col, vec_col, k,
+            shortlist=cfg["shortlist"], codebook=cb, n_sub=cfg["n_sub"],
+        )
     raise ValueError(f"unknown ANN strategy: {strategy!r}")
 
 
@@ -1346,23 +1361,29 @@ def _pq_sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_subspaces(qa: Column) -> Column:
-    """Explode a 64-long quantized vector into PQ_M (m, sv) rows."""
+def _pq_subspaces(qa: Column, n_sub: int = PQ_M) -> Column:
+    """Explode a 64-long quantized vector into ``n_sub`` (m, sv) rows
+    of ``64 // n_sub`` dims each (default: the PQ_M module split)."""
+    dsub = 64 // n_sub
     return F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(m).cast("long").alias("m"),
-                    F.slice(qa, m * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+                    F.slice(qa, m * dsub + 1, dsub).alias("sv"),
                 )
-                for m in range(PQ_M)
+                for m in range(n_sub)
             ]
         )
     )
 
 
 def pq_codebook(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 64
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    n_sub: int = PQ_M,
 ) -> DataFrame:
     """Sample-init PQ codebooks: the first ``n_centroids`` corpus
     vectors (by id — deterministic, retry-stable) donate their
@@ -1388,13 +1409,17 @@ def pq_codebook(
         "k",
         (F.row_number().over(Window.orderBy("_cid")) - 1).cast("long"),
     )
-    return ranked.select("k", _pq_subspaces(F.col("_qa")).alias("s")).select(
-        F.col("s.m").alias("m"), "k", F.col("s.sv").alias("cv")
-    )
+    return ranked.select(
+        "k", _pq_subspaces(F.col("_qa"), n_sub).alias("s")
+    ).select(F.col("s.m").alias("m"), "k", F.col("s.sv").alias("cv"))
 
 
 def pq_encode(
-    corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = PQ_M,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011): each
     vector's PQ_M subspaces snap independently to the nearest
@@ -1412,9 +1437,9 @@ def pq_encode(
 
     Returns (``id_col``, ``m``, ``code``)."""
     staged = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_qa"))
-    subs = staged.select(id_col, _pq_subspaces(F.col("_qa")).alias("s")).select(
-        id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
-    )
+    subs = staged.select(
+        id_col, _pq_subspaces(F.col("_qa"), n_sub).alias("s")
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
     dists = subs.join(F.broadcast(codebook), "m").select(
         id_col, "m", "k", _pq_sqdist(F.col("sv"), F.col("cv")).alias("d")
     )
@@ -1431,6 +1456,7 @@ def pq_adc_topk(
     k: int,
     n_centroids: int = 64,
     codebook: DataFrame | None = None,
+    n_sub: int = PQ_M,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: probes keep their exact
     quantized vectors, corpus vectors are represented ONLY by codes,
@@ -1453,16 +1479,16 @@ def pq_adc_topk(
     cb = (
         codebook
         if codebook is not None
-        else pq_codebook(corpus, id_col, vec_col, n_centroids)
+        else pq_codebook(corpus, id_col, vec_col, n_centroids, n_sub)
     )
-    codes = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed(
+    codes = pq_encode(corpus, cb, id_col, vec_col, n_sub).withColumnRenamed(
         id_col, "match_id"
     )
     pstage = probes.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("_pa")
     )
     psubs = pstage.select(
-        "query_id", _pq_subspaces(F.col("_pa")).alias("s")
+        "query_id", _pq_subspaces(F.col("_pa"), n_sub).alias("s")
     ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
     ptab = psubs.join(F.broadcast(cb), "m").select(
         "query_id",
@@ -1500,6 +1526,7 @@ def pq_rerank_topk(
     shortlist: int = 100,
     n_centroids: int = 64,
     codebook: DataFrame | None = None,
+    n_sub: int = PQ_M,
 ) -> DataFrame:
     """PQ shortlist + exact cosine rerank — the production PQ shape
     (FAISS IVFPQ + refine): the ADC scan ranks by compressed codes,
@@ -1512,7 +1539,7 @@ def pq_rerank_topk(
     ``codebook`` passes through to :func:`pq_adc_topk`."""
     short = pq_adc_topk(
         corpus, probes, id_col, vec_col, k=shortlist,
-        n_centroids=n_centroids, codebook=codebook,
+        n_centroids=n_centroids, codebook=codebook, n_sub=n_sub,
     ).select("query_id", "match_id")
     q = probes.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -1552,6 +1579,7 @@ def pq_codebook_trained(
     vec_col: str,
     n_centroids: int = 64,
     n_iter: int = 2,
+    n_sub: int = PQ_M,
 ) -> DataFrame:
     """Per-subspace k-means PQ codebook training — the upgrade the
     :func:`pq_codebook` docstring names, on the same ``(m, k, cv)``
@@ -1584,19 +1612,20 @@ def pq_codebook_trained(
     the training lineage). Returns (``m``, ``k``, ``cv``)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    dsub = 64 // n_sub
     staged = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_qa"))
     # each Lloyd round (and q148/q152's post-loop encode) consumes
     # this frame — checkpoint so the corpus scan + quantize + explode
-    # run ONCE, not once per round (8 slim longs per vector per
+    # run ONCE, not once per round (dsub slim longs per vector per
     # subspace: checkpointable at any corpus size)
     subs = (
-        staged.select(id_col, _pq_subspaces(F.col("_qa")).alias("s"))
+        staged.select(id_col, _pq_subspaces(F.col("_qa"), n_sub).alias("s"))
         .select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
         .localCheckpoint(eager=False)
     )
-    cb = pq_codebook(corpus, id_col, vec_col, n_centroids).localCheckpoint(
-        eager=False
-    )
+    cb = pq_codebook(
+        corpus, id_col, vec_col, n_centroids, n_sub
+    ).localCheckpoint(eager=False)
     for _ in range(n_iter):
         dists = subs.join(F.broadcast(cb), "m").select(
             id_col, "m", "sv", "k", _pq_sqdist(F.col("sv"), F.col("cv")).alias("d")
@@ -1609,7 +1638,7 @@ def pq_codebook_trained(
             assigned.groupBy("m", "k")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.col("sv")[d]).alias(f"_s{d}") for d in range(PQ_DSUB)],
+                *[F.sum(F.col("sv")[d]).alias(f"_s{d}") for d in range(dsub)],
             )
             .select(
                 "m",
@@ -1617,13 +1646,104 @@ def pq_codebook_trained(
                 F.array(
                     *[
                         F.expr(f"_s{d} div _n").cast("long")
-                        for d in range(PQ_DSUB)
+                        for d in range(dsub)
                     ]
                 ).alias("cv"),
             )
             .localCheckpoint(eager=False)
         )
     return cb
+
+
+#: The PRODUCTION-RECALL ANN operating point, pinned by measurement
+#: (tools: the q172 frontier; floors in tests/test_sketches.py). The
+#: corpus is near-uniform (no cluster structure — same-label and
+#: cross-label cosine are both ~0), so ROUTING-based recall (IVF
+#: nprobe) is capped at list coverage; the production path is
+#: FIDELITY-based: full ADC scan over 16-subspace trained codes
+#: (16 bytes/vector — 16x less scan I/O than 64 float32s) + exact
+#: rerank of a 50-deep shortlist. Measured recall@5 vs brute force:
+#: 0.975 at sf0.1 (2000 vecs), 1.0 at sf0.01 — vs 0.45 for the
+#: previous best measured operating point (r6 VERDICT watch item).
+#: At 100 TB the ADC scan stays one map-side pass over the codes
+#: table; the shortlist rerank touches 50 raw vectors per probe.
+ANN_PRODUCTION_PQ: dict[str, int] = {
+    "n_sub": 16,
+    "n_centroids": 256,
+    "shortlist": 50,
+    "n_iter": 2,
+}
+
+
+def pq_recall_frontier(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    configs: tuple[tuple[int, int, int], ...] = (
+        (8, 64, 50),
+        (8, 256, 50),
+        (16, 64, 25),
+        (16, 256, 25),
+        (16, 256, 50),
+    ),
+    n_iter: int = 2,
+) -> DataFrame:
+    """The recall/cost FRONTIER that justifies :data:`ANN_PRODUCTION_PQ`
+    — one summary row per (n_sub, n_centroids, shortlist) config:
+    train the per-subspace codebook (:func:`pq_codebook_trained`),
+    run the trained ADC scan + exact rerank (:func:`pq_rerank_topk`),
+    and score recall@k against exact brute force. This is the sweep
+    every ANN deployment runs before pinning an index config; shipped
+    as a driver-verified query (q172) so the pinned operating point's
+    >= 0.8 recall is a hash-checked fact, not a README claim.
+
+    Cost columns make the frontier a frontier: ``code_bytes`` is the
+    per-vector scan footprint of the ADC pass (n_sub 1-byte codes at
+    n_centroids <= 256), ``refine_rows`` the per-probe exact-rerank
+    depth. recall_fp is integer 2^20 fixed point — no IEEE division
+    in the hashed output.
+
+    Scale: each config is the q148/q152 plan (slim subspace rows,
+    broadcast codebooks, map-side partial aggregates); the exact
+    ground truth is computed once and checkpointed across configs."""
+    exact = brute_force_topk(
+        corpus, probes, id_col, vec_col, k
+    ).localCheckpoint(eager=False)
+    parts: list[DataFrame] = []
+    for n_sub, n_cent, shortlist in configs:
+        cb = pq_codebook_trained(
+            corpus, id_col, vec_col,
+            n_centroids=n_cent, n_iter=n_iter, n_sub=n_sub,
+        )
+        approx = pq_rerank_topk(
+            corpus, probes, id_col, vec_col, k,
+            shortlist=shortlist, codebook=cb, n_sub=n_sub,
+        )
+        parts.append(
+            recall_at_k(approx, exact)
+            .agg(
+                F.sum("n_hit").cast("long").alias("n_hit"),
+                F.sum("n_true").cast("long").alias("n_true"),
+            )
+            .select(
+                F.lit(n_sub).cast("long").alias("n_sub"),
+                F.lit(n_cent).cast("long").alias("n_centroids"),
+                F.lit(shortlist).cast("long").alias("shortlist"),
+                F.lit(n_sub).cast("long").alias("code_bytes"),
+                F.lit(shortlist).cast("long").alias("refine_rows"),
+                "n_hit",
+                "n_true",
+                F.expr("(n_hit * 1048576) div n_true")
+                .cast("long")
+                .alias("recall_fp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ivfpq_topk(

@@ -3125,6 +3125,27 @@ def q171_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_ann_recall_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production-recall ANN decision as a DRIVER-VERIFIED
+    measurement (the r6 watch item closed): recall@5 vs exact brute
+    force for five trained-PQ operating points — (n_sub, n_centroids,
+    shortlist) in {(8,64,50) the old default, (8,256,50), (16,64,25),
+    (16,256,25), (16,256,50) the PINNED production config
+    (similarity.ANN_PRODUCTION_PQ, ann_topk strategy="pq")} — with
+    the cost columns (code bytes scanned per vector, rerank depth)
+    that make it a frontier. The corpus is near-uniform (no cluster
+    structure), so routing (IVF nprobe) caps recall at list coverage;
+    these configs climb the FIDELITY axis instead: measured at sf0.1,
+    the pinned row reaches recall@5 = 0.975 (recall_fp 1022361) vs
+    0.70 for the old default. Integer hit/true totals and 2^20
+    fixed-point recall — zero IEEE divisions in the hashed output."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 44))
+    return SIM.pq_recall_frontier(e, probes, "vec_id", "embedding", k=5)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3234,6 +3255,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q169_retrieval_ndcg_report": q169_retrieval_ndcg_report,
     "q170_datasheet_diff": q170_datasheet_diff,
     "q171_mmr_rerank_topk": q171_mmr_rerank_topk,
+    "q172_ann_recall_frontier": q172_ann_recall_frontier,
 }
 
 
@@ -5498,6 +5520,140 @@ def _pq_trained_chain(probe_lo: int, probe_hi: int) -> str:
       FROM sub s JOIN cb2 c ON c.m = s.m
       WHERE s.vec_id >= {probe_lo} AND s.vec_id < {probe_hi}
     )"""
+
+
+def _pq_frontier_config_sql(
+    m: int,
+    n_cent: int,
+    shortlist: int,
+    probe_lo: int = 36,
+    probe_hi: int = 44,
+    k: int = 5,
+) -> str:
+    """One q172 frontier row: the q148/q152 trained-PQ chain with
+    PARAMETERIZED (n_sub, n_centroids, shortlist) — 2 Lloyd rounds on
+    the integer grid, trained ADC scan, shortlist, exact-cosine
+    rerank, recall totals vs brute force. Self-contained (nested
+    WITH) so configs UNION ALL without CTE-name collisions."""
+    dsub = 64 // m
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(generate_series(1, {dsub}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+        )
+
+    sums = ", ".join(
+        f"(sum(s.sv[{i}]) // count(*))::BIGINT" for i in range(1, dsub + 1)
+    )
+
+    def rnd(r: int) -> str:
+        return f""", d{r} AS (
+      SELECT s.vec_id, s.m, c.k, {sqd('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb{r - 1} c ON c.m = s.m
+    ), a{r} AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS k
+      FROM d{r} GROUP BY vec_id, m
+    ), cb{r} AS (
+      SELECT a.m, a.k, [{sums}] AS cv
+      FROM a{r} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY a.m, a.k
+    )"""
+
+    return f"""(
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 255.0) AS BIGINT)) AS qa
+      FROM embeddings
+    ), ms AS (
+      SELECT unnest(generate_series(0, {m - 1})) AS m
+    ), cbase AS (
+      SELECT qa, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT vec_id, qa FROM q ORDER BY vec_id LIMIT {n_cent})
+    ), cb0 AS (
+      SELECT ms.m, cbase.k,
+             cbase.qa[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS cv
+      FROM cbase CROSS JOIN ms
+    ), sub AS (
+      SELECT q.vec_id, ms.m,
+             q.qa[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS sv
+      FROM q CROSS JOIN ms
+    ){rnd(1)}{rnd(2)}, df AS (
+      SELECT s.vec_id, s.m, c.k, {sqd('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb2 c ON c.m = s.m
+    ), codes AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS code
+      FROM df GROUP BY vec_id, m
+    ), ptab AS (
+      SELECT s.vec_id AS query_id, s.m, c.k AS code,
+             {sqd('s.sv', 'c.cv')} AS pd
+      FROM sub s JOIN cb2 c ON c.m = s.m
+      WHERE s.vec_id >= {probe_lo} AND s.vec_id < {probe_hi}
+    ), adc AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes co JOIN ptab pt ON pt.m = co.m AND pt.code = co.code
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    ), short AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+        ) AS rn FROM adc
+      ) WHERE rn <= {shortlist}
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), topk AS (
+      SELECT query_id, match_id FROM (
+        SELECT s.query_id, s.match_id, row_number() OVER (
+          PARTITION BY s.query_id
+          ORDER BY {_COS.replace('va', 'qv.e').replace('vb', 'mv.e')} DESC,
+                   s.match_id ASC
+        ) AS rank
+        FROM short s
+        JOIN v qv ON qv.vec_id = s.query_id
+        JOIN v mv ON mv.vec_id = s.match_id
+      ) WHERE rank <= {k}
+    ), ex AS (
+      SELECT query_id, match_id FROM (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY {_COS.replace('va', 'qv.e').replace('vb', 'cv.e')} DESC,
+                          cv.vec_id ASC
+               ) AS rank
+        FROM v qv JOIN v cv
+          ON qv.vec_id >= {probe_lo} AND qv.vec_id < {probe_hi}
+         AND cv.vec_id <> qv.vec_id
+      ) WHERE rank <= {k}
+    ), hits AS (
+      SELECT count(*)::BIGINT AS n_hit
+      FROM ex e JOIN topk t
+        ON t.query_id = e.query_id AND t.match_id = e.match_id
+    ), tots AS (
+      SELECT count(*)::BIGINT AS n_true FROM ex
+    )
+    SELECT {m}::BIGINT AS n_sub, {n_cent}::BIGINT AS n_centroids,
+           {shortlist}::BIGINT AS shortlist,
+           {m}::BIGINT AS code_bytes, {shortlist}::BIGINT AS refine_rows,
+           hits.n_hit, tots.n_true,
+           ((hits.n_hit * 1048576) // tots.n_true)::BIGINT AS recall_fp
+    FROM hits, tots
+    )"""
+
+
+TRAININGDATA_ORACLES["q172_ann_recall_frontier"] = "\nUNION ALL\n".join(
+    _pq_frontier_config_sql(m, n_cent, shortlist)
+    for (m, n_cent, shortlist) in (
+        (8, 64, 50),
+        (8, 256, 50),
+        (16, 64, 25),
+        (16, 256, 25),
+        (16, 256, 50),
+    )
+)
 
 
 TRAININGDATA_ORACLES["q148_pq_trained_topk"] = f"""
