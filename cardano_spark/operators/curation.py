@@ -686,6 +686,7 @@ def rare_ngram_scores(
     grams: Column,
     train_pred: Column,
     min_count: int = 2,
+    n_salts: int = 0,
 ) -> DataFrame:
     """N-gram language-model rarity scores — the integer-exact form
     of CCNet-style LM filtering (Wenzek et al. 2020 score documents
@@ -715,14 +716,24 @@ def rare_ngram_scores(
     exchange on ``_g``, AQE free to pick broadcast at small SF.
     The raw n-gram string is a SKEWED key at corpus scale (stop-word
     bigrams dominate Zipf-fashion): the occurrence side piles onto a
-    few hot partitions. This is the AQE skew-join's textbook case —
-    the hot keys are join-only (no aggregation on ``_g``), so
-    ``spark.sql.adaptive.skewJoin`` splits them safely; corpora with
-    extreme head tokens can route through
-    :func:`cardano_spark.operators.skew.salted_join` instead (the
-    vocabulary side replicates per salt — correct because vocab is
-    unique per ``_g``). Nothing wide is cached; the exploded frame
-    streams through the join into a map-side partial count.
+    few hot partitions. ``n_salts > 0`` routes the occ-vocab join
+    through :func:`cardano_spark.operators.skew.salted_join` — the
+    occurrence side salts on the document id (deterministic,
+    high-cardinality), the vocabulary side replicates per salt
+    (correct because vocab is unique per ``_g``), so the hot key's
+    rows spread over ``n_salts`` reducers at a fixed vocab-side
+    replication cost. Result rows are IDENTICAL either way (each occ
+    row meets exactly one replica). Measured on a planted-hot-bigram
+    corpus (800k docs, one bigram = ~75% of all occurrences, AQE
+    skew-join ON; BENCH_EXTENDED "q145 occ-vocab salting A/B"):
+    AQE-only 13.6 s vs salted 14.0-14.4 s — AQE's split already
+    handles the JOIN-ONLY hot key, so ``n_salts=0`` stays the default
+    and q145 ships with it; the salt path is the wired, identity-
+    tested escape hatch for the case AQE cannot split (a hot key
+    whose single shuffle block exceeds executor memory, or skew
+    feeding a same-key aggregation). Nothing wide is cached; the
+    exploded frame streams through the join into a map-side partial
+    count.
 
     Returns (``id_col``, n_ngrams, n_rare, rare_fp)."""
     occ = docs.select(
@@ -736,7 +747,15 @@ def rare_ngram_scores(
         .filter(F.col("_c") >= F.lit(min_count))
         .select("_g", F.lit(1).alias("_known"))
     )
-    scored = occ.join(vocab, "_g", "left").groupBy(id_col).agg(
+    if n_salts > 0:
+        from cardano_spark.operators.skew import salted_join
+
+        joined = salted_join(
+            occ, vocab, "_g", F.col(id_col), n_salts=n_salts, how="left"
+        )
+    else:
+        joined = occ.join(vocab, "_g", "left")
+    scored = joined.groupBy(id_col).agg(
         F.count("_g").cast("long").alias("n_ngrams"),
         F.sum(
             F.when(

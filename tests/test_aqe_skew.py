@@ -49,3 +49,33 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rare_ngram_scores_salted_path_is_identical(spark):
+    """rare_ngram_scores(n_salts>0) routes its occ-vocab join through
+    skew.salted_join (the wired escape hatch for the hot-key case AQE
+    cannot split) and must produce ROW-IDENTICAL results to the
+    default AQE path — salting only redistributes the shuffle. The
+    A/B measurement that keeps n_salts=0 the default lives in
+    BENCH_EXTENDED ("q145 occ-vocab salting A/B")."""
+    from cardano_spark.catalog import table
+    from cardano_spark.functions import text as TX
+    from cardano_spark.operators import curation as CU
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents")
+    grams = TX.word_ngrams(F.coalesce(F.col("text"), F.lit("")), 2)
+    pred = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    plain = CU.rare_ngram_scores(d, "doc_id", grams, pred, min_count=2)
+    salted = CU.rare_ngram_scores(
+        d, "doc_id", grams, pred, min_count=2, n_salts=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # the salt actually reaches the join: the salted plan joins on
+    # (_g, _salt), the plain plan must not
+    salted_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in salted_plan
+    assert "_salt" not in plain_plan
