@@ -140,6 +140,56 @@ def build_parser() -> argparse.ArgumentParser:
         "word-count/mean-length bounds, symbol/bullet/ellipsis ratios, "
         "alpha fraction, required stopwords) in the quality gate",
     )
+    corpus.add_argument(
+        "--incremental",
+        action="store_true",
+        help="watermark-gated arrival-batch mode "
+        "(pipelines/corpus.py::build_corpus_incremental): only doc_id > "
+        "watermark rows enter, dedup probes the persisted digest/band "
+        "state under dest/_state, and only changed shards rewrite — a "
+        "drop pays |new| gate work. Near-dup rule is keep_first_pairwise "
+        "(convergence-tested against the batch build); corpus-global "
+        "stages (--target/--select-top/--token-budget-points/"
+        "--split-mode/--shuffle-order/--pack-budget/--emit-attributes) "
+        "are rejected",
+    )
+    corpus.add_argument(
+        "--neardup-rule",
+        choices=["cluster_longest", "keep_first_pairwise"],
+        default="cluster_longest",
+        help="batch-mode near-dup drop rule: cluster_longest = connected "
+        "components + longest-doc representative (q104); "
+        "keep_first_pairwise = drop any doc pairing with a smaller id "
+        "(the rule the incremental mode reproduces exactly)",
+    )
+    maintain = sub.add_parser(
+        "maintain",
+        help="table maintenance for a ParquetMergeSink table: compact "
+        "small files per bucket and/or rewrite to a new bucket count "
+        "(sinks/merge.py::compact/rebucket — the operational runbook "
+        "step the reference's README implies for its warehouse tables)",
+    )
+    maintain.add_argument("--path", required=True, help="merge-sink table root")
+    maintain.add_argument(
+        "--keys", required=True,
+        help="comma-separated primary-key columns (the merge keys)",
+    )
+    maintain.add_argument(
+        "--compact", action="store_true",
+        help="rewrite buckets whose file count exceeds the target "
+        "(crash-safe sibling swap; untouched buckets never opened)",
+    )
+    maintain.add_argument("--max-files-per-bucket", type=int, default=1)
+    maintain.add_argument(
+        "--target-file-bytes", type=int, default=None,
+        help="size-based target: each bucket rewrites to "
+        "ceil(bucket_bytes/target) files (+1 hysteresis)",
+    )
+    maintain.add_argument(
+        "--rebucket", type=int, default=None,
+        help="rewrite the WHOLE table into N hash buckets "
+        "(bucket-count evolution; O(table) by nature)",
+    )
     scrape = sub.add_parser(
         "scrape-companies",
         help="the ideascale company-link pipeline (S15->C12->C10->K6): "
@@ -217,6 +267,31 @@ def main(
             f"{m.total_bytes} bytes -> {args.dest}"
         )
         return 0
+    if args.cmd == "maintain":
+        from cardano_spark.sinks.merge import ParquetMergeSink
+
+        if not (args.compact or args.rebucket is not None):
+            build_parser().error(
+                "maintain needs --compact and/or --rebucket N"
+            )
+        table_schema = spark.read.parquet(args.path).schema
+        sink = ParquetMergeSink(
+            spark, args.path, table_schema, args.keys.split(",")
+        )
+        if args.rebucket is not None:
+            old_n = sink.n_buckets
+            sink.rebucket(args.rebucket)
+            print(f"rebucketed {args.path}: {old_n} -> {sink.n_buckets}")
+        if args.compact:
+            done = sink.compact(
+                max_files_per_bucket=args.max_files_per_bucket,
+                target_file_bytes=args.target_file_bytes,
+            )
+            print(
+                f"compacted {len(done)} bucket(s) "
+                f"{sorted(done)} in {args.path}"
+            )
+        return 0
     if args.cmd == "build-corpus":
         from cardano_spark.pipelines.corpus import build_corpus
 
@@ -225,6 +300,57 @@ def main(
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
         target = spark.read.parquet(args.target) if args.target else None
+        if args.incremental:
+            from cardano_spark.pipelines.corpus import (
+                build_corpus_incremental,
+            )
+
+            rejected = [
+                name
+                for name, val in (
+                    ("--target", args.target),
+                    ("--select-top", args.select_top),
+                    ("--token-budget-points", args.token_budget_points),
+                    ("--split-mode", args.split_mode),
+                    ("--shuffle-order", args.shuffle_order or None),
+                    ("--pack-budget", args.pack_budget),
+                    ("--emit-attributes", args.emit_attributes or None),
+                )
+                if val is not None
+            ]
+            if rejected:
+                build_parser().error(
+                    "corpus-global stages are not incremental: "
+                    + ", ".join(rejected)
+                )
+            inc = build_corpus_incremental(
+                spark,
+                docs,
+                args.dest,
+                benchmark=bench,
+                neardup_threshold=args.neardup_threshold,
+                contamination_max=args.contamination_max,
+                min_quality=args.min_quality,
+                min_tokens=args.min_tokens,
+                n_shards=args.shards,
+                normalize=args.normalize,
+                quality_rules=args.quality_rules,
+            )
+            rewrote = (
+                f"{inc.export.n_rewritten} shard(s) rewritten"
+                if inc.export is not None
+                else "no-op (nothing past the watermark)"
+            )
+            print(
+                f"incremental corpus build: {inc.n_arrived} arrived -> "
+                f"{inc.n_after_exact} after exact dedup -> "
+                f"{inc.n_after_neardup} after near-dup -> "
+                f"{inc.n_after_decontam} after decontamination -> "
+                f"{inc.n_after_quality} kept; corpus now "
+                f"{inc.n_survivors_total} docs; {rewrote}; "
+                f"watermark={inc.watermark} -> {args.dest}"
+            )
+            return 0
         audit = build_corpus(
             spark,
             docs,
@@ -244,6 +370,7 @@ def main(
             pack_budget=args.pack_budget,
             quality_rules=args.quality_rules,
             emit_attributes=args.emit_attributes,
+            neardup_rule=args.neardup_rule,
         )
         splits = (
             "; splits " + ", ".join(

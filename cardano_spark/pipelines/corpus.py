@@ -27,16 +27,23 @@ operator families build toward.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cardano_spark.functions import text as TX
 from cardano_spark.functions.hashing import hash_bucket, md5_long
 from cardano_spark.operators import curation as CU
 from cardano_spark.operators import dedup as DD
-from cardano_spark.sinks.shards import ShardManifest, write_training_shards
+from cardano_spark.sinks.shards import (
+    IncrementalExportResult,
+    ShardManifest,
+    write_training_shards,
+    write_training_shards_incremental,
+)
 
 
 @dataclass(frozen=True)
@@ -67,17 +74,36 @@ class CorpusAudit:
     attributes_path: str | None = None
 
 
-def _drop_neardup(docs: DataFrame, threshold: float) -> DataFrame:
-    """Near-dup stage: MinHash/LSH pairs -> connected components ->
-    keep the longest doc per cluster (ties -> lowest id) — q104's
-    detect/choose/apply chain as a reusable step. The drop-list is
-    one id per dropped doc; it applies as an anti join."""
+def _drop_neardup(
+    docs: DataFrame, threshold: float, rule: str = "cluster_longest"
+) -> DataFrame:
+    """Near-dup stage. Two drop rules, both applied as a slim anti
+    join:
+
+    - ``"cluster_longest"`` (default): MinHash/LSH pairs -> connected
+      components -> keep the longest doc per cluster (ties -> lowest
+      id) — q104's detect/choose/apply chain.
+    - ``"keep_first_pairwise"``: drop every doc that has a verified
+      pair with ANY smaller-id doc (the pair set's ``id_b`` side) —
+      the q117/q136 arrival-gate rule. This is the rule an
+      INCREMENTAL build can reproduce exactly (a new doc's fate
+      depends only on already-seen docs, never on a future longer
+      cluster member), so :func:`build_corpus_incremental` uses it
+      and its convergence contract compares against a batch build
+      with the same rule. It differs from cluster_longest on
+      transitive clusters (no representative election).
+    """
     pairs = DD.minhash_lsh_pairs(
         docs,
         "doc_id",
         TX.distinct_tokens(F.coalesce(F.col("text"), F.lit(""))),
         threshold=threshold,
     )
+    if rule == "keep_first_pairwise":
+        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return docs.join(dropped, "doc_id", "left_anti")
+    if rule != "cluster_longest":
+        raise ValueError(f"unknown neardup rule: {rule!r}")
     comp = DD.connected_components(
         docs.select("doc_id"),
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
@@ -114,6 +140,7 @@ def build_corpus(
     pack_budget: int | None = None,
     quality_rules: str | None = None,
     emit_attributes: bool = False,
+    neardup_rule: str = "cluster_longest",
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -226,7 +253,7 @@ def build_corpus(
     ]
 
     # 2. near-dup dedup (detect -> cluster -> elect -> apply)
-    near = _drop_neardup(exact, neardup_threshold)
+    near = _drop_neardup(exact, neardup_threshold, neardup_rule)
     n_near = near.count()
     stage_ids.append(("neardup", near.select("doc_id")))
 
@@ -454,4 +481,217 @@ def build_corpus(
         split_counts=split_counts,
         split_manifests=split_manifests,
         attributes_path=attributes_path,
+    )
+
+@dataclass(frozen=True)
+class IncrementalCorpusAudit:
+    """Per-arrival-batch audit of :func:`build_corpus_incremental`."""
+
+    n_arrived: int
+    n_after_exact: int
+    n_after_neardup: int
+    n_after_decontam: int
+    n_after_quality: int
+    #: cumulative survivor-corpus size after folding this batch in
+    n_survivors_total: int
+    #: diff-export accounting (None when the batch was a no-op)
+    export: IncrementalExportResult | None
+    #: the watermark written for this batch (None when no-op)
+    watermark: int | None
+
+
+def build_corpus_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    dest: str,
+    benchmark: DataFrame | None = None,
+    neardup_threshold: float = 0.8,
+    contamination_max: float = 0.5,
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    n_shards: int = 8,
+    normalize: bool = False,
+    quality_rules: str | None = None,
+) -> IncrementalCorpusAudit:
+    """The watermark-gated ARRIVAL-BATCH form of :func:`build_corpus`
+    — the reference's entire operating identity
+    (s3_to_db_cardano_blocks_pipeline.py:64-127: read watermark, work
+    the delta, upsert watermark) applied to the corpus build, so a
+    daily drop pays |new| gate work instead of a full rebuild:
+
+    - **watermark gate**: only ``doc_id > max(processed)`` rows enter
+      (the A1/A2 read from a :class:`~cardano_spark.watermark.
+      ParquetWatermarkStore` ledger under ``dest/_state``); arrival
+      ids must be monotone across batches — the reference's
+      block-height discipline.
+    - **exact dedup**: the batch's md5 digests probe the persisted
+      seen-digest column (null-safe — NULL-text docs group together,
+      matching the batch rule) and reduce in-batch to min-id per
+      digest; cost ∝ |new| + one slim index probe.
+    - **near-dup**: :func:`~cardano_spark.operators.dedup.
+      incremental_minhash_pairs` against the PERSISTED band index
+      (q136's state, here parquet under ``_state/band_index``) — the
+      historical corpus is never re-hashed, the index never
+      self-joins. Drop rule is ``keep_first_pairwise`` (a doc drops
+      iff it pairs with ANY earlier doc): the rule whose batch twin
+      (``build_corpus(neardup_rule="keep_first_pairwise")``) an
+      incremental run can reproduce EXACTLY — representative
+      election by length cannot be incremental (a future longer
+      member would retroactively evict a shipped rep).
+    - **decontamination + quality**: per-row gates against the static
+      benchmark — stateless, |new|-bounded.
+    - **export**: survivors append to ``_state/survivors`` and the
+      full survivor corpus diff-exports through
+      :func:`~cardano_spark.sinks.shards.
+      write_training_shards_incremental` — shard membership is a
+      content hash, so only shards that received new docs rewrite
+      (the digest pass scans all rows; the WRITE is |changed| —
+      shards.py's documented cost split).
+
+    CONVERGENCE CONTRACT (pinned in tests/test_corpus_pipeline.py,
+    the q136 discipline): after any sequence of arrival batches, the
+    survivor set and shard read-back equal the BATCH
+    ``build_corpus(neardup_rule="keep_first_pairwise")`` over the
+    union — regardless of how arrivals were split.
+
+    Corpus-GLOBAL stages (DSIR selection, PPS budget, splits,
+    shuffle order, packing) are deliberately absent: each depends on
+    the whole corpus, so "incremental" would silently mean "stale";
+    run the batch builder for those artifacts.
+
+    State writes are plain appends; a crash between the state append
+    and the watermark upsert replays the batch on retry. Production
+    hardens this by routing ``seen``/``survivors`` through
+    ``ParquetMergeSink`` (idempotent on doc_id — the reference's
+    ON CONFLICT DO NOTHING twin, sinks/merge.py) — the harness here
+    keeps the parquet-append form the streaming jobs use."""
+    from cardano_spark.watermark import ParquetWatermarkStore
+
+    if quality_rules not in (None, "gopher"):
+        raise ValueError(f"unknown quality_rules: {quality_rules!r}")
+    state = f"{dest}/_state"
+    wm_store: ParquetWatermarkStore[int] = ParquetWatermarkStore(
+        spark, f"{state}/watermark", "doc_id", T.LongType()
+    )
+    wm = wm_store.read_latest("corpus")
+    batch = new_docs if wm is None else new_docs.filter(F.col("doc_id") > wm)
+    if normalize:
+        batch = batch.withColumn("text", CU.normalize_text(F.col("text")))
+    batch = batch.localCheckpoint(eager=True)
+    n_arrived = batch.count()
+    n_total_prev = (
+        spark.read.parquet(f"{state}/survivors").count()
+        if os.path.isdir(f"{state}/survivors")
+        else 0
+    )
+    if n_arrived == 0:
+        return IncrementalCorpusAudit(
+            n_arrived=0, n_after_exact=0, n_after_neardup=0,
+            n_after_decontam=0, n_after_quality=0,
+            n_survivors_total=n_total_prev, export=None, watermark=None,
+        )
+
+    shingles = TX.distinct_tokens(F.coalesce(F.col("text"), F.lit("")))
+    has_state = os.path.isdir(f"{state}/seen")
+    seen = (
+        spark.read.parquet(f"{state}/seen")
+        if has_state
+        else spark.createDataFrame(
+            [], batch.withColumn("_digest", F.md5("text")).schema
+        )
+    )
+    index = (
+        spark.read.parquet(f"{state}/band_index")
+        if has_state
+        else DD.band_index(seen, "doc_id", shingles)
+    )
+
+    # exact dedup: in-batch min-id per digest, then anti-probe the
+    # seen-digest index (null-safe: NULL text is one group, as in the
+    # batch rule — md5(NULL) groups under the NULL digest)
+    staged = batch.withColumn("_digest", F.md5("text"))
+    canon = staged.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
+    in_batch = staged.join(canon.select("doc_id"), "doc_id", "left_semi")
+    seen_dig = seen.select(F.col("_digest").alias("_seen_digest")).distinct()
+    exact_new = in_batch.join(
+        seen_dig,
+        in_batch["_digest"].eqNullSafe(seen_dig["_seen_digest"]),
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    n_exact = exact_new.count()
+
+    # near-dup: probe the persisted band index, drop the later side of
+    # every verified pair (keep_first_pairwise)
+    pairs = DD.incremental_minhash_pairs(
+        seen.drop("_digest"),
+        exact_new.drop("_digest"),
+        "doc_id",
+        shingles,
+        threshold=neardup_threshold,
+        existing_index=index,
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near_new = exact_new.join(dropped, "doc_id", "left_anti")
+    n_near = near_new.count()
+
+    # decontamination (per-row vs the static benchmark)
+    if benchmark is not None:
+        contam = CU.benchmark_contamination(
+            near_new,
+            benchmark,
+            "doc_id",
+            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+        )
+        clean_ids = contam.filter(
+            F.col("contamination") <= F.lit(float(contamination_max))
+        ).select("doc_id")
+        near_new = near_new.join(clean_ids, "doc_id", "left_semi")
+    n_decontam = near_new.count()
+
+    # quality gate (shared q30 formula + token floor; optional Gopher)
+    toks = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    gate = (
+        TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
+    ) & (toks >= F.lit(int(min_tokens)))
+    if quality_rules == "gopher":
+        _, gflags = CU.gopher_flag_columns(F.col("text"))
+        gate = gate & (gflags == F.lit(127))
+    kept_new = near_new.filter(gate).localCheckpoint(eager=True)
+    n_quality = kept_new.count()
+
+    # fold state forward: seen/bands grow by the EXACT survivors
+    # (near-dup-dropped docs stay in the index — the pairwise rule
+    # compares against every seen doc), survivors by the kept docs
+    exact_new.write.mode("append").parquet(f"{state}/seen")
+    DD.band_index(exact_new, "doc_id", shingles).write.mode(
+        "append"
+    ).parquet(f"{state}/band_index")
+    kept_new.drop("_digest").write.mode("append").parquet(
+        f"{state}/survivors"
+    )
+
+    survivors = spark.read.parquet(f"{state}/survivors")
+    export = write_training_shards_incremental(
+        survivors.withColumn(
+            "_shard_key",
+            md5_long(
+                F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))
+            ),
+        ),
+        dest,
+        "_shard_key",
+        n_shards,
+    )
+    new_wm = int(batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
+    wm_store.upsert("corpus", new_wm)
+    return IncrementalCorpusAudit(
+        n_arrived=n_arrived,
+        n_after_exact=n_exact,
+        n_after_neardup=n_near,
+        n_after_decontam=n_decontam,
+        n_after_quality=n_quality,
+        n_survivors_total=survivors.count(),
+        export=export,
+        watermark=new_wm,
     )

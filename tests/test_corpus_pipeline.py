@@ -478,3 +478,167 @@ def test_build_corpus_emit_attributes_ledger(spark, tmp_path):
     assert led[4].survived_quality == 0 and led[4].survived_decontam == 1
     assert led[6].quality_fp is None                # NULL text -> no score
     assert led[3].survived_quality == 1
+
+
+def test_build_corpus_incremental_converges_to_batch(spark, tmp_path):
+    """The watermark-gated incremental build's convergence contract
+    (the q136 discipline applied end-to-end): for ANY arrival split
+    (1, 2, 3 id-ranged batches) over the same corpus, the cumulative
+    survivor set AND the shard read-back equal the BATCH
+    build_corpus(neardup_rule='keep_first_pairwise') over the union
+    — with a benchmark gate and quality floor active, on a real
+    document slice with exact and near duplicates."""
+    from cardano_spark.catalog import table
+    from cardano_spark.pipelines.corpus import build_corpus_incremental
+
+    docs = table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    bench = (
+        table(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id") < 15)
+        .select("text")
+        .localCheckpoint()
+    )
+    kw = dict(
+        benchmark=bench, neardup_threshold=0.8, contamination_max=0.2,
+        min_quality=0.3, min_tokens=3, n_shards=4,
+    )
+
+    batch_dest = str(tmp_path / "batch")
+    batch_audit = build_corpus(
+        spark, docs, batch_dest, neardup_rule="keep_first_pairwise", **kw
+    )
+    batch_ids = {
+        r.doc_id
+        for r in spark.read.parquet(batch_dest).select("doc_id").collect()
+    }
+    assert batch_ids, "fixture produced no survivors"
+    # the gates are non-trivial on this slice
+    assert batch_audit.n_after_quality < batch_audit.n_input
+
+    shard_maps = []
+    for n_batches, cuts in ((1, []), (2, [250]), (3, [160, 330])):
+        dest = str(tmp_path / f"inc{n_batches}")
+        bounds = [float("-inf"), *cuts, float("inf")]
+        last = None
+        for i in range(n_batches):
+            arrival = docs.filter(
+                (F.col("doc_id") >= bounds[i])
+                & (F.col("doc_id") < bounds[i + 1])
+            )
+            last = build_corpus_incremental(spark, arrival, dest, **kw)
+        assert last is not None
+        assert last.n_survivors_total == len(batch_ids)
+        inc_ids = {
+            r.doc_id
+            for r in spark.read.parquet(dest).select("doc_id").collect()
+        }
+        assert inc_ids == batch_ids, f"split={n_batches}"
+        # shard membership is a content hash: identical for EVERY
+        # arrival split (the batch exporter range-shards, so shard
+        # layout is compared across incremental runs, survivor SET
+        # against the batch build)
+        shard_maps.append(
+            {
+                (r.doc_id, r._shard)
+                for r in spark.read.parquet(dest)
+                .select("doc_id", "_shard")
+                .collect()
+            }
+        )
+    assert shard_maps[0] == shard_maps[1] == shard_maps[2]
+
+
+def test_build_corpus_incremental_second_batch_pays_new_only(
+    spark, tmp_path
+):
+    """Incrementality is real, not a rebuild in disguise: a second
+    arrival batch (a) is watermark-gated (re-presenting already-
+    processed ids is a no-op), (b) drops a new exact/near dup of an
+    EARLIER batch's doc via the persisted digest/band state, and (c)
+    rewrites only the shards its survivors land in."""
+    from cardano_spark.pipelines.corpus import build_corpus_incremental
+
+    base = GOOD
+    b1 = spark.createDataFrame(
+        [
+            (10, base, "en", "web", len(base)),
+            (11, "a completely different document body with plenty of "
+                 "the most common english words in it for the gate",
+             "en", "web", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dest = str(tmp_path / "inc")
+    a1 = build_corpus_incremental(
+        spark, b1, dest, min_quality=0.3, min_tokens=3, n_shards=4
+    )
+    assert a1.n_arrived == 2 and a1.n_survivors_total == 2
+    assert a1.watermark == 11
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base, "en", "web", len(base)),      # behind the watermark
+            (12, base, "en", "web", len(base)),      # exact dup of doc 10
+            (13, base + " extra", "en", "web", len(base) + 6),  # near dup
+            (14, "the fresh survivor document is here and it is long "
+                 "enough with the usual common words to pass the gate",
+             "en", "web", 104),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a2 = build_corpus_incremental(
+        spark, b2, dest, min_quality=0.3, min_tokens=3, n_shards=4
+    )
+    assert a2.n_arrived == 3            # doc 10 gated by the watermark
+    assert a2.n_after_exact == 2        # doc 12 = seen digest of doc 10
+    assert a2.n_after_neardup == 1      # doc 13 pairs with seen doc 10
+    assert a2.n_after_quality == 1
+    assert a2.n_survivors_total == 3
+    assert a2.watermark == 14
+    assert a2.export is not None
+    # only the shard(s) doc 14 lands in rewrote on the second run
+    assert 1 <= a2.export.n_rewritten < 4
+
+    # a replayed empty window is a clean no-op
+    a3 = build_corpus_incremental(
+        spark, b2, dest, min_quality=0.3, min_tokens=3, n_shards=4
+    )
+    assert a3.n_arrived == 0 and a3.export is None
+    assert a3.n_survivors_total == 3
+
+
+def test_cli_build_corpus_incremental(spark, tmp_path, capsys):
+    from cardano_spark.__main__ import main
+
+    dest = str(tmp_path / "out")
+    for _ in range(2):  # second invocation: everything behind the watermark
+        rc = main(
+            [
+                "build-corpus",
+                "--src", f"{SF_SMALL}/documents.parquet",
+                "--dest", dest,
+                "--shards", "2",
+                "--incremental",
+            ]
+        )
+        assert rc == 0
+    out = capsys.readouterr().out
+    assert "incremental corpus build:" in out
+    assert "no-op (nothing past the watermark)" in out
+    assert json.load(open(f"{dest}/_manifest.json"))["n_rows"] > 0
+
+    # corpus-global stages are rejected in incremental mode
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "build-corpus",
+                "--src", f"{SF_SMALL}/documents.parquet",
+                "--dest", dest,
+                "--incremental",
+                "--split-mode", "doc",
+            ]
+        )

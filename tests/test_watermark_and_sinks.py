@@ -600,3 +600,43 @@ def test_rebucket_chain_random_counts(spark, tmp_path):
         sink.rebucket(n)
         assert sink.n_buckets == n
         assert {(r.k, r.v) for r in sink.read().collect()} == set(rows.items())
+
+
+def test_cli_maintain_compact_and_rebucket(spark, tmp_path, capsys):
+    """The `maintain` CLI subcommand reaches compact/rebucket (the
+    operational runbook step): build a fragmented merge-sink table,
+    run `maintain --compact --rebucket`, and verify the table is
+    byte-identical with the new layout."""
+    import os
+
+    from cardano_spark.__main__ import main
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, ["k"], n_buckets=4)
+    for i in range(4):
+        sink.merge(
+            spark.createDataFrame(
+                [(j, f"v{j}") for j in range(i * 20, i * 20 + 20)], SCHEMA
+            )
+        )
+    before = {r.k: r.v for r in sink.read().select("k", "v").collect()}
+
+    rc = main(
+        ["maintain", "--path", path, "--keys", "k",
+         "--rebucket", "8", "--compact"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rebucketed" in out and "compacted" in out
+    reopened = ParquetMergeSink(spark, path, SCHEMA, ["k"])
+    assert reopened.n_buckets == 8
+    assert {
+        r.k: r.v for r in reopened.read().select("k", "v").collect()
+    } == before
+    for b in range(8):
+        d = os.path.join(path, f"_bucket={b}")
+        if os.path.isdir(d):
+            assert (
+                len([f for f in os.listdir(d) if f.endswith(".parquet")])
+                == 1
+            )
