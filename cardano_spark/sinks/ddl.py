@@ -222,6 +222,12 @@ def live_columns(con: object, table: str) -> dict[str, str] | None:
 
 
 def _paramstyle(con: object) -> str:
+    # DB-API modules/connections may advertise their style (the
+    # stdlib pg_wire client does); psycopg does not, hence the name
+    # sniff; everything else (JDBC/Derby shims) is qmark
+    style = getattr(con, "paramstyle", None)
+    if isinstance(style, str):
+        return style
     mod = type(con).__module__.split(".", 1)[0]
     return "format" if mod.startswith("psycopg") else "qmark"
 

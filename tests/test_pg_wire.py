@@ -1,0 +1,53 @@
+"""Server-less unit tests for the stdlib PG wire client's pure
+codecs (the live-server path is exercised by
+test_pg_live_conformance.py when a server is reachable)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from cardano_spark.sources import pg_wire
+
+
+def test_array_literal_parse():
+    p = pg_wire._parse_array
+    assert p("{}") == []
+    assert p("{a,b}") == ["a", "b"]
+    assert p('{x,"quo\\"te",NULL}') == ["x", 'quo"te', None]
+    assert p('{"a,b","c\\\\d"}') == ["a,b", "c\\d"]
+
+
+def test_param_interpolation_quoting():
+    q = pg_wire._interpolate
+    assert q("SELECT %s, %s", (None, True)) == "SELECT NULL, TRUE"
+    assert q("SELECT %s", ("it's",)) == "SELECT 'it''s'"
+    assert q("SELECT %s", (Decimal("1.5"),)) == "SELECT 1.5"
+    assert (
+        q("SELECT %s::text[]", (["a", None, 'q"t'],))
+        == 'SELECT \'{"a",NULL,"q\\"t"}\'::text[]'
+    )
+    with pytest.raises(pg_wire.DatabaseError):
+        q("SELECT %s, %s", (1,))
+
+
+def test_decode_by_oid():
+    d = pg_wire._decode
+    assert d(20, b"42") == 42
+    assert d(16, b"t") is True and d(16, b"f") is False
+    assert d(701, b"3.5") == 3.5
+    assert d(1700, b"1.25") == Decimal("1.25")
+    assert d(1009, b'{x,"a b"}') == ["x", "a b"]
+    assert d(25, b"plain") == "plain"
+
+
+def test_autocommit_toggle_guard():
+    class FakeConn(pg_wire.Connection):
+        def __init__(self):  # no socket
+            self._autocommit = False
+            self._in_txn = True
+
+    c = FakeConn()
+    with pytest.raises(pg_wire.DatabaseError):
+        c.autocommit = True
