@@ -2728,3 +2728,64 @@ def test_ann_production_pq_recall_floor(spark):
     assert row["recall_fp"] >= int(0.8 * 1048576)
     assert row["n_sub"] == 16 and row["n_centroids"] == 256
     assert row["shortlist"] == 50
+
+
+def test_residual_ivfpq_wins_on_clustered_corpus(spark):
+    """The regime demo the r6 verdict asked for: on a CLUSTERED
+    corpus (8 well-separated centers + sigma 0.04 noise — the regime
+    Jégou et al. §IV predict residual encoding pays in, because the
+    coarse quantizer explains most of the variance), the residual
+    IVFPQ encoder measurably BEATS the raw-code IVFPQ at identical
+    budgets — the mirror of q166's near-uniform measurement where it
+    trails (0.275 vs 0.325 at nprobe 2). Measured here: residual
+    0.775 vs raw 0.650 recall@5 at nprobe 1; 0.825 vs 0.675 at
+    nprobe 2. Operator-vs-operator at equal (n_coarse, nprobe,
+    shortlist); the shipped operators differ in coarse training
+    (residual trains a Lloyd coarse, raw seeds by id) — part of why
+    residual routes better once real cluster structure exists."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(7)
+    k_true, n, dim = 8, 1000, 64
+    centers = rng.uniform(0.25, 0.75, (k_true, dim))
+    assign = rng.randint(0, k_true, n)
+    x = np.clip(
+        centers[assign] + rng.normal(0, 0.04, (n, dim)), 0.0, 1.0
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    e = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)], schema
+    ).localCheckpoint()
+    probes = e.filter(F.col("vec_id") < 8)
+    exact = SIM.brute_force_topk(
+        e, probes, "vec_id", "embedding", k=5
+    ).localCheckpoint()
+
+    def recall(approx):
+        r = (
+            SIM.recall_at_k(approx, exact)
+            .agg(F.sum("n_hit").alias("h"), F.sum("n_true").alias("t"))
+            .collect()[0]
+        )
+        return r["h"] / r["t"]
+
+    raw = recall(
+        SIM.ivfpq_topk(
+            e, probes, "vec_id", "embedding", k=5,
+            n_coarse=8, nprobe=2, shortlist=30,
+        )
+    )
+    res = recall(
+        SIM.ivfpq_residual_topk(
+            e, probes, "vec_id", "embedding", k=5,
+            n_coarse=8, nprobe=2, shortlist=30,
+        )
+    )
+    assert res > raw, (res, raw)
+    assert res >= 0.75
