@@ -51,3 +51,37 @@ def test_autocommit_toggle_guard():
     c = FakeConn()
     with pytest.raises(pg_wire.DatabaseError):
         c.autocommit = True
+
+
+def test_array_quote_parse_roundtrip_property():
+    """Hypothesis inverse property: any list of optional strings
+    survives _quote (array-literal form, outer quotes stripped) ->
+    _parse_array unchanged — the client-side encode and the
+    server-output decode agree on the same grammar."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\x00"
+                ),
+                max_size=12,
+            ).filter(lambda s: s != "NULL"),
+        ),
+        max_size=6,
+    )
+
+    @given(texts)
+    @settings(max_examples=200, deadline=None)
+    def check(xs):
+        lit = pg_wire._quote(xs)
+        assert lit.startswith("'") and lit.endswith("'")
+        inner = lit[1:-1].replace("''", "'")
+        assert pg_wire._parse_array(inner) == [
+            None if x is None else str(x) for x in xs
+        ]
+
+    check()
