@@ -27,7 +27,6 @@ operator families build toward.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -559,12 +558,15 @@ def build_corpus_incremental(
     the whole corpus, so "incremental" would silently mean "stale";
     run the batch builder for those artifacts.
 
-    State writes are plain appends; a crash between the state append
-    and the watermark upsert replays the batch on retry. Production
-    hardens this by routing ``seen``/``survivors`` through
-    ``ParquetMergeSink`` (idempotent on doc_id — the reference's
-    ON CONFLICT DO NOTHING twin, sinks/merge.py) — the harness here
-    keeps the parquet-append form the streaming jobs use."""
+    CRASH SAFETY: every state table is a ``ParquetMergeSink`` (keyed,
+    idempotent insert — the reference's ON CONFLICT DO NOTHING twin)
+    and the fold order is survivors -> band index -> seen digests ->
+    watermark, so a replay after a crash at ANY boundary converges:
+    before the seen-fold the batch re-processes identically and the
+    merges absorb re-presented rows; after it, the seen-digest probe
+    drops the whole batch and only the watermark advances
+    (pinned by the torn-state replay test)."""
+    from cardano_spark.sinks.merge import ParquetMergeSink
     from cardano_spark.watermark import ParquetWatermarkStore
 
     if quality_rules not in (None, "gopher"):
@@ -579,32 +581,31 @@ def build_corpus_incremental(
         batch = batch.withColumn("text", CU.normalize_text(F.col("text")))
     batch = batch.localCheckpoint(eager=True)
     n_arrived = batch.count()
-    n_total_prev = (
-        spark.read.parquet(f"{state}/survivors").count()
-        if os.path.isdir(f"{state}/survivors")
-        else 0
+
+    shingles = TX.distinct_tokens(F.coalesce(F.col("text"), F.lit("")))
+    seen_schema = batch.withColumn("_digest", F.md5("text")).schema
+    band_schema = DD.band_index(
+        spark.createDataFrame([], batch.schema), "doc_id", shingles
+    ).schema
+    seen_sink = ParquetMergeSink(
+        spark, f"{state}/seen", seen_schema, ["doc_id"]
+    )
+    band_sink = ParquetMergeSink(
+        spark, f"{state}/band_index", band_schema, ["doc_id", "band_idx"]
+    )
+    surv_sink = ParquetMergeSink(
+        spark, f"{state}/survivors", batch.schema, ["doc_id"]
     )
     if n_arrived == 0:
         return IncrementalCorpusAudit(
             n_arrived=0, n_after_exact=0, n_after_neardup=0,
             n_after_decontam=0, n_after_quality=0,
-            n_survivors_total=n_total_prev, export=None, watermark=None,
+            n_survivors_total=surv_sink.read().count(),
+            export=None, watermark=None,
         )
 
-    shingles = TX.distinct_tokens(F.coalesce(F.col("text"), F.lit("")))
-    has_state = os.path.isdir(f"{state}/seen")
-    seen = (
-        spark.read.parquet(f"{state}/seen")
-        if has_state
-        else spark.createDataFrame(
-            [], batch.withColumn("_digest", F.md5("text")).schema
-        )
-    )
-    index = (
-        spark.read.parquet(f"{state}/band_index")
-        if has_state
-        else DD.band_index(seen, "doc_id", shingles)
-    )
+    seen = seen_sink.read()
+    index = band_sink.read()
 
     # exact dedup: in-batch min-id per digest, then anti-probe the
     # seen-digest index (null-safe: NULL text is one group, as in the
@@ -660,18 +661,18 @@ def build_corpus_incremental(
     kept_new = near_new.filter(gate).localCheckpoint(eager=True)
     n_quality = kept_new.count()
 
-    # fold state forward: seen/bands grow by the EXACT survivors
-    # (near-dup-dropped docs stay in the index — the pairwise rule
-    # compares against every seen doc), survivors by the kept docs
-    exact_new.write.mode("append").parquet(f"{state}/seen")
-    DD.band_index(exact_new, "doc_id", shingles).write.mode(
-        "append"
-    ).parquet(f"{state}/band_index")
-    kept_new.drop("_digest").write.mode("append").parquet(
-        f"{state}/survivors"
-    )
+    # fold state forward through the keyed idempotent sinks, in
+    # crash-safe order: survivors first, the seen-digest GATE last —
+    # a replay before the seen-fold recomputes identically and the
+    # merges absorb duplicates; a replay after it is gated out by the
+    # digest probe with survivors already intact. seen/bands grow by
+    # the EXACT survivors (near-dup-dropped docs stay in the index —
+    # the pairwise rule compares against every seen doc).
+    surv_sink.merge(kept_new.drop("_digest"))
+    band_sink.merge(DD.band_index(exact_new, "doc_id", shingles))
+    seen_sink.merge(exact_new)
 
-    survivors = spark.read.parquet(f"{state}/survivors")
+    survivors = surv_sink.read()
     export = write_training_shards_incremental(
         survivors.withColumn(
             "_shard_key",

@@ -642,3 +642,54 @@ def test_cli_build_corpus_incremental(spark, tmp_path, capsys):
                 "--split-mode", "doc",
             ]
         )
+
+
+def test_build_corpus_incremental_torn_state_replay_converges(
+    spark, tmp_path
+):
+    """Crash-safety of the state fold order (survivors -> bands ->
+    seen -> watermark, every table a keyed idempotent merge sink):
+    simulate a crash AFTER batch 2's survivors folded but BEFORE the
+    seen-digest gate and watermark advanced, then replay the batch —
+    the re-run must recompute identically, absorb the duplicate
+    survivor merge (no doubled doc_ids), and converge to the same
+    final state a clean run produces."""
+    from cardano_spark.pipelines.corpus import build_corpus_incremental
+    from cardano_spark.sinks.merge import ParquetMergeSink
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "the first document body is long enough with the usual "
+              "common words to pass the gate", "en", "web", 90)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(11, "the second document body is here and it is long enough "
+              "with the usual common words too", "en", "web", 95)],
+        schema,
+    )
+    kw = dict(min_quality=0.3, min_tokens=3, n_shards=4)
+    dest = str(tmp_path / "inc")
+    build_corpus_incremental(spark, b1, dest, **kw)
+
+    # torn state: batch 2's survivor rows land (the FIRST fold step)
+    # but nothing else does — exactly a crash mid-fold
+    surv_sink = ParquetMergeSink(
+        spark, f"{dest}/_state/survivors", b2.schema, ["doc_id"]
+    )
+    surv_sink.merge(b2)
+
+    a2 = build_corpus_incremental(spark, b2, dest, **kw)
+    assert a2.n_arrived == 1          # watermark had NOT advanced
+    assert a2.n_after_quality == 1    # gates recompute identically
+    assert a2.n_survivors_total == 2  # merge absorbed the replayed row
+    assert a2.watermark == 11
+    rows = spark.read.parquet(dest).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == [10, 11]            # no doubled survivor in shards
+
+    # and a full replay AFTER the seen fold is gated to a no-op body
+    a3 = build_corpus_incremental(spark, b2, dest, **kw)
+    assert a3.n_arrived == 0 and a3.n_survivors_total == 2
