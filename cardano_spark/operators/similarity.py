@@ -1663,8 +1663,9 @@ def pq_codebook_trained(
 #: FIDELITY-based: full ADC scan over 16-subspace trained codes
 #: (16 bytes/vector — 16x less scan I/O than 64 float32s) + exact
 #: rerank of a 50-deep shortlist. Measured recall@5 vs brute force:
-#: 0.975 at sf0.1 (2000 vecs), 1.0 at sf0.01 — vs 0.45 for the
-#: previous best measured operating point (r6 VERDICT watch item).
+#: 0.975 at sf0.1 / 1.0 at sf0.01 on the q172 probe set, 0.981
+#: (157/160) at sf0.1 on the wide 32-probe set [20, 52) — vs 0.45
+#: for the previous best measured operating point (r6 watch item).
 #: At 100 TB the ADC scan stays one map-side pass over the codes
 #: table; the shortlist rerank touches 50 raw vectors per probe.
 ANN_PRODUCTION_PQ: dict[str, int] = {
