@@ -612,3 +612,96 @@ def audio_fingerprint_features(
             )
 
     return ids.select("doc_id").mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+VIDEO_MAGIC = b"RAWV"
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def synthesize_video(did: int, n_frames: int | None = None) -> bytes:
+    """A deterministic VIDEO container in the length-prefixed frame
+    form every real wrapper reduces to once a codec library has done
+    its work (magic + uint32 frame count + per frame uint32 length +
+    payload — the reduced-to-its-integer-core analogue of an MJPEG
+    stream, the q46 stub-boundary discipline made REAL one level up):
+    frame ``f`` is a genuine :func:`synthesize_png_gradient` PNG at
+    seed ``did + 29*f``, so consecutive frames differ and a sampler
+    that decodes the wrong frame changes the hash. Frame count
+    ``4 + did % 5`` unless given."""
+    n = (4 + did % 5) if n_frames is None else int(n_frames)
+    parts = [VIDEO_MAGIC, struct.pack(">I", n)]
+    for f in range(n):
+        frame = synthesize_png_gradient(did + 29 * f)
+        parts.append(struct.pack(">I", len(frame)))
+        parts.append(frame)
+    return b"".join(parts)
+
+
+def parse_video(payload: bytes) -> list[bytes]:
+    """Parse the container for REAL: magic, frame count, each
+    length-prefixed frame; trailing bytes are an error (a truncated
+    or overlong stream must fail loudly, not yield a short video)."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a RAWV container")
+    (n,) = struct.unpack(">I", payload[4:8])
+    frames: list[bytes] = []
+    off = 8
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", payload[off : off + 4])
+        off += 4
+        frames.append(payload[off : off + ln])
+        off += ln
+    if off != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def video_frame_sample_features(ids: DataFrame, stride: int = 2) -> DataFrame:
+    """Video FRAME-SAMPLING — the prompt-level multimodal operation
+    still missing after images (decode/resize/aHash) and audio
+    (frame-sample/fingerprint): synthesize the container
+    executor-side, parse it for REAL, decode every ``stride``-th
+    frame (``f = 0, stride, 2*stride, ...`` — the keyframe-ish
+    sampling a training pipeline runs so a 10-minute clip costs a
+    handful of frame embeddings, not 18k), and emit each sampled
+    frame's EXACT-integer aHash (:func:`image_ahash` — the q122
+    arithmetic, so a DuckDB oracle re-derives every output hash in
+    closed form from (doc_id, frame_idx)).
+
+    Arrow-batched ``mapInPandas`` over the id column only — payloads
+    are built, parsed and decoded inside the executor and never visit
+    the driver or an exchange; output is one slim row per SAMPLED
+    frame. This is the one budgeted Python boundary shape
+    (tests/test_plan_audit.py PYTHON_BUDGET)."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = parse_video(synthesize_video(did))
+                for f in range(0, len(frames), stride):
+                    w, h, hi, lo = image_ahash(frames[f])
+                    rows.append((did, len(frames), f, w, h, hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx",
+                    "width", "height", "ahash_hi", "ahash_lo",
+                ],
+            )
+
+    return ids.select("doc_id").mapInPandas(run, VIDEO_FRAME_SCHEMA)

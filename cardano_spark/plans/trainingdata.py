@@ -3150,6 +3150,24 @@ def q172_ann_recall_frontier(
     return SIM.pq_recall_frontier(e, probes, "vec_id", "embedding", k=5)
 
 
+def q173_video_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video frame-sampling (multimodal.video_frame_sample_features)
+    — the third modality's plumbing made real: a length-prefixed
+    frame container is synthesized and PARSED executor-side, every
+    2nd frame is decoded (genuine PNG decode) and fingerprinted with
+    the exact-integer aHash, one slim row per sampled frame. The
+    q122/q124 discipline extended to video: the container layout,
+    the stride rule (f = 0, 2, 4, ...), the per-frame gradient seed
+    (doc_id + 29*frame_idx) and the aHash arithmetic are all
+    closed-form, so the oracle re-derives every hash from
+    (doc_id, frame_idx) without touching a byte. One budgeted
+    Arrow-batched mapInPandas; payloads never cross an exchange."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    return MM.video_frame_sample_features(d.select("doc_id"), stride=2)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3260,6 +3278,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q170_datasheet_diff": q170_datasheet_diff,
     "q171_mmr_rerank_topk": q171_mmr_rerank_topk,
     "q172_ann_recall_frontier": q172_ann_recall_frontier,
+    "q173_video_frame_sample": q173_video_frame_sample,
 }
 
 
@@ -5658,6 +5677,53 @@ TRAININGDATA_ORACLES["q172_ann_recall_frontier"] = "\nUNION ALL\n".join(
         (16, 256, 50),
     )
 )
+
+
+# q173: the q122 closed-form aHash re-derivation, per SAMPLED video
+# frame — frame f's PNG is the gradient at seed doc_id + 29*f, frame
+# count 4 + doc_id % 5, stride 2; width/height/pixel/resample/mean
+# arithmetic identical to the q122 chain with `seed` substituted.
+TRAININGDATA_ORACLES["q173_video_frame_sample"] = """
+    WITH ids AS (
+      SELECT doc_id, (4 + doc_id % 5)::BIGINT AS n_frames
+      FROM documents WHERE doc_id % 6 = 0
+    ), fr AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS f
+      FROM ids
+    ), sampled AS (
+      SELECT doc_id, n_frames, f, doc_id + 29 * f AS seed
+      FROM fr WHERE f % 2 = 0
+    ), px AS (
+      SELECT doc_id, n_frames, f, seed,
+             (1 + seed % 16)::BIGINT AS w,
+             (1 + seed % 8)::BIGINT AS h,
+             list_transform(generate_series(0, 63), i ->
+               3 * ((seed * 7
+                     + (((i % 8) * (1 + seed % 16)) // 8) * 3
+                     + (((i // 8) * (1 + seed % 8)) // 8) * 5) % 256)
+             ) AS s
+      FROM sampled
+    ), th AS (
+      SELECT doc_id, n_frames, f, w, h, s,
+             list_reduce(list_prepend(0::BIGINT, s), (a, b) -> a + b)
+               AS tot
+      FROM px
+    )
+    SELECT doc_id, n_frames, f::BIGINT AS frame_idx, w AS width,
+           h AS height,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(generate_series(32, 63), i ->
+               CASE WHEN s[i + 1] * 64 > tot
+                    THEN (1::BIGINT << (i - 32)) ELSE 0 END)),
+             (a, b) -> a + b) AS ahash_hi,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(generate_series(0, 31), i ->
+               CASE WHEN s[i + 1] * 64 > tot
+                    THEN (1::BIGINT << i) ELSE 0 END)),
+             (a, b) -> a + b) AS ahash_lo
+    FROM th
+"""
 
 
 TRAININGDATA_ORACLES["q148_pq_trained_topk"] = f"""

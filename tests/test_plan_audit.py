@@ -59,6 +59,7 @@ PYTHON_BUDGET = {
     "q49_image_resize": 1,
     "q50_audio_frame_sample": 1,
     "q122_image_ahash_dedup": 1,
+    "q173_video_frame_sample": 1,  # container parse + frame decode
 }
 
 

@@ -2791,3 +2791,41 @@ def test_residual_ivfpq_wins_on_clustered_corpus(spark):
     )
     assert res > raw, (res, raw)
     assert res >= 0.75
+
+
+def test_video_frame_sample_semantics(spark):
+    """Planted semantics for the video frame sampler: container
+    round-trip is exact (parse(synthesize) frames == the per-seed
+    PNGs, trailing/truncated bytes fail loudly), stride picks exactly
+    f = 0, stride, 2*stride, ..., every emitted hash equals the
+    image aHash of the same gradient seed, and consecutive frames of
+    one video actually differ."""
+    import pytest as _pytest
+
+    v = MM.synthesize_video(42)
+    frames = MM.parse_video(v)
+    assert len(frames) == 4 + 42 % 5
+    for f, payload in enumerate(frames):
+        assert payload == MM.synthesize_png_gradient(42 + 29 * f)
+    with _pytest.raises(ValueError):
+        MM.parse_video(v + b"x")
+    with _pytest.raises(ValueError):
+        MM.parse_video(b"NOPE" + v[4:])
+    hashes = [MM.image_ahash(p)[2:] for p in frames]
+    assert len(set(hashes)) > 1  # frames differ
+
+    ids = spark.createDataFrame([(3,), (10,)], "doc_id long")
+    rows = sorted(
+        map(tuple, MM.video_frame_sample_features(ids, stride=3).collect())
+    )
+    expect = []
+    for did in (3, 10):
+        n = 4 + did % 5
+        for f in range(0, n, 3):
+            w, h, hi, lo = MM.image_ahash(
+                MM.synthesize_png_gradient(did + 29 * f)
+            )
+            expect.append((did, n, f, w, h, hi, lo))
+    assert rows == sorted(expect)
+    with _pytest.raises(ValueError):
+        MM.video_frame_sample_features(ids, stride=0)
