@@ -295,16 +295,9 @@ def main(
     if args.cmd == "build-corpus":
         from cardano_spark.pipelines.corpus import build_corpus
 
-        docs = spark.read.parquet(args.src)
-        bench = (
-            spark.read.parquet(args.benchmark) if args.benchmark else None
-        )
-        target = spark.read.parquet(args.target) if args.target else None
+        # incremental-mode flag validation BEFORE any data is read:
+        # a bad flag combination should fail on arguments, not paths
         if args.incremental:
-            from cardano_spark.pipelines.corpus import (
-                build_corpus_incremental,
-            )
-
             rejected = [
                 name
                 for name, val in (
@@ -323,6 +316,22 @@ def main(
                     "corpus-global stages are not incremental: "
                     + ", ".join(rejected)
                 )
+            if args.neardup_rule != "cluster_longest":
+                build_parser().error(
+                    "--incremental always uses keep_first_pairwise "
+                    "(the only rule an arrival batch can reproduce "
+                    "exactly); do not pass --neardup-rule with it"
+                )
+        docs = spark.read.parquet(args.src)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        target = spark.read.parquet(args.target) if args.target else None
+        if args.incremental:
+            from cardano_spark.pipelines.corpus import (
+                build_corpus_incremental,
+            )
+
             inc = build_corpus_incremental(
                 spark,
                 docs,
