@@ -750,3 +750,38 @@ def test_streaming_jobs_on_empty_arrival_slice(spark, empty_arrival_dir):
         assert {"id_a", "id_b"} <= set(pairs.columns)
     finally:
         shutil.rmtree(nd_dir, ignore_errors=True)
+
+
+def test_arrival_cuts_match_sorted_id_formula(spark):
+    """_arrival_cuts must reproduce sorted(ids)[(N*i)//n] for i in
+    1..n-1 plus max+1 BIT-FOR-BIT (the cut values are part of the
+    streaming convergence contracts), for awkward shapes: fewer ids
+    than files, duplicate-free scattered ids, singletons."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cardano_spark.streaming.jobs import _arrival_cuts
+
+    @given(
+        st.lists(
+            st.integers(min_value=-10_000, max_value=10_000),
+            min_size=0, max_size=40, unique=True,
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(ids, n_files):
+        df = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        )
+        got = _arrival_cuts(df, "doc_id", n_files)
+        if not ids:
+            assert got is None
+            return
+        s = sorted(ids)
+        want = [
+            s[(len(s) * i) // n_files] for i in range(1, n_files)
+        ] + [s[-1] + 1]
+        assert got == want, (ids, n_files)
+
+    check()
