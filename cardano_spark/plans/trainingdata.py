@@ -3168,6 +3168,27 @@ def q173_video_frame_sample(
     return MM.video_frame_sample_features(d.select("doc_id"), stride=2)
 
 
+def q174_contamination_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination DEPTH ladder (dedup.contamination_depth_ladder)
+    — the fifth decontamination arm grades severity, not presence:
+    winnowing probes at k = 5 / 10 / 20 (detection-complete for
+    shared runs >= 8 / 17 / 35 tokens), per train document (bench =
+    doc_id % 10 < 2, the dup-family-crossing split that makes every
+    rung non-trivial on this corpus) the per-rung hit counts and the
+    largest CERTIFIED shared verbatim run length — the number a
+    decontamination policy prices (an 8-token echo is n-gram noise,
+    a 35-token lift is a memorization hazard). Hits are monotone
+    down the ladder (pinned in pytest); three q160-shaped passes,
+    bench fingerprints broadcast at every rung."""
+    d = table(spark, sf_dir, "documents")
+    bench_pred = F.pmod(F.col("doc_id"), F.lit(10)) < 2
+    return DD.contamination_depth_ladder(
+        d.filter(~bench_pred), d.filter(bench_pred), "doc_id", "text"
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3279,6 +3300,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q171_mmr_rerank_topk": q171_mmr_rerank_topk,
     "q172_ann_recall_frontier": q172_ann_recall_frontier,
     "q173_video_frame_sample": q173_video_frame_sample,
+    "q174_contamination_depth": q174_contamination_depth,
 }
 
 
@@ -6155,6 +6177,47 @@ TRAININGDATA_ORACLES["q160_winnowing_decontamination"] = f"""
     FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) t
     LEFT JOIN per p USING (doc_id)
 """
+
+
+def _winnow_scale_hits_sql(k: int, w: int, bench_pred: str) -> str:
+    """One q174 ladder rung as a self-contained nested-WITH subquery:
+    per non-bench doc, the count of its distinct winnowing
+    fingerprints (at this (k, w)) occurring anywhere in the bench
+    slice."""
+    return f"""(
+    {_winnow_sel_sql(k, w)}
+    , dfp AS (
+      SELECT DISTINCT doc_id, fp FROM sel WHERE NOT ({bench_pred})
+    ), bfp AS (
+      SELECT DISTINCT fp FROM sel WHERE {bench_pred}
+    )
+    SELECT d.doc_id, count(DISTINCT d.fp)::BIGINT AS n_hit
+    FROM dfp d JOIN bfp b USING (fp)
+    GROUP BY d.doc_id
+    )"""
+
+
+_Q174_BENCH = "doc_id % 10 < 2"
+TRAININGDATA_ORACLES["q174_contamination_depth"] = f"""
+    WITH train AS (
+      SELECT doc_id FROM documents WHERE NOT ({_Q174_BENCH})
+    ), s5 AS {_winnow_scale_hits_sql(5, 4, _Q174_BENCH)},
+    s10 AS {_winnow_scale_hits_sql(10, 8, _Q174_BENCH)},
+    s20 AS {_winnow_scale_hits_sql(20, 16, _Q174_BENCH)}
+    SELECT t.doc_id,
+           coalesce(s5.n_hit, 0)::BIGINT AS hits_k5,
+           coalesce(s10.n_hit, 0)::BIGINT AS hits_k10,
+           coalesce(s20.n_hit, 0)::BIGINT AS hits_k20,
+           (CASE WHEN coalesce(s20.n_hit, 0) > 0 THEN 20
+                 WHEN coalesce(s10.n_hit, 0) > 0 THEN 10
+                 WHEN coalesce(s5.n_hit, 0) > 0 THEN 5
+                 ELSE 0 END)::BIGINT AS depth_certified
+    FROM train t
+    LEFT JOIN s5 USING (doc_id)
+    LEFT JOIN s10 USING (doc_id)
+    LEFT JOIN s20 USING (doc_id)
+"""
+
 
 
 # q161: q138's discrete-percentile threshold CTE + the q140 key

@@ -2829,3 +2829,48 @@ def test_video_frame_sample_semantics(spark):
     assert rows == sorted(expect)
     with _pytest.raises(ValueError):
         MM.video_frame_sample_features(ids, stride=0)
+
+
+def test_contamination_depth_ladder_semantics(spark):
+    """Planted semantics for the depth ladder: a doc quoting a
+    35-token bench run certifies depth 20 (and hits every rung), a
+    doc sharing only a ~10-token echo certifies 10 but not 20, a
+    clean doc certifies 0; and on the real fixture detection is
+    MONOTONE down the ladder (hits at a larger k imply hits at every
+    smaller k — the containment the rung geometry guarantees)."""
+    from cardano_spark.catalog import table
+    from cardano_spark.plans.trainingdata import q174_contamination_depth
+    from tests.conftest import SF_SMALL
+
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    long_lift = " ".join(f"b{i}" for i in range(35))
+    short_echo = " ".join(f"b{i}" for i in range(10))
+    mk = "doc_id long, text string"
+    bench = spark.createDataFrame([(0, bench_text)], mk)
+    docs = spark.createDataFrame(
+        [
+            (1, "clean prose with none of the planted words at all "
+                "and enough length to emit fingerprints everywhere ok"),
+            (2, f"prefix words then {long_lift} then suffix words"),
+            (3, f"prefix words then {short_echo} then suffix words"),
+        ],
+        mk,
+    )
+    got = {
+        r.doc_id: (r.hits_k5, r.hits_k10, r.hits_k20, r.depth_certified)
+        for r in DD.contamination_depth_ladder(
+            docs, bench, "doc_id", "text"
+        ).collect()
+    }
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2][0] > 0 and got[2][1] > 0 and got[2][2] > 0
+    assert got[2][3] == 20
+    assert got[3][0] > 0 and got[3][3] in (5, 10)
+    assert got[3][2] == 0  # no 20-token run to certify
+
+    # fixture-wide monotone detection down the ladder
+    for r in q174_contamination_depth(spark, SF_SMALL).collect():
+        if r.hits_k20 > 0:
+            assert r.hits_k10 > 0, r
+        if r.hits_k10 > 0:
+            assert r.hits_k5 > 0, r
