@@ -77,17 +77,23 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Stop the context BEFORE printing the metrics line: local-mode
+    # teardown can race a late DAGScheduler updateAccumulators call and
+    # spray a stack fragment to stderr (seen in BENCH_r07.json's tail).
+    # Stopping first and printing last keeps the captured tail exactly
+    # one JSON line regardless of shutdown noise ordering.
+    spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
