@@ -274,7 +274,15 @@ def main(
             build_parser().error(
                 "maintain needs --compact and/or --rebucket N"
             )
-        table_schema = spark.read.parquet(args.path).schema
+        # partition discovery surfaces the sink's internal _bucket
+        # directory key as an int column; strip it so the declared sink
+        # schema holds only table data (ParquetMergeSink rejects it).
+        from pyspark.sql import types as T
+
+        discovered = spark.read.parquet(args.path).schema
+        table_schema = T.StructType(
+            [f for f in discovered.fields if f.name != "_bucket"]
+        )
         sink = ParquetMergeSink(
             spark, args.path, table_schema, args.keys.split(",")
         )

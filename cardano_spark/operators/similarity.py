@@ -565,7 +565,7 @@ def ann_topk(
         )
     if strategy == "pq":
         # the pinned PRODUCTION-RECALL operating point (measured
-        # recall@5 0.975 at sf0.1 vs exact; see ANN_PRODUCTION_PQ and
+        # recall@5 0.95 at sf0.1 vs exact, r8 drop; see ANN_PRODUCTION_PQ and
         # the q172 frontier): trained 16-subspace codes, full ADC
         # scan, exact rerank of a 50-deep shortlist
         cfg = ANN_PRODUCTION_PQ
@@ -1662,10 +1662,12 @@ def pq_codebook_trained(
 #: nprobe) is capped at list coverage; the production path is
 #: FIDELITY-based: full ADC scan over 16-subspace trained codes
 #: (16 bytes/vector — 16x less scan I/O than 64 float32s) + exact
-#: rerank of a 50-deep shortlist. Measured recall@5 vs brute force:
-#: 0.975 at sf0.1 / 1.0 at sf0.01 on the q172 probe set, 0.981
-#: (157/160) at sf0.1 on the wide 32-probe set [20, 52) — vs 0.45
-#: for the previous best measured operating point (r6 watch item).
+#: rerank of a 50-deep shortlist. Measured recall@5 vs brute force
+#: (round-8 testdata drop, re-measured each round — drops vary a few
+#: points): 0.95 (38/40, recall_fp 996147) at sf0.1 / 1.0 at sf0.01
+#: on the q172 probe set, 0.981 (157/160, r7 drop) at sf0.1 on the
+#: wide 32-probe set [20, 52) — vs 0.65 for the previous best
+#: measured operating point (r6 watch item). Pytest floor: >= 0.8.
 #: At 100 TB the ADC scan stays one map-side pass over the codes
 #: table; the shortlist rerank touches 50 raw vectors per probe.
 ANN_PRODUCTION_PQ: dict[str, int] = {

@@ -3141,9 +3141,10 @@ def q172_ann_recall_frontier(
     the cost columns (code bytes scanned per vector, rerank depth)
     that make it a frontier. The corpus is near-uniform (no cluster
     structure), so routing (IVF nprobe) caps recall at list coverage;
-    these configs climb the FIDELITY axis instead: measured at sf0.1,
-    the pinned row reaches recall@5 = 0.975 (recall_fp 1022361) vs
-    0.70 for the old default. Integer hit/true totals and 2^20
+    these configs climb the FIDELITY axis instead: measured at sf0.1
+    on the round-8 drop, the pinned row reaches recall@5 = 0.95
+    (38/40, recall_fp 996147) vs 0.65 (26/40) for the old default
+    — re-measured per drop. Integer hit/true totals and 2^20
     fixed-point recall — zero IEEE divisions in the hashed output."""
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 44))

@@ -97,6 +97,17 @@ class ParquetMergeSink:
     ):
         self.spark = spark
         self.path = path
+        # `_bucket` is the sink's internal partition-directory key, not
+        # table data. A schema discovered via spark.read.parquet(path)
+        # on a live sink partition-discovers it as an int column;
+        # accepting it would persist a spurious `_bucket` data column on
+        # the next merge() and surface it from read().
+        if any(f.name == "_bucket" for f in schema.fields):
+            raise ValueError(
+                "ParquetMergeSink schema must not contain the internal "
+                "'_bucket' column (partition-discovered from a live "
+                "sink path? strip it before constructing the sink)"
+            )
         self.schema = schema
         self.keys = list(keys)
         # a live table's bucket count is TABLE state, not caller

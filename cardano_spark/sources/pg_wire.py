@@ -131,9 +131,17 @@ def _quote(v: Any) -> str:
 
 
 def _interpolate(sql: str, params) -> str:
+    # DB-API format style: %s is a placeholder, %% a literal percent.
+    # Splitting on (?<!%)%s keeps %s sequences escaped as %%s intact
+    # (e.g. LIKE 'a%sb' must be written LIKE 'a%%sb', psycopg-style);
+    # a LONE % that is not part of %s or %% passes through unchanged.
+    # Declared subset bound (like the rest of this module): the
+    # lookbehind cannot see that the % before %s was itself escaped,
+    # so '%%%s' reads as literal '%%s' rather than '%' + placeholder —
+    # put a space or use a param if you genuinely need percent+param.
     if params is None:
         return sql
-    parts = re.split(r"%s", sql)
+    parts = re.split(r"(?<!%)%s", sql)
     if len(parts) - 1 != len(params):
         raise DatabaseError(
             f"{len(parts) - 1} placeholders, {len(params)} params"
@@ -142,7 +150,7 @@ def _interpolate(sql: str, params) -> str:
     for p, rest in zip(params, parts[1:]):
         out.append(_quote(p))
         out.append(rest)
-    return "".join(out)
+    return "".join(out).replace("%%", "%")
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,20 @@ def test_param_interpolation_quoting():
         q("SELECT %s, %s", (1,))
 
 
+def test_param_interpolation_percent_escape():
+    q = pg_wire._interpolate
+    # %% is a literal percent (DB-API format style), including the
+    # %s-inside-a-string-constant case ADVICE r7 flagged
+    assert q("SELECT x LIKE 'a%%sb' OR y = %s", (1,)) == (
+        "SELECT x LIKE 'a%sb' OR y = 1"
+    )
+    assert q("SELECT '100%%', %s", (2,)) == "SELECT '100%', 2"
+    # a lone % not forming %s or %% passes through
+    assert q("SELECT x %> %s", (3,)) == "SELECT x %> 3"
+    # no params -> text untouched (psycopg semantics)
+    assert q("SELECT '50%s'", None) == "SELECT '50%s'"
+
+
 def test_decode_by_oid():
     d = pg_wire._decode
     assert d(20, b"42") == 42

@@ -57,6 +57,28 @@ def test_parquet_merge_sink(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_parquet_merge_sink_rejects_bucket_column(spark, tmp_path):
+    """A schema partition-discovered from a live sink path carries the
+    internal `_bucket` directory key as an int column (ADVICE r7);
+    the constructor must reject it rather than persist it as data."""
+    import pytest
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    sink = ParquetMergeSink(spark, path, SCHEMA, ["k"])
+    sink.merge(spark.createDataFrame([(1, "a")], SCHEMA))
+    discovered = spark.read.parquet(path).schema
+    assert "_bucket" in discovered.fieldNames()  # the hazard is real
+    with pytest.raises(ValueError, match="_bucket"):
+        ParquetMergeSink(spark, path, discovered, ["k"])
+    # the CLI strips it before constructing the sink
+    stripped = T.StructType(
+        [f for f in discovered.fields if f.name != "_bucket"]
+    )
+    reopened = ParquetMergeSink(spark, path, stripped, ["k"])
+    assert {r.k for r in reopened.read().collect()} == {1}
+
+
 def test_parquet_merge_sink_upsert_mode(spark, tmp_path):
     """upsert: incoming rows replace same-key rows, absent keys
     append, and replaying the same batch is a no-op."""
