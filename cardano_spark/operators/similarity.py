@@ -515,9 +515,17 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
 def choose_ann_strategy(
     n_queries: int, crossover: int = ANN_AUTO_CROSSOVER
 ) -> str:
-    """The brute/bucket decision, exposed for testing: ``"brute"`` at or
-    below the crossover probe count, ``"lsh"`` above."""
-    return "brute" if n_queries <= crossover else "lsh"
+    """The auto-strategy decision, exposed for testing: ``"brute"``
+    (exact, broadcast-NL) at or below the crossover probe count,
+    ``"pq"`` above it — the pinned production operating point
+    (:data:`ANN_PRODUCTION_PQ`, measured recall@5 0.95 at sf0.1),
+    NOT the single-table sign-LSH bucket join (measured recall ~0.10
+    on near-uniform embeddings — fine as an explicit cheap prefilter,
+    indefensible as what "auto" silently hands a caller; r7 verdict
+    item). PQ's extra cost over LSH is the codebook train + ADC scan:
+    one pass over the corpus each, amortized over the whole probe
+    batch — exactly the above-crossover regime."""
+    return "brute" if n_queries <= crossover else "pq"
 
 
 def ann_topk(
@@ -536,8 +544,12 @@ def ann_topk(
 
     ``strategy="auto"`` picks brute-force (exact, broadcast NL join, one
     corpus scan) when the probe count is at or below ``crossover``, else
-    the bucketed sign-LSH join (``multiprobe`` controls flip-one-bit
-    probing).  The probe count comes from ``n_queries`` when the caller
+    the pinned production PQ path (:data:`ANN_PRODUCTION_PQ`: trained
+    codes, full ADC scan, exact rerank — recall@5 0.95 at sf0.1 vs
+    ~0.10 for the old single-table LSH default; ``strategy="lsh"``
+    remains an explicit opt-in prefilter, with ``multiprobe``
+    controlling flip-one-bit probing).
+    The probe count comes from ``n_queries`` when the caller
     already knows it; otherwise a single ``count()`` job runs over the
     queries frame, which is small by contract (probes, not corpus).
 
@@ -1405,6 +1417,11 @@ def pq_codebook(
         .limit(n_centroids)
         .select(F.col(id_col).alias("_cid"), quantize(F.col(vec_col)).alias("_qa"))
     )
+    # BOUNDED unpartitioned window (WindowExec warning is benign):
+    # the input frame is the .limit(n_centroids) seed above — at most
+    # n_centroids (<= 256) rows reach the single partition, verified
+    # by the plan-shape test (tests/test_plan_shapes.py, GlobalLimit
+    # strictly below the Window in the q172 plan).
     ranked = base.withColumn(
         "k",
         (F.row_number().over(Window.orderBy("_cid")) - 1).cast("long"),
@@ -2016,6 +2033,9 @@ def ivfpq_residual_topk(
     base = (
         resid.orderBy("vid")
         .limit(n_centroids)
+        # BOUNDED unpartitioned window (WindowExec warning is benign):
+        # runs on the .limit(n_centroids) residual seed directly above
+        # — <= 256 rows in the single partition by construction.
         .withColumn(
             "k",
             (F.row_number().over(Window.orderBy("vid")) - 1).cast("long"),
@@ -2285,6 +2305,12 @@ def rrf_fuse(
         F.sum("_c").cast("long").alias("rrf_fp"),
         F.count(F.lit(1)).cast("long").alias("n_lists"),
     )
+    # BOUNDED unpartitioned window (WindowExec warning is benign):
+    # `fused` is the per-id union of the input rankings, each already
+    # a top-k list — at most sum(len(rankings_i)) ~ n_lists * topk
+    # rows (probe-sized, never corpus-sized) reach the single
+    # partition. The global order IS the query semantics (one fused
+    # ranking), so a partitioned window cannot express it.
     w = Window.orderBy(F.desc("rrf_fp"), F.asc(id_col))
     return (
         fused.withColumn("rank", F.row_number().over(w))

@@ -3190,6 +3190,25 @@ def q174_contamination_depth(
     )
 
 
+def q175_ann_auto_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strategy="auto" ANN ABOVE the crossover (100 probes > 96):
+    the selector routes to the pinned production PQ path
+    (similarity.ANN_PRODUCTION_PQ — trained 16x256 codebook, 2 Lloyd
+    rounds on the integer grid, full ADC scan over 16-byte codes,
+    exact-cosine rerank of a 50-deep shortlist), NOT the ~0.10-recall
+    single-table LSH it handed out through r7 (r7 verdict item 8).
+    The oracle replays the identical trained-PQ chain (the q172
+    machinery) and emits the reranked rows, so the hash match pins
+    the whole train/encode/ADC/rerank pipeline row-for-row. Plan
+    shape + recall floor pinned in tests."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 100)
+    return SIM.ann_topk(
+        e, probes, "vec_id", "embedding", k=5,
+        strategy="auto", n_queries=100,
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3302,6 +3321,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q172_ann_recall_frontier": q172_ann_recall_frontier,
     "q173_video_frame_sample": q173_video_frame_sample,
     "q174_contamination_depth": q174_contamination_depth,
+    "q175_ann_auto_pq_topk": q175_ann_auto_pq_topk,
 }
 
 
@@ -5690,6 +5710,106 @@ def _pq_frontier_config_sql(
     )"""
 
 
+def _pq_auto_topk_sql(
+    m: int,
+    n_cent: int,
+    shortlist: int,
+    probe_lo: int,
+    probe_hi: int,
+    k: int,
+) -> str:
+    """The q175 oracle: IDENTICAL trained-PQ chain to
+    :func:`_pq_frontier_config_sql` (same quantize / seed / 2 Lloyd
+    rounds / ADC / shortlist text, so the two oracles stay in
+    lockstep), but the tail emits the reranked rows themselves —
+    (query_id, match_id, cos_sim, rank) — the contract ann_topk's
+    "auto" PQ route returns above the crossover."""
+    dsub = 64 // m
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(generate_series(1, {dsub}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+        )
+
+    sums = ", ".join(
+        f"(sum(s.sv[{i}]) // count(*))::BIGINT" for i in range(1, dsub + 1)
+    )
+
+    def rnd(r: int) -> str:
+        return f""", d{r} AS (
+      SELECT s.vec_id, s.m, c.k, {sqd('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb{r - 1} c ON c.m = s.m
+    ), a{r} AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS k
+      FROM d{r} GROUP BY vec_id, m
+    ), cb{r} AS (
+      SELECT a.m, a.k, [{sums}] AS cv
+      FROM a{r} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY a.m, a.k
+    )"""
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 255.0) AS BIGINT)) AS qa
+      FROM embeddings
+    ), ms AS (
+      SELECT unnest(generate_series(0, {m - 1})) AS m
+    ), cbase AS (
+      SELECT qa, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT vec_id, qa FROM q ORDER BY vec_id LIMIT {n_cent})
+    ), cb0 AS (
+      SELECT ms.m, cbase.k,
+             cbase.qa[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS cv
+      FROM cbase CROSS JOIN ms
+    ), sub AS (
+      SELECT q.vec_id, ms.m,
+             q.qa[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS sv
+      FROM q CROSS JOIN ms
+    ){rnd(1)}{rnd(2)}, df AS (
+      SELECT s.vec_id, s.m, c.k, {sqd('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb2 c ON c.m = s.m
+    ), codes AS (
+      SELECT vec_id, m, min(struct_pack(d := d, k := k))['k'] AS code
+      FROM df GROUP BY vec_id, m
+    ), ptab AS (
+      SELECT s.vec_id AS query_id, s.m, c.k AS code,
+             {sqd('s.sv', 'c.cv')} AS pd
+      FROM sub s JOIN cb2 c ON c.m = s.m
+      WHERE s.vec_id >= {probe_lo} AND s.vec_id < {probe_hi}
+    ), adc AS (
+      SELECT pt.query_id, co.vec_id AS match_id,
+             sum(pt.pd)::BIGINT AS adc_dist
+      FROM codes co JOIN ptab pt ON pt.m = co.m AND pt.code = co.code
+      WHERE co.vec_id <> pt.query_id
+      GROUP BY pt.query_id, co.vec_id
+    ), short AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, match_id ASC
+        ) AS rn FROM adc
+      ) WHERE rn <= {shortlist}
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+      SELECT s.query_id, s.match_id,
+             {_COS.replace('va', 'qv.e').replace('vb', 'mv.e')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS.replace('va', 'qv.e').replace('vb', 'mv.e')} DESC,
+                        s.match_id ASC
+             )::BIGINT AS rank
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v mv ON mv.vec_id = s.match_id
+    ) WHERE rank <= {k}
+    """
+
+
 TRAININGDATA_ORACLES["q172_ann_recall_frontier"] = "\nUNION ALL\n".join(
     _pq_frontier_config_sql(m, n_cent, shortlist)
     for (m, n_cent, shortlist) in (
@@ -5699,6 +5819,14 @@ TRAININGDATA_ORACLES["q172_ann_recall_frontier"] = "\nUNION ALL\n".join(
         (16, 256, 25),
         (16, 256, 50),
     )
+)
+
+
+# q175: the auto-selector's above-crossover route IS the pinned
+# production PQ config — oracle replays train/encode/ADC/rerank and
+# emits the rows (probes [0, 100), k=5).
+TRAININGDATA_ORACLES["q175_ann_auto_pq_topk"] = _pq_auto_topk_sql(
+    16, 256, 50, probe_lo=0, probe_hi=100, k=5
 )
 
 

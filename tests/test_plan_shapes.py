@@ -661,3 +661,45 @@ def test_q121_temperature_mixture_semantics_and_single_scan(spark):
     plan = _plan(spark, "q121_temperature_mixture")
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
     assert "CartesianProduct" not in plan
+
+
+
+def test_bounded_unpartitioned_windows_sit_above_limits(spark):
+    """The deliberate unpartitioned windows in similarity.py (PQ
+    codebook k-index seeds, RRF fuse) are bounded by construction:
+    the Window's input is a GlobalLimit(n_centroids) frame or a
+    probe-sized union of topk-cut ranked lists — never the corpus.
+    Pin the plan shape so a refactor that drops the bound (turning
+    the benign WindowExec warning into a real single-partition
+    funnel) fails here, not on the 100 TB run."""
+    from pyspark.sql import functions as F
+
+    from cardano_spark.catalog import table
+    from cardano_spark.operators import similarity as SIM
+
+    e = table(spark, SF_SMALL, "embeddings")
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # 1. pq_codebook seed: the Window's child chain must contain the
+    # GlobalLimit(n_centroids) — limit below window in the tree.
+    plan = optimized(SIM.pq_codebook(e, "vec_id", "embedding", n_centroids=16))
+    wpos, lpos = plan.find("Window"), plan.find("GlobalLimit 16")
+    assert wpos != -1 and lpos != -1
+    assert lpos > wpos, "limit must be the window's descendant"
+
+    # 2. rrf_fuse: the window input is the per-id aggregate of the
+    # unioned ranked lists, each topk-cut upstream by contract
+    # (ann_topk emits rank <= k). The optimized plan must show the
+    # Window above the Aggregate above the Union — and the inputs
+    # here are rank-filtered top-k frames, not bare scans.
+    topk = SIM.ann_topk(
+        e, e.filter(F.col("vec_id") < 2), "vec_id", "embedding",
+        k=5, strategy="brute",
+    ).select(F.col("match_id").alias("vec_id"), "rank")
+    plan = optimized(SIM.rrf_fuse([topk, topk], "vec_id", topk=3))
+    w = plan.find("Window")
+    assert w != -1
+    assert plan.find("Union", w) > w
+    assert plan.count("rank") >= 2

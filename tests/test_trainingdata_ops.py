@@ -183,13 +183,13 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
 
 def test_ann_topk_auto_selects_measured_strategy(spark):
     """strategy="auto" must pick the brute broadcast-NL plan at or below
-    the measured crossover probe count and the bucketed equi-join above
+    the measured crossover probe count and the production PQ path above
     it — asserted on the PHYSICAL plan, not just the python branch."""
     from cardano_spark.catalog import table
     from tests.conftest import SF_SMALL
 
     assert SIM.choose_ann_strategy(SIM.ANN_AUTO_CROSSOVER) == "brute"
-    assert SIM.choose_ann_strategy(SIM.ANN_AUTO_CROSSOVER + 1) == "lsh"
+    assert SIM.choose_ann_strategy(SIM.ANN_AUTO_CROSSOVER + 1) == "pq"
 
     e = table(spark, SF_SMALL, "embeddings")
     probes = e.filter(F.col("vec_id") < 4)
@@ -201,8 +201,10 @@ def test_ann_topk_auto_selects_measured_strategy(spark):
         n_queries=SIM.ANN_AUTO_CROSSOVER + 1,
     )
     plan = above._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "bucket" in plan  # bucketed sign-LSH equi-join
+    # PQ path: trained-codebook ADC scan + rerank — the corpus never
+    # meets the probes in a nested-loop; the ADC candidate aggregation
+    # (sum of per-subspace partial distances) is the signature
+    assert "adc_dist" in plan
 
     # identical output contract across strategies
     assert below.columns == above.columns == [
@@ -2730,6 +2732,38 @@ def test_ann_production_pq_recall_floor(spark):
     assert row["recall_fp"] >= int(0.8 * 1048576)
     assert row["n_sub"] == 16 and row["n_centroids"] == 256
     assert row["shortlist"] == 50
+
+
+def test_ann_auto_above_crossover_routes_to_production_pq(spark):
+    """r7 verdict item 8: strategy="auto" above the crossover must
+    hand out the 0.95-recall production PQ path, not the ~0.10-recall
+    single-table LSH it defaulted to through r7. Assert the route,
+    the plan signature, and the recall floor of what auto returns."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    assert SIM.choose_ann_strategy(SIM.ANN_AUTO_CROSSOVER + 1) == "pq"
+
+    e = table(spark, SF_SMALL, "embeddings")
+    probes = e.filter(F.col("vec_id") < 100)
+    auto = SIM.ann_topk(
+        e, probes, "vec_id", "embedding", k=5,
+        strategy="auto", n_queries=100,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "adc_dist" in plan  # trained-code ADC scan, not LSH buckets
+    exact = SIM.brute_force_topk(
+        e, probes, "vec_id", "embedding", k=5
+    ).localCheckpoint()
+    rec = (
+        SIM.recall_at_k(auto, exact)
+        .agg(
+            F.sum("n_hit").cast("long").alias("h"),
+            F.sum("n_true").cast("long").alias("t"),
+        )
+        .collect()[0]
+    )
+    assert rec["h"] / rec["t"] >= 0.8, (rec["h"], rec["t"])
 
 
 def test_residual_ivfpq_wins_on_clustered_corpus(spark):
