@@ -41,6 +41,7 @@ from cardano_spark.sinks.shards import (
     IncrementalExportResult,
     ShardManifest,
     write_training_shards,
+    write_training_shards_delta,
     write_training_shards_incremental,
 )
 
@@ -539,13 +540,16 @@ def build_corpus_incremental(
       member would retroactively evict a shipped rep).
     - **decontamination + quality**: per-row gates against the static
       benchmark — stateless, |new|-bounded.
-    - **export**: survivors append to ``_state/survivors`` and the
-      full survivor corpus diff-exports through
-      :func:`~cardano_spark.sinks.shards.
-      write_training_shards_incremental` — shard membership is a
-      content hash, so only shards that received new docs rewrite
-      (the digest pass scans all rows; the WRITE is |changed| —
-      shards.py's documented cost split).
+    - **export**: survivors append to ``_state/survivors``; the first
+      batch exports in full (:func:`~cardano_spark.sinks.shards.
+      write_training_shards_incremental`), and every later batch
+      hands ONLY its new survivor rows to
+      :func:`~cardano_spark.sinks.shards.write_training_shards_delta`
+      — shard membership is a content hash, the touched shard
+      directories are read back partition-pruned, and the manifest
+      digests fold invertibly from the delta (cross-checked against a
+      recompute over the touched content). READS and writes are both
+      |new|-bounded; no per-increment corpus scan remains.
 
     CONVERGENCE CONTRACT (pinned in tests/test_corpus_pipeline.py,
     the q136 discipline): after any sequence of arrival batches, the
@@ -673,17 +677,32 @@ def build_corpus_incremental(
     seen_sink.merge(exact_new)
 
     survivors = surv_sink.read()
-    export = write_training_shards_incremental(
-        survivors.withColumn(
+
+    def _with_shard_key(frame):
+        return frame.withColumn(
             "_shard_key",
             md5_long(
                 F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))
             ),
-        ),
-        dest,
-        "_shard_key",
-        n_shards,
-    )
+        )
+
+    # export: first batch writes the corpus in full; every later batch
+    # is |new|-bounded — the survivor corpus is APPEND-ONLY under the
+    # watermark gate (new doc_ids only, dedup drops only arrivals), so
+    # the export delta is exactly kept_new and the delta exporter
+    # touches only the shards those rows land in (r7 verdict item 1:
+    # no more per-increment corpus scans).
+    if wm is None:
+        export = write_training_shards_incremental(
+            _with_shard_key(survivors), dest, "_shard_key", n_shards
+        )
+    else:
+        export = write_training_shards_delta(
+            _with_shard_key(kept_new.drop("_digest")),
+            dest,
+            "_shard_key",
+            n_shards,
+        )
     new_wm = int(batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
     wm_store.upsert("corpus", new_wm)
     return IncrementalCorpusAudit(

@@ -166,9 +166,13 @@ def write_training_shards_incremental(
     Cost model: TWO source scans — the digest aggregate must read
     every row regardless, and the rewrite re-reads to avoid
     materializing the corpus (checkpointing 100 TB to compare 1% of
-    it would invert the savings). The write itself touches only
-    changed shards' bytes, which is the term that dominates a
-    recurring build.
+    it would invert the savings). That is the right trade when the
+    caller hands over the WHOLE corpus and the exporter must derive
+    the diff; when the caller already KNOWS the row-level changes
+    (the incremental corpus build's keyed state sinks do), use
+    :func:`write_training_shards_delta` — it reads only the touched
+    shard directories and folds the manifest digests from the deltas,
+    making the recurring export |new|-bounded end-to-end.
 
     Returns the updated manifest (shards carry their digests) plus
     the rewrite accounting."""
@@ -285,6 +289,270 @@ def write_training_shards_incremental(
         manifest=manifest,
         n_rewritten=len(changed),
         n_deleted=len(stale),
+        rewritten=[int(s) for s in changed],
+    )
+
+
+def write_training_shards_delta(
+    upserts: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    delete_keys: DataFrame | None = None,
+    max_rows_per_file: int | None = None,
+) -> IncrementalExportResult:
+    """|new|-bounded diff-export — the r7 verdict's last O(corpus)
+    recurring term closed. :func:`write_training_shards_incremental`
+    re-reads the WHOLE source twice per export (digest pass + rewrite
+    scan) to *derive* what changed; this variant is handed the changes
+    (``upserts`` rows + optional ``delete_keys``, one ``key_col``
+    column) the way an incremental pipeline already knows them (the
+    corpus build's keyed state sinks), and touches only:
+
+    - the delta itself (shard assignment + row digests, |delta| rows);
+    - the TOUCHED shard directories (partition-pruned read of
+      ``_shard IN touched`` — at most |delta| shards, never the
+      corpus): their surviving rows are rewritten together with the
+      upserts through the same dynamic-partition overwrite;
+    - ``_manifest.json``: untouched shards' entries carry over
+      verbatim; touched shards' digests are RECOMPUTED from the new
+      shard content — and independently FOLDED from the old manifest
+      digests (xor is self-inverse; the modular sums subtract; rows
+      count), and the two must agree. A disagreement means the
+      on-disk export no longer matches its manifest (torn write /
+      external edit / non-reproducible row serialization) and raises
+      instead of silently publishing a wrong manifest.
+
+    Upsert semantics match ``ParquetMergeSink``: an upsert whose key
+    exists replaces the old row; ``delete_keys`` removes rows by key
+    (keys also present in ``upserts`` are redundant — the upsert row
+    wins). The resulting layout, digests, and manifest are EQUAL to a
+    full :func:`write_training_shards_incremental` run over the
+    updated corpus (pinned by pytest), so the two exporters are
+    interchangeable per run.
+
+    Requires an existing export (manifest with per-shard digests) at
+    ``path`` whose ``n_shards`` matches — the first export of a corpus
+    is full by definition. Reference analogue: the watermark-bounded
+    per-batch upload in s3_to_db_cardano_blocks_pipeline.py:64-127 —
+    work proportional to the batch, never the table."""
+    from cardano_spark.functions.hashing import md5_long
+
+    spark = upserts.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")):
+        raise ValueError(
+            "write_training_shards_delta needs an existing export "
+            f"(no _manifest.json under {path!r}); run the full "
+            "exporter for the first batch"
+        )
+    old: dict[int, dict] = {}
+    for sh in read_manifest(path, spark).shards:
+        if "shard_id" not in sh or "digest" not in sh:
+            raise ValueError(
+                "manifest lacks per-shard digests (written by the "
+                "range exporter?); delta export needs the "
+                "write_training_shards_incremental layout"
+            )
+        old[int(sh["shard_id"])] = sh
+
+    cols = upserts.columns  # canonical data-column order for _rh
+
+    def staged(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_shard",
+            F.pmod(md5_long(F.col(key_col).cast("string")), F.lit(n_shards))
+            .cast("int"),
+        ).withColumn(
+            "_rh", md5_long(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        )
+
+    def digest_rows(df: DataFrame) -> dict[int, dict]:
+        return {
+            int(r["_shard"]): {
+                "xor": int(r["xor"]),
+                "msum": int(r["msum"]),
+                "wsum": int(r["wsum"]),
+                "rows": int(r["rows"]),
+            }
+            # bounded: one row per TOUCHED shard (<= |delta|, <= n_shards)
+            for r in df.groupBy("_shard")
+            .agg(
+                F.expr("bit_xor(_rh)").alias("xor"),
+                F.sum(F.col("_rh") % F.lit(1048576)).alias("msum"),
+                F.expr(
+                    "cast(sum(cast(_rh as decimal(38,0)))"
+                    " % 9223372036854775807 as long)"
+                ).alias("wsum"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()
+        }
+
+    ups = staged(upserts).localCheckpoint(eager=True)
+    dels = (
+        delete_keys.select(F.col(key_col))
+        .withColumn(
+            "_shard",
+            F.pmod(md5_long(F.col(key_col).cast("string")), F.lit(n_shards))
+            .cast("int"),
+        )
+        if delete_keys is not None
+        else None
+    )
+    # touched shard ids: bounded collect (<= |delta| distinct shards)
+    touched = {
+        int(r["_shard"]) for r in ups.select("_shard").distinct().collect()
+    }
+    if dels is not None:
+        touched |= {
+            int(r["_shard"])
+            for r in dels.select("_shard").distinct().collect()
+        }
+    touched = sorted(touched)
+    if not touched:
+        m = read_manifest(path, spark)
+        return IncrementalExportResult(
+            manifest=m, n_rewritten=0, n_deleted=0, rewritten=[]
+        )
+
+    # partition-pruned read: only the touched _shard=N directories are
+    # opened (verified by the pruning test) — the |new|-bounded term
+    # that replaces the old exporter's two corpus scans
+    existing_touched = [s for s in touched if s in old]
+    if existing_touched:
+        old_rows = (
+            spark.read.parquet(path)
+            .filter(F.col("_shard").isin(existing_touched))
+            .select(*cols, "_shard")
+            .withColumn(
+                "_rh",
+                md5_long(F.to_json(F.struct(*[F.col(c) for c in cols]))),
+            )
+        )
+        gone_keys = ups.select(F.col(key_col))
+        if dels is not None:
+            gone_keys = gone_keys.unionByName(dels.select(F.col(key_col)))
+        removed = old_rows.join(
+            gone_keys.distinct(), key_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        kept_old = old_rows.join(gone_keys.distinct(), key_col, "left_anti")
+    else:
+        removed = None
+        kept_old = None
+
+    new_content = (
+        ups if kept_old is None else kept_old.unionByName(ups)
+    ).localCheckpoint(eager=True)
+
+    # digests two ways: recompute over the new touched content, and
+    # fold old-manifest digests with the removed/inserted row digests
+    recomputed = digest_rows(new_content)
+    rem_d = digest_rows(removed) if removed is not None else {}
+    ins_d = digest_rows(ups)
+    M = 9223372036854775807
+    zero = {"xor": 0, "msum": 0, "wsum": 0, "rows": 0}
+    folded: dict[int, dict] = {}
+    for s in touched:
+        o = old[s]["digest"] if s in old else zero
+        r = rem_d.get(s, zero)
+        i = ins_d.get(s, zero)
+        folded[s] = {
+            "xor": o["xor"] ^ r["xor"] ^ i["xor"],
+            "msum": o["msum"] - r["msum"] + i["msum"],
+            "wsum": ((o["wsum"] - r["wsum"] + i["wsum"]) % M + M) % M,
+            "rows": o["rows"] - r["rows"] + i["rows"],
+        }
+    # an emptied shard folds to the zero digest and is absent from the
+    # recompute — both sides agree on `zero` there
+    mismatch = {s for s in touched if folded[s] != recomputed.get(s, zero)}
+    if mismatch:
+        raise ValueError(
+            "delta-export digest fold disagrees with the recomputed "
+            f"shard content for shards {sorted(mismatch)} — the export "
+            "at the path no longer matches its manifest (torn write, "
+            "external edit, or non-reproducible row serialization); "
+            "re-run the full exporter to re-baseline"
+        )
+
+    changed = sorted(
+        s
+        for s in touched
+        if recomputed.get(s) is not None
+        and (s not in old or old[s]["digest"] != recomputed[s])
+    )
+    emptied = sorted(
+        s for s in touched if s in old and recomputed.get(s) is None
+    )
+
+    if changed:
+        writer = (
+            new_content.filter(
+                F.col("_shard").isin([int(s) for s in changed])
+            )
+            .select(*cols, "_shard")
+            .repartition(len(changed), F.col("_shard"))
+            .sortWithinPartitions("_shard", key_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_shard")
+        )
+        if max_rows_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", str(max_rows_per_file)
+            )
+        writer.parquet(path)
+    for s in emptied:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_shard={s}"), True)
+
+    # manifest: untouched entries verbatim, touched entries refreshed
+    entries: dict[int, dict] = {
+        s: dict(e) for s, e in old.items() if s not in touched
+    }
+    for s in touched:
+        if recomputed.get(s) is None:
+            continue  # emptied — gone from the manifest
+        spath = jvm.org.apache.hadoop.fs.Path(f"{path}/_shard={s}")
+        nbytes = (
+            int(fs.getContentSummary(spath).getLength())
+            if fs.exists(spath)
+            else 0
+        )
+        entries[s] = {
+            "file": f"_shard={s}",
+            "shard_id": s,
+            "rows": recomputed[s]["rows"],
+            "bytes": nbytes,
+            "digest": recomputed[s],
+        }
+    shards = [entries[s] for s in sorted(entries)]
+    manifest = ShardManifest(
+        n_shards=len(shards),
+        n_rows=sum(s["rows"] for s in shards),
+        total_bytes=sum(s["bytes"] for s in shards),
+        shards=shards,
+    )
+    payload = json.dumps(
+        {
+            "n_shards": manifest.n_shards,
+            "n_rows": manifest.n_rows,
+            "total_bytes": manifest.total_bytes,
+            "shards": manifest.shards,
+        },
+        indent=2,
+    ).encode()
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")
+    out = fs.create(mpath, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    return IncrementalExportResult(
+        manifest=manifest,
+        n_rewritten=len(changed),
+        n_deleted=len(emptied),
         rewritten=[int(s) for s in changed],
     )
 

@@ -217,3 +217,181 @@ def test_cli_export_shards_incremental(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "wrote 0/3 shards" in capsys.readouterr().out
+
+
+def test_delta_export_equals_full_recompute(spark, tmp_path):
+    """r8 headline: the |new|-bounded delta exporter must land the
+    SAME manifest (digests, rows, shard set) and the same read-back
+    content as a full write_training_shards_incremental recompute
+    over the updated corpus — the two are interchangeable per run."""
+    from cardano_spark.sinks.shards import (
+        read_manifest,
+        write_training_shards_delta,
+        write_training_shards_incremental,
+    )
+
+    dest = str(tmp_path / "delta")
+    base = [(i, f"text {i}") for i in range(80)]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    write_training_shards_incremental(df, dest, "doc_id", 4)
+    state1 = _dir_state(dest)
+
+    # delta: 3 upserts (1 update, 2 inserts) + 2 deletes
+    ups = spark.createDataFrame(
+        [(17, "EDITED"), (100, "new a"), (101, "new b")],
+        "doc_id long, text string",
+    )
+    dels = spark.createDataFrame([(3,), (55,)], "doc_id long")
+    r = write_training_shards_delta(
+        ups, dest, "doc_id", 4, delete_keys=dels
+    )
+    touched = {_shard_of(i, 4) for i in (17, 100, 101, 3, 55)}
+    assert set(r.rewritten) <= touched and r.n_rewritten >= 1
+
+    # untouched shards: not a byte moved
+    state2 = _dir_state(dest)
+    for d, files in state1.items():
+        if int(d.split("=")[1]) not in touched:
+            assert state2[d] == files, d
+
+    # full recompute over the updated corpus in a fresh dir
+    updated = {i: t for i, t in base}
+    updated[17] = "EDITED"
+    updated[100], updated[101] = "new a", "new b"
+    del updated[3], updated[55]
+    full_dest = str(tmp_path / "full")
+    write_training_shards_incremental(
+        spark.createDataFrame(
+            sorted(updated.items()), "doc_id long, text string"
+        ),
+        full_dest,
+        "doc_id",
+        4,
+    )
+    md, mf = read_manifest(dest), read_manifest(full_dest)
+    assert md.n_rows == mf.n_rows == len(updated)
+    assert {s["shard_id"]: s["digest"] for s in md.shards} == {
+        s["shard_id"]: s["digest"] for s in mf.shards
+    }
+    back = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(dest).select("doc_id", "text").collect()
+    }
+    assert back == updated
+
+
+def test_delta_export_noop_and_missing_baseline(spark, tmp_path):
+    from cardano_spark.sinks.shards import (
+        write_training_shards_delta,
+        write_training_shards_incremental,
+    )
+    import pytest
+
+    dest = str(tmp_path / "d")
+    df = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(20)], "doc_id long, text string"
+    )
+    empty = df.limit(0)
+
+    # no baseline export yet -> explicit error, not a silent full write
+    with pytest.raises(ValueError, match="full exporter"):
+        write_training_shards_delta(empty, dest, "doc_id", 4)
+
+    write_training_shards_incremental(df, dest, "doc_id", 4)
+    state = _dir_state(dest)
+
+    # empty delta: nothing rewritten, manifest intact
+    r = write_training_shards_delta(empty, dest, "doc_id", 4)
+    assert r.n_rewritten == 0 and r.n_deleted == 0
+    assert _dir_state(dest) == state
+
+    # delete of a key that never existed: shard is touched, digest
+    # folds to its old value, so nothing is rewritten
+    r2 = write_training_shards_delta(
+        empty, dest, "doc_id", 4,
+        delete_keys=spark.createDataFrame([(999,)], "doc_id long"),
+    )
+    assert r2.n_rewritten == 0 and r2.n_deleted == 0
+    assert _dir_state(dest) == state
+    assert r2.manifest.n_rows == 20
+
+
+def test_delta_export_emptied_shard_and_integrity_check(spark, tmp_path):
+    import os
+    import shutil
+
+    import pytest
+
+    from cardano_spark.sinks.shards import (
+        write_training_shards_delta,
+        write_training_shards_incremental,
+    )
+
+    dest = str(tmp_path / "d")
+    rows = [(i, f"t {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    write_training_shards_incremental(df, dest, "doc_id", 4)
+
+    # delete every member of one shard -> directory gone, manifest
+    # drops the entry
+    victim = _shard_of(0, 4)
+    victim_ids = [i for i in range(40) if _shard_of(i, 4) == victim]
+    r = write_training_shards_delta(
+        df.limit(0),
+        dest,
+        "doc_id",
+        4,
+        delete_keys=spark.createDataFrame(
+            [(i,) for i in victim_ids], "doc_id long"
+        ),
+    )
+    assert r.n_deleted == 1 and r.n_rewritten == 0
+    assert not os.path.exists(os.path.join(dest, f"_shard={victim}"))
+    assert r.manifest.n_rows == 40 - len(victim_ids)
+
+    # tamper with a touched shard's data behind the manifest's back:
+    # the fold-vs-recompute cross-check must refuse to publish
+    survivor = next(s for s in range(4) if s != victim)
+    sdir = os.path.join(dest, f"_shard={survivor}")
+    pq = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+    os.remove(os.path.join(sdir, pq[0])) if len(pq) > 1 else shutil.rmtree(
+        sdir
+    )
+    target = next(i for i in range(40) if _shard_of(i, 4) == survivor)
+    with pytest.raises(ValueError, match="re-baseline"):
+        write_training_shards_delta(
+            spark.createDataFrame(
+                [(target, "EDIT")], "doc_id long, text string"
+            ),
+            dest,
+            "doc_id",
+            4,
+        )
+
+
+def test_delta_export_read_is_partition_pruned(spark, tmp_path):
+    """The |new|-bounded claim at the mechanism level: the exporter's
+    touched-shard read-back must partition-prune to the touched
+    _shard directories (PartitionFilters in the scan), so untouched
+    shards are never opened — the property that replaces the old
+    exporter's corpus scans."""
+    from cardano_spark.sinks.shards import write_training_shards_incremental
+
+    dest = str(tmp_path / "d")
+    df = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(40)], "doc_id long, text string"
+    )
+    write_training_shards_incremental(df, dest, "doc_id", 4)
+    # the exact read the delta exporter issues for touched = [1]
+    scan = (
+        spark.read.parquet(dest)
+        .filter(F.col("_shard").isin([1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in scan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "_shard" in m.group(1)  # pruning predicate present
