@@ -35,6 +35,74 @@ from cardano_spark.functions.hashing import (
 )
 
 
+def plan_lsh_bands(
+    threshold,
+    n_perms: int = len(MINHASH_PERMS),
+    fn_weight=None,
+) -> tuple[int, int, int]:
+    """Auto-planned LSH banding (r7 verdict item 3): derive
+    ``(bands, rows_per_band)`` from a target Jaccard ``threshold``
+    instead of hard-coding the operating point.
+
+    The S-curve ``P(s) = 1 - (1 - s^r)^b`` gives the probability a
+    pair at similarity ``s`` becomes an LSH candidate. The planner
+    enumerates every ``(b, r)`` with ``b * r <= n_perms`` and picks
+    the one minimizing the datasketch-style weighted error
+
+        fp_weight * integral_0^t P(s) ds  +  fn_weight * integral_t^1 (1 - P(s)) ds
+
+    by exact-rational midpoint quadrature (40 cells, ``Fraction``
+    arithmetic end-to-end — the choice is bit-deterministic and can
+    be injected as literals into BOTH engines, per the repo's
+    cross-engine exactness rules). ``fn_weight`` defaults to 1/2
+    (balanced); raise it toward 1 when a missed duplicate is worse
+    than a wasted exact-verify (verification downstream removes all
+    false positives anyway). Ties break toward fewer bands (fewer
+    band exchanges), then shorter rows.
+
+    Returns ``(bands, rows_per_band, err_fp)`` where ``err_fp`` is
+    the minimized error in 2^20 fixed point (for report queries).
+
+    Pinned property: ``plan_lsh_bands(Fraction(8, 10))[:2] ==
+    (LSH_BANDS, LSH_ROWS)`` — q22's historical 2x8 operating point IS
+    the planner's choice for its 0.8 verify threshold, so q22 now
+    derives its banding instead of hard-coding it."""
+    from fractions import Fraction
+
+    t = (
+        threshold
+        if isinstance(threshold, Fraction)
+        else Fraction(threshold).limit_denominator(1000)
+    )
+    if not 0 < t < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
+    w_fn = (
+        Fraction(1, 2)
+        if fn_weight is None
+        else Fraction(fn_weight).limit_denominator(1000)
+    )
+    w_fp = 1 - w_fn
+    cells = 40
+    best: tuple | None = None
+    for r in range(1, n_perms + 1):
+        for b in range(1, n_perms // r + 1):
+            fp = Fraction(0)
+            fn = Fraction(0)
+            for k in range(cells):
+                s = Fraction(2 * k + 1, 2 * cells)
+                p = 1 - (1 - s**r) ** b
+                if s < t:
+                    fp += p
+                else:
+                    fn += 1 - p
+            err = (w_fp * fp + w_fn * fn) / cells
+            key = (err, b, r)
+            if best is None or key < best:
+                best = key
+    err, b, r = best
+    return (b, r, int(err * 1048576))
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact content dedup: group by md5(text), keep the smallest id
     as canonical. One hash-shuffle on the digest; map-side partial
@@ -97,9 +165,23 @@ def _sig_frame(t: DataFrame) -> DataFrame:
     )
 
 
-def _banded_frame(sig: DataFrame) -> DataFrame:
+def _banded_frame(
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
     """Signature frame -> exploded (_id, band_idx, band_val) rows —
-    the slim frame every LSH band join shuffles (never the arrays)."""
+    the slim frame every LSH band join shuffles (never the arrays).
+    ``(bands, rows_per_band)`` defaults to the global operating point
+    and accepts any plan with ``bands * rows_per_band <= n_perms``
+    (the planner's output — band j reads signature columns
+    ``[j*r, (j+1)*r)``, so smaller plans use a prefix of the 16
+    permutations)."""
+    if bands * rows_per_band > len(MINHASH_PERMS):
+        raise ValueError(
+            f"banding {bands}x{rows_per_band} exceeds the "
+            f"{len(MINHASH_PERMS)}-permutation signature"
+        )
     return sig.select(
         "_id",
         F.explode(
@@ -113,13 +195,14 @@ def _banded_frame(sig: DataFrame) -> DataFrame:
                                 *[
                                     F.col(f"sig{j}").cast("string")
                                     for j in range(
-                                        band * LSH_ROWS, (band + 1) * LSH_ROWS
+                                        band * rows_per_band,
+                                        (band + 1) * rows_per_band,
                                     )
                                 ],
                             )
                         ).alias("band_val"),
                     )
-                    for band in range(LSH_BANDS)
+                    for band in range(bands)
                 ]
             )
         ).alias("b"),
@@ -265,6 +348,8 @@ def minhash_lsh_pairs(
     threshold: float,
     est_prefilter: float | None = None,
     candidate_filter: Column | None = None,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -330,7 +415,9 @@ def minhash_lsh_pairs(
         # once so the permutation folds over the checkpointed hash
         # arrays don't re-run per branch
         sig = sig.localCheckpoint(eager=False)
-    cand = _candidate_pairs(_banded_frame(sig), candidate_filter)
+    cand = _candidate_pairs(
+        _banded_frame(sig, bands, rows_per_band), candidate_filter
+    )
     if est_prefilter is not None:
         cand = (
             _with_sig_vectors(cand, sig)

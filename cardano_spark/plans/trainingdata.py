@@ -14,6 +14,8 @@ runtime at test scale.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -185,8 +187,14 @@ def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (16 perms, 2 bands x 8 rows),
-    verified with exact unigram Jaccard >= 0.8 (doc_id % 8 slice).
+    """MinHash+LSH near-dup pairs (16 perms), verified with exact
+    unigram Jaccard >= 0.8 (doc_id % 8 slice). The banding is now
+    PLANNER-DERIVED (r7 verdict item 3): ``plan_lsh_bands(0.8)``
+    returns (2 bands x 8 rows) — the historical hard-coded operating
+    point IS the S-curve optimum for the 0.8 verify threshold, so the
+    query's semantics (and driver hash) are unchanged while the
+    constant is no longer folklore. The threshold->banding frontier
+    itself is measured and driver-verified by q176_lsh_band_planner.
 
     Conscious perf note (round 3): the operator's ``est_prefilter``
     (16-int estimated-Jaccard gate before exact verification) was
@@ -198,8 +206,14 @@ def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-candidate rate x array size makes exact verification the
     dominant term (the unit tests pin its semantics either way)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    bands, rows_per_band, _ = DD.plan_lsh_bands(Fraction(8, 10))
     return DD.minhash_lsh_pairs(
-        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+        d,
+        "doc_id",
+        TX.distinct_tokens(F.col("text")),
+        threshold=0.8,
+        bands=bands,
+        rows_per_band=rows_per_band,
     )
 
 
@@ -3209,6 +3223,100 @@ def q175_ann_auto_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q176's threshold grid (per-mille) — planner choices are computed
+#: once here and injected as literals into BOTH engines (pure math on
+#: the threshold, not data — the cross-engine exactness discipline).
+LSH_PLANNER_GRID: tuple[int, ...] = (500, 700, 800, 900)
+
+
+def q176_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-planned LSH banding report (r7 verdict item 3): for each
+    target Jaccard threshold on the grid, the S-curve-optimal
+    ``(bands, rows_per_band)`` chosen by ``dedup.plan_lsh_bands``
+    (exact-rational datasketch-style objective) and its MEASURED
+    recall/precision against exact Jaccard ground truth.
+
+    Ground truth is the same-lang pair universe (q25's lossless
+    blocking — an equi-join, never a cartesian; LSH recall/precision
+    are measured on that subspace, stated in the column names' terms:
+    n_exact = same-lang pairs at >= t, n_cand = same-lang LSH
+    candidates, n_true = their intersection). Integer cross-mult
+    comparisons and 2^20 fixed-point ratios — zero IEEE divisions in
+    the hashed output. One tokenize + one signature pass feed all
+    grid rows (checkpointed); each row adds only a slim banded
+    self-join. 100 TB path: the planner is driver-side pure math; the
+    measurement is band-blocked + lang-blocked, never all-pairs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    base = d.select(
+        F.col("doc_id").alias("_id"),
+        "lang",
+        TX.distinct_tokens(F.col("text")).alias("_sh"),
+    ).localCheckpoint(eager=False)
+    sig = DD._sig_frame(base.select("_id", "_sh")).localCheckpoint(
+        eager=False
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), "lang", F.col("_sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), "lang", F.col("_sh").alias("sh_b")
+    )
+    pairs = (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_sizes"),
+        )
+        .withColumn("n_union", F.col("n_sizes") - F.col("n_inter"))
+        .localCheckpoint(eager=False)
+    )
+    out: DataFrame | None = None
+    for t_pm in LSH_PLANNER_GRID:
+        bands, rows_per_band, err_fp = DD.plan_lsh_bands(
+            Fraction(t_pm, 1000)
+        )
+        cand = DD._candidate_pairs(
+            DD._banded_frame(sig, bands, rows_per_band)
+        ).withColumn("is_cand", F.lit(1))
+        ge = F.col("n_inter") * F.lit(1000) >= F.lit(t_pm) * F.col("n_union")
+        row = (
+            pairs.join(cand, ["id_a", "id_b"], "left")
+            .agg(
+                F.count(F.when(ge, 1)).alias("n_exact"),
+                F.count("is_cand").alias("n_cand"),
+                F.count(F.when(ge & F.col("is_cand").isNotNull(), 1)).alias(
+                    "n_true"
+                ),
+            )
+            .select(
+                F.lit(t_pm).cast("long").alias("threshold_pm"),
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+                F.lit(err_fp).cast("long").alias("planner_err_fp"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.col("n_cand").cast("long").alias("n_cand"),
+                F.col("n_true").cast("long").alias("n_true"),
+                F.expr(
+                    "case when n_exact = 0 then 1048576"
+                    " else (n_true * 1048576) div n_exact end"
+                )
+                .cast("long")
+                .alias("recall_fp"),
+                F.expr(
+                    "case when n_cand = 0 then 1048576"
+                    " else (n_true * 1048576) div n_cand end"
+                )
+                .cast("long")
+                .alias("precision_fp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3322,6 +3430,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q173_video_frame_sample": q173_video_frame_sample,
     "q174_contamination_depth": q174_contamination_depth,
     "q175_ann_auto_pq_topk": q175_ann_auto_pq_topk,
+    "q176_lsh_band_planner": q176_lsh_band_planner,
 }
 
 
@@ -6936,4 +7045,70 @@ def _mmr_oracle_sql(
 
 TRAININGDATA_ORACLES["q171_mmr_rerank_topk"] = _mmr_oracle_sql(
     20, 28, k=5, shortlist=30, lam=7
+)
+
+
+def _lsh_planner_row_sql(t_pm: int, b: int, r: int, err_fp: int) -> str:
+    """One q176 grid row: the planner's (b, r) choice for threshold
+    t_pm replayed in DuckDB — same 16-perm signatures as q22, bands
+    over the first b*r permutations, same-lang exact ground truth,
+    integer cross-mult comparisons, 2^20 fixed-point ratios."""
+    band_parts = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_idx, md5(concat_ws('|', "
+        + ", ".join(
+            f"sig{j}::VARCHAR" for j in range(band * r, (band + 1) * r)
+        )
+        + ")) AS band_val FROM sig"
+        for band in range(b)
+    )
+    inter = "len(list_filter(da.sh, x -> list_contains(db.sh, x)))"
+    return f"""(
+    WITH d AS (
+      SELECT doc_id, lang, {TX.distinct_tokens_sql('text')} AS sh
+      FROM documents WHERE doc_id % 8 = 0
+    ), h AS (
+      SELECT doc_id, sh, {_HASHES} AS hs FROM d
+    ), sig AS (
+      SELECT doc_id, {_sig_select()} FROM h
+    ), bands AS ({band_parts}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT da.doc_id AS id_a, db.doc_id AS id_b,
+             {inter} AS n_inter,
+             len(da.sh) + len(db.sh) - {inter} AS n_union
+      FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
+    ), j AS (
+      SELECT p.n_inter, p.n_union, (c.id_a IS NOT NULL) AS is_cand
+      FROM pairs p LEFT JOIN cand c
+        ON c.id_a = p.id_a AND c.id_b = p.id_b
+    ), s AS (
+      SELECT
+        count(*) FILTER (
+          WHERE n_inter * 1000 >= {t_pm} * n_union) AS n_exact,
+        count(*) FILTER (WHERE is_cand) AS n_cand,
+        count(*) FILTER (
+          WHERE is_cand AND n_inter * 1000 >= {t_pm} * n_union) AS n_true
+      FROM j
+    )
+    SELECT {t_pm}::BIGINT AS threshold_pm, {b}::BIGINT AS bands,
+           {r}::BIGINT AS rows_per_band,
+           {err_fp}::BIGINT AS planner_err_fp,
+           n_exact::BIGINT AS n_exact, n_cand::BIGINT AS n_cand,
+           n_true::BIGINT AS n_true,
+           (CASE WHEN n_exact = 0 THEN 1048576
+                 ELSE (n_true * 1048576) // n_exact END)::BIGINT
+             AS recall_fp,
+           (CASE WHEN n_cand = 0 THEN 1048576
+                 ELSE (n_true * 1048576) // n_cand END)::BIGINT
+             AS precision_fp
+    FROM s
+    )"""
+
+
+TRAININGDATA_ORACLES["q176_lsh_band_planner"] = "\nUNION ALL\n".join(
+    _lsh_planner_row_sql(t_pm, *DD.plan_lsh_bands(Fraction(t_pm, 1000)))
+    for t_pm in LSH_PLANNER_GRID
 )

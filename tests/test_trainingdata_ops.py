@@ -2908,3 +2908,81 @@ def test_contamination_depth_ladder_semantics(spark):
             assert r.hits_k10 > 0, r
         if r.hits_k10 > 0:
             assert r.hits_k5 > 0, r
+
+
+def test_plan_lsh_bands_pins_and_properties():
+    """The band planner (r7 verdict item 3) is exact-rational pure
+    math: pin its grid choices, the q22 identity (0.8 -> the
+    historical 2x8), and the S-curve sanity properties."""
+    from fractions import Fraction
+
+    import pytest as _pytest
+
+    from cardano_spark.functions.hashing import LSH_BANDS, LSH_ROWS
+
+    assert DD.plan_lsh_bands(Fraction(8, 10))[:2] == (LSH_BANDS, LSH_ROWS)
+    picks = {t: DD.plan_lsh_bands(Fraction(t, 1000)) for t in
+             (500, 700, 800, 900)}
+    assert picks[500][:2] == (5, 3)
+    assert picks[700][:2] == (3, 5)
+    assert picks[800][:2] == (2, 8)
+    assert picks[900][:2] == (1, 15)
+    # rows-per-band rises with the threshold (steeper S-curve needed)
+    rs = [picks[t][1] for t in (500, 700, 800, 900)]
+    assert rs == sorted(rs)
+    for b, r, err in picks.values():
+        assert b * r <= 16 and 0 <= err <= 1048576
+    # weighting false negatives harder flattens the curve (fewer rows)
+    assert DD.plan_lsh_bands(Fraction(8, 10), fn_weight=Fraction(9, 10))[
+        :2
+    ] == (4, 4)
+    with _pytest.raises(ValueError):
+        DD.plan_lsh_bands(Fraction(0))
+    with _pytest.raises(ValueError):
+        DD.plan_lsh_bands(1)
+
+
+def test_q176_band_planner_report_invariants(spark):
+    from fractions import Fraction
+
+    from cardano_spark.plans.trainingdata import (
+        LSH_PLANNER_GRID,
+        q176_lsh_band_planner,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = {r.threshold_pm: r for r in
+            q176_lsh_band_planner(spark, SF_SMALL).collect()}
+    assert set(rows) == set(LSH_PLANNER_GRID)
+    for t_pm, r in rows.items():
+        b, rr, err = DD.plan_lsh_bands(Fraction(t_pm, 1000))
+        assert (r.bands, r.rows_per_band, r.planner_err_fp) == (b, rr, err)
+        assert r.n_true <= min(r.n_exact, r.n_cand)
+        assert 0 <= r.recall_fp <= 1048576
+        assert 0 <= r.precision_fp <= 1048576
+    # the corpus has planted dup families: the mid thresholds must
+    # measure non-vacuous ground truth and real recall
+    assert rows[700].n_exact > 0 and rows[800].n_exact > 0
+    assert rows[800].recall_fp > 0
+
+
+def test_minhash_lsh_pairs_banding_param_identity(spark):
+    """Explicit (bands=2, rows_per_band=8) is the default plan — the
+    planner route through q22 cannot drift from the global operating
+    point without this failing."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 8 == 0)
+    sh = TX.distinct_tokens(F.col("text"))
+    a = DD.minhash_lsh_pairs(d, "doc_id", sh, threshold=0.8)
+    b = DD.minhash_lsh_pairs(
+        d, "doc_id", sh, threshold=0.8, bands=2, rows_per_band=8
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        DD.minhash_lsh_pairs(
+            d, "doc_id", sh, threshold=0.8, bands=4, rows_per_band=8
+        ).collect()
