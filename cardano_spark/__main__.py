@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     corpus.add_argument("--neardup-threshold", type=float, default=0.8)
     corpus.add_argument("--contamination-max", type=float, default=0.5)
+    corpus.add_argument(
+        "--decontam-mode",
+        choices=("drop", "cut"),
+        default="drop",
+        help="drop: q58 whole-document gate; cut: q177 span-level "
+        "excision of verbatim benchmark spans (keeps the document)",
+    )
     corpus.add_argument("--min-quality", type=float, default=0.0)
     corpus.add_argument("--min-tokens", type=int, default=1)
     corpus.add_argument("--shards", type=int, default=8)
@@ -352,6 +359,7 @@ def main(
                 n_shards=args.shards,
                 normalize=args.normalize,
                 quality_rules=args.quality_rules,
+                decontam_mode=args.decontam_mode,
             )
             rewrote = (
                 f"{inc.export.n_rewritten} shard(s) rewritten"
@@ -388,6 +396,7 @@ def main(
             quality_rules=args.quality_rules,
             emit_attributes=args.emit_attributes,
             neardup_rule=args.neardup_rule,
+            decontam_mode=args.decontam_mode,
         )
         splits = (
             "; splits " + ", ".join(

@@ -1085,6 +1085,105 @@ def bpe_apply_report(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Span-level decontamination — CUT the quoted benchmark span,
+    don't drop the document (r7 verdict item 4: Lee et al. 2022's
+    ExactSubstr *apply* step, pointed at decontamination instead of
+    dedup). Every token of a train document covered by an n-gram
+    window that also occurs VERBATIM in the benchmark set is removed;
+    the rest of the document survives.
+
+    Contrast with the other decontamination arms: q58/q73/q67 GATE
+    whole documents on an overlap fraction — a long document with one
+    quoted benchmark item either dilutes below the threshold (leak
+    ships) or dies whole (data wasted). q174's depth ladder GRADES
+    the severity; this operator acts on it: detection-complete at
+    run length >= ``n`` (every position of a shared run >= n tokens
+    is covered by at least one shared window, the q126 interval-union
+    argument), so the entire lift is excised and nothing else is.
+
+    Scale shape: train windows are the q110/q126 slim
+    (id, start, window-hash) triples — map-side explode, one
+    checkpoint; the benchmark's DISTINCT window hashes broadcast
+    (eval sets are thousands of documents by contract); drop
+    positions explode map-side from hit windows only and reduce to
+    per-doc sets (bounded by doc length); the rebuild is one
+    positional array filter per doc. No corpus-sized exchange beyond
+    the per-doc groupBy; never all-pairs.
+
+    Returns one row per input document:
+    (``id_col``, n_tokens, n_removed, cleaned_text)."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+
+    def windows(frame: DataFrame, idc: str) -> DataFrame:
+        t = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        return (
+            frame.select(
+                F.col(idc),
+                t.alias("_t"),
+                (F.size(t) - F.lit(n - 1)).alias("_nw"),
+            )
+            .filter(F.col("_nw") >= 1)
+            .select(
+                F.col(idc),
+                F.explode(F.sequence(F.lit(1), F.col("_nw"))).alias(
+                    "start"
+                ),
+                F.col("_t"),
+            )
+            .select(
+                F.col(idc),
+                F.col("start").cast("long").alias("start"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("_t"), F.col("start"), n)
+                    )
+                ).alias("_wid"),
+            )
+        )
+
+    bench_wids = F.broadcast(
+        windows(bench, id_col).select("_wid").distinct()
+    )
+    drops = (
+        windows(docs, id_col)
+        .join(bench_wids, "_wid")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    drop_sets = drops.groupBy(id_col).agg(
+        F.collect_set("_pos").alias("_drop")
+    )
+    empty = F.array().cast("array<bigint>")
+    dropped = F.coalesce(F.col("_drop"), empty)
+    return base.join(drop_sets, id_col, "left").select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(dropped).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("_t"),
+                lambda x, i: ~F.array_contains(
+                    dropped, (i + 1).cast("bigint")
+                ),
+            ),
+        ).alias("cleaned_text"),
+    )
+
+
 def remove_repeated_spans(
     docs: DataFrame,
     id_col: str,

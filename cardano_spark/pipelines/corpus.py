@@ -141,6 +141,7 @@ def build_corpus(
     quality_rules: str | None = None,
     emit_attributes: bool = False,
     neardup_rule: str = "cluster_longest",
+    decontam_mode: str = "drop",
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -257,19 +258,46 @@ def build_corpus(
     n_near = near.count()
     stage_ids.append(("neardup", near.select("doc_id")))
 
-    # 3. benchmark decontamination (optional)
+    # 3. benchmark decontamination (optional).
+    # "drop": q58's whole-document gate on the 3-gram overlap
+    # fraction. "cut": q177's span-level excision — the document
+    # keeps its clean text and only the verbatim benchmark spans are
+    # removed (fully-excised or gutted documents then die at the
+    # quality/min_tokens gate like any other thin document).
+    if decontam_mode not in ("drop", "cut"):
+        raise ValueError(f"unknown decontam_mode: {decontam_mode!r}")
     if benchmark is not None:
-        contam = CU.benchmark_contamination(
-            near,
-            benchmark,
-            "doc_id",
-            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
-            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
-        )
-        clean_ids = contam.filter(
-            F.col("contamination") <= F.lit(float(contamination_max))
-        ).select("doc_id")
-        near = near.join(clean_ids, "doc_id", "left_semi")
+        if decontam_mode == "cut":
+            cut = CU.decontaminate_spans(
+                near, benchmark, "doc_id", "text", n=8
+            )
+            cols = near.columns
+            near = (
+                near.drop("text")
+                .join(
+                    cut.select(
+                        "doc_id", F.col("cleaned_text").alias("text")
+                    ),
+                    "doc_id",
+                )
+                .select(*cols)
+            )
+            if "n_chars" in cols:
+                near = near.withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
+        else:
+            contam = CU.benchmark_contamination(
+                near,
+                benchmark,
+                "doc_id",
+                TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+                TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+            )
+            clean_ids = contam.filter(
+                F.col("contamination") <= F.lit(float(contamination_max))
+            ).select("doc_id")
+            near = near.join(clean_ids, "doc_id", "left_semi")
     n_decontam = near.count()
     stage_ids.append(("decontam", near.select("doc_id")))
 
@@ -279,9 +307,15 @@ def build_corpus(
     if quality_rules not in (None, "gopher"):
         raise ValueError(f"unknown quality_rules: {quality_rules!r}")
     toks = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    # zero-token documents (possible after span-level excision) never
+    # pass: the quality formula divides by the token count, so it is
+    # evaluated behind the non-empty guard (CASE short-circuits under
+    # ANSI mode; a bare `&` would still evaluate both sides and raise)
+    qcond = TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
     gate = (
-        TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
-    ) & (toks >= F.lit(int(min_tokens)))
+        (toks >= F.lit(int(min_tokens)))
+        & F.when(toks >= 1, qcond).otherwise(F.lit(False))
+    )
     if quality_rules == "gopher":
         _, gflags = CU.gopher_flag_columns(F.col("text"))
         gate = gate & (gflags == F.lit(127))
@@ -512,6 +546,7 @@ def build_corpus_incremental(
     n_shards: int = 8,
     normalize: bool = False,
     quality_rules: str | None = None,
+    decontam_mode: str = "drop",
 ) -> IncrementalCorpusAudit:
     """The watermark-gated ARRIVAL-BATCH form of :func:`build_corpus`
     — the reference's entire operating identity
@@ -639,26 +674,54 @@ def build_corpus_incremental(
     near_new = exact_new.join(dropped, "doc_id", "left_anti")
     n_near = near_new.count()
 
-    # decontamination (per-row vs the static benchmark)
+    # decontamination (per-row vs the static benchmark — both modes
+    # are |new|-bounded, so the batch/incremental convergence contract
+    # holds for "cut" exactly as for "drop")
+    if decontam_mode not in ("drop", "cut"):
+        raise ValueError(f"unknown decontam_mode: {decontam_mode!r}")
     if benchmark is not None:
-        contam = CU.benchmark_contamination(
-            near_new,
-            benchmark,
-            "doc_id",
-            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
-            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
-        )
-        clean_ids = contam.filter(
-            F.col("contamination") <= F.lit(float(contamination_max))
-        ).select("doc_id")
-        near_new = near_new.join(clean_ids, "doc_id", "left_semi")
+        if decontam_mode == "cut":
+            cut = CU.decontaminate_spans(
+                near_new, benchmark, "doc_id", "text", n=8
+            )
+            cols = near_new.columns
+            near_new = (
+                near_new.drop("text")
+                .join(
+                    cut.select(
+                        "doc_id", F.col("cleaned_text").alias("text")
+                    ),
+                    "doc_id",
+                )
+                .select(*cols)
+            )
+            if "n_chars" in cols:
+                near_new = near_new.withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
+        else:
+            contam = CU.benchmark_contamination(
+                near_new,
+                benchmark,
+                "doc_id",
+                TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+                TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+            )
+            clean_ids = contam.filter(
+                F.col("contamination") <= F.lit(float(contamination_max))
+            ).select("doc_id")
+            near_new = near_new.join(clean_ids, "doc_id", "left_semi")
     n_decontam = near_new.count()
 
-    # quality gate (shared q30 formula + token floor; optional Gopher)
+    # quality gate (shared q30 formula + token floor; optional Gopher;
+    # zero-token docs — possible after span excision — guarded out
+    # before the formula's division, same as the batch gate)
     toks = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    qcond = TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
     gate = (
-        TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
-    ) & (toks >= F.lit(int(min_tokens)))
+        (toks >= F.lit(int(min_tokens)))
+        & F.when(toks >= 1, qcond).otherwise(F.lit(False))
+    )
     if quality_rules == "gopher":
         _, gflags = CU.gopher_flag_columns(F.col("text"))
         gate = gate & (gflags == F.lit(127))

@@ -3317,6 +3317,25 @@ def q176_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q177_span_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level decontamination (curation.decontaminate_spans):
+    cut the quoted benchmark span instead of dropping the document —
+    q174's certified shared verbatim runs, acted on with q126's
+    positional rebuild. Same bench split as q174 (doc_id % 10 < 2,
+    dup-family-crossing, so real spans get cut); n = 8, the q126/
+    q58-adjacent window length. The oracle rebuilds every cleaned
+    document VERBATIM, so the hash match pins the cut positions
+    token-for-token. Benchmark window hashes broadcast; drops are
+    |hits|-sized; rebuild is one array filter per doc."""
+    d = table(spark, sf_dir, "documents")
+    bench_pred = F.pmod(F.col("doc_id"), F.lit(10)) < 2
+    return CU.decontaminate_spans(
+        d.filter(~bench_pred), d.filter(bench_pred), "doc_id", "text", n=8
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3431,6 +3450,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q174_contamination_depth": q174_contamination_depth,
     "q175_ann_auto_pq_topk": q175_ann_auto_pq_topk,
     "q176_lsh_band_planner": q176_lsh_band_planner,
+    "q177_span_decontamination": q177_span_decontamination,
 }
 
 
@@ -7112,3 +7132,40 @@ TRAININGDATA_ORACLES["q176_lsh_band_planner"] = "\nUNION ALL\n".join(
     _lsh_planner_row_sql(t_pm, *DD.plan_lsh_bands(Fraction(t_pm, 1000)))
     for t_pm in LSH_PLANNER_GRID
 )
+
+
+# q177: span-level decontamination — the q126 rebuild shape with the
+# repeated-window census replaced by the benchmark window set.
+TRAININGDATA_ORACLES["q177_span_decontamination"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+             (doc_id % 10 < 2) AS is_bench
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, is_bench, u.start,
+             array_to_string(t[u.start : u.start + 7], ' ') AS wid
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(start)
+      WHERE len(t) >= 8
+    ), bwids AS (
+      SELECT DISTINCT wid FROM wins WHERE is_bench
+    ), drops AS (
+      SELECT DISTINCT w.doc_id, p.pos
+      FROM wins w JOIN bwids b USING (wid),
+           unnest(generate_series(w.start, w.start + 7)) AS p(pos)
+      WHERE NOT w.is_bench
+    ), dsets AS (
+      SELECT doc_id, count(*)::BIGINT AS n_removed, list(pos) AS ps
+      FROM drops GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.t)::BIGINT AS n_tokens,
+           coalesce(d.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(1, len(t.t)),
+                           i -> d.ps IS NULL OR NOT list_contains(d.ps, i)),
+               i -> t.t[i]),
+             ' '), '') AS cleaned_text
+    FROM toks t LEFT JOIN dsets d USING (doc_id)
+    WHERE NOT t.is_bench
+"""

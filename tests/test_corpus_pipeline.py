@@ -693,3 +693,65 @@ def test_build_corpus_incremental_torn_state_replay_converges(
     # and a full replay AFTER the seen fold is gated to a no-op body
     a3 = build_corpus_incremental(spark, b2, dest, **kw)
     assert a3.n_arrived == 0 and a3.n_survivors_total == 2
+
+
+def test_build_corpus_decontam_cut_mode(spark, tmp_path):
+    """--decontam-mode cut: a long document quoting a benchmark item
+    survives with the quote excised (drop mode would keep it only by
+    diluting, or kill it entirely at a tighter threshold); a document
+    that IS the benchmark item dies at the min_tokens gate after full
+    excision. Batch and incremental agree."""
+    from cardano_spark.pipelines.corpus import (
+        build_corpus,
+        build_corpus_incremental,
+    )
+
+    span = " ".join(f"q{i}" for i in range(12))
+    clean = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, f"{clean} {span}", "en", "web", 0),   # quote inside clean text
+        (2, span, "en", "web", 0),                # pure benchmark copy
+        (3, " ".join(f"z{i}" for i in range(40)), "en", "web", 0),  # clean
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    bench = spark.createDataFrame(
+        [(100, f"bench intro {span} bench outro")],
+        "doc_id long, text string",
+    )
+
+    dest = str(tmp_path / "cut")
+    audit = build_corpus(
+        spark, docs, dest, benchmark=bench,
+        min_tokens=5, decontam_mode="cut",
+    )
+    back = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(dest).select("doc_id", "text").collect()
+    }
+    assert set(back) == {1, 3}          # doc 2 fully excised -> thin -> gone
+    assert back[1] == clean             # the quote is gone, the rest verbatim
+    assert audit.n_after_decontam == 3  # cut keeps documents at this stage
+
+    # drop mode at a tight threshold kills doc 1 whole — the waste cut avoids
+    dest2 = str(tmp_path / "drop")
+    build_corpus(
+        spark, docs, dest2, benchmark=bench,
+        min_tokens=5, contamination_max=0.05, decontam_mode="drop",
+    )
+    assert {
+        r.doc_id for r in spark.read.parquet(dest2).select("doc_id").collect()
+    } == {3}
+
+    # incremental twin converges to the batch result
+    dest3 = str(tmp_path / "inc")
+    build_corpus_incremental(
+        spark, docs, dest3, benchmark=bench,
+        min_tokens=5, decontam_mode="cut",
+    )
+    back3 = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(dest3).select("doc_id", "text").collect()
+    }
+    assert back3 == back

@@ -711,3 +711,39 @@ def test_bm25_prf_reaches_vocabulary_only_doc(spark):
     assert got[4].n_terms_matched >= 1
     ranks = sorted(r.rank for r in out)
     assert ranks == list(range(1, len(out) + 1))
+
+
+def test_decontaminate_spans_cuts_exactly_the_shared_run(spark):
+    """Span-level decontamination (q177): a train document quoting a
+    benchmark span verbatim loses exactly that span — every token of
+    a shared run >= n is covered by a shared window (interval-union),
+    and nothing outside the run is touched."""
+    span = " ".join(f"b{i}" for i in range(10))  # 10-token bench span
+    bench = spark.createDataFrame(
+        [(100, f"intro {span} outro")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # quotes the full 10-token span inside clean text
+            (1, f"clean head words here {span} clean tail words"),
+            # shares only 7 tokens (< n=8): untouched
+            (2, "x " + " ".join(f"b{i}" for i in range(7)) + " y"),
+            # shorter than 8 tokens: untouched
+            (3, "tiny doc"),
+            # IS the span and nothing else: fully excised
+            (4, span),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in CU.decontaminate_spans(
+            docs, bench, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert out[1].cleaned_text == "clean head words here clean tail words"
+    assert out[1].n_removed == 10
+    assert out[2].cleaned_text.startswith("x ") and out[2].n_removed == 0
+    assert out[3].cleaned_text == "tiny doc" and out[3].n_removed == 0
+    assert out[4].cleaned_text == "" and out[4].n_removed == 10
+    assert set(out) == {1, 2, 3, 4}  # every doc kept (cut, not drop)
