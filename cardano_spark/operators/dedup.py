@@ -1360,3 +1360,128 @@ def contamination_depth_ladder(
     for k, _w in scales:  # ascending k: later rungs override
         depth = F.when(F.col(f"hits_k{k}") > 0, F.lit(k)).otherwise(depth)
     return out.withColumn("depth_certified", depth.cast("long"))
+
+
+def cdc_paragraphs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """Content-defined paragraph segmentation (the CCNet stage-1
+    grain; reference behavior cited at
+    transform_cardano_tx_utxo_dto_to_df.py-adjacent curation is doc
+    level only — this is the finer grain the C4/CCNet pipelines run
+    FIRST). The driver fixture's ``documents.text`` has no newline or
+    punctuation structure (verified in ROUND7.md), so boundaries are
+    content-defined chunking (Muthitacharoen et al. 2001, LBFS):
+    a paragraph ends after token ``i`` iff the rolling hash of the
+    last ``w`` tokens is ``0 (mod m)`` — plus a forced final boundary
+    at the document end.
+
+    The property that makes this the RIGHT segmentation for dedup
+    (and why rsync/LBFS/restic all use it): boundaries depend only on
+    a local token window, so they are SHIFT-INVARIANT — a token run
+    shared by two documents chunks identically in both no matter
+    where it sits, and every interior chunk of the shared run is
+    byte-equal across the documents. Fixed-width segmentation loses
+    all alignment after one insertion; CDC loses at most the two edge
+    chunks. Expected paragraph length is ~``m`` tokens.
+
+    Scale shape: entirely map-side — one tokenize, one O(n) rolling
+    md5 pass, one explode; no exchange. The boundary-hash array is
+    materialized once per row (localCheckpoint) so the per-paragraph
+    slice transform cannot re-evaluate the md5 chain per paragraph
+    (the q22/winnowing CollapseProject-inlines-non-cheap-HOF lesson —
+    quadratic without it).
+
+    Returns (``id_col``, ``para_idx`` 1-based, ``para`` text)."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    # interior boundaries: hash of the w-token window ENDING at i.
+    # sequence(w, n-1) is DESCENDING in Spark when n-1 < w — guard.
+    interior = F.when(
+        n - 1 >= w,
+        F.filter(
+            F.sequence(F.lit(w), n - 1),
+            lambda i: md5_long(
+                F.concat_ws(" ", F.slice(toks, i - F.lit(w - 1), w))
+            )
+            % m
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.concat(interior, F.array(n))
+    staged = docs.select(
+        F.col(id_col), toks.alias("_t"), cuts.alias("_cuts")
+    ).localCheckpoint(eager=False)
+    start = lambda j: F.when(j == 1, F.lit(1)).otherwise(  # noqa: E731
+        F.element_at(F.col("_cuts"), (j - F.lit(1)).cast("int")) + 1
+    )
+    paras = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_cuts"))),
+        lambda j: F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_t"),
+                start(j),
+                F.element_at(F.col("_cuts"), j.cast("int")) - start(j) + 1,
+            ),
+        ),
+    )
+    ex = staged.select(
+        id_col, F.posexplode(paras).alias("_i0", "para")
+    )
+    return ex.select(
+        id_col,
+        (F.col("_i0") + 1).cast("long").alias("para_idx"),
+        "para",
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """Paragraph-grain exact dedup with keep-first-occurrence and
+    verbatim rebuild — CCNet stage 1 applied: segment via
+    :func:`cdc_paragraphs`, drop every occurrence of a paragraph
+    except the globally first (min ``(doc_id, para_idx)``), and
+    rebuild each document from its kept paragraphs in original
+    order. Non-vacuous on docs that do NOT doc-level dedup: the
+    fixture's 500 sf0.01 texts are pairwise distinct, yet 245
+    distinct paragraphs recur across documents (near-dup families
+    share long runs, and CDC boundaries are shift-invariant).
+
+    Scale shape: segmentation is map-side; the dedup decision
+    exchanges once on the 128-bit paragraph hash (row_number over
+    hash — slim key, text rides along because the rebuild needs it
+    anyway: output is corpus-sized by definition); the rebuild
+    exchanges once on ``id_col``. Two shuffles total, both on keys
+    with fixture-free cardinality; no driver collection.
+
+    Returns (``id_col``, n_paras, n_dropped, cleaned_text)."""
+    from pyspark.sql import Window
+
+    occ = cdc_paragraphs(docs, id_col, text_col, w=w, m=m)
+    win = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col(id_col), F.col("para_idx")
+    )
+    flagged = occ.withColumn("_rn", F.row_number().over(win))
+    kept = F.when(
+        F.col("_rn") == 1, F.struct(F.col("para_idx"), F.col("para"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        (F.count(F.lit(1)) - F.count(kept)).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["para"]
+            ),
+        ).alias("cleaned_text"),
+    )

@@ -3336,6 +3336,21 @@ def q177_span_decontamination(
     )
 
 
+def q178_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup (CCNet stage 1) via content-defined
+    chunking (dedup.cdc_paragraphs / paragraph_dedup): boundaries
+    where the rolling md5 of the last 3 tokens is 0 (mod 8) — shift-
+    invariant, so token runs shared across near-dup family members
+    chunk identically and dedup at paragraph grain even though all
+    500 sf0.01 doc texts are pairwise DISTINCT (doc-level exact dedup
+    is vacuous here; 245 distinct paragraphs still recur cross-doc).
+    Keep-first (min (doc_id, para_idx)) and rebuild each document
+    verbatim from its kept paragraphs — the hash match pins every cut
+    position and every drop decision token-for-token."""
+    d = table(spark, sf_dir, "documents")
+    return DD.paragraph_dedup(d, "doc_id", "text", w=3, m=8)
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3451,6 +3466,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q175_ann_auto_pq_topk": q175_ann_auto_pq_topk,
     "q176_lsh_band_planner": q176_lsh_band_planner,
     "q177_span_decontamination": q177_span_decontamination,
+    "q178_paragraph_dedup": q178_paragraph_dedup,
 }
 
 
@@ -7168,4 +7184,44 @@ TRAININGDATA_ORACLES["q177_span_decontamination"] = """
              ' '), '') AS cleaned_text
     FROM toks t LEFT JOIN dsets d USING (doc_id)
     WHERE NOT t.is_bench
+"""
+
+
+# q178: paragraph-grain dedup — the oracle re-derives the CDC
+# boundaries (rolling md5_long of the trailing 3-token window, 0 mod
+# 8, forced cut at doc end), the keep-first decision (row_number over
+# the 128-bit paragraph hash), and the verbatim rebuild.
+TRAININGDATA_ORACLES["q178_paragraph_dedup"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), bounds AS (
+      SELECT doc_id, t,
+        list_concat(
+          CASE WHEN len(t) - 1 >= 3 THEN
+            list_filter(generate_series(3, len(t) - 1),
+              i -> ('0x' || substr(md5(
+                       array_to_string(t[i-2 : i], ' ')), 1, 15)
+                   )::BIGINT % 8 = 0)
+          ELSE [] END,
+          [len(t)]) AS cuts
+      FROM toks
+    ), occ AS (
+      SELECT doc_id, u.j AS para_idx,
+        array_to_string(
+          t[CASE WHEN u.j = 1 THEN 1 ELSE cuts[u.j - 1] + 1 END
+            : cuts[u.j]], ' ') AS para
+      FROM bounds, unnest(generate_series(1, len(cuts))) AS u(j)
+    ), flagged AS (
+      SELECT doc_id, para_idx, para,
+        row_number() OVER (PARTITION BY md5(para)
+                           ORDER BY doc_id, para_idx) AS rn
+      FROM occ
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_paras,
+           (count(*) - count(*) FILTER (rn = 1))::BIGINT AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                               ORDER BY para_idx), '') AS cleaned_text
+    FROM flagged GROUP BY doc_id
 """

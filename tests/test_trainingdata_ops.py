@@ -2986,3 +2986,69 @@ def test_minhash_lsh_pairs_banding_param_identity(spark):
         DD.minhash_lsh_pairs(
             d, "doc_id", sh, threshold=0.8, bands=4, rows_per_band=8
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# CDC paragraph segmentation + paragraph-grain dedup (q178)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_paragraphs_reassemble_verbatim(spark):
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, "short"),
+        (3, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.cdc_paragraphs(d, "doc_id", "text").collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.para_idx, r.para))
+    for doc_id, text in rows:
+        paras = [p for _, p in sorted(by_doc[doc_id])]
+        assert " ".join(paras) == text  # partition, in order, lossless
+
+
+def test_cdc_paragraphs_are_shift_invariant(spark):
+    # the same 40-token run embedded at different offsets must chunk
+    # identically in its interior — the property fixed-width
+    # segmentation lacks and the whole point of CDC
+    run = " ".join(f"tok{i % 7}x{i % 11}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, "alpha " + run + " omega"), (2, "beta gamma delta " + run)],
+        "doc_id long, text string",
+    )
+    out = DD.cdc_paragraphs(d, "doc_id", "text").collect()
+    p1 = {r.para for r in out if r.doc_id == 1}
+    p2 = {r.para for r in out if r.doc_id == 2}
+    shared = p1 & p2
+    assert len(shared) >= 1, "interior chunks of the shared run must align"
+
+
+def test_paragraph_dedup_keep_first_and_rebuild(spark):
+    base = " ".join(f"w{i % 5}q{i % 3}" for i in range(30))
+    d = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in DD.paragraph_dedup(d, "doc_id", "text").collect()}
+    # doc 1 is globally first at every paragraph: keeps everything
+    assert out[1].n_dropped == 0 and out[1].cleaned_text == base
+    # doc 2 is an exact dup: every paragraph drops, rebuild is empty
+    assert out[2].n_dropped == out[2].n_paras
+    assert out[2].cleaned_text == ""
+
+
+def test_paragraph_dedup_nonvacuous_on_fixture(spark):
+    # the VERDICT bar: >0 paragraphs dedup across docs that do NOT
+    # doc-level dedup (every sf0.001 text is pairwise distinct)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs, n_texts = d.select(
+        F.count("*"), F.countDistinct("text")
+    ).first()
+    assert n_docs == n_texts  # doc-level exact dedup IS vacuous here
+    dropped = (
+        DD.paragraph_dedup(d, "doc_id", "text")
+        .agg(F.sum("n_dropped"))
+        .first()[0]
+    )
+    assert dropped > 0  # ...yet paragraph-grain dedup is not
