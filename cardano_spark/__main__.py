@@ -120,6 +120,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(contiguous position-range shards, internally ordered)",
     )
     corpus.add_argument(
+        "--paragraph-dedup",
+        action="store_true",
+        help="run q178's paragraph-grain dedup first (CCNet stage 1: "
+        "content-defined chunks, keep-first, verbatim rebuild; "
+        "fully-claimed documents drop). Incremental runs keep a "
+        "persisted paragraph-digest index under dest/_state",
+    )
+    corpus.add_argument(
         "--normalize",
         action="store_true",
         help="normalize text before every gate (curation.normalize_text: "
@@ -360,14 +368,21 @@ def main(
                 normalize=args.normalize,
                 quality_rules=args.quality_rules,
                 decontam_mode=args.decontam_mode,
+                paragraph_dedup=args.paragraph_dedup,
             )
             rewrote = (
                 f"{inc.export.n_rewritten} shard(s) rewritten"
                 if inc.export is not None
                 else "no-op (nothing past the watermark)"
             )
+            para = (
+                f"{inc.n_after_paragraph} after paragraph dedup -> "
+                if inc.n_after_paragraph >= 0
+                else ""
+            )
             print(
                 f"incremental corpus build: {inc.n_arrived} arrived -> "
+                f"{para}"
                 f"{inc.n_after_exact} after exact dedup -> "
                 f"{inc.n_after_neardup} after near-dup -> "
                 f"{inc.n_after_decontam} after decontamination -> "
@@ -397,6 +412,7 @@ def main(
             emit_attributes=args.emit_attributes,
             neardup_rule=args.neardup_rule,
             decontam_mode=args.decontam_mode,
+            paragraph_dedup=args.paragraph_dedup,
         )
         splits = (
             "; splits " + ", ".join(
@@ -405,8 +421,14 @@ def main(
             if audit.split_counts is not None
             else ""
         )
+        para = (
+            f"{audit.n_after_paragraph} after paragraph dedup -> "
+            if audit.n_after_paragraph >= 0
+            else ""
+        )
         print(
-            f"corpus build: {audit.n_input} in -> {audit.n_after_exact} "
+            f"corpus build: {audit.n_input} in -> {para}"
+            f"{audit.n_after_exact} "
             f"after exact dedup -> {audit.n_after_neardup} after near-dup "
             f"-> {audit.n_after_decontam} after decontamination -> "
             f"{audit.n_after_quality} after quality -> "

@@ -72,6 +72,10 @@ class CorpusAudit:
     #: path of the per-document attribute/provenance ledger when
     #: ``emit_attributes`` is on; None otherwise
     attributes_path: str | None = None
+    #: survivors of the optional paragraph-grain dedup pre-stage
+    #: (docs whose rebuilt text is non-empty); -1 when the stage is
+    #: off
+    n_after_paragraph: int = -1
 
 
 def _drop_neardup(
@@ -142,6 +146,7 @@ def build_corpus(
     emit_attributes: bool = False,
     neardup_rule: str = "cluster_longest",
     decontam_mode: str = "drop",
+    paragraph_dedup: bool = False,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -223,6 +228,17 @@ def build_corpus(
     stopwords; all integer-exact). The flags compute INLINE in the
     stage-4 filter — no join, no extra exchange.
 
+    ``paragraph_dedup``: when True, run q178's paragraph-grain dedup
+    FIRST (CCNet stage 1): segment every document by content-defined
+    chunking, drop every paragraph occurrence but the globally first
+    (min ``(doc_id, para_idx)``), rewrite each document to its kept
+    paragraphs in original order, and drop documents whose rebuild is
+    empty. Every later gate — exact dedup, LSH shingles,
+    decontamination, quality, splits, shard hashing — sees the
+    rewritten text, exactly as CCNet feeds its doc-level stages.
+    Composes with ``normalize`` (normalization first, so paragraph
+    digests are over normalized text).
+
     ``emit_attributes``: when True, write a per-INPUT-document
     attribute/provenance ledger under ``dest/_attributes`` (the
     Dolma taggers-and-attributes design): tagger columns (token
@@ -242,6 +258,34 @@ def build_corpus(
             "text", CU.normalize_text(F.col("text"))
         )
     n_input = docs.count()
+    stage_ids: list[tuple[str, DataFrame]] = []
+
+    # 0. optional paragraph-grain dedup (CCNet stage 1, q178's
+    # operator): rewrite every document to its paragraph-deduped
+    # rebuild (keep-first over CDC chunks) and drop documents whose
+    # every paragraph was claimed elsewhere. Runs BEFORE doc-level
+    # exact dedup, as in CCNet — every downstream gate sees the
+    # rewritten text.
+    n_paragraph = -1
+    if paragraph_dedup:
+        reb = DD.paragraph_dedup(docs, "doc_id", "text")
+        cols = docs.columns
+        docs = (
+            docs.drop("text")
+            .join(
+                reb.filter(F.col("cleaned_text") != F.lit("")).select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .select(*cols)
+        )
+        if "n_chars" in cols:
+            docs = docs.withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        n_paragraph = docs.count()
+        stage_ids.append(("paragraph", docs.select("doc_id")))
 
     # 1. exact dedup: keep the smallest id per content digest
     canonical = DD.exact_dedup_groups(docs, "doc_id", "text").select(
@@ -249,9 +293,7 @@ def build_corpus(
     )
     exact = docs.join(canonical, "doc_id", "left_semi")
     n_exact = exact.count()
-    stage_ids: list[tuple[str, DataFrame]] = [
-        ("exact", exact.select("doc_id"))
-    ]
+    stage_ids.append(("exact", exact.select("doc_id")))
 
     # 2. near-dup dedup (detect -> cluster -> elect -> apply)
     near = _drop_neardup(exact, neardup_threshold, neardup_rule)
@@ -515,6 +557,7 @@ def build_corpus(
         split_counts=split_counts,
         split_manifests=split_manifests,
         attributes_path=attributes_path,
+        n_after_paragraph=n_paragraph,
     )
 
 @dataclass(frozen=True)
@@ -532,6 +575,9 @@ class IncrementalCorpusAudit:
     export: IncrementalExportResult | None
     #: the watermark written for this batch (None when no-op)
     watermark: int | None
+    #: batch docs surviving the optional paragraph-grain dedup
+    #: pre-stage (non-empty rebuild); -1 when the stage is off
+    n_after_paragraph: int = -1
 
 
 def build_corpus_incremental(
@@ -547,6 +593,7 @@ def build_corpus_incremental(
     normalize: bool = False,
     quality_rules: str | None = None,
     decontam_mode: str = "drop",
+    paragraph_dedup: bool = False,
 ) -> IncrementalCorpusAudit:
     """The watermark-gated ARRIVAL-BATCH form of :func:`build_corpus`
     — the reference's entire operating identity
@@ -559,6 +606,13 @@ def build_corpus_incremental(
       ParquetWatermarkStore` ledger under ``dest/_state``); arrival
       ids must be monotone across batches — the reference's
       block-height discipline.
+    - **paragraph dedup** (optional, ``paragraph_dedup=True``):
+      q178's CCNet stage 1 in arrival-batch form — in-batch
+      keep-first over CDC paragraph digests plus an anti-probe of
+      the persisted paragraph-digest index (``_state/para_index``),
+      then a verbatim rebuild; fully-claimed documents drop here.
+      Cost ∝ |new| paragraphs; converges to the batch twin because
+      arrival ids are monotone.
     - **exact dedup**: the batch's md5 digests probe the persisted
       seen-digest column (null-safe — NULL-text docs group together,
       matching the batch rule) and reduce in-batch to min-id per
@@ -635,6 +689,16 @@ def build_corpus_incremental(
     surv_sink = ParquetMergeSink(
         spark, f"{state}/survivors", batch.schema, ["doc_id"]
     )
+    para_sink = (
+        ParquetMergeSink(
+            spark,
+            f"{state}/para_index",
+            T.StructType([T.StructField("digest", T.StringType())]),
+            ["digest"],
+        )
+        if paragraph_dedup
+        else None
+    )
     if n_arrived == 0:
         return IncrementalCorpusAudit(
             n_arrived=0, n_after_exact=0, n_after_neardup=0,
@@ -642,6 +706,74 @@ def build_corpus_incremental(
             n_survivors_total=surv_sink.read().count(),
             export=None, watermark=None,
         )
+
+    # 0. optional paragraph-grain dedup (CCNet stage 1, q178), the
+    # incremental form: in-batch keep-first over CDC paragraph
+    # digests, then an anti-probe of the PERSISTED paragraph-digest
+    # index (|new|-bounded: the historical corpus is never
+    # re-segmented). Cross-batch keep-first equals the batch rule
+    # because arrival ids are monotone — the globally-first
+    # occurrence of any paragraph lives in the earliest batch that
+    # contains it. Documents whose every paragraph was claimed
+    # elsewhere drop HERE (their rebuild is empty), so empty texts
+    # never reach the shingle/band machinery. The digest fold
+    # (below, with the other sinks) covers ALL batch paragraphs —
+    # gating later drops a document, not its keep-first claims,
+    # matching the batch twin where the paragraph stage runs first.
+    n_paragraph = -1
+    new_para_digests: DataFrame | None = None
+    if paragraph_dedup:
+        from pyspark.sql import Window
+
+        occ = DD.cdc_paragraphs(batch, "doc_id", "text").withColumn(
+            "_pd", F.md5("para")
+        )
+        first = occ.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pd").orderBy("doc_id", "para_idx")
+            ),
+        )
+        assert para_sink is not None
+        seen_paras = para_sink.read().select(
+            F.col("digest").alias("_seen_pd")
+        )
+        kept_occ = first.join(
+            seen_paras,
+            first["_pd"] == seen_paras["_seen_pd"],
+            "left_anti",
+        ).filter(F.col("_rn") == 1)
+        new_para_digests = kept_occ.select(
+            F.col("_pd").alias("digest")
+        ).distinct()
+        reb = kept_occ.groupBy("doc_id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("para_idx", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("_clean")
+        )
+        cols = batch.columns
+        batch = (
+            batch.drop("text")
+            .join(
+                reb.filter(F.col("_clean") != F.lit("")).select(
+                    "doc_id", F.col("_clean").alias("text")
+                ),
+                "doc_id",
+            )
+            .select(*cols)
+        )
+        if "n_chars" in cols:
+            batch = batch.withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        batch = batch.localCheckpoint(eager=True)
+        n_paragraph = batch.count()
 
     seen = seen_sink.read()
     index = band_sink.read()
@@ -738,6 +870,14 @@ def build_corpus_incremental(
     surv_sink.merge(kept_new.drop("_digest"))
     band_sink.merge(DD.band_index(exact_new, "doc_id", shingles))
     seen_sink.merge(exact_new)
+    # paragraph digests fold AFTER the seen gate like the other
+    # growth-only state: a replay before this fold re-derives the
+    # same kept occurrences (idempotent merge); a replay after it
+    # rewrites the batch to empty rebuilds, which drop at the
+    # paragraph stage itself — survivors and export stay intact and
+    # only the watermark advances.
+    if para_sink is not None and new_para_digests is not None:
+        para_sink.merge(new_para_digests)
 
     survivors = surv_sink.read()
 
@@ -777,4 +917,5 @@ def build_corpus_incremental(
         n_survivors_total=survivors.count(),
         export=export,
         watermark=new_wm,
+        n_after_paragraph=n_paragraph,
     )
