@@ -2319,3 +2319,69 @@ def rrf_fuse(
             id_col, "rrf_fp", "n_lists", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    prune_den: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022 "Beyond neural
+    scaling laws", as operationalized by D4, Tirumala et al. 2023):
+    after clustering the embedding space, the vectors MOST similar to
+    their own cluster centroid are the corpus's prototypical —
+    easiest, most redundant — examples, and dropping them beats
+    random pruning at equal token budget. This is the selection-side
+    complement of :func:`semantic_dedup` (which drops near-COPIES;
+    this drops near-CENTROIDS), and D4 is exactly the composition of
+    the two.
+
+    Built on the bit-reproducible training loop
+    (:func:`_kmeans_iterate`, q113): assignment and the
+    prototypicality score use the same quantized-vector cosine, so
+    the ranking is deterministic and oracle-restatable. Per cluster,
+    rank members by cosine to the (sum-represented) centroid
+    descending (ties to the smaller id) and flag the top
+    ``floor(n_cluster / prune_den)`` as pruned — integer arithmetic,
+    no float threshold.
+
+    Scale shape: one broadcast join against the k-row model frame,
+    then ONE exchange on the cluster id for the rank/count window.
+    The per-cluster sort is the cost model; like SemDeDup, a 100 TB
+    deployment sizes ``k`` proportional to the corpus so cluster
+    occupancy (and thus each window partition) stays ~10^3-10^4
+    vectors — k here is a fixture-scale stand-in, not a constant.
+
+    Returns (``vec_id``, ``cluster_id``, ``proto_rank``,
+    ``is_pruned``) — one row per corpus vector, all int64."""
+    assign, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
+    # the k-row model frame is consumed twice (the final assignment's
+    # lineage AND the scoring join) — checkpoint it so the training
+    # subtree does not execute a second time through the join side
+    sums = sums.localCheckpoint(eager=False)
+    scored = assign.join(F.broadcast(sums), "cid").withColumn(
+        "_pc",
+        dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("_pc").desc(), F.col("vid").asc()
+    )
+    cw = Window.partitionBy("cid")
+    ranked = scored.withColumn(
+        "proto_rank", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(cw))
+    return ranked.select(
+        F.col("vid").alias("vec_id"),
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("proto_rank").cast("long").alias("proto_rank"),
+        (
+            F.col("proto_rank")
+            <= F.floor(F.col("_n") / F.lit(prune_den)).cast("long")
+        )
+        .cast("long")
+        .alias("is_pruned"),
+    )

@@ -3351,6 +3351,51 @@ def q178_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.paragraph_dedup(d, "doc_id", "text", w=3, m=8)
 
 
+def q179_d4_prototype_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D4's pruning half (similarity.prototype_prune — Sorscher et
+    al. 2022 SSL-prototypes, Tirumala et al. 2023 D4): train q113's
+    bit-reproducible spherical k-means (k=8, 2 rounds), score every
+    vector's cosine to its OWN final centroid, and flag the most
+    prototypical floor(n_cluster/4) per cluster for pruning. The
+    selection-side complement of q109's SemDeDup — D4 = SemDeDup
+    then prototype pruning; composing the two queries IS the paper's
+    pipeline. Output is all-integer (rank + flag), so the hash match
+    pins the full training chain, the per-cluster ordering, and the
+    integer cutoff."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.prototype_prune(
+        e, "vec_id", "embedding", k=8, n_iter=2, prune_den=4
+    )
+
+
+def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 end-to-end (Tirumala et al. 2023, arXiv:2308.12284):
+    SemDeDup first (q109 — drop near-COPIES, cosine > 0.25 within
+    coarse clusters, keep-first), then SSL-prototype pruning over the
+    SURVIVORS (q179 — retrain the bit-reproducible k-means on the
+    deduped corpus, flag the floor(n/4) most centroid-like per
+    cluster). The paper's observed interaction is why the composition
+    is its own query: dedup removes duplicate-driven density spikes,
+    so the prototype ranking over survivors differs from q179's over
+    the raw corpus — re-clustering after dedup IS the algorithm, not
+    two independent passes. Output all-integer; both stages
+    restated in the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    sd = SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25
+    )
+    survivors = e.join(
+        sd.filter(F.col("is_dup") == 0).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    return SIM.prototype_prune(
+        survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3467,6 +3512,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q176_lsh_band_planner": q176_lsh_band_planner,
     "q177_span_decontamination": q177_span_decontamination,
     "q178_paragraph_dedup": q178_paragraph_dedup,
+    "q179_d4_prototype_prune": q179_d4_prototype_prune,
+    "q180_d4_pipeline": q180_d4_pipeline,
 }
 
 
@@ -7224,4 +7271,129 @@ TRAININGDATA_ORACLES["q178_paragraph_dedup"] = """
            coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
                                ORDER BY para_idx), '') AS cleaned_text
     FROM flagged GROUP BY doc_id
+"""
+
+
+# q179: D4 prototype pruning — the q113 training chain (quantize,
+# seed-assign, exact integer re-sum, re-assign), then cosine to the
+# OWN final centroid, per-cluster rank, integer floor(n/4) cutoff.
+TRAININGDATA_ORACLES["q179_d4_prototype_prune"] = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s0.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
+                   s0.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s0
+      ) WHERE rn = 1
+    ), s1 AS (
+      SELECT a0.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT a1.vec_id, a1.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS pc
+      FROM a1 JOIN v USING (vec_id) JOIN s1 USING (cid)
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY pc DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n_c
+      FROM scored
+    )
+    SELECT vec_id,
+           cid::BIGINT AS cluster_id,
+           proto_rank::BIGINT AS proto_rank,
+           (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
+             AS is_pruned
+    FROM ranked
+"""
+
+
+# q180: D4 = q109's SemDeDup chain (raw-double cosine, keep-first)
+# feeding q179's prototype chain retrained over the survivors.
+TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), dseeds AS (
+      SELECT vec_id AS cid, e AS ce FROM ve WHERE vec_id < 8
+    ), dassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT ve.vec_id, s.cid, row_number() OVER (
+          PARTITION BY ve.vec_id
+          ORDER BY {_COS.replace('va', 've.e').replace('vb', 's.ce')} DESC,
+                   s.cid ASC
+        ) AS rn
+        FROM ve CROSS JOIN dseeds s
+      ) WHERE rn = 1
+    ), av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM dassign a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    ), v AS (
+      SELECT ve.vec_id,
+             list_transform(ve.e, x -> floor(x * 255.0)) AS q
+      FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
+      WHERE d.vec_id IS NULL
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s0.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
+                   s0.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s0
+      ) WHERE rn = 1
+    ), s1 AS (
+      SELECT a0.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT a1.vec_id, a1.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS pc
+      FROM a1 JOIN v USING (vec_id) JOIN s1 USING (cid)
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY pc DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n_c
+      FROM scored
+    )
+    SELECT vec_id,
+           cid::BIGINT AS cluster_id,
+           proto_rank::BIGINT AS proto_rank,
+           (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
+             AS is_pruned
+    FROM ranked
 """

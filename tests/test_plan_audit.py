@@ -49,6 +49,8 @@ BNL_BUDGET = {
     "q166_ivfpq_residual_topk": 1,  # probe routing vs k-row coarse frame (q149 shape)
     "q167_bm25_prf_topk": 3,  # 1-row totals broadcast per BM25 pass + feedback probe
     "q169_retrieval_ndcg_report": 3,  # brute ground truth + IVF assignment/routing (q106+q36 shapes)
+    "q179_d4_prototype_prune": 2,  # the two k-row argmax assigns (q113 shape)
+    "q180_d4_pipeline": 2,  # same two assigns, retrained over SemDeDup survivors
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

@@ -3052,3 +3052,94 @@ def test_paragraph_dedup_nonvacuous_on_fixture(spark):
         .first()[0]
     )
     assert dropped > 0  # ...yet paragraph-grain dedup is not
+
+
+def _ref_cdc(tokens: list[str], w: int = 3, m: int = 8) -> list[str]:
+    """Pure-Python reference of the CDC rule (hashlib md5 == both
+    engines' md5; the 15-hex-char prefix == md5_long)."""
+    import hashlib
+
+    n = len(tokens)
+    cuts = [
+        i
+        for i in range(w, n)
+        if int(
+            hashlib.md5(" ".join(tokens[i - w : i]).encode()).hexdigest()[
+                :15
+            ],
+            16,
+        )
+        % m
+        == 0
+    ] + [n]
+    prev, out = 0, []
+    for c in cuts:
+        out.append(" ".join(tokens[prev:c]))
+        prev = c
+    return out
+
+
+def test_cdc_paragraphs_match_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "c", "ab", "xy", "q0", "zz9"])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.lists(tok, min_size=1, max_size=60), min_size=1, max_size=6))
+    def prop(docs):
+        rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got: dict[int, list] = {}
+        for r in DD.cdc_paragraphs(d, "doc_id", "text").collect():
+            got.setdefault(r.doc_id, []).append((r.para_idx, r.para))
+        for i, toks in enumerate(docs):
+            paras = [p for _, p in sorted(got.get(i, []))]
+            assert paras == _ref_cdc(toks), f"doc {i}: {toks}"
+
+    prop()
+
+
+def test_prototype_prune_flags_centroid_nearest(spark):
+    # two planted clusters along axes 0 and 1; per cluster: 4 members
+    # ON the axis and 4 tilted off it. The pin: ranks are a
+    # per-cluster permutation and exactly floor(n/4) members carry
+    # the prune flag, always the TOP prototypicality ranks.
+    import random
+
+    rng = random.Random(7)
+
+    def vec(axis, tilt):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        if tilt:
+            v[(axis + 7) % 64] = 0.9
+            v[(axis + 13) % 64] = 0.7 + rng.random() * 0.1
+        return v
+
+    rows = []
+    vid = 0
+    for axis in (0, 1):
+        for i in range(8):
+            rows.append((vid, vec(axis, tilt=i >= 4)))
+            vid += 1
+    # interleave ids so seeds (vid < 2) land one per cluster
+    rows[1] = (1, vec(1, False))
+    rows[8] = (8, vec(0, False))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.prototype_prune(
+        d, "vec_id", "embedding", k=2, n_iter=2, prune_den=4
+    ).collect()
+    assert len(out) == 16
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        pruned = [r for r in members if r.is_pruned == 1]
+        assert len(pruned) == len(members) // 4
+        # pruned = the top proto_ranks, and ranks are a permutation
+        ranks = sorted(r.proto_rank for r in members)
+        assert ranks == list(range(1, len(members) + 1))
+        assert {r.proto_rank for r in pruned} == set(
+            range(1, len(pruned) + 1)
+        )
