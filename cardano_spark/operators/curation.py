@@ -1786,3 +1786,133 @@ def normalize_text_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return out
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    source_col: str,
+    text_col: str,
+    epoch_cap: int = 2,
+    budget_num: int = 1,
+    budget_den: int = 3,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread a token budget UNIFORMLY across sources, except no source
+    may repeat more than ``epoch_cap`` epochs — the sampling rule that
+    beats temperature mixtures (q121) on tail-source overfitting. The
+    budget is ``floor(total_tokens * budget_num / budget_den)`` —
+    derived from the corpus, so the plan is a pure function of the
+    input like every mixture planner here (q64/q103/q121).
+
+    The paper's sequential greedy (ascending by capacity: grant
+    ``min(cap, fair share of what remains)``) has a CLOSED FORM this
+    implementation uses instead — the classic waterfill: with sources
+    ranked by ``cap = epoch_cap * n_tokens`` ascending, the greedy
+    caps every source before the first rank ``m`` where
+    ``cap_r > floor((B - prefix_r) / n_after_r)`` and splits the
+    remainder equally at rank ``m`` (the first ``rem`` of them get
+    one extra token, so the allocation sums EXACTLY to
+    ``min(B, sum cap)``). Every step is integer floor arithmetic —
+    bit-identical in both engines, no iteration, no driver loop.
+
+    Shape: one corpus scan collapsing to |sources| rows, then
+    unpartitioned windows over that already-aggregated frame —
+    |sources| is dozens at any corpus scale, the same bounded-window
+    argument as q64/q103 (and the three similarity.py codebook
+    windows the r7 audit certified).
+
+    Returns (``source``, n_tokens, cap_tokens, alloc_tokens,
+    epochs_fp) — epochs_fp is alloc/n_tokens in 2^20 fixed point."""
+    per_src = docs.groupBy(source_col).agg(
+        F.sum(
+            F.size(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    ranked = (
+        per_src.withColumn(
+            "cap_tokens", (F.lit(int(epoch_cap)) * F.col("n_tokens"))
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("cap_tokens").asc(), F.col(source_col).asc()
+                )
+            ),
+        )
+        .withColumn("_k", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_budget",
+            F.floor(
+                F.sum("n_tokens").over(w_all)
+                * F.lit(int(budget_num))
+                / F.lit(int(budget_den))
+            ).cast("long"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy()
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = ranked.withColumn(
+        "_prefix", F.coalesce(F.sum("cap_tokens").over(w_ord), F.lit(0))
+    ).withColumn("_n_after", F.col("_k") - F.col("_r") + 1)
+    staged = staged.withColumn(
+        "_fair",
+        F.floor(
+            (F.col("_budget") - F.col("_prefix")) / F.col("_n_after")
+        ).cast("long"),
+    )
+    # first rank whose cap exceeds its fair share; NULL when the
+    # budget covers every cap (then everyone is capped)
+    staged = staged.withColumn(
+        "_m",
+        F.min(
+            F.when(F.col("cap_tokens") > F.col("_fair"), F.col("_r"))
+        ).over(w_all),
+    )
+    staged = (
+        staged.withColumn(
+            "_wm",
+            F.max(
+                F.when(F.col("_r") == F.col("_m"), F.col("_fair"))
+            ).over(w_all),
+        )
+        .withColumn(
+            "_pm",
+            F.max(
+                F.when(F.col("_r") == F.col("_m"), F.col("_prefix"))
+            ).over(w_all),
+        )
+    )
+    rem = (
+        F.col("_budget")
+        - F.col("_pm")
+        - F.col("_wm") * (F.col("_k") - F.col("_m") + 1)
+    )
+    alloc = (
+        F.when(F.col("_m").isNull() | (F.col("_r") < F.col("_m")),
+               F.col("cap_tokens"))
+        .when(F.col("_r") < F.col("_m") + rem, F.col("_wm") + 1)
+        .otherwise(F.col("_wm"))
+        .cast("long")
+    )
+    out = staged.withColumn("alloc_tokens", alloc)
+    return out.select(
+        F.col(source_col),
+        F.col("n_tokens"),
+        F.col("cap_tokens").cast("long").alias("cap_tokens"),
+        F.col("alloc_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.floor(F.col("alloc_tokens") * F.lit(1048576)
+                       / F.col("n_tokens")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("epochs_fp"),
+    )

@@ -3396,6 +3396,24 @@ def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q181_unimax_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UniMax budget allocation (curation.unimax_allocation, Chung et
+    al. 2023): uniform-over-sources token budgeting with a 2-epoch
+    repeat cap, budget = floor(total/3). The paper's sequential
+    greedy computed in closed form (integer waterfill over the
+    |sources|-row aggregate — no loop, no driver round-trip); the
+    allocation sums exactly to min(budget, sum caps) via the
+    remainder rule. Completes the mixture-planner family: q64 =
+    uniform-by-docs, q103 = uniform-by-tokens, q121 = temperature,
+    q181 = uniform-with-epoch-cap."""
+    d = table(spark, sf_dir, "documents")
+    return CU.unimax_allocation(
+        d, "source", "text", epoch_cap=2, budget_num=1, budget_den=3
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3514,6 +3532,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q178_paragraph_dedup": q178_paragraph_dedup,
     "q179_d4_prototype_prune": q179_d4_prototype_prune,
     "q180_d4_pipeline": q180_d4_pipeline,
+    "q181_unimax_allocation": q181_unimax_allocation,
 }
 
 
@@ -7396,4 +7415,59 @@ TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
            (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
              AS is_pruned
     FROM ranked
+"""
+
+
+# q181: UniMax — the closed-form waterfill restated with the same
+# integer floors and window frame.
+TRAININGDATA_ORACLES["q181_unimax_allocation"] = """
+    WITH per_src AS (
+      SELECT source,
+             sum(len(string_split(coalesce(text, ''), ' ')))::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, n_tokens, 2 * n_tokens AS cap_tokens,
+             row_number() OVER (ORDER BY 2 * n_tokens ASC, source ASC)
+               AS r,
+             count(*) OVER () AS k,
+             floor(sum(n_tokens) OVER () * 1 / 3)::BIGINT AS budget
+      FROM per_src
+    ), staged AS (
+      SELECT *,
+             coalesce(sum(cap_tokens) OVER (
+               ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix,
+             k - r + 1 AS n_after
+      FROM ranked
+    ), fair AS (
+      SELECT *, floor((budget - prefix) / n_after)::BIGINT AS fairsh
+      FROM staged
+    ), mm AS (
+      SELECT *, min(CASE WHEN cap_tokens > fairsh THEN r END) OVER ()
+                  AS m
+      FROM fair
+    ), wf AS (
+      SELECT *,
+             max(CASE WHEN r = m THEN fairsh END) OVER () AS wm,
+             max(CASE WHEN r = m THEN prefix END) OVER () AS pm
+      FROM mm
+    ), alloc AS (
+      SELECT source, n_tokens, cap_tokens, r, m, k, budget, pm, wm,
+             (CASE
+                WHEN m IS NULL OR r < m THEN cap_tokens
+                WHEN r < m + (budget - pm - wm * (k - m + 1))
+                  THEN wm + 1
+                ELSE wm
+              END)::BIGINT AS alloc_tokens
+      FROM wf
+    )
+    SELECT source, n_tokens,
+           cap_tokens::BIGINT AS cap_tokens,
+           alloc_tokens,
+           (CASE WHEN n_tokens > 0
+                 THEN floor(alloc_tokens * 1048576 / n_tokens)
+                 ELSE 0 END)::BIGINT AS epochs_fp
+    FROM alloc
 """

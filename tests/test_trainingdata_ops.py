@@ -3143,3 +3143,54 @@ def test_prototype_prune_flags_centroid_nearest(spark):
         assert {r.proto_rank for r in pruned} == set(
             range(1, len(pruned) + 1)
         )
+
+
+def test_unimax_allocation_waterfill_invariants(spark):
+    # planted: one tiny source (fully capped at 2 epochs) and three
+    # large ones splitting the rest of the budget uniformly
+    rows = []
+    did = 0
+    for src, n_docs, doc_tokens in (
+        ("tiny", 1, 10),
+        ("big_a", 10, 50),
+        ("big_b", 10, 50),
+        ("big_c", 12, 50),
+    ):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(["t"] * doc_tokens), src))
+            did += 1
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in CU.unimax_allocation(
+            d, "source", "text", epoch_cap=2, budget_num=1, budget_den=3
+        ).collect()
+    }
+    total = sum(r.n_tokens for r in out.values())
+    budget = total // 3
+    # cap respected everywhere; tiny source is fully capped
+    assert all(r.alloc_tokens <= r.cap_tokens for r in out.values())
+    assert out["tiny"].alloc_tokens == out["tiny"].cap_tokens == 20
+    # allocation sums EXACTLY to the budget (caps don't bind overall)
+    assert sum(r.alloc_tokens for r in out.values()) == budget
+    # uncapped sources share uniformly (within the +1 remainder rule)
+    uncapped = [
+        r.alloc_tokens
+        for r in out.values()
+        if r.alloc_tokens < r.cap_tokens
+    ]
+    assert len(uncapped) == 3 and max(uncapped) - min(uncapped) <= 1
+
+
+def test_unimax_allocation_budget_exceeds_caps(spark):
+    # budget >= sum caps: every source gets its full cap and the
+    # leftover budget stays unspent (UniMax never over-repeats)
+    d = spark.createDataFrame(
+        [(0, "a b c", "x"), (1, "d e", "y")],
+        "doc_id long, text string, source string",
+    )
+    out = CU.unimax_allocation(
+        d, "source", "text", epoch_cap=2, budget_num=100, budget_den=1
+    ).collect()
+    assert all(r.alloc_tokens == r.cap_tokens for r in out)
+    assert all(r.epochs_fp == 2 * 1048576 for r in out)
