@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
     shards.add_argument("--shards", type=int, default=8)
     shards.add_argument("--max-rows-per-file", type=int, default=None)
     shards.add_argument(
+        "--format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        dest="shard_format",
+        help="shard serialization: parquet (default) or jsonl "
+        "(newline-delimited JSON, the loader-facing wire format); "
+        "jsonl is batch-mode only",
+    )
+    shards.add_argument(
         "--incremental",
         action="store_true",
         help="diff-export: stable hash-mod shard membership + per-shard "
@@ -256,6 +265,13 @@ def main(
         )
 
         if args.incremental:
+            if args.shard_format != "parquet":
+                print(
+                    "error: --format jsonl is batch-mode only (the "
+                    "incremental digest fold reads parquet back)",
+                    file=sys.stderr,
+                )
+                return 2
             res = write_training_shards_incremental(
                 spark.read.parquet(args.src),
                 args.dest,
@@ -275,7 +291,8 @@ def main(
             md5_long(F.concat(F.lit("shard|"), F.col(args.key).cast("string"))),
         )
         m = write_training_shards(
-            df, args.dest, "_shard_key", args.shards, args.max_rows_per_file
+            df, args.dest, "_shard_key", args.shards,
+            args.max_rows_per_file, fmt=args.shard_format,
         )
         print(
             f"wrote {m.n_shards} shards, {m.n_rows} rows, "

@@ -46,23 +46,36 @@ def write_training_shards(
     sort_key: str,
     n_shards: int,
     max_rows_per_file: int | None = None,
+    fmt: str = "parquet",
 ) -> ShardManifest:
     """Write ``df`` as ``n_shards`` range-sharded, internally-sorted
-    parquet files under ``path`` and return the manifest (also
-    persisted as ``_manifest.json``).
+    files under ``path`` and return the manifest (also persisted as
+    ``_manifest.json``).
 
     Shard membership is a deterministic function of ``sort_key``
     ranges (re-running the same input reproduces the same shard for
     every row, modulo Spark's range sampling on identical data —
     pass a content-hash key for stability under input reordering).
-    """
+
+    ``fmt``: ``"parquet"`` (default) or ``"jsonl"`` — newline-
+    delimited JSON, the wire format most training loaders consume
+    directly (Spark's native ``write.json`` IS JSONL: one JSON
+    object per line, field order fixed by the schema, strings
+    escaped). Same sharding, sorting, and manifest discipline; only
+    the serialization and the file suffix differ."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown shard format: {fmt!r}")
+    suffix = ".parquet" if fmt == "parquet" else ".json"
     part = df.repartitionByRange(n_shards, F.col(sort_key)).sortWithinPartitions(
         sort_key
     )
     writer = part.write.mode("overwrite")
     if max_rows_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
-    writer.parquet(path)
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)
 
     spark = df.sparkSession
     # listing + sizes via the Hadoop FileSystem API (the abstraction
@@ -74,13 +87,18 @@ def write_training_shards(
     sizes = {}
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if name.endswith(".parquet") and not name.startswith("_"):
+        if name.endswith(suffix) and not name.startswith("_"):
             sizes[name] = int(st.getLen())
     # per-file row counts, computed distributed over the written data
+    # (text read suffices for jsonl — one line per row by contract)
+    counted = (
+        spark.read.parquet(path)
+        if fmt == "parquet"
+        else spark.read.text(f"{path}/*{suffix}")
+    )
     counts = {
         r["file"].rsplit("/", 1)[-1]: r["rows"]
-        for r in spark.read.parquet(path)
-        .select(
+        for r in counted.select(
             F.input_file_name().alias("file"),
         )
         .groupBy("file")
