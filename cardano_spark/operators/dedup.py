@@ -1485,3 +1485,62 @@ def paragraph_dedup(
             ),
         ).alias("cleaned_text"),
     )
+
+
+def paragraph_dedup_incremental(
+    batch: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    m: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """One arrival batch of :func:`paragraph_dedup`: in-batch
+    keep-first over CDC paragraph digests PLUS an anti-probe of the
+    ``seen_digests`` frame (one ``digest`` string column — the
+    persisted paragraph index of everything that arrived earlier).
+    With monotone arrival ids this equals the batch keep-first over
+    the union, whatever the batching — the q66/q136 convergence
+    discipline at paragraph grain.
+
+    Returns ``(rebuilt, new_digests)``: ``rebuilt`` has one row per
+    BATCH document (``id_col``, n_paras, n_dropped, cleaned_text —
+    fully-claimed documents keep their row with an empty rebuild, so
+    a caller can either report them, as q182 does, or drop them, as
+    the corpus build does); ``new_digests`` is the slim frame of
+    paragraph digests this batch saw first, the state delta to fold
+    forward. Cost ∝ |batch| paragraphs; history is never
+    re-segmented."""
+    from pyspark.sql import Window
+
+    occ = cdc_paragraphs(batch, id_col, text_col, w=w, m=m).withColumn(
+        "_pd", F.md5("para")
+    )
+    first = occ.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pd").orderBy(id_col, "para_idx")
+        ),
+    )
+    probed = first.join(
+        seen_digests.select(F.col("digest").alias("_seen_pd")).distinct(),
+        first["_pd"] == F.col("_seen_pd"),
+        "left",
+    )
+    kept = (F.col("_rn") == 1) & F.col("_seen_pd").isNull()
+    kept_struct = F.when(kept, F.struct(F.col("para_idx"), F.col("para")))
+    rebuilt = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        (F.count(F.lit(1)) - F.count(kept_struct)).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["para"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    new_digests = (
+        probed.filter(kept).select(F.col("_pd").alias("digest")).distinct()
+    )
+    return rebuilt, new_digests

@@ -723,46 +723,16 @@ def build_corpus_incremental(
     n_paragraph = -1
     new_para_digests: DataFrame | None = None
     if paragraph_dedup:
-        from pyspark.sql import Window
-
-        occ = DD.cdc_paragraphs(batch, "doc_id", "text").withColumn(
-            "_pd", F.md5("para")
-        )
-        first = occ.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("_pd").orderBy("doc_id", "para_idx")
-            ),
-        )
         assert para_sink is not None
-        seen_paras = para_sink.read().select(
-            F.col("digest").alias("_seen_pd")
-        )
-        kept_occ = first.join(
-            seen_paras,
-            first["_pd"] == seen_paras["_seen_pd"],
-            "left_anti",
-        ).filter(F.col("_rn") == 1)
-        new_para_digests = kept_occ.select(
-            F.col("_pd").alias("digest")
-        ).distinct()
-        reb = kept_occ.groupBy("doc_id").agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("para_idx", "para"))
-                    ),
-                    lambda s: s["para"],
-                ),
-            ).alias("_clean")
+        reb, new_para_digests = DD.paragraph_dedup_incremental(
+            batch, para_sink.read().select("digest"), "doc_id", "text"
         )
         cols = batch.columns
         batch = (
             batch.drop("text")
             .join(
-                reb.filter(F.col("_clean") != F.lit("")).select(
-                    "doc_id", F.col("_clean").alias("text")
+                reb.filter(F.col("cleaned_text") != F.lit("")).select(
+                    "doc_id", F.col("cleaned_text").alias("text")
                 ),
                 "doc_id",
             )

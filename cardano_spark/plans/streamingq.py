@@ -145,6 +145,24 @@ def q165_stream_ivf_maintenance(
     return ivf_maintenance_stream(spark, sf_dir, k=8, n_iter=2)
 
 
+def q182_stream_paragraph_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q178's paragraph-grain dedup as a REAL Structured Streaming
+    job (streaming/jobs.py::paragraph_dedup_stream): documents arrive
+    in 3 file batches; each microbatch CDC-segments only its own
+    rows, probes the accumulated paragraph-digest index, emits the
+    rebuilt documents, and folds its first-seen digests forward.
+    Monotone arrival ids make stream keep-first equal batch
+    keep-first, so the oracle is q178's SQL verbatim — stream/batch
+    convergence at paragraph grain, completing the dedup matrix
+    (exact: q21/q48; near-dup: q22/q66/q136; paragraph: q178/the
+    incremental corpus stage/this)."""
+    from cardano_spark.streaming.jobs import paragraph_dedup_stream
+
+    return paragraph_dedup_stream(spark, sf_dir, n_arrival_files=3)
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q136_stream_neardup_gate": q136_stream_neardup_gate,
@@ -155,6 +173,7 @@ STREAMING_QUERIES: dict[str, QueryFn] = {
     "q65_stream_interval_join": q65_stream_interval_join,
     "q77_stream_distinct_types": q77_stream_distinct_types,
     "q78_stream_watermark_tracker": q78_stream_watermark_tracker,
+    "q182_stream_paragraph_dedup": q182_stream_paragraph_dedup,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -242,6 +261,12 @@ STREAMING_ORACLES["q136_stream_neardup_gate"] = _TDO[
 # same discipline for the streaming quality gate: the union of
 # microbatch flag frames must equal batch q117 exactly.
 STREAMING_ORACLES["q151_stream_quality_gate"] = _TDO["q117_arrival_gate"]
+
+# paragraph-grain stream/batch convergence: the union of microbatch
+# rebuilds must equal batch q178 exactly (same full-table input).
+STREAMING_ORACLES["q182_stream_paragraph_dedup"] = _TDO[
+    "q178_paragraph_dedup"
+]
 
 # frozen-model assignment is a pure per-row function, so the
 # accumulated streaming report must equal batch q163 exactly.

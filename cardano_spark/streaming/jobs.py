@@ -886,3 +886,91 @@ def ivf_maintenance_stream(
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return SIM.ivf_maintenance_summary(sums, n_base, n_new)
+
+
+def paragraph_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    n_arrival_files: int = 3,
+) -> DataFrame:
+    """q178's paragraph-grain dedup (CCNet stage 1) as a REAL
+    Structured Streaming job: documents arrive as files, each
+    microbatch segments ONLY its own rows (CDC boundaries are
+    per-document, so history is never re-segmented), judges every
+    paragraph occurrence against the accumulated paragraph-digest
+    index plus in-batch keep-first
+    (:func:`~cardano_spark.operators.dedup.
+    paragraph_dedup_incremental`), emits the rebuilt rows, and folds
+    the batch's first-seen digests into the index for the next
+    trigger.
+
+    CONVERGENCE CONTRACT (the q48/q136 discipline at paragraph
+    grain): arrival ids are monotone across files, so the earliest
+    batch containing a paragraph holds its global keep-first
+    occurrence — the union of all microbatch outputs equals the
+    BATCH :func:`~cardano_spark.operators.dedup.paragraph_dedup`
+    over the full input REGARDLESS of how arrivals are split
+    (pinned at 1/3/5 files in tests). The oracle is therefore q178's
+    SQL verbatim.
+
+    State is the slim digest frame (16-byte md5 hex per DISTINCT
+    paragraph) carried as localCheckpoint-ed frames — exactly what
+    the incremental corpus build persists under ``_state/para_index``
+    via a ParquetMergeSink."""
+    import os
+    import shutil
+    import tempfile
+
+    from cardano_spark.catalog import table as _table
+    from cardano_spark.operators import dedup as DD
+
+    docs = _table(spark, docs_dir, "documents")
+    cuts = _arrival_cuts(docs, "doc_id", n_arrival_files)
+    empty_seen = spark.createDataFrame([], "digest string")
+    if cuts is None:
+        empty = spark.createDataFrame([], docs.schema)
+        out, _ = DD.paragraph_dedup_incremental(
+            empty, empty_seen, "doc_id", "text"
+        )
+        return out
+    tmp = tempfile.mkdtemp(prefix="paradedup_stream_")
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = docs.filter(
+            (F.col("doc_id") < hi)
+            & (F.col("doc_id") >= (lo if lo is not None else -(1 << 62)))
+        )
+        part.coalesce(1).write.parquet(os.path.join(tmp, f"arrival={i}"))
+        lo = hi
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(tmp + "/arrival=*")
+    )
+    state: dict = {"index": empty_seen, "out": []}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        rebuilt, new_digests = DD.paragraph_dedup_incremental(
+            batch, state["index"], "doc_id", "text"
+        )
+        state["out"].append(rebuilt.localCheckpoint(eager=True))
+        state["index"] = (
+            state["index"]
+            .unionByName(new_digests)
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["out"][0]
+    for p in state["out"][1:]:
+        out = out.unionByName(p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

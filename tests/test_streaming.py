@@ -785,3 +785,52 @@ def test_arrival_cuts_match_sorted_id_formula(spark):
         assert got == want, (ids, n_files)
 
     check()
+
+
+def test_paragraph_dedup_stream_converges(spark):
+    """Batching-invariance at paragraph grain: the union of microbatch
+    rebuilds equals batch paragraph_dedup over the full table for ANY
+    arrival split (1, 3, 5 files) — including fully-claimed documents
+    reported with empty rebuilds."""
+    from cardano_spark.catalog import table
+    from cardano_spark.operators import dedup as DD
+    from cardano_spark.streaming.jobs import paragraph_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents")
+    batch = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.cleaned_text)
+        for r in DD.paragraph_dedup(d, "doc_id", "text").collect()
+    }
+    assert any(v[1] > 0 for v in batch.values()), "vacuous fixture"
+    for n_files in (1, 3, 5):
+        rows = paragraph_dedup_stream(
+            spark, SF_SMALL, n_arrival_files=n_files
+        ).collect()
+        got = {
+            r.doc_id: (r.n_paras, r.n_dropped, r.cleaned_text)
+            for r in rows
+        }
+        assert len(rows) == len(got), f"doc double-reported at {n_files}"
+        assert got == batch, n_files
+
+
+def test_paragraph_dedup_stream_empty_arrivals(spark, empty_arrival_dir):
+    import os
+    import shutil
+
+    from cardano_spark.streaming.jobs import paragraph_dedup_stream
+
+    pd_dir = empty_arrival_dir + "_noparas"
+    os.makedirs(pd_dir, exist_ok=True)
+    spark.read.parquet(f"{empty_arrival_dir}/documents.parquet").filter(
+        F.lit(False)
+    ).write.parquet(f"{pd_dir}/documents.parquet")
+    try:
+        out = paragraph_dedup_stream(spark, pd_dir, n_arrival_files=3)
+        assert out.count() == 0
+        assert out.columns == [
+            "doc_id", "n_paras", "n_dropped", "cleaned_text",
+        ]
+    finally:
+        shutil.rmtree(pd_dir, ignore_errors=True)
