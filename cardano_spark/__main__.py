@@ -165,6 +165,13 @@ def build_parser() -> argparse.ArgumentParser:
         "alpha fraction, required stopwords) in the quality gate",
     )
     corpus.add_argument(
+        "--export-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="shard serialization for the batch export (jsonl = "
+        "newline-delimited JSON; incremental mode is parquet-only)",
+    )
+    corpus.add_argument(
         "--incremental",
         action="store_true",
         help="watermark-gated arrival-batch mode "
@@ -368,6 +375,12 @@ def main(
         )
         target = spark.read.parquet(args.target) if args.target else None
         if args.incremental:
+            if args.export_format != "parquet":
+                print(
+                    "error: --export-format jsonl is batch-mode only",
+                    file=sys.stderr,
+                )
+                return 2
             from cardano_spark.pipelines.corpus import (
                 build_corpus_incremental,
             )
@@ -430,6 +443,7 @@ def main(
             neardup_rule=args.neardup_rule,
             decontam_mode=args.decontam_mode,
             paragraph_dedup=args.paragraph_dedup,
+            export_format=args.export_format,
         )
         splits = (
             "; splits " + ", ".join(

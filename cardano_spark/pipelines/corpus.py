@@ -147,6 +147,7 @@ def build_corpus(
     neardup_rule: str = "cluster_longest",
     decontam_mode: str = "drop",
     paragraph_dedup: bool = False,
+    export_format: str = "parquet",
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -238,6 +239,10 @@ def build_corpus(
     rewritten text, exactly as CCNet feeds its doc-level stages.
     Composes with ``normalize`` (normalization first, so paragraph
     digests are over normalized text).
+
+    ``export_format``: ``"parquet"`` (default) or ``"jsonl"`` — the
+    shard serialization (sinks/shards.py; same manifest discipline,
+    loader-facing newline-delimited JSON).
 
     ``emit_attributes``: when True, write a per-INPUT-document
     attribute/provenance ledger under ``dest/_attributes`` (the
@@ -472,13 +477,16 @@ def build_corpus(
                 .drop("_skey", "_rank")
             )
             return write_training_shards(
-                _pack(ordered, "_order"), path, "_order", n_shards
+                _pack(ordered, "_order"), path, "_order", n_shards,
+                fmt=export_format,
             )
         sharded = _pack(frame, "doc_id").withColumn(
             "_shard_key",
             md5_long(F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))),
         )
-        return write_training_shards(sharded, path, "_shard_key", n_shards)
+        return write_training_shards(
+            sharded, path, "_shard_key", n_shards, fmt=export_format
+        )
 
     split_manifests: dict | None = None
     if split_mode is None:

@@ -878,3 +878,18 @@ def test_cli_build_corpus_paragraph_dedup(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "after paragraph dedup ->" in out
+
+
+def test_build_corpus_jsonl_export(spark, tmp_path):
+    audit = build_corpus(
+        spark,
+        _docs(spark),
+        str(tmp_path / "out"),
+        n_shards=2,
+        export_format="jsonl",
+    )
+    assert audit.manifest.n_rows > 0
+    assert all(s["file"].endswith(".json") for s in audit.manifest.shards)
+    back = spark.read.json(str(tmp_path / "out"))
+    assert back.count() == audit.manifest.n_rows
+    assert {"doc_id", "text"} <= set(back.columns)
