@@ -710,6 +710,7 @@ def ivf_topk(
     nprobe: int,
     k: int,
     centroids: DataFrame | None = None,
+    auto_k: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     probe the ``nprobe`` nearest lists per query.
@@ -747,7 +748,7 @@ def ivf_topk(
             as_double(F.col("centroid")).alias("cv"),
         ).withColumn("cn", norm(F.col("cv")))
     else:
-        seeds = v.filter(F.col("vid") < n_centroids).select(
+        seeds = _auto_k_filter(v, "vid", n_centroids, auto_k).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
 
@@ -941,6 +942,40 @@ def quantized_rerank_topk(
     )
 
 
+
+def _auto_k_filter(
+    v: DataFrame, id_field: str, k_floor: int, auto_k: bool
+) -> DataFrame:
+    """Seed-selection filter: ``id < k_floor`` (the fixed-k form), or
+    ``id < greatest(k_floor, floor(sqrt(n)))`` with ``n`` counted
+    from the frame itself. sqrt is the COST-BALANCE point of the two
+    terms every cluster-then-pair operator pays — assignment is
+    ``n * k`` broadcast-argmax cosines, within-cluster pair search is
+    ``~n^2 / k`` — so ``k = sqrt(n)`` makes both ``n^1.5`` and the
+    whole operator quadratic-free (BENCH_EXTENDED round 8: fixed k=8
+    is 13x super-linear at 10x data; sqrt-sized k measures SUB-FLAT,
+    3.8 s at sf1 vs 5.7 s at sf0.1). At cluster-of-machines scale the
+    assignment term is further collapsed by hierarchical (two-level)
+    assignment — the known production refinement, out of scope here.
+    The count rides a broadcast 1-row frame, so the plan stays
+    collect-free and the oracle restates the threshold as a scalar
+    subquery; sqrt is correctly rounded in IEEE754, so both engines
+    floor the same double."""
+    if not auto_k:
+        return v.filter(F.col(id_field) < k_floor)
+    thr = v.agg(
+        F.greatest(
+            F.lit(k_floor).cast("long"),
+            F.floor(F.sqrt(F.count(F.lit(1)))).cast("long"),
+        ).alias("_thr")
+    )
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col(id_field) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -948,6 +983,7 @@ def semantic_dedup(
     n_centroids: int,
     threshold: float,
     centroids: DataFrame | None = None,
+    auto_k: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then look
@@ -995,7 +1031,7 @@ def semantic_dedup(
             as_double(F.col("centroid")).alias("cv"),
         ).withColumn("cn", norm(F.col("cv")))
     else:
-        seeds = v.filter(F.col("vid") < n_centroids).select(
+        seeds = _auto_k_filter(v, "vid", n_centroids, auto_k).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
     assigned = _assign_nearest(
@@ -1327,6 +1363,7 @@ def _kmeans_iterate(
     k: int,
     n_iter: int,
     dim: int,
+    auto_k: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop: (final assignment with quantized vectors
     attached, the sum-centroid frame that produced it)."""
@@ -1335,7 +1372,7 @@ def _kmeans_iterate(
     v = corpus.select(
         F.col(id_col).alias("vid"), quantize_double(F.col(vec_col)).alias("q")
     )
-    sums = v.filter(F.col("vid") < k).select(
+    sums = _auto_k_filter(v, "vid", k, auto_k).select(
         F.col("vid").alias("cid"), F.col("q").alias("s")
     )
     assign = None
@@ -2329,6 +2366,7 @@ def prototype_prune(
     n_iter: int,
     prune_den: int = 4,
     dim: int = 64,
+    auto_k: bool = False,
 ) -> DataFrame:
     """SSL-prototypes pruning (Sorscher et al. 2022 "Beyond neural
     scaling laws", as operationalized by D4, Tirumala et al. 2023):
@@ -2358,7 +2396,9 @@ def prototype_prune(
 
     Returns (``vec_id``, ``cluster_id``, ``proto_rank``,
     ``is_pruned``) — one row per corpus vector, all int64."""
-    assign, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
+    assign, sums = _kmeans_iterate(
+        corpus, id_col, vec_col, k, n_iter, dim, auto_k=auto_k
+    )
     # the k-row model frame is consumed twice (the final assignment's
     # lineage AND the scoring join) — checkpoint it so the training
     # subtree does not execute a second time through the join side

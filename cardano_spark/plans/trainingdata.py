@@ -3380,11 +3380,18 @@ def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is its own query: dedup removes duplicate-driven density spikes,
     so the prototype ranking over survivors differs from q179's over
     the raw corpus — re-clustering after dedup IS the algorithm, not
-    two independent passes. Output all-integer; both stages
-    restated in the oracle."""
+    two independent passes. Both stages AUTO-SIZE their cluster
+    count at the cost-balance point k = max(8, floor(sqrt(n))),
+    counted from the stage's own input (assignment costs n*k, pair
+    search n^2/k — sqrt makes both n^1.5; BENCH_EXTENDED round 8
+    measures fixed k=8 at 13x super-linear for 10x data and this
+    rule SUB-FLAT, 3.8 s at sf1 vs 5.7 s at sf0.1). Output
+    all-integer; both stages and the auto-k scalar are restated in
+    the oracle."""
     e = table(spark, sf_dir, "embeddings")
     sd = SIM.semantic_dedup(
-        e, "vec_id", "embedding", n_centroids=8, threshold=0.25
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+        auto_k=True,
     )
     survivors = e.join(
         sd.filter(F.col("is_dup") == 0).select("vec_id"),
@@ -3392,7 +3399,8 @@ def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return SIM.prototype_prune(
-        survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4
+        survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4,
+        auto_k=True,
     )
 
 
@@ -7352,7 +7360,8 @@ TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), dseeds AS (
-      SELECT vec_id AS cid, e AS ce FROM ve WHERE vec_id < 8
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM ve)))::BIGINT)
     ), dassign AS (
       SELECT vec_id, cid FROM (
         SELECT ve.vec_id, s.cid, row_number() OVER (
@@ -7375,7 +7384,8 @@ TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
       FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
       WHERE d.vec_id IS NULL
     ), s0 AS (
-      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 8
+      SELECT vec_id AS cid, q AS s FROM v
+      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM v)))::BIGINT)
     ), a0 AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, s0.cid, row_number() OVER (

@@ -50,7 +50,7 @@ BNL_BUDGET = {
     "q167_bm25_prf_topk": 3,  # 1-row totals broadcast per BM25 pass + feedback probe
     "q169_retrieval_ndcg_report": 3,  # brute ground truth + IVF assignment/routing (q106+q36 shapes)
     "q179_d4_prototype_prune": 2,  # the two k-row argmax assigns (q113 shape)
-    "q180_d4_pipeline": 2,  # same two assigns, retrained over SemDeDup survivors
+    "q180_d4_pipeline": 3,  # two k-row assigns + the 1-row auto-k threshold broadcast
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-
