@@ -1370,10 +1370,10 @@ def cdc_paragraphs(
     m: int = 8,
 ) -> DataFrame:
     """Content-defined paragraph segmentation (the CCNet stage-1
-    grain; reference behavior cited at
-    transform_cardano_tx_utxo_dto_to_df.py-adjacent curation is doc
-    level only — this is the finer grain the C4/CCNet pipelines run
-    FIRST). The driver fixture's ``documents.text`` has no newline or
+    grain — the reference's dedup surface is row-level only
+    (insert-if-absent, cardano_block_dao.py's ON CONFLICT); this is
+    the finer, sub-document grain the C4/CCNet pipelines run FIRST).
+    The driver fixture's ``documents.text`` has no newline or
     punctuation structure (verified in ROUND7.md), so boundaries are
     content-defined chunking (Muthitacharoen et al. 2001, LBFS):
     a paragraph ends after token ``i`` iff the rolling hash of the

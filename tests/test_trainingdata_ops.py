@@ -3194,3 +3194,62 @@ def test_unimax_allocation_budget_exceeds_caps(spark):
     ).collect()
     assert all(r.alloc_tokens == r.cap_tokens for r in out)
     assert all(r.epochs_fp == 2 * 1048576 for r in out)
+
+
+def test_unimax_closed_form_matches_sequential_greedy(spark):
+    """The crux of q181: the closed-form waterfill must equal the
+    paper's SEQUENTIAL greedy (ascending caps, grant min(cap, floor
+    of fair share of what remains)) on arbitrary source profiles."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def greedy(n_tokens: dict, epoch_cap: int, num: int, den: int):
+        total = sum(n_tokens.values())
+        budget = total * num // den
+        order = sorted(
+            n_tokens, key=lambda s: (epoch_cap * n_tokens[s], s)
+        )
+        remaining, left, alloc = budget, len(order), {}
+        for i, src in enumerate(order):
+            cap = epoch_cap * n_tokens[src]
+            fair = remaining // left
+            if cap <= fair:
+                alloc[src] = cap
+            else:
+                # equal split with the first `rem` getting +1
+                w, rem = remaining // left, remaining % left
+                for j, s2 in enumerate(order[i:]):
+                    alloc[s2] = w + (1 if j < rem else 0)
+                break
+            remaining -= alloc[src]
+            left -= 1
+        return alloc
+
+    tok = st.integers(min_value=0, max_value=400)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(tok, min_size=1, max_size=9))
+    def prop(sizes):
+        n_tokens = {f"s{i:02d}": n for i, n in enumerate(sizes)}
+        rows = [
+            (i, " ".join(["w"] * n), src)
+            for i, (src, n) in enumerate(n_tokens.items())
+        ]
+        # one doc per source carrying exactly n tokens (n=0 -> empty
+        # text, which tokenizes to 1 empty-string token in the
+        # operator's split(); align the reference to the operator's
+        # observed counts instead of assuming)
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {
+            r.source: (r.n_tokens, r.alloc_tokens)
+            for r in CU.unimax_allocation(
+                d, "source", "text", epoch_cap=2, budget_num=1, budget_den=3
+            ).collect()
+        }
+        observed_tokens = {s: t for s, (t, _) in got.items()}
+        want = greedy(observed_tokens, 2, 1, 3)
+        assert {s: a for s, (_, a) in got.items()} == want, sizes
+
+    prop()
