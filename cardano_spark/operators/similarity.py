@@ -2425,3 +2425,127 @@ def prototype_prune(
         .cast("long")
         .alias("is_pruned"),
     )
+
+
+def hierarchical_assign_report(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    g: int,
+    n_iter: int = 2,
+    dim: int = 64,
+    probes: int = 1,
+) -> DataFrame:
+    """Two-level (hierarchical) centroid assignment — the production
+    refinement that collapses the ``n * k`` argmax term every
+    cluster-then-X operator pays (the one remaining scale caveat the
+    q180 auto-k analysis names): group the ``k`` trained centroids
+    under ``g`` super-centroids (one argmax pass over k rows —
+    free), then assign each vector in TWO cheap steps — nearest
+    super-centroid (``n * g`` cosines), then nearest centroid WITHIN
+    that group (``n * k/g`` expected). With ``g ~ sqrt(k)`` the
+    per-vector cost drops from ``k`` to ``~2*sqrt(k)`` — the same
+    trick as IVF probing, pointed at the assignment itself (faiss'
+    two-level quantizer; Jégou et al.'s coarse/fine split).
+
+    Two-level assignment is an APPROXIMATION — the true nearest
+    centroid can sit in a non-nearest group — so this is a REPORT
+    query: per exact cluster, how many vectors the cheap path
+    assigns identically, with ``probes`` nearest super-groups
+    searched per vector (IVF's nprobe lever pointed at assignment;
+    cost n*(g + probes*k/g)). Measured on the near-uniform fixture
+    at sf0.01 (k=64, g=8): probes 1/2/3/4 agree on
+    0.40/0.58/0.73/0.83 of vectors — near-uniform corpora have
+    little coarse structure for the super-level to exploit (the same
+    geometry that capped IVF routing recall in the r7 ANN study), so
+    a deployment MEASURES this report before trusting the cheap
+    path; on clustered corpora the curve starts far higher. The
+    report is all-integer and both assignment rules (and the
+    training chain under them) are restated in the oracle, so the
+    hash match pins the approximation's exact behavior, not just its
+    quality headline.
+
+    Super-seeds are the ``g`` smallest surviving cluster ids' sum
+    vectors (deterministic, oracle-restatable — the k-row
+    unpartitioned window is bounded by construction, the q64/q176
+    argument). Scale shape: training as q113; then one ``n * g``
+    broadcast argmax, one gid-equi broadcast join fanning each
+    vector to only its group's centroids, one partial-agg argmax —
+    every exchange carries one slim row per vector.
+
+    Returns (``cluster_id_exact``, n_vectors, n_agree)."""
+    assign, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
+    assign = assign.localCheckpoint(eager=False)  # lvl-1 input + report
+    sums = sums.localCheckpoint(eager=False)  # grouped + group fan-out
+    wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
+    super_seeds = (
+        sums.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= g)
+        .select(F.col("cid").alias("gcid"), F.col("s").alias("gs"))
+        .localCheckpoint(eager=False)  # centroid-grouping + lvl-1
+    )
+    sscore = dot(F.col("q"), F.col("gs")) / (
+        norm(F.col("q")) * norm(F.col("gs"))
+    )
+    ss_as_seeds = super_seeds.select(
+        F.col("gcid").alias("cid"), F.col("gs")
+    )
+    # group the centroids themselves (k rows through the argmax)
+    cent_groups = _assign_nearest(
+        sums.select(F.col("cid").alias("vid"), F.col("s").alias("q")),
+        ss_as_seeds,
+        sscore,
+        [],
+    ).select(F.col("vid").alias("ccid"), F.col("cid").alias("gid"))
+    group_cents = cent_groups.join(
+        sums, cent_groups["ccid"] == sums["cid"]
+    ).select("gid", "cid", "s")
+    # level 1: the `probes` nearest super-centroids per vector (a
+    # rank window over the n*g scored frame — one slim row per
+    # (vector, super-centroid), g is a small constant)
+    wv = Window.partitionBy("vid").orderBy(
+        F.col("_c").desc(), F.col("cid").asc()
+    )
+    lvl1 = (
+        assign.select("vid", "q")
+        .crossJoin(F.broadcast(ss_as_seeds))
+        .select("vid", "q", "cid", sscore.alias("_c"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= probes)
+        .select("vid", "q", F.col("cid").alias("gid"))
+    )
+    # level 2: argmax within the chosen group only
+    scored = lvl1.join(F.broadcast(group_cents), "gid").select(
+        "vid",
+        "cid",
+        (
+            dot(F.col("q"), F.col("s"))
+            / (norm(F.col("q")) * norm(F.col("s")))
+        ).alias("c"),
+    )
+    two = (
+        scored.groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))
+            ).alias("b")
+        )
+        .select("vid", (-F.col("b.negcid")).cast("long").alias("cid_two"))
+    )
+    return (
+        assign.select("vid", F.col("cid").alias("cid_exact"))
+        .join(two, "vid")
+        .groupBy("cid_exact")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (F.col("cid_two") == F.col("cid_exact")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            F.col("cid_exact").cast("long").alias("cluster_id_exact"),
+            "n_vectors",
+            "n_agree",
+        )
+    )

@@ -3422,6 +3422,28 @@ def q181_unimax_allocation(
     )
 
 
+def q183_hierarchical_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level centroid assignment report
+    (similarity.hierarchical_assign_report): train q113's
+    bit-reproducible k-means at k=64, group the centroids under
+    g=8 super-centroids, assign every vector by the cheap
+    super-then-within path at probes=2 (n*(g + 2k/g) = 24 cosines
+    per vector vs 64), and report per exact cluster how many vectors
+    the cheap path agrees on — the faiss-style coarse/fine split
+    that collapses the one remaining n*k term the q180 auto-k
+    analysis names, with IVF's nprobe lever (measured agreement
+    ladder at sf0.01: 0.40/0.58/0.73/0.83 for probes 1-4 — the
+    fixture's near-uniform geometry, see the operator docstring).
+    All-integer report; BOTH assignment rules and the training chain
+    are restated in the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.hierarchical_assign_report(
+        e, "vec_id", "embedding", k=64, g=8, n_iter=2, probes=2
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3541,6 +3563,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q179_d4_prototype_prune": q179_d4_prototype_prune,
     "q180_d4_pipeline": q180_d4_pipeline,
     "q181_unimax_allocation": q181_unimax_allocation,
+    "q183_hierarchical_assign": q183_hierarchical_assign,
 }
 
 
@@ -7480,4 +7503,81 @@ TRAININGDATA_ORACLES["q181_unimax_allocation"] = """
                  THEN floor(alloc_tokens * 1048576 / n_tokens)
                  ELSE 0 END)::BIGINT AS epochs_fp
     FROM alloc
+"""
+
+
+# q183: the q113 training chain at k=64, then BOTH assignment rules —
+# exact argmax over all centroids (a1) and the two-level
+# super-then-within path — with per-exact-cluster agreement counts.
+TRAININGDATA_ORACLES["q183_hierarchical_assign"] = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 64
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s0.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
+                   s0.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s0
+      ) WHERE rn = 1
+    ), s1 AS (
+      SELECT a0.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1
+      ) WHERE rn = 1
+    ), ss AS (
+      SELECT cid AS gcid, s AS gs FROM (
+        SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM s1
+      ) WHERE rn <= 8
+    ), cg AS (
+      SELECT ccid, gid FROM (
+        SELECT s1.cid AS ccid, ss.gcid AS gid, row_number() OVER (
+          PARTITION BY s1.cid
+          ORDER BY {_COS.replace('va', 's1.s').replace('vb', 'ss.gs')} DESC,
+                   ss.gcid ASC
+        ) AS rn
+        FROM s1 CROSS JOIN ss
+      ) WHERE rn = 1
+    ), l1 AS (
+      SELECT vec_id, gid FROM (
+        SELECT v.vec_id, ss.gcid AS gid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 'ss.gs')} DESC,
+                   ss.gcid ASC
+        ) AS rn
+        FROM v CROSS JOIN ss
+      ) WHERE rn <= 2
+    ), l2 AS (
+      SELECT vec_id, cid AS cid_two FROM (
+        SELECT l1.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY l1.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM l1
+        JOIN v USING (vec_id)
+        JOIN cg ON cg.gid = l1.gid
+        JOIN s1 ON s1.cid = cg.ccid
+      ) WHERE rn = 1
+    )
+    SELECT a1.cid::BIGINT AS cluster_id_exact,
+           count(*)::BIGINT AS n_vectors,
+           sum(CASE WHEN l2.cid_two = a1.cid THEN 1 ELSE 0 END)::BIGINT
+             AS n_agree
+    FROM a1 JOIN l2 USING (vec_id)
+    GROUP BY a1.cid
 """

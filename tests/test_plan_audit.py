@@ -51,6 +51,7 @@ BNL_BUDGET = {
     "q169_retrieval_ndcg_report": 3,  # brute ground truth + IVF assignment/routing (q106+q36 shapes)
     "q179_d4_prototype_prune": 2,  # the two k-row argmax assigns (q113 shape)
     "q180_d4_pipeline": 3,  # two k-row assigns + the 1-row auto-k threshold broadcast
+    "q183_hierarchical_assign": 2,  # training assigns; lvl-1/lvl-2 are rank+equi-join
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

@@ -3253,3 +3253,26 @@ def test_unimax_closed_form_matches_sequential_greedy(spark):
         assert {s: a for s, (_, a) in got.items()} == want, sizes
 
     prop()
+
+
+def test_hierarchical_assign_agrees_on_structured_data(spark):
+    # the counterpoint to the near-uniform fixture's 0.40: when the
+    # embedding space HAS coarse structure (two well-separated
+    # families), the two-level path agrees with exact assignment
+    # everywhere even at probes=1
+    def vec(axis, jitter_dim, jitter):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[jitter_dim] = jitter
+        return v
+
+    rows = []
+    for i in range(16):
+        axis = i % 2  # interleave so seeds cover both families
+        rows.append((i, vec(axis, 10 + (i // 2) % 4, 0.05 + 0.01 * (i // 4))))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.hierarchical_assign_report(
+        d, "vec_id", "embedding", k=4, g=2, n_iter=2, probes=1
+    ).collect()
+    assert sum(r.n_vectors for r in out) == 16
+    assert sum(r.n_agree for r in out) == 16  # exact == two-level
