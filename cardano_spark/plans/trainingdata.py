@@ -3444,6 +3444,46 @@ def q183_hierarchical_assign(
     )
 
 
+def q184_paragraph_provenance_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source paragraph-duplication (provenance) matrix: for
+    every paragraph occurrence q178's keep-first rule DROPS, charge
+    one count to (source of the kept occurrence -> source of the
+    dropped one) — the governance report that says which sources
+    copy from which at sub-document grain (the datasheet-level
+    complement of q141's cross-source near-dup matrix, here exact
+    and paragraph-grained). Diagonal cells are within-source
+    duplication; off-diagonal cells are cross-source lifts. Built
+    on the same CDC segmentation as q178 (shift-invariant, so lifted
+    runs align); output is the tiny |sources|^2-bounded frame.
+
+    Shape: segmentation map-side; ONE exchange on the paragraph
+    digest (the keeper is first_value over the same window the
+    keep-first rule uses — no second pass); one partial-agg exchange
+    to the matrix. Slim rows throughout."""
+    from pyspark.sql import Window as _W
+
+    d = table(spark, sf_dir, "documents")
+    occ = DD.cdc_paragraphs(d, "doc_id", "text").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = _W.partitionBy(F.md5(F.col("para"))).orderBy(
+        "doc_id", "para_idx"
+    )
+    flagged = occ.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_keeper_src", F.first("source").over(w)
+    )
+    return (
+        flagged.filter(F.col("_rn") > 1)
+        .groupBy(
+            F.col("_keeper_src").alias("src_from"),
+            F.col("source").alias("src_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_paras"))
+    )
+
+
 TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_minhash_lsh_neardup": q22_minhash_lsh_neardup,
@@ -3564,6 +3604,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q180_d4_pipeline": q180_d4_pipeline,
     "q181_unimax_allocation": q181_unimax_allocation,
     "q183_hierarchical_assign": q183_hierarchical_assign,
+    "q184_paragraph_provenance_matrix": q184_paragraph_provenance_matrix,
 }
 
 
@@ -7580,4 +7621,42 @@ TRAININGDATA_ORACLES["q183_hierarchical_assign"] = f"""
              AS n_agree
     FROM a1 JOIN l2 USING (vec_id)
     GROUP BY a1.cid
+"""
+
+
+# q184: q178's CDC + keep-first CTEs with the keeper's source carried
+# via first_value over the same window, aggregated to the matrix.
+TRAININGDATA_ORACLES["q184_paragraph_provenance_matrix"] = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents
+    ), bounds AS (
+      SELECT doc_id, source, t,
+        list_concat(
+          CASE WHEN len(t) - 1 >= 3 THEN
+            list_filter(generate_series(3, len(t) - 1),
+              i -> ('0x' || substr(md5(
+                       array_to_string(t[i-2 : i], ' ')), 1, 15)
+                   )::BIGINT % 8 = 0)
+          ELSE [] END,
+          [len(t)]) AS cuts
+      FROM toks
+    ), occ AS (
+      SELECT doc_id, source, u.j AS para_idx,
+        array_to_string(
+          t[CASE WHEN u.j = 1 THEN 1 ELSE cuts[u.j - 1] + 1 END
+            : cuts[u.j]], ' ') AS para
+      FROM bounds, unnest(generate_series(1, len(cuts))) AS u(j)
+    ), flagged AS (
+      SELECT source,
+        row_number() OVER (PARTITION BY md5(para)
+                           ORDER BY doc_id, para_idx) AS rn,
+        first_value(source) OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, para_idx) AS ksrc
+      FROM occ
+    )
+    SELECT ksrc AS src_from, source AS src_to,
+           count(*)::BIGINT AS n_dup_paras
+    FROM flagged WHERE rn > 1
+    GROUP BY ksrc, source
 """

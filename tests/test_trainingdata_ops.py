@@ -3276,3 +3276,40 @@ def test_hierarchical_assign_agrees_on_structured_data(spark):
     ).collect()
     assert sum(r.n_vectors for r in out) == 16
     assert sum(r.n_agree for r in out) == 16  # exact == two-level
+
+
+def test_paragraph_provenance_matrix_planted(spark):
+    # srcA doc 1 is first; srcB doc 2 copies it verbatim; srcA doc 3
+    # repeats it again. Every dropped paragraph charges to srcA.
+    # tokens unique within the doc so no paragraph repeats within a
+    # doc — every distinct paragraph then has exactly one occurrence
+    # per document and the per-source charges come out equal
+    base = " ".join(f"m{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [(1, base, "srcA"), (2, base, "srcB"), (3, base, "srcA")],
+        "doc_id long, text string, source string",
+    )
+    # a local twin of the q184 plan body (the query itself reads the
+    # fixture documents table; the rule is what's pinned here)
+    from pyspark.sql import Window as _W
+
+    from cardano_spark.operators import dedup as DD
+
+    occ = DD.cdc_paragraphs(d, "doc_id", "text").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = _W.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "para_idx")
+    out = {
+        (r.src_from, r.src_to): r.n_dup_paras
+        for r in occ.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_keeper_src", F.first("source").over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(
+            F.col("_keeper_src").alias("src_from"),
+            F.col("source").alias("src_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_paras"))
+        .collect()
+    }
+    assert set(out) == {("srcA", "srcB"), ("srcA", "srcA")}
+    assert out[("srcA", "srcB")] == out[("srcA", "srcA")] > 0
