@@ -65,15 +65,17 @@ def main() -> None:
 
     # best-of-N per query: the driver compares BENCH against BASELINE,
     # so squeeze out GC/JIT noise (N=2 keeps total under a minute)
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(max(1, repeat)):
+        runs = []
+        for _ in range(repeat):
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        times[name] = min(runs)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,6 +85,13 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": times,
+            # all raw run times per query ("queries" carries the
+            # minima): machine-load contamination shows up as BOTH
+            # samples inflated uniformly, so a noisy round is
+            # diagnosable from the artifact without a forensic rerun
+            # (r8: 18.35 s driver vs 16.27 s idle)
+            "runs": repeat,
+            "samples": samples,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -1810,10 +1810,16 @@ def unimax_allocation(
     ranked by ``cap = epoch_cap * n_tokens`` ascending, the greedy
     caps every source before the first rank ``m`` where
     ``cap_r > floor((B - prefix_r) / n_after_r)`` and splits the
-    remainder equally at rank ``m`` (the first ``rem`` of them get
-    one extra token, so the allocation sums EXACTLY to
-    ``min(B, sum cap)``). Every step is integer floor arithmetic —
-    bit-identical in both engines, no iteration, no driver loop.
+    remainder equally from rank ``m`` on — the LAST ``rem`` ranks
+    get one extra token, because the literal per-step greedy
+    (grant ``floor(remaining / left)`` each step) accumulates the
+    remainder toward the end: from state ``(R, L)`` the grants are
+    ``floor(R/L)`` for the first ``L - (R mod L)`` steps and
+    ``floor(R/L) + 1`` for the final ``R mod L`` (property-tested
+    per-source against that literal greedy). The allocation sums
+    EXACTLY to ``min(B, sum cap)``. Every step is integer floor
+    arithmetic — bit-identical in both engines, no iteration, no
+    driver loop.
 
     Shape: one corpus scan collapsing to |sources| rows, then
     unpartitioned windows over that already-aggregated frame —
@@ -1899,7 +1905,9 @@ def unimax_allocation(
     alloc = (
         F.when(F.col("_m").isNull() | (F.col("_r") < F.col("_m")),
                F.col("cap_tokens"))
-        .when(F.col("_r") < F.col("_m") + rem, F.col("_wm") + 1)
+        # +1 extras land on the LAST `rem` ranks — where the literal
+        # per-step greedy's floor grants put them (see docstring)
+        .when(F.col("_r") > F.col("_k") - rem, F.col("_wm") + 1)
         .otherwise(F.col("_wm"))
         .cast("long")
     )
@@ -1909,9 +1917,18 @@ def unimax_allocation(
         F.col("n_tokens"),
         F.col("cap_tokens").cast("long").alias("cap_tokens"),
         F.col("alloc_tokens"),
+        # floor(alloc * 2^20 / n) computed as quotient/remainder
+        # integer arithmetic: (alloc div n)*2^20 + (alloc%n)*2^20 div n.
+        # The naive alloc*2^20 wraps int64 above ~8.8e12 allocated
+        # tokens per source (silently in non-ANSI Spark, an error in
+        # DuckDB) — within the 100 TB corpus target. Here the only
+        # multiply operand bounded by data size is (alloc % n) < n,
+        # pushing the wrap point to n_tokens > 2^43 per source.
         F.when(F.col("n_tokens") > 0,
-               F.floor(F.col("alloc_tokens") * F.lit(1048576)
-                       / F.col("n_tokens")))
+               F.expr("alloc_tokens div n_tokens") * F.lit(1048576)
+               + F.expr(
+                   "(alloc_tokens % n_tokens) * 1048576 div n_tokens"
+               ))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("epochs_fp"),

@@ -264,6 +264,13 @@ def build_corpus(
         )
     n_input = docs.count()
     stage_ids: list[tuple[str, DataFrame]] = []
+    # the per-INPUT-document frame the attribute ledger is built
+    # from: captured post-normalize but PRE-paragraph-rewrite so
+    # (a) documents dropped at the paragraph stage still get a
+    # ledger row (survived_paragraph=0), and (b) the tagger columns
+    # (n_tokens / quality_fp / gopher_flags) describe the INPUT
+    # text, not the paragraph-deduped rewrite.
+    input_docs = docs
 
     # 0. optional paragraph-grain dedup (CCNet stage 1, q178's
     # operator): rewrite every document to its paragraph-deduped
@@ -524,7 +531,7 @@ def build_corpus(
             ).cast("long"),
         )
         _, gflags = CU.gopher_flag_columns(F.col("text"))
-        ledger = docs.select(
+        ledger = input_docs.select(
             "doc_id",
             "lang",
             "source",

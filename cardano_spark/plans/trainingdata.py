@@ -7531,7 +7531,7 @@ TRAININGDATA_ORACLES["q181_unimax_allocation"] = """
       SELECT source, n_tokens, cap_tokens, r, m, k, budget, pm, wm,
              (CASE
                 WHEN m IS NULL OR r < m THEN cap_tokens
-                WHEN r < m + (budget - pm - wm * (k - m + 1))
+                WHEN r > k - (budget - pm - wm * (k - m + 1))
                   THEN wm + 1
                 ELSE wm
               END)::BIGINT AS alloc_tokens
@@ -7541,7 +7541,9 @@ TRAININGDATA_ORACLES["q181_unimax_allocation"] = """
            cap_tokens::BIGINT AS cap_tokens,
            alloc_tokens,
            (CASE WHEN n_tokens > 0
-                 THEN floor(alloc_tokens * 1048576 / n_tokens)
+                 THEN (alloc_tokens // n_tokens) * 1048576
+                      + ((alloc_tokens % n_tokens) * 1048576)
+                        // n_tokens
                  ELSE 0 END)::BIGINT AS epochs_fp
     FROM alloc
 """

@@ -75,7 +75,12 @@ def write_training_shards(
     if fmt == "parquet":
         writer.parquet(path)
     else:
-        writer.json(path)
+        # Spark's JSON writer defaults to ignoreNullFields=true,
+        # which silently DROPS keys for NULL columns — rows in one
+        # shard would carry different key sets, breaking loaders
+        # that index by fixed fields and the "field order fixed by
+        # the schema" contract above. Emit explicit nulls.
+        writer.option("ignoreNullFields", "false").json(path)
 
     spark = df.sparkSession
     # listing + sizes via the Hadoop FileSystem API (the abstraction

@@ -17,6 +17,11 @@ def spark():
 
     s = get_spark("tests", shuffle_partitions=8)
     yield s
+    # stop the JVM explicitly so the interpreter exits promptly and
+    # the pytest summary line lands in piped logs within seconds of
+    # [100%] (r8 VERDICT finding #1: without this the process can
+    # sit in subprocess-wait at teardown)
+    s.stop()
 
 
 @pytest.fixture(scope="session")

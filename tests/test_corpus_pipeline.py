@@ -480,6 +480,52 @@ def test_build_corpus_emit_attributes_ledger(spark, tmp_path):
     assert led[3].survived_quality == 1
 
 
+def test_build_corpus_attributes_ledger_with_paragraph_dedup(
+    spark, tmp_path
+):
+    """The ledger's per-INPUT-document contract holds when the
+    paragraph stage is on (r8 ADVICE, corpus.py): documents whose
+    every paragraph was claimed elsewhere still get a ledger row
+    (survived_paragraph=0, all later flags 0), and the tagger
+    columns (n_tokens) describe the INPUT text, not the
+    paragraph-deduped rewrite."""
+    long = " ".join(f"w{i % 17}" for i in range(120))
+    rows = [
+        (1, long, "en", "web", len(long)),
+        (2, long, "en", "web", len(long)),    # all paragraphs claimed by 1
+        (3, " ".join(f"z{i % 13}" for i in range(90)), "en", "web", 90),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    audit = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "out"),
+        n_shards=1,
+        min_tokens=1,
+        paragraph_dedup=True,
+        emit_attributes=True,
+    )
+    assert audit.n_after_paragraph == 2           # doc 2 fully claimed
+    led = {
+        r.doc_id: r
+        for r in spark.read.parquet(audit.attributes_path).collect()
+    }
+    assert set(led) == {1, 2, 3}                  # one row per INPUT doc
+    assert led[2].survived_paragraph == 0
+    assert led[2].survived_exact == 0             # monotone after drop
+    assert led[1].survived_paragraph == 1
+    assert led[3].survived_paragraph == 1
+    # tagger columns are over the INPUT text: docs 1 and 2 are
+    # byte-identical inputs, so their n_tokens must be equal even
+    # though doc 2's rewrite is empty, and doc 1 keeps only the
+    # first occurrence of each repeated paragraph.
+    assert led[2].n_tokens == led[1].n_tokens == 120
+    assert led[2].quality_fp == led[1].quality_fp
+
+
 def test_build_corpus_incremental_converges_to_batch(spark, tmp_path):
     """The watermark-gated incremental build's convergence contract
     (the q136 discipline applied end-to-end): for ANY arrival split

@@ -441,6 +441,34 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     assert m["n_rows"] == jm.n_rows
 
 
+def test_write_training_shards_jsonl_emits_explicit_nulls(spark, tmp_path):
+    """NULL-valued columns serialize as explicit ``"k": null`` keys,
+    so every row in a shard carries the SAME key set (r8 ADVICE:
+    Spark's JSON writer default ignoreNullFields=true silently drops
+    keys, breaking loaders that index by fixed fields)."""
+    import glob
+    import json as _json
+
+    from cardano_spark.sinks.shards import write_training_shards
+
+    src = spark.createDataFrame(
+        [(1, "a", "en"), (2, None, None), (3, "c", None)],
+        "doc_id long, text string, lang string",
+    )
+    dest = str(tmp_path / "j")
+    write_training_shards(src, dest, "doc_id", 1, fmt="jsonl")
+    objs = []
+    for f in sorted(glob.glob(f"{dest}/part-*.json")):
+        with open(f, encoding="utf-8") as fh:
+            objs += [_json.loads(ln) for ln in fh.read().splitlines() if ln]
+    assert len(objs) == 3
+    # uniform key set, nulls explicit
+    assert all(set(o) == {"doc_id", "text", "lang"} for o in objs)
+    by_id = {o["doc_id"]: o for o in objs}
+    assert by_id[2]["text"] is None and by_id[2]["lang"] is None
+    assert by_id[3]["lang"] is None and by_id[3]["text"] == "c"
+
+
 def test_write_training_shards_bad_format_rejected(spark, tmp_path):
     import pytest as _pytest
 

@@ -3204,24 +3204,22 @@ def test_unimax_closed_form_matches_sequential_greedy(spark):
     from hypothesis import strategies as st
 
     def greedy(n_tokens: dict, epoch_cap: int, num: int, den: int):
+        # the LITERAL per-step greedy, run to the end with no
+        # break-out or closed-form shortcut (r8 ADVICE: the earlier
+        # reference applied the closed form's own remainder rule, so
+        # it couldn't falsify it): each step grants
+        # min(cap, floor(remaining / left)).
         total = sum(n_tokens.values())
         budget = total * num // den
         order = sorted(
             n_tokens, key=lambda s: (epoch_cap * n_tokens[s], s)
         )
         remaining, left, alloc = budget, len(order), {}
-        for i, src in enumerate(order):
+        for src in order:
             cap = epoch_cap * n_tokens[src]
-            fair = remaining // left
-            if cap <= fair:
-                alloc[src] = cap
-            else:
-                # equal split with the first `rem` getting +1
-                w, rem = remaining // left, remaining % left
-                for j, s2 in enumerate(order[i:]):
-                    alloc[s2] = w + (1 if j < rem else 0)
-                break
-            remaining -= alloc[src]
+            grant = min(cap, remaining // left)
+            alloc[src] = grant
+            remaining -= grant
             left -= 1
         return alloc
 
