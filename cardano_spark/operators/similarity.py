@@ -701,6 +701,145 @@ def _assign_nearest(
     )
 
 
+def _two_level_assign(
+    v: DataFrame,
+    vec_field: str,
+    seeds: DataFrame,
+    seed_field: str,
+    payload: list[str],
+    probes: int,
+    g: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse/fine) nearest-seed assignment — the
+    PRODUCTION form of :func:`_assign_nearest` (drop-in: same
+    (vid, vec, *payload, cid) output contract, same smallest-cid
+    tie-break), collapsing the per-vector cost from ``k`` cosines
+    to ``g + probes * k/g`` — with ``g = floor(sqrt(k))`` that is
+    ``~(1 + probes) * sqrt(k)`` (faiss' two-level quantizer; Jégou
+    et al.'s coarse/fine split; q183 measures the agreement ladder).
+
+    Mechanics: the ``g`` smallest-cid seeds act as super-seeds
+    (deterministic, oracle-restatable — q183's convention); every
+    seed is grouped under its nearest super-seed (``k * g`` cosines,
+    free); each vector first picks its ``probes`` nearest
+    super-seeds, then argmaxes over only the probed groups' seeds.
+    APPROXIMATE — the true nearest seed can sit in a non-probed
+    group; callers expose this as an opt-in ``assign="hierarchical"``
+    and the q186 planner picks ``probes`` from a measured agreement
+    target.
+
+    Scale shape: both levels are broadcast fan-outs collapsed by
+    map-side-complete partial aggs — the level-1 ``collect_list`` of
+    ``g`` (score, gid) structs per vector collapses BEFORE its
+    exchange because the crossJoin emits all ``g`` rows of a vector
+    from one input row (no window over the ``n*g`` frame — at 10^9
+    vectors that window's exchange alone would carry ``g`` billion
+    rows). Two slim exchanges total (level-1 agg, level-2 argmax)
+    vs the flat path's one.
+
+    ``g=None`` derives ``max(2, floor(sqrt(k)))`` from the seed
+    frame itself via a broadcast 1-row count (the ``_auto_k_filter``
+    discipline), so auto-k consumers stay collect-free end-to-end.
+    """
+    vv = v.select(
+        F.col("vid"), F.col(vec_field).alias("_q"), *payload
+    )
+    # the seed frame feeds THREE subtrees (super-seed ranking, seed
+    # grouping, level-2 fan-out) — cut it once so the seeds' lineage
+    # (e.g. a previous Lloyd iteration) does not execute three times
+    # per call; k slim rows
+    sd = seeds.select(
+        F.col("cid"), F.col(seed_field).alias("_s")
+    ).localCheckpoint(eager=False)
+    wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
+    ranked = sd.withColumn("_r", F.row_number().over(wk))
+    if g is None:
+        gthr = sd.agg(
+            F.greatest(
+                F.lit(2).cast("long"),
+                F.floor(F.sqrt(F.count(F.lit(1)))).cast("long"),
+            ).alias("_gthr")
+        )
+        sup = (
+            ranked.crossJoin(F.broadcast(gthr))
+            .filter(F.col("_r") <= F.col("_gthr"))
+            .select(F.col("cid").alias("gid"), F.col("_s").alias("_gs"))
+        )
+    else:
+        sup = ranked.filter(F.col("_r") <= g).select(
+            F.col("cid").alias("gid"), F.col("_s").alias("_gs")
+        )
+    # consumed twice (seed grouping + level 1) — cut once, g rows
+    sup = sup.localCheckpoint(eager=False)
+    # group every seed under its nearest super-seed (k*g, free)
+    cg = _assign_nearest(
+        sd.select(F.col("cid").alias("vid"), F.col("_s").alias("_q")),
+        sup.select(F.col("gid").alias("cid"), F.col("_gs").alias("_s")),
+        cosine(F.col("_q"), F.col("_s")),
+        [],
+    ).select(F.col("vid").alias("_mcid"), F.col("cid").alias("gid"))
+    group_seeds = cg.join(sd, cg["_mcid"] == sd["cid"]).select(
+        "gid", "cid", "_s"
+    )
+    # level 1: `probes` nearest super-seeds per vector — sort the
+    # per-vector (neg-score, gid) structs (total order: gid unique
+    # per vector) and slice; partial agg is map-side complete
+    top = (
+        vv.crossJoin(F.broadcast(sup))
+        .select(
+            "vid",
+            "_q",
+            *payload,
+            F.col("gid"),
+            cosine(F.col("_q"), F.col("_gs")).alias("_c"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("_c")).alias("nc"), F.col("gid")
+                        )
+                    )
+                ),
+                1,
+                probes,
+            ).alias("_top"),
+            F.first("_q").alias("_q"),
+            *[F.first(p).alias(p) for p in payload],
+        )
+        .select(
+            "vid", "_q", *payload, F.explode("_top.gid").alias("gid")
+        )
+    )
+    # level 2: argmax within the probed groups only (broadcast join
+    # fans each vector to probes * k/g expected seeds)
+    scored = top.join(F.broadcast(group_seeds), "gid").select(
+        "vid",
+        *payload,
+        F.col("cid"),
+        cosine(F.col("_q"), F.col("_s")).alias("c"),
+        F.col("_q"),
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))
+            ).alias("b"),
+            F.first("_q").alias(vec_field),
+            *[F.first(p).alias(p) for p in payload],
+        )
+        .select(
+            "vid",
+            vec_field,
+            *payload,
+            (-F.col("b.negcid")).cast("long").alias("cid"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -984,6 +1123,8 @@ def semantic_dedup(
     threshold: float,
     centroids: DataFrame | None = None,
     auto_k: bool = False,
+    assign: str = "flat",
+    probes: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then look
@@ -1034,12 +1175,22 @@ def semantic_dedup(
         seeds = _auto_k_filter(v, "vid", n_centroids, auto_k).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
-    assigned = _assign_nearest(
-        v,
-        seeds,
-        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
-        ["v", "vn"],
-    ).localCheckpoint(eager=False)
+    if assign == "hierarchical":
+        # two-level coarse/fine assignment (q183's path wired in):
+        # cosine recomputed inline by the helper — bit-identical to
+        # the precomputed-norm form, the oracle restates both levels
+        assigned = _two_level_assign(
+            v, "v", seeds.select("cid", "cv"), "cv", ["vn"], probes
+        ).localCheckpoint(eager=False)
+    elif assign == "flat":
+        assigned = _assign_nearest(
+            v,
+            seeds,
+            dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+            ["v", "vn"],
+        ).localCheckpoint(eager=False)
+    else:
+        raise ValueError(f"unknown assign mode: {assign!r}")
     a = assigned.select(
         F.col("cid"),
         F.col("vid").alias("a_id"),
@@ -1364,11 +1515,24 @@ def _kmeans_iterate(
     n_iter: int,
     dim: int,
     auto_k: bool = False,
+    assign_mode: str = "flat",
+    probes: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop: (final assignment with quantized vectors
-    attached, the sum-centroid frame that produced it)."""
+    attached, the sum-centroid frame that produced it).
+
+    ``assign_mode="hierarchical"`` replaces EVERY iteration's
+    ``n * k`` argmax with the two-level coarse/fine path
+    (:func:`_two_level_assign`, g = floor(sqrt(k)) re-derived from
+    each iteration's own centroid frame) — the production form for
+    auto-k = sqrt(n) corpora where flat assignment makes the whole
+    loop n^1.5. The trained model differs from the flat loop's (the
+    approximation steers the Lloyd trajectory); consumers opt in and
+    pin agreement on structured fixtures (q185/q186)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if assign_mode not in ("flat", "hierarchical"):
+        raise ValueError(f"unknown assign_mode: {assign_mode!r}")
     v = corpus.select(
         F.col(id_col).alias("vid"), quantize_double(F.col(vec_col)).alias("q")
     )
@@ -1377,12 +1541,16 @@ def _kmeans_iterate(
     )
     assign = None
     for it in range(n_iter):
-        assign = _assign_nearest(
-            v,
-            sums,
-            dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
-            ["q"],
-        )
+        if assign_mode == "hierarchical":
+            assign = _two_level_assign(v, "q", sums, "s", [], probes)
+        else:
+            assign = _assign_nearest(
+                v,
+                sums,
+                dot(F.col("q"), F.col("s"))
+                / (norm(F.col("q")) * norm(F.col("s"))),
+                ["q"],
+            )
         if it < n_iter - 1:
             sums = (
                 assign.groupBy("cid")
@@ -2367,6 +2535,8 @@ def prototype_prune(
     prune_den: int = 4,
     dim: int = 64,
     auto_k: bool = False,
+    assign: str = "flat",
+    probes: int = 2,
 ) -> DataFrame:
     """SSL-prototypes pruning (Sorscher et al. 2022 "Beyond neural
     scaling laws", as operationalized by D4, Tirumala et al. 2023):
@@ -2394,10 +2564,20 @@ def prototype_prune(
     occupancy (and thus each window partition) stays ~10^3-10^4
     vectors — k here is a fixture-scale stand-in, not a constant.
 
+    ``assign="hierarchical"`` runs every Lloyd iteration's
+    assignment through the two-level coarse/fine path
+    (:func:`_two_level_assign`) instead of the flat ``n * k``
+    argmax — with auto-k = sqrt(n) that collapses the pipeline's
+    n^1.5 assignment term to ~n * sqrt(k) * (1 + probes) / sqrt(g).
+    Approximate (agreement pinned on structured fixtures, measured
+    by q183/q186); the prototypicality scoring join below is
+    n * 1 either way.
+
     Returns (``vec_id``, ``cluster_id``, ``proto_rank``,
     ``is_pruned``) — one row per corpus vector, all int64."""
     assign, sums = _kmeans_iterate(
-        corpus, id_col, vec_col, k, n_iter, dim, auto_k=auto_k
+        corpus, id_col, vec_col, k, n_iter, dim, auto_k=auto_k,
+        assign_mode=assign, probes=probes,
     )
     # the k-row model frame is consumed twice (the final assignment's
     # lineage AND the scoring join) — checkpoint it so the training

@@ -3444,6 +3444,47 @@ def q183_hierarchical_assign(
     )
 
 
+def q185_d4_pipeline_hierarchical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q180's D4 pipeline with BOTH stages' assignment wired through
+    the two-level coarse/fine path (similarity._two_level_assign,
+    q183's machinery promoted from report to production): SemDeDup's
+    cluster assignment AND every Lloyd iteration of the prototype
+    stage's k-means assign each vector via g super-centroids then
+    argmax within the `probes`=2 nearest groups — per-vector cost
+    g + probes*k/g ~ 3*sqrt(k) cosines instead of k. With the
+    auto-sized k = max(8, floor(sqrt(n))) this collapses the one
+    remaining n^1.5 term in the D4 plan to ~n^1.25 (the r8 verdict's
+    top task): at n = 10^9, k ~ 31623, flat assignment pays 31623
+    cosines/vector/pass; two-level pays ~533. g self-sizes at
+    max(2, floor(sqrt(k))) from each stage's own seed frame via a
+    broadcast 1-row count — no collect, no constants.
+
+    APPROXIMATE by construction (a vector's true nearest centroid
+    can sit in a non-probed group) — the operator contract is the
+    two-level rule itself, which this oracle restates at both levels
+    of all three assignments, so the hash match pins the exact
+    approximation behavior; quality vs flat is pinned separately
+    (agreement=1.0 on the structured fixture,
+    tests/test_trainingdata_ops.py) and measured by the q183/q186
+    ladders."""
+    e = table(spark, sf_dir, "embeddings")
+    sd = SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+        auto_k=True, assign="hierarchical", probes=2,
+    )
+    survivors = e.join(
+        sd.filter(F.col("is_dup") == 0).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    return SIM.prototype_prune(
+        survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4,
+        auto_k=True, assign="hierarchical", probes=2,
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3605,6 +3646,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q181_unimax_allocation": q181_unimax_allocation,
     "q183_hierarchical_assign": q183_hierarchical_assign,
     "q184_paragraph_provenance_matrix": q184_paragraph_provenance_matrix,
+    "q185_d4_pipeline_hierarchical": q185_d4_pipeline_hierarchical,
 }
 
 
@@ -7623,6 +7665,110 @@ TRAININGDATA_ORACLES["q183_hierarchical_assign"] = f"""
              AS n_agree
     FROM a1 JOIN l2 USING (vec_id)
     GROUP BY a1.cid
+"""
+
+
+def _two_level_ctes(
+    tag: str,
+    v_cte: str,
+    v_vec: str,
+    s_cte: str,
+    s_vec: str,
+    probes: int,
+    g_floor: int = 2,
+) -> str:
+    """CTE chain restating similarity._two_level_assign over vector
+    CTE ``{v_cte}(vec_id, {v_vec})`` and seed CTE
+    ``{s_cte}(cid, {s_vec})``: ``{tag}_sup`` (the g smallest-cid
+    seeds, g = greatest(g_floor, floor(sqrt(count seeds)))),
+    ``{tag}_cg`` (seed -> super-group argmax), ``{tag}_l1`` (per
+    vector, the `probes` nearest super-seeds), ``{tag}_a``
+    (vec_id, cid — argmax within probed groups). Every tie resolves
+    (score DESC, id ASC), the _assign_nearest contract."""
+    cos_ss = _COS.replace("va", f"s.{s_vec}").replace("vb", "u.gs")
+    cos_vs = _COS.replace("va", f"v.{v_vec}").replace("vb", "u.gs")
+    cos_va = _COS.replace("va", f"v.{v_vec}").replace("vb", f"s.{s_vec}")
+    return f"""{tag}_sup AS (
+      SELECT cid AS gid, {s_vec} AS gs FROM (
+        SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM {s_cte}
+      ) WHERE rn <= greatest({g_floor},
+                floor(sqrt((SELECT count(*) FROM {s_cte})))::BIGINT)
+    ), {tag}_cg AS (
+      SELECT ccid, gid FROM (
+        SELECT s.cid AS ccid, u.gid AS gid, row_number() OVER (
+          PARTITION BY s.cid
+          ORDER BY {cos_ss} DESC, u.gid ASC
+        ) AS rn
+        FROM {s_cte} s CROSS JOIN {tag}_sup u
+      ) WHERE rn = 1
+    ), {tag}_l1 AS (
+      SELECT vec_id, gid FROM (
+        SELECT v.vec_id, u.gid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {cos_vs} DESC, u.gid ASC
+        ) AS rn
+        FROM {v_cte} v CROSS JOIN {tag}_sup u
+      ) WHERE rn <= {probes}
+    ), {tag}_a AS (
+      SELECT vec_id, cid FROM (
+        SELECT l.vec_id, s.cid, row_number() OVER (
+          PARTITION BY l.vec_id
+          ORDER BY {cos_va} DESC, s.cid ASC
+        ) AS rn
+        FROM {tag}_l1 l
+        JOIN {v_cte} v USING (vec_id)
+        JOIN {tag}_cg c ON c.gid = l.gid
+        JOIN {s_cte} s ON s.cid = c.ccid
+      ) WHERE rn = 1
+    )"""
+
+
+# q185: q180's D4 chain with all three assignments (SemDeDup's, and
+# both Lloyd iterations of the prototype stage) restated through the
+# two-level CTE generator — the oracle pins the approximation's
+# exact behavior, not just its quality headline.
+TRAININGDATA_ORACLES["q185_d4_pipeline_hierarchical"] = f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), dseeds AS (
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM ve)))::BIGINT)
+    ), {_two_level_ctes("d", "ve", "e", "dseeds", "ce", 2)}, av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM d_a a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    ), v AS (
+      SELECT ve.vec_id,
+             list_transform(ve.e, x -> floor(x * 255.0)) AS q
+      FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
+      WHERE d.vec_id IS NULL
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v
+      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM v)))::BIGINT)
+    ), {_two_level_ctes("p0", "v", "q", "s0", "s", 2)}, s1 AS (
+      SELECT a.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM p0_a a JOIN v USING (vec_id) GROUP BY a.cid
+    ), {_two_level_ctes("p1", "v", "q", "s1", "s", 2)}, scored AS (
+      SELECT a.vec_id, a.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS pc
+      FROM p1_a a JOIN v USING (vec_id) JOIN s1 ON s1.cid = a.cid
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY pc DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n_c
+      FROM scored
+    )
+    SELECT vec_id,
+           cid::BIGINT AS cluster_id,
+           proto_rank::BIGINT AS proto_rank,
+           (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
+             AS is_pruned
+    FROM ranked
 """
 
 

@@ -3253,6 +3253,86 @@ def test_unimax_closed_form_matches_sequential_greedy(spark):
     prop()
 
 
+def _structured_embeddings(spark, n=16, dim=64):
+    """Two well-separated families with per-vector jitter — the
+    fixture geometry where coarse routing is exact (counterpoint to
+    the near-uniform driver fixture's 0.40-0.83 agreement ladder)."""
+    def vec(axis, jitter_dim, jitter):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[jitter_dim] = jitter
+        return v
+
+    rows = []
+    for i in range(n):
+        axis = i % 2  # interleave so seeds cover both families
+        rows.append(
+            (i, vec(axis, 10 + (i // 2) % 4, 0.05 + 0.01 * (i // 4)))
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_prototype_prune_hierarchical_matches_flat_on_structured(spark):
+    """The WIRED two-level path (r8 verdict task 1): on structured
+    data, prototype_prune(assign='hierarchical') reproduces the flat
+    pipeline EXACTLY — every Lloyd iteration's two-level assignment
+    agrees with the flat argmax, so cluster ids, prototype ranks and
+    prune flags all coincide (agreement floor = 1.0). The near-
+    uniform driver fixture's partial-agreement regime is pinned by
+    the q185 oracle hash instead."""
+    d = _structured_embeddings(spark)
+    flat = {
+        r.vec_id: (r.cluster_id, r.proto_rank, r.is_pruned)
+        for r in SIM.prototype_prune(
+            d, "vec_id", "embedding", k=4, n_iter=2
+        ).collect()
+    }
+    hier = {
+        r.vec_id: (r.cluster_id, r.proto_rank, r.is_pruned)
+        for r in SIM.prototype_prune(
+            d, "vec_id", "embedding", k=4, n_iter=2,
+            assign="hierarchical", probes=1,
+        ).collect()
+    }
+    assert len(hier) == 16 and hier == flat
+
+
+def test_semantic_dedup_hierarchical_matches_flat_on_structured(spark):
+    d = _structured_embeddings(spark)
+    flat = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            d, "vec_id", "embedding", n_centroids=4, threshold=0.9
+        ).collect()
+    }
+    hier = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            d, "vec_id", "embedding", n_centroids=4, threshold=0.9,
+            assign="hierarchical", probes=1,
+        ).collect()
+    }
+    assert len(hier) == 16 and hier == flat
+    # the threshold actually bites: some dups flagged, some kept
+    flags = {v[1] for v in flat.values()}
+    assert flags == {0, 1}
+
+
+def test_two_level_assign_rejects_unknown_mode(spark):
+    d = _structured_embeddings(spark, n=4)
+    with pytest.raises(ValueError, match="assign"):
+        SIM.semantic_dedup(
+            d, "vec_id", "embedding", n_centroids=2, threshold=0.5,
+            assign="bogus",
+        ).collect()
+    with pytest.raises(ValueError, match="assign_mode"):
+        SIM.prototype_prune(
+            d, "vec_id", "embedding", k=2, n_iter=1, assign="bogus"
+        ).collect()
+
+
 def test_hierarchical_assign_agrees_on_structured_data(spark):
     # the counterpoint to the near-uniform fixture's 0.40: when the
     # embedding space HAS coarse structure (two well-separated
