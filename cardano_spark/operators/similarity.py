@@ -2655,6 +2655,32 @@ def hierarchical_assign_report(
     every exchange carries one slim row per vector.
 
     Returns (``cluster_id_exact``, n_vectors, n_agree)."""
+    assign, group_cents, ranked1 = _hier_model_ranked(
+        corpus, id_col, vec_col, k, g, n_iter, dim
+    )
+    lvl1 = ranked1.filter(F.col("_rn") <= probes).select(
+        "vid", "q", F.col("cid").alias("gid")
+    )
+    two = _hier_lvl2_argmax(lvl1, group_cents)
+    return _hier_agreement_by_cluster(assign, two)
+
+
+def _hier_model_ranked(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    g: int,
+    n_iter: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the two-level report/planner family (q183/
+    q186/q187): train the q113 chain, group the k centroids under
+    the g smallest-cid super-centroids, and rank EVERY vector's
+    super-centroids (``_rn`` 1..g, cosine desc / cid asc — callers
+    filter ``_rn <= probes`` for whatever probes they want). Returns
+    (exact ``assign`` (vid, q, cid), ``group_cents`` (gid, cid, s),
+    ``ranked1`` (vid, q, cid, _rn))."""
     assign, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
     assign = assign.localCheckpoint(eager=False)  # lvl-1 input + report
     sums = sums.localCheckpoint(eager=False)  # grouped + group fan-out
@@ -2681,21 +2707,24 @@ def hierarchical_assign_report(
     group_cents = cent_groups.join(
         sums, cent_groups["ccid"] == sums["cid"]
     ).select("gid", "cid", "s")
-    # level 1: the `probes` nearest super-centroids per vector (a
-    # rank window over the n*g scored frame — one slim row per
-    # (vector, super-centroid), g is a small constant)
+    # level 1: rank ALL g super-centroids per vector (a rank window
+    # over the n*g scored frame — one slim row per (vector,
+    # super-centroid), g is a small constant)
     wv = Window.partitionBy("vid").orderBy(
         F.col("_c").desc(), F.col("cid").asc()
     )
-    lvl1 = (
+    ranked1 = (
         assign.select("vid", "q")
         .crossJoin(F.broadcast(ss_as_seeds))
         .select("vid", "q", "cid", sscore.alias("_c"))
         .withColumn("_rn", F.row_number().over(wv))
-        .filter(F.col("_rn") <= probes)
-        .select("vid", "q", F.col("cid").alias("gid"))
     )
-    # level 2: argmax within the chosen group only
+    return assign, group_cents, ranked1
+
+
+def _hier_lvl2_argmax(lvl1: DataFrame, group_cents: DataFrame) -> DataFrame:
+    """Level 2 of the two-level report path: argmax within the probed
+    groups only. ``lvl1``: (vid, q, gid). Returns (vid, cid_two)."""
     scored = lvl1.join(F.broadcast(group_cents), "gid").select(
         "vid",
         "cid",
@@ -2704,7 +2733,7 @@ def hierarchical_assign_report(
             / (norm(F.col("q")) * norm(F.col("s")))
         ).alias("c"),
     )
-    two = (
+    return (
         scored.groupBy("vid")
         .agg(
             F.max(
@@ -2713,6 +2742,191 @@ def hierarchical_assign_report(
         )
         .select("vid", (-F.col("b.negcid")).cast("long").alias("cid_two"))
     )
+
+
+def _hier_probe_grid_agreement(
+    assign: DataFrame,
+    group_cents: DataFrame,
+    ranked1: DataFrame,
+    max_probes: int,
+    sample_mod: int,
+) -> DataFrame:
+    """Agreement of the two-level path vs exact assignment, for
+    EVERY probe count 1..max_probes at once, measured on the
+    deterministic sample ``vid % sample_mod == 0``: rank candidates
+    once at max_probes, attach each candidate centroid's group rank,
+    and let each grid point argmax over the candidates its rank
+    admits — one pass, no per-probe retraining. Returns
+    (probes, n_sample, n_agree)."""
+    spark = assign.sparkSession
+    sample1 = ranked1.filter(
+        (F.col("vid") % sample_mod == 0) & (F.col("_rn") <= max_probes)
+    ).select("vid", "q", F.col("cid").alias("gid"), F.col("_rn").alias("_grn"))
+    cand = sample1.join(F.broadcast(group_cents), "gid").select(
+        "vid",
+        "_grn",
+        F.col("cid"),
+        (
+            dot(F.col("q"), F.col("s"))
+            / (norm(F.col("q")) * norm(F.col("s")))
+        ).alias("c"),
+    )
+    grid = spark.range(1, max_probes + 1).select(
+        F.col("id").alias("probes")
+    )
+    two = (
+        cand.crossJoin(F.broadcast(grid))
+        .filter(F.col("_grn") <= F.col("probes"))
+        .groupBy("vid", "probes")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))
+            ).alias("b")
+        )
+        .select(
+            "vid", "probes", (-F.col("b.negcid")).cast("long").alias("cid_two")
+        )
+    )
+    return (
+        assign.filter(F.col("vid") % sample_mod == 0)
+        .select("vid", F.col("cid").alias("cid_exact"))
+        .join(two, "vid")
+        .groupBy("probes")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum(
+                (F.col("cid_two") == F.col("cid_exact")).cast("long")
+            ).alias("n_agree"),
+        )
+    )
+
+
+def plan_hierarchical_probes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    g: int,
+    n_iter: int = 2,
+    max_probes: int = 4,
+    target_num: int = 3,
+    target_den: int = 4,
+    sample_mod: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Probe-count planner for the two-level assigner — the same
+    plan-from-target discipline as q176's (b, r) S-curve and q175's
+    measured ANN crossover, pointed at q183's hand-picked ``probes``
+    constant: measure exact-vs-two-level agreement on the held-out
+    deterministic sample ``vid % sample_mod == 0`` for every probe
+    count 1..``max_probes`` in ONE pass (candidates ranked once at
+    max_probes; each grid point argmaxes over the candidates its
+    rank admits), and mark the SMALLEST probes whose agreement
+    reaches ``target_num/target_den`` as chosen (the max-probes row
+    when none does). Integer comparisons only — agreement >= target
+    is ``n_agree * den >= num * n_sample`` — so the chosen flag is
+    engine-exact.
+
+    Scale shape: training is the q113 chain; the grid costs
+    ``(n/sample_mod) * max_probes^2 * k/g`` cosines — the planner
+    runs on the sample, the production assignment pass it plans for
+    runs on everything (q187 consumes the chosen point in-plan).
+
+    Returns (``probes``, n_sample, n_agree, meets_target, chosen),
+    one row per grid point, all int64."""
+    assign, group_cents, ranked1 = _hier_model_ranked(
+        corpus, id_col, vec_col, k, g, n_iter, dim
+    )
+    agree = _hier_probe_grid_agreement(
+        assign, group_cents, ranked1, max_probes, sample_mod
+    )
+    meets = (
+        F.col("n_agree") * F.lit(int(target_den))
+        >= F.lit(int(target_num)) * F.col("n_sample")
+    )
+    w_all = Window.partitionBy()
+    return (
+        agree.withColumn(
+            "_first",
+            F.min(F.when(meets, F.col("probes"))).over(w_all),
+        )
+        .select(
+            F.col("probes").cast("long").alias("probes"),
+            "n_sample",
+            "n_agree",
+            meets.cast("long").alias("meets_target"),
+            F.when(
+                F.col("_first").isNotNull(),
+                (F.col("probes") == F.col("_first")).cast("long"),
+            )
+            .otherwise(
+                (F.col("probes") == F.lit(int(max_probes))).cast("long")
+            )
+            .alias("chosen"),
+        )
+    )
+
+
+def hierarchical_assign_planned(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    g: int,
+    n_iter: int = 2,
+    max_probes: int = 4,
+    target_num: int = 3,
+    target_den: int = 4,
+    sample_mod: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """q183's agreement report at the probe count the
+    :func:`plan_hierarchical_probes` grid picks — chosen IN-PLAN via
+    a broadcast 1-row frame (no collect, no driver round-trip): the
+    sample's agreement ladder selects probes, then the full corpus
+    assigns two-level at that operating point. The model (training
+    chain, centroid grouping, level-1 ranking) is built ONCE and
+    shared between the planner sample and the production pass — the
+    checkpointed frames make the reuse a cache hit, not a re-train.
+
+    Returns (``cluster_id_exact``, n_vectors, n_agree,
+    ``probes_used``) — probes_used pins the planner's choice in the
+    value hash."""
+    assign, group_cents, ranked1 = _hier_model_ranked(
+        corpus, id_col, vec_col, k, g, n_iter, dim
+    )
+    ranked1 = ranked1.localCheckpoint(eager=False)  # planner + prod pass
+    agree = _hier_probe_grid_agreement(
+        assign, group_cents, ranked1, max_probes, sample_mod
+    )
+    meets = (
+        F.col("n_agree") * F.lit(int(target_den))
+        >= F.lit(int(target_num)) * F.col("n_sample")
+    )
+    chosen = agree.agg(
+        F.coalesce(
+            F.min(F.when(meets, F.col("probes"))),
+            F.lit(int(max_probes)).cast("long"),
+        ).alias("_p")
+    )
+    lvl1 = (
+        ranked1.crossJoin(F.broadcast(chosen))
+        .filter(F.col("_rn") <= F.col("_p"))
+        .select("vid", "q", F.col("cid").alias("gid"))
+    )
+    two = _hier_lvl2_argmax(lvl1, group_cents)
+    return _hier_agreement_by_cluster(assign, two).crossJoin(
+        F.broadcast(
+            chosen.select(F.col("_p").cast("long").alias("probes_used"))
+        )
+    )
+
+
+def _hier_agreement_by_cluster(
+    assign: DataFrame, two: DataFrame
+) -> DataFrame:
+    """(cluster_id_exact, n_vectors, n_agree) report tail shared by
+    q183 and q187."""
     return (
         assign.select("vid", F.col("cid").alias("cid_exact"))
         .join(two, "vid")

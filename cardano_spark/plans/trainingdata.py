@@ -3393,11 +3393,14 @@ def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
         auto_k=True,
     )
+    # stage-boundary cut, same rationale as q185: the prototype
+    # stage consumes its input ~4x; without this each consumption
+    # re-executes the SemDeDup pair join (values unchanged)
     survivors = e.join(
         sd.filter(F.col("is_dup") == 0).select("vec_id"),
         "vec_id",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     return SIM.prototype_prune(
         survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4,
         auto_k=True,
@@ -3474,14 +3477,61 @@ def q185_d4_pipeline_hierarchical(
         e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
         auto_k=True, assign="hierarchical", probes=2,
     )
+    # cut the stage boundary: the prototype stage consumes its input
+    # ~4x (auto-k count, seed filter, two Lloyd fan-outs) and WITHOUT
+    # a cut each consumption re-executes the whole SemDeDup subtree
+    # incl. the within-cluster pair join (the q22 >=2-consumers rule;
+    # measured 13.8 s -> 8.0 s at sf1)
     survivors = e.join(
         sd.filter(F.col("is_dup") == 0).select("vec_id"),
         "vec_id",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     return SIM.prototype_prune(
         survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4,
         auto_k=True, assign="hierarchical", probes=2,
+    )
+
+
+def q186_hierarchical_probe_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe-count auto-planning for the two-level assigner
+    (similarity.plan_hierarchical_probes — r8 verdict task: q183's
+    ``probes`` was a hand-picked constant with a measured 0.40-0.83
+    ladder; this applies q176/q175's plan-from-target discipline):
+    train the q113 chain at k=64/g=8, measure exact-vs-two-level
+    agreement on the held-out sample (vec_id % 4 = 0) for every
+    probes 1..4 in ONE pass, and flag the smallest probes meeting
+    the 3/4 agreement target as chosen (integer comparison —
+    n_agree*4 >= 3*n_sample — so the choice is engine-exact). On
+    the near-uniform sf0.01 fixture the sample ladder is
+    51/71/89/101 of 125, choosing probes=4; structured corpora
+    choose 1 (pinned in tests). q187 consumes the chosen point
+    in-plan."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.plan_hierarchical_probes(
+        e, "vec_id", "embedding", k=64, g=8, n_iter=2,
+        max_probes=4, target_num=3, target_den=4, sample_mod=4,
+    )
+
+
+def q187_hierarchical_assign_planned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q183's two-level agreement report at the probe count the q186
+    planner picks — consumed IN-PLAN via a broadcast 1-row frame (no
+    collect, no driver round-trip; the same in-DAG self-configuration
+    as q180's auto-k broadcast count): the sample's agreement ladder
+    selects probes, the full corpus assigns coarse/fine at that
+    operating point, and ``probes_used`` rides every output row so
+    the value hash pins the planner's choice. Model built once and
+    shared between planner and production pass (checkpointed
+    frames)."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.hierarchical_assign_planned(
+        e, "vec_id", "embedding", k=64, g=8, n_iter=2,
+        max_probes=4, target_num=3, target_den=4, sample_mod=4,
     )
 
 
@@ -3647,6 +3697,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q183_hierarchical_assign": q183_hierarchical_assign,
     "q184_paragraph_provenance_matrix": q184_paragraph_provenance_matrix,
     "q185_d4_pipeline_hierarchical": q185_d4_pipeline_hierarchical,
+    "q186_hierarchical_probe_planner": q186_hierarchical_probe_planner,
+    "q187_hierarchical_assign_planned": q187_hierarchical_assign_planned,
 }
 
 
@@ -7588,6 +7640,153 @@ TRAININGDATA_ORACLES["q181_unimax_allocation"] = """
                         // n_tokens
                  ELSE 0 END)::BIGINT AS epochs_fp
     FROM alloc
+"""
+
+
+# Shared two-level-report chain (q186/q187, mirrors q183's inline
+# text): q113 training at k=64, super-seeds ss (g=8 smallest cids of
+# the trained s1), centroid grouping cg — plus l1r, the per-SAMPLE
+# super-centroid ranking up to max_probes=4 (sample = vec_id % 4 = 0),
+# cand (each sample vector's probed candidate centroids tagged with
+# their group rank), the probes grid, and the per-grid-point
+# agreement vs exact (a1).
+_HIER_PLANNER_CHAIN = f"""v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 64
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s0.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
+                   s0.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s0
+      ) WHERE rn = 1
+    ), s1 AS (
+      SELECT a0.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1
+      ) WHERE rn = 1
+    ), ss AS (
+      SELECT cid AS gcid, s AS gs FROM (
+        SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM s1
+      ) WHERE rn <= 8
+    ), cg AS (
+      SELECT ccid, gid FROM (
+        SELECT s1.cid AS ccid, ss.gcid AS gid, row_number() OVER (
+          PARTITION BY s1.cid
+          ORDER BY {_COS.replace('va', 's1.s').replace('vb', 'ss.gs')} DESC,
+                   ss.gcid ASC
+        ) AS rn
+        FROM s1 CROSS JOIN ss
+      ) WHERE rn = 1
+    ), l1r AS (
+      SELECT vec_id, gid, rn AS grn FROM (
+        SELECT v.vec_id, ss.gcid AS gid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 'ss.gs')} DESC,
+                   ss.gcid ASC
+        ) AS rn
+        FROM v CROSS JOIN ss
+        WHERE v.vec_id % 4 = 0
+      ) WHERE rn <= 4
+    ), cand AS (
+      SELECT l.vec_id, l.grn, s1.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS c
+      FROM l1r l
+      JOIN v USING (vec_id)
+      JOIN cg ON cg.gid = l.gid
+      JOIN s1 ON s1.cid = cg.ccid
+    ), grid AS (
+      SELECT generate_series AS probes FROM generate_series(1, 4)
+    ), two AS (
+      SELECT vec_id, probes, cid AS cid_two FROM (
+        SELECT c.vec_id, g.probes, c.cid, row_number() OVER (
+          PARTITION BY c.vec_id, g.probes
+          ORDER BY c.c DESC, c.cid ASC
+        ) AS rn
+        FROM cand c JOIN grid g ON c.grn <= g.probes
+      ) WHERE rn = 1
+    ), agree AS (
+      SELECT probes, count(*) AS n_sample,
+             sum(CASE WHEN t.cid_two = a1.cid THEN 1 ELSE 0 END)
+               AS n_agree
+      FROM two t JOIN a1 ON a1.vec_id = t.vec_id
+      GROUP BY probes
+    )"""
+
+
+# q186: the probe-count planner — the grid agreement plus the
+# integer meets/chosen flags (smallest meeting probes, else max).
+TRAININGDATA_ORACLES["q186_hierarchical_probe_planner"] = f"""
+    WITH {_HIER_PLANNER_CHAIN}
+    SELECT probes::BIGINT AS probes,
+           n_sample::BIGINT AS n_sample,
+           n_agree::BIGINT AS n_agree,
+           (CASE WHEN n_agree * 4 >= 3 * n_sample THEN 1 ELSE 0 END)::BIGINT
+             AS meets_target,
+           (CASE WHEN min(CASE WHEN n_agree * 4 >= 3 * n_sample
+                               THEN probes END) OVER () IS NOT NULL
+                 THEN CASE WHEN probes = min(
+                        CASE WHEN n_agree * 4 >= 3 * n_sample
+                             THEN probes END) OVER ()
+                      THEN 1 ELSE 0 END
+                 ELSE CASE WHEN probes = 4 THEN 1 ELSE 0 END
+            END)::BIGINT AS chosen
+    FROM agree
+"""
+
+
+# q187: the planner's chosen operating point consumed in-plan — the
+# full-corpus two-level report at probes = chosen (q183's report
+# shape + the probes_used pin).
+TRAININGDATA_ORACLES["q187_hierarchical_assign_planned"] = f"""
+    WITH {_HIER_PLANNER_CHAIN}, chosen AS (
+      SELECT coalesce(
+               min(CASE WHEN n_agree * 4 >= 3 * n_sample
+                        THEN probes END), 4)::BIGINT AS p
+      FROM agree
+    ), fl1 AS (
+      SELECT vec_id, gid FROM (
+        SELECT v.vec_id, ss.gcid AS gid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 'ss.gs')} DESC,
+                   ss.gcid ASC
+        ) AS rn
+        FROM v CROSS JOIN ss
+      ) WHERE rn <= (SELECT p FROM chosen)
+    ), fl2 AS (
+      SELECT vec_id, cid AS cid_two FROM (
+        SELECT l.vec_id, s1.cid, row_number() OVER (
+          PARTITION BY l.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
+                   s1.cid ASC
+        ) AS rn
+        FROM fl1 l
+        JOIN v USING (vec_id)
+        JOIN cg ON cg.gid = l.gid
+        JOIN s1 ON s1.cid = cg.ccid
+      ) WHERE rn = 1
+    )
+    SELECT a1.cid::BIGINT AS cluster_id_exact,
+           count(*)::BIGINT AS n_vectors,
+           sum(CASE WHEN f.cid_two = a1.cid THEN 1 ELSE 0 END)::BIGINT
+             AS n_agree,
+           (SELECT p FROM chosen) AS probes_used
+    FROM a1 JOIN fl2 f USING (vec_id)
+    GROUP BY a1.cid
 """
 
 

@@ -3333,6 +3333,34 @@ def test_two_level_assign_rejects_unknown_mode(spark):
         ).collect()
 
 
+def test_probe_planner_chooses_one_on_structured_data(spark):
+    """On coarse-structured data the sample ladder saturates at
+    probes=1, so the planner's chosen flag lands on the SMALLEST
+    grid point and the planned report consumes it (probes_used=1,
+    full agreement) — the counterpoint to the near-uniform driver
+    fixture where the same grid chooses 4 (q186's docstring
+    ladder)."""
+    d = _structured_embeddings(spark)
+    plan = {
+        r.probes: r
+        for r in SIM.plan_hierarchical_probes(
+            d, "vec_id", "embedding", k=4, g=2, n_iter=2,
+            max_probes=2, target_num=3, target_den=4, sample_mod=2,
+        ).collect()
+    }
+    assert set(plan) == {1, 2}
+    assert plan[1].meets_target == 1 and plan[1].chosen == 1
+    assert plan[2].chosen == 0
+    assert plan[1].n_agree == plan[1].n_sample == 8  # vid % 2 == 0
+    out = SIM.hierarchical_assign_planned(
+        d, "vec_id", "embedding", k=4, g=2, n_iter=2,
+        max_probes=2, target_num=3, target_den=4, sample_mod=2,
+    ).collect()
+    assert all(r.probes_used == 1 for r in out)
+    assert sum(r.n_vectors for r in out) == 16
+    assert sum(r.n_agree for r in out) == 16
+
+
 def test_hierarchical_assign_agrees_on_structured_data(spark):
     # the counterpoint to the near-uniform fixture's 0.40: when the
     # embedding space HAS coarse structure (two well-separated
