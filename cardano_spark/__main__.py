@@ -85,6 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
     corpus.add_argument(
         "--benchmark", default=None, help="eval-set parquet (text column)"
     )
+    corpus.add_argument(
+        "--retract-benchmark",
+        default=None,
+        help="late-arriving eval-set parquet (text column): previously"
+        "-exported docs contaminated against it are key-deleted from "
+        "the survivor state and the shards via the delta exporter's "
+        "delete path; the arriving batch gates against the union "
+        "(incremental drop-mode only)",
+    )
     corpus.add_argument("--neardup-threshold", type=float, default=0.8)
     corpus.add_argument("--contamination-max", type=float, default=0.5)
     corpus.add_argument(
@@ -369,6 +378,12 @@ def main(
                     "(the only rule an arrival batch can reproduce "
                     "exactly); do not pass --neardup-rule with it"
                 )
+        elif args.retract_benchmark is not None:
+            build_parser().error(
+                "--retract-benchmark requires --incremental (batch "
+                "mode re-gates everything anyway — pass the set via "
+                "--benchmark)"
+            )
         docs = spark.read.parquet(args.src)
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
@@ -399,6 +414,11 @@ def main(
                 quality_rules=args.quality_rules,
                 decontam_mode=args.decontam_mode,
                 paragraph_dedup=args.paragraph_dedup,
+                retract_benchmark=(
+                    spark.read.parquet(args.retract_benchmark)
+                    if args.retract_benchmark
+                    else None
+                ),
             )
             rewrote = (
                 f"{inc.export.n_rewritten} shard(s) rewritten"
@@ -410,13 +430,18 @@ def main(
                 if inc.n_after_paragraph >= 0
                 else ""
             )
+            retr = (
+                f" {inc.n_retracted} retracted;"
+                if inc.n_retracted >= 0
+                else ""
+            )
             print(
                 f"incremental corpus build: {inc.n_arrived} arrived -> "
                 f"{para}"
                 f"{inc.n_after_exact} after exact dedup -> "
                 f"{inc.n_after_neardup} after near-dup -> "
                 f"{inc.n_after_decontam} after decontamination -> "
-                f"{inc.n_after_quality} kept; corpus now "
+                f"{inc.n_after_quality} kept;{retr} corpus now "
                 f"{inc.n_survivors_total} docs; {rewrote}; "
                 f"watermark={inc.watermark} -> {args.dest}"
             )

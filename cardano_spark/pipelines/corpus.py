@@ -593,6 +593,10 @@ class IncrementalCorpusAudit:
     #: batch docs surviving the optional paragraph-grain dedup
     #: pre-stage (non-empty rebuild); -1 when the stage is off
     n_after_paragraph: int = -1
+    #: previously-exported survivors REMOVED by this run's
+    #: late-decontamination retraction (``retract_benchmark``);
+    #: -1 when no retraction was requested
+    n_retracted: int = -1
 
 
 def build_corpus_incremental(
@@ -609,6 +613,7 @@ def build_corpus_incremental(
     quality_rules: str | None = None,
     decontam_mode: str = "drop",
     paragraph_dedup: bool = False,
+    retract_benchmark: DataFrame | None = None,
 ) -> IncrementalCorpusAudit:
     """The watermark-gated ARRIVAL-BATCH form of :func:`build_corpus`
     — the reference's entire operating identity
@@ -666,6 +671,30 @@ def build_corpus_incremental(
     the whole corpus, so "incremental" would silently mean "stale";
     run the batch builder for those artifacts.
 
+    **Retraction** (``retract_benchmark``, r8 verdict task 4 — the
+    delete path of the delta exporter driven end-to-end): a
+    benchmark set that arrives AFTER documents were exported must
+    remove the now-contaminated ones. When given (drop-mode only),
+    the batch gates against the UNION of ``benchmark`` and
+    ``retract_benchmark`` (contamination against a shingle union is
+    not the max of the parts — gating against the union is what the
+    batch twin computes), previously-exported survivors whose
+    contamination against that union exceeds ``contamination_max``
+    are key-deleted from the survivor state
+    (``ParquetMergeSink.delete``) and from the shards — deletes and
+    the batch's inserts ride ONE
+    :func:`~cardano_spark.sinks.shards.write_training_shards_delta`
+    call, exercising the manifest digest-fold's subtract path. The
+    retraction SCAN is corpus-sized by necessity (a new benchmark
+    must be checked against every exported doc once) but is paid per
+    benchmark arrival, not per batch; the shard WRITES stay
+    touched-shard-bounded. Convergence extends: the result equals
+    the batch build over the union corpus with
+    ``benchmark = old UNION retract`` (pinned in tests). Retracted
+    docs stay in the seen/band indexes — the batch twin runs dedup
+    BEFORE decontamination, so they still block later duplicates.
+    A retraction-only pass (zero new arrivals) is supported.
+
     CRASH SAFETY: every state table is a ``ParquetMergeSink`` (keyed,
     idempotent insert — the reference's ON CONFLICT DO NOTHING twin)
     and the fold order is survivors -> band index -> seen digests ->
@@ -673,12 +702,32 @@ def build_corpus_incremental(
     before the seen-fold the batch re-processes identically and the
     merges absorb re-presented rows; after it, the seen-digest probe
     drops the whole batch and only the watermark advances
-    (pinned by the torn-state replay test)."""
+    (pinned by the torn-state replay test). Retraction's delete is
+    idempotent by key, and the delta exporter verifies its folded
+    manifest against a recompute — a torn retraction replays
+    cleanly."""
     from cardano_spark.sinks.merge import ParquetMergeSink
     from cardano_spark.watermark import ParquetWatermarkStore
 
     if quality_rules not in (None, "gopher"):
         raise ValueError(f"unknown quality_rules: {quality_rules!r}")
+    if retract_benchmark is not None:
+        if decontam_mode != "drop":
+            raise ValueError(
+                "retract_benchmark requires decontam_mode='drop' "
+                "(cut-mode retraction would rewrite exported rows, "
+                "not delete them)"
+            )
+        # gate against the UNION: contamination vs a shingle union is
+        # not the max of the parts, and the batch twin gates vs the
+        # union — see the docstring's retraction contract
+        benchmark = (
+            retract_benchmark.select("text")
+            if benchmark is None
+            else benchmark.select("text").union(
+                retract_benchmark.select("text")
+            )
+        )
     state = f"{dest}/_state"
     wm_store: ParquetWatermarkStore[int] = ParquetWatermarkStore(
         spark, f"{state}/watermark", "doc_id", T.LongType()
@@ -714,12 +763,57 @@ def build_corpus_incremental(
         if paragraph_dedup
         else None
     )
+    def _with_shard_key(frame):
+        return frame.withColumn(
+            "_shard_key",
+            md5_long(
+                F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))
+            ),
+        )
+
+    def _retraction_ids():
+        """doc_ids of previously-exported survivors now contaminated
+        against the (unioned) benchmark — checked once per benchmark
+        arrival, corpus-sized scan, touched-shard-bounded writes."""
+        old_surv = surv_sink.read()
+        contam_old = CU.benchmark_contamination(
+            old_surv,
+            benchmark,
+            "doc_id",
+            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+            TX.ngram_shingles(F.coalesce(F.col("text"), F.lit("")), 3),
+        )
+        return (
+            contam_old.filter(
+                F.col("contamination") > F.lit(float(contamination_max))
+            )
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+
     if n_arrived == 0:
+        n_retracted = -1
+        export = None
+        if retract_benchmark is not None and wm is not None:
+            # retraction-only pass: a benchmark arrived, no new docs
+            retract_ids = _retraction_ids()
+            n_retracted = retract_ids.count()
+            if n_retracted:
+                surv_sink.delete(retract_ids)
+                export = write_training_shards_delta(
+                    _with_shard_key(surv_sink.read().limit(0)),
+                    dest,
+                    "_shard_key",
+                    n_shards,
+                    delete_keys=_with_shard_key(retract_ids).select(
+                        "_shard_key"
+                    ),
+                )
         return IncrementalCorpusAudit(
             n_arrived=0, n_after_exact=0, n_after_neardup=0,
             n_after_decontam=0, n_after_quality=0,
             n_survivors_total=surv_sink.read().count(),
-            export=None, watermark=None,
+            export=export, watermark=None, n_retracted=n_retracted,
         )
 
     # 0. optional paragraph-grain dedup (CCNet stage 1, q178), the
@@ -845,6 +939,16 @@ def build_corpus_incremental(
     kept_new = near_new.filter(gate).localCheckpoint(eager=True)
     n_quality = kept_new.count()
 
+    # late-decontamination retraction: compute the contaminated ids
+    # against the PRE-batch survivor state (batch ids are > wm, so
+    # the sets are disjoint; batch rows were gated against the same
+    # unioned benchmark above)
+    retract_ids = None
+    n_retracted = -1
+    if retract_benchmark is not None:
+        retract_ids = _retraction_ids()
+        n_retracted = retract_ids.count()
+
     # fold state forward through the keyed idempotent sinks, in
     # crash-safe order: survivors first, the seen-digest GATE last —
     # a replay before the seen-fold recomputes identically and the
@@ -863,23 +967,20 @@ def build_corpus_incremental(
     # only the watermark advances.
     if para_sink is not None and new_para_digests is not None:
         para_sink.merge(new_para_digests)
+    if retract_ids is not None and n_retracted:
+        surv_sink.delete(retract_ids)
 
     survivors = surv_sink.read()
 
-    def _with_shard_key(frame):
-        return frame.withColumn(
-            "_shard_key",
-            md5_long(
-                F.concat(F.lit("corpus|"), F.col("doc_id").cast("string"))
-            ),
-        )
-
     # export: first batch writes the corpus in full; every later batch
     # is |new|-bounded — the survivor corpus is APPEND-ONLY under the
-    # watermark gate (new doc_ids only, dedup drops only arrivals), so
-    # the export delta is exactly kept_new and the delta exporter
+    # watermark gate (new doc_ids only, dedup drops only arrivals)
+    # except for explicit retraction, so the export delta is exactly
+    # kept_new (+ the retraction's delete keys) and the delta exporter
     # touches only the shards those rows land in (r7 verdict item 1:
-    # no more per-increment corpus scans).
+    # no more per-increment corpus scans). Inserts and deletes ride
+    # ONE delta call — the manifest digest-fold exercises xor
+    # self-inverse and modular-sum subtraction together.
     if wm is None:
         export = write_training_shards_incremental(
             _with_shard_key(survivors), dest, "_shard_key", n_shards
@@ -890,6 +991,11 @@ def build_corpus_incremental(
             dest,
             "_shard_key",
             n_shards,
+            delete_keys=(
+                _with_shard_key(retract_ids).select("_shard_key")
+                if retract_ids is not None and n_retracted
+                else None
+            ),
         )
     new_wm = int(batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
     wm_store.upsert("corpus", new_wm)
@@ -903,4 +1009,5 @@ def build_corpus_incremental(
         export=export,
         watermark=new_wm,
         n_after_paragraph=n_paragraph,
+        n_retracted=n_retracted,
     )

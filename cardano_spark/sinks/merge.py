@@ -268,6 +268,41 @@ class ParquetMergeSink:
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         self._swap_buckets(tmp, touched)
 
+    def delete(self, keys: DataFrame) -> None:
+        """Key-delete a batch from the table, touching only the
+        buckets containing the keys (read, anti-join, rewrite, swap —
+        the removal twin of :meth:`merge`, |keys|-bounded the same
+        way). Keys absent from the table are a no-op; the operation
+        is idempotent under replay. Added for the corpus build's
+        late-decontamination retraction flow (r8 verdict task 4)."""
+        self._recover_partial_swaps()
+        if self._read_meta() is None:
+            return  # table never created — nothing to delete
+        fresh = keys.select(*self.keys).distinct().withColumn(
+            "_bucket", self._bucket_col()
+        )
+        touched = sorted(
+            r._bucket for r in fresh.select("_bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        existing = self._read_buckets(touched).withColumn(
+            "_bucket", self._bucket_col()
+        )
+        remaining = existing.join(
+            fresh.select(*self.keys), self.keys, "left_anti"
+        )
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        remaining.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        # a bucket emptied by the delete writes no dir under tmp; swap
+        # handles that by leaving the old dir in place, so clear it
+        # explicitly first
+        for b in touched:
+            src = os.path.join(tmp, f"_bucket={b}")
+            if not os.path.isdir(src):
+                os.makedirs(src, exist_ok=True)  # empty bucket dir
+        self._swap_buckets(tmp, touched)
+
     def _swap_buckets(self, tmp: str, buckets: Sequence[int]) -> None:
         """Atomically swap freshly-written bucket dirs from ``tmp``
         into the table root (displaced buckets parked outside it)."""

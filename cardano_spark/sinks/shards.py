@@ -159,6 +159,18 @@ def write_training_shards_incremental(
     100 TB corpus build affordable (a daily rebuild that touches 1%
     of documents should write ~1% of the bytes, not all of them).
 
+    ROLE (r8 verdict task 7): this exporter SCANS THE WHOLE SOURCE
+    twice per run (digest pass + rewrite scan) to *derive* what
+    changed. In the incremental corpus build it is therefore the
+    BASELINE/FIRST-EXPORT path only; every post-baseline batch routes
+    through :func:`write_training_shards_delta`, which is handed the
+    changes and never scans the corpus (pinned by
+    tests/test_corpus_pipeline.py::
+    test_build_corpus_incremental_full_exporter_baseline_only — do
+    not re-wire the O(corpus) path into the per-batch loop). Outside
+    that pipeline it remains the right tool when only the updated
+    corpus is available and the delta is unknown.
+
     Differences from :func:`write_training_shards` (the full
     exporter) and ``ParquetMergeSink`` (the keyed upsert sink):
 

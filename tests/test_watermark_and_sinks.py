@@ -57,6 +57,33 @@ def test_parquet_merge_sink(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_parquet_merge_sink_delete(spark, tmp_path):
+    """Key-delete touches only buckets containing the keys, absent
+    keys are a no-op, replay is idempotent, and a bucket emptied by
+    the delete reads back empty (not an error)."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=4)
+    sink.merge(
+        spark.createDataFrame([(i, f"v{i}") for i in range(12)], SCHEMA)
+    )
+    dels = spark.createDataFrame([(2, "x"), (7, "x"), (99, "x")], SCHEMA)
+    sink.delete(dels)
+    rows = {r.k for r in sink.read().collect()}
+    assert rows == set(range(12)) - {2, 7}
+    sink.delete(dels)  # idempotent replay
+    assert {r.k for r in sink.read().collect()} == set(range(12)) - {2, 7}
+    # delete everything: table reads back empty, then accepts merges
+    sink.delete(spark.createDataFrame([(i, "x") for i in range(12)], SCHEMA))
+    assert sink.read().count() == 0
+    sink.merge(spark.createDataFrame([(42, "back")], SCHEMA))
+    assert {r.k for r in sink.read().collect()} == {42}
+
+
+def test_parquet_merge_sink_delete_before_create_is_noop(spark, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    sink.delete(spark.createDataFrame([(1, "x")], SCHEMA))
+    assert sink.read().count() == 0
+
+
 def test_parquet_merge_sink_rejects_bucket_column(spark, tmp_path):
     """A schema partition-discovered from a live sink path carries the
     internal `_bucket` directory key as an int column (ADVICE r7);
