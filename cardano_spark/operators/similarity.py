@@ -741,16 +741,23 @@ def _two_level_assign(
     frame itself via a broadcast 1-row count (the ``_auto_k_filter``
     discipline), so auto-k consumers stay collect-free end-to-end.
     """
+    # norms are precomputed ONCE per vector/seed: every pair scored
+    # below reuses them, halving the per-pair fold work vs inline
+    # cosine() (dot fold + two norm folds). Values are bit-identical
+    # — norm(x) evaluates to the same double precomputed or inline —
+    # so oracle hashes are unaffected.
     vv = v.select(
         F.col("vid"), F.col(vec_field).alias("_q"), *payload
-    )
+    ).withColumn("_qn", norm(F.col("_q")))
     # the seed frame feeds THREE subtrees (super-seed ranking, seed
     # grouping, level-2 fan-out) — cut it once so the seeds' lineage
     # (e.g. a previous Lloyd iteration) does not execute three times
     # per call; k slim rows
-    sd = seeds.select(
-        F.col("cid"), F.col(seed_field).alias("_s")
-    ).localCheckpoint(eager=False)
+    sd = (
+        seeds.select(F.col("cid"), F.col(seed_field).alias("_s"))
+        .withColumn("_sn", norm(F.col("_s")))
+        .localCheckpoint(eager=False)
+    )
     wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
     ranked = sd.withColumn("_r", F.row_number().over(wk))
     if g is None:
@@ -763,23 +770,37 @@ def _two_level_assign(
         sup = (
             ranked.crossJoin(F.broadcast(gthr))
             .filter(F.col("_r") <= F.col("_gthr"))
-            .select(F.col("cid").alias("gid"), F.col("_s").alias("_gs"))
+            .select(
+                F.col("cid").alias("gid"),
+                F.col("_s").alias("_gs"),
+                F.col("_sn").alias("_gn"),
+            )
         )
     else:
         sup = ranked.filter(F.col("_r") <= g).select(
-            F.col("cid").alias("gid"), F.col("_s").alias("_gs")
+            F.col("cid").alias("gid"),
+            F.col("_s").alias("_gs"),
+            F.col("_sn").alias("_gn"),
         )
     # consumed twice (seed grouping + level 1) — cut once, g rows
     sup = sup.localCheckpoint(eager=False)
     # group every seed under its nearest super-seed (k*g, free)
     cg = _assign_nearest(
-        sd.select(F.col("cid").alias("vid"), F.col("_s").alias("_q")),
-        sup.select(F.col("gid").alias("cid"), F.col("_gs").alias("_s")),
-        cosine(F.col("_q"), F.col("_s")),
+        sd.select(
+            F.col("cid").alias("vid"),
+            F.col("_s").alias("_q"),
+            F.col("_sn").alias("_qn"),
+        ),
+        sup.select(
+            F.col("gid").alias("cid"),
+            F.col("_gs").alias("_s"),
+            F.col("_gn").alias("_sn"),
+        ),
+        dot(F.col("_q"), F.col("_s")) / (F.col("_qn") * F.col("_sn")),
         [],
     ).select(F.col("vid").alias("_mcid"), F.col("cid").alias("gid"))
     group_seeds = cg.join(sd, cg["_mcid"] == sd["cid"]).select(
-        "gid", "cid", "_s"
+        "gid", "cid", "_s", "_sn"
     )
     # level 1: `probes` nearest super-seeds per vector — sort the
     # per-vector (neg-score, gid) structs (total order: gid unique
@@ -789,9 +810,13 @@ def _two_level_assign(
         .select(
             "vid",
             "_q",
+            "_qn",
             *payload,
             F.col("gid"),
-            cosine(F.col("_q"), F.col("_gs")).alias("_c"),
+            (
+                dot(F.col("_q"), F.col("_gs"))
+                / (F.col("_qn") * F.col("_gn"))
+            ).alias("_c"),
         )
         .groupBy("vid")
         .agg(
@@ -807,10 +832,12 @@ def _two_level_assign(
                 probes,
             ).alias("_top"),
             F.first("_q").alias("_q"),
+            F.first("_qn").alias("_qn"),
             *[F.first(p).alias(p) for p in payload],
         )
         .select(
-            "vid", "_q", *payload, F.explode("_top.gid").alias("gid")
+            "vid", "_q", "_qn", *payload,
+            F.explode("_top.gid").alias("gid"),
         )
     )
     # level 2: argmax within the probed groups only (broadcast join
@@ -819,7 +846,10 @@ def _two_level_assign(
         "vid",
         *payload,
         F.col("cid"),
-        cosine(F.col("_q"), F.col("_s")).alias("c"),
+        (
+            dot(F.col("_q"), F.col("_s"))
+            / (F.col("_qn") * F.col("_sn"))
+        ).alias("c"),
         F.col("_q"),
     )
     return (

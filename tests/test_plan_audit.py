@@ -52,6 +52,12 @@ BNL_BUDGET = {
     "q179_d4_prototype_prune": 2,  # the two k-row argmax assigns (q113 shape)
     "q180_d4_pipeline": 3,  # two k-row assigns + the 1-row auto-k threshold broadcast
     "q183_hierarchical_assign": 2,  # training assigns; lvl-1/lvl-2 are rank+equi-join
+    # two-level wiring (r9): every BNL below is a broadcast fan-out
+    # against a bounded frame — g super-seeds, k-row group_cents, the
+    # max_probes-row grid, or a 1-row chosen/auto-k threshold
+    "q185_d4_pipeline_hierarchical": 2,  # post-checkpoint stage: lvl-1 sup + lvl-2 group fan-outs
+    "q186_hierarchical_probe_planner": 3,  # sample lvl-1 + candidate fan-out + probes grid
+    "q187_hierarchical_assign_planned": 7,  # planner chain + full-corpus lvl-1/lvl-2 + 1-row chosen
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-
