@@ -1420,6 +1420,8 @@ def spherical_kmeans_sums(
     k: int,
     n_iter: int,
     dim: int = 64,
+    assign_mode: str = "flat",
+    probes: int = 2,
 ) -> DataFrame:
     """The trained model state of :func:`spherical_kmeans_assign`: the
     per-cluster SUM vectors in force at the final assignment (after
@@ -1431,8 +1433,18 @@ def spherical_kmeans_sums(
 
     The k-row model frame is ``localCheckpoint``-ed: consumers
     broadcast it repeatedly (IVF scores both sides against it) and
-    must not re-run the training scan per consumer."""
-    _, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
+    must not re-run the training scan per consumer.
+
+    ``assign_mode="hierarchical"`` trains with every iteration's
+    assignment two-level (:func:`_two_level_assign`, the r9 wiring)
+    — the production form for k ∝ sqrt(n) codebooks where flat
+    training is n^1.5; the trained model differs from the flat
+    loop's (q188 pins it against an oracle restating the two-level
+    rule)."""
+    _, sums = _kmeans_iterate(
+        corpus, id_col, vec_col, k, n_iter, dim,
+        assign_mode=assign_mode, probes=probes,
+    )
     return sums.select(
         "cid", F.col("s").alias("centroid")
     ).localCheckpoint(eager=False)

@@ -3535,6 +3535,33 @@ def q187_hierarchical_assign_planned(
     )
 
 
+def q188_ivf_hierarchical_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q114's end-to-end train->index->search pipeline with the
+    TRAINING assignment two-level (the last flat-assign consumer the
+    r8 verdict named): spherical k-means at k=16 trained with every
+    Lloyd iteration's argmax routed coarse/fine
+    (similarity._two_level_assign at probes=1 — g=4 super-seeds, so
+    4 + 16/4 = 8 cosines/vector/pass instead of 16, and the probed
+    half genuinely differs from flat), then the trained sum-centroids
+    feed the q36/q57 IVF serve plan (nprobe=2, top-5, queries
+    28..35). The oracle restates the two-level training rule AND the
+    serve path, so the hash pins the approximate trainer's exact
+    behavior end-to-end — the audit posture q114 established, now
+    for the production trainer."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 28) & (F.col("vec_id") < 36))
+    cents = SIM.spherical_kmeans_sums(
+        e, "vec_id", "embedding", k=16, n_iter=2,
+        assign_mode="hierarchical", probes=1,
+    )
+    return SIM.ivf_topk(
+        e, probes, "vec_id", "embedding",
+        n_centroids=16, nprobe=2, k=5, centroids=cents,
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3699,6 +3726,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q185_d4_pipeline_hierarchical": q185_d4_pipeline_hierarchical,
     "q186_hierarchical_probe_planner": q186_hierarchical_probe_planner,
     "q187_hierarchical_assign_planned": q187_hierarchical_assign_planned,
+    "q188_ivf_hierarchical_pipeline": q188_ivf_hierarchical_pipeline,
 }
 
 
@@ -7968,6 +7996,60 @@ TRAININGDATA_ORACLES["q185_d4_pipeline_hierarchical"] = f"""
            (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
              AS is_pruned
     FROM ranked
+"""
+
+
+# q188: q114's train->index->search chain with the TRAINING argmax
+# replaced by the two-level rule (k=16, probes=1, g=4 from the seed
+# count) — training restated via the two-level CTE generator, the
+# serve path verbatim from q114's oracle shape.
+TRAININGDATA_ORACLES["q188_ivf_hierarchical_pipeline"] = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 16
+    ), {_two_level_ctes("t", "v", "q", "s0", "s", 1)}, s1 AS (
+      SELECT a.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS ce
+      FROM t_a a JOIN v USING (vec_id) GROUP BY a.cid
+    ), assign AS (
+      SELECT vec_id AS match_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC,
+                   s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1 s
+      ) WHERE rn = 1
+    ), qprobes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC,
+                   s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1 s
+        WHERE v.vec_id >= 28 AND v.vec_id < 36
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.query_id, a.match_id
+      FROM qprobes p JOIN assign a USING (cid)
+      WHERE a.match_id <> p.query_id
+    ), served AS (
+      SELECT c.query_id, c.match_id,
+             {_COS.replace('va', 'qq.e').replace('vb', 'm.e')} AS cos_sim
+      FROM cand c
+      JOIN v qq ON qq.vec_id = c.query_id
+      JOIN v m ON m.vec_id = c.match_id
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+      )::BIGINT AS rank FROM served
+    ) WHERE rank <= 5
 """
 
 

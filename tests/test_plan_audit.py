@@ -58,6 +58,7 @@ BNL_BUDGET = {
     "q185_d4_pipeline_hierarchical": 2,  # post-checkpoint stage: lvl-1 sup + lvl-2 group fan-outs
     "q186_hierarchical_probe_planner": 3,  # sample lvl-1 + candidate fan-out + probes grid
     "q187_hierarchical_assign_planned": 7,  # planner chain + full-corpus lvl-1/lvl-2 + 1-row chosen
+    "q188_ivf_hierarchical_pipeline": 2,  # IVF serve assigns (q36 shape); training fan-outs sit behind the model checkpoint
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-
