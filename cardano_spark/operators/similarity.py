@@ -880,9 +880,19 @@ def ivf_topk(
     k: int,
     centroids: DataFrame | None = None,
     auto_k: bool = False,
+    assign: str = "flat",
+    assign_probes: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     probe the ``nprobe`` nearest lists per query.
+
+    ``assign="hierarchical"`` routes the CORPUS-side list assignment
+    (the index BUILD — the n*k term that dominates at list counts
+    ∝ sqrt(n)) through :func:`_two_level_assign` at
+    ``assign_probes`` probed groups; the query-side probe ranking
+    stays flat (queries are small by contract). The faiss two-level
+    coarse quantizer, r9 wiring — q189 pins the full hierarchical
+    pipeline against an oracle restating both levels.
 
     Centroids default to deterministic seeds (the first
     ``n_centroids`` ids) so the DuckDB oracle can reproduce the
@@ -932,12 +942,19 @@ def ivf_topk(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
     # corpus side: partial-agg argmax, 1 row per vector on the wire
-    assign = _assign_nearest(
-        v,
-        seeds,
-        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
-        [],
-    ).select(F.col("vid").alias("match_id"), "cid")
+    if assign == "hierarchical":
+        assigned = _two_level_assign(
+            v, "v", seeds.select("cid", "cv"), "cv", [], assign_probes
+        ).select(F.col("vid").alias("match_id"), "cid")
+    elif assign == "flat":
+        assigned = _assign_nearest(
+            v,
+            seeds,
+            dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+            [],
+        ).select(F.col("vid").alias("match_id"), "cid")
+    else:
+        raise ValueError(f"unknown assign mode: {assign!r}")
     # query side: nprobe nearest lists via window top-k (tiny frame)
     w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
     probes = (
@@ -947,7 +964,7 @@ def ivf_topk(
         .select(F.col("vid").alias("query_id"), "cid")
     )
     cand = (
-        probes.join(assign, "cid")
+        probes.join(assigned, "cid")
         .filter(F.col("match_id") != F.col("query_id"))
         .select("query_id", "match_id")
     )

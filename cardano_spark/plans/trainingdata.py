@@ -3562,6 +3562,35 @@ def q188_ivf_hierarchical_pipeline(
     )
 
 
+def q189_ivf_fully_hierarchical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The retrieval pipeline with EVERY n*k term collapsed: q188's
+    two-level-trained spherical k-means (k=16, probes=1) feeding an
+    IVF serve whose INDEX BUILD — the corpus->list assignment, the
+    other n*k pass — also routes coarse/fine
+    (ivf_topk(assign="hierarchical"), probes=2 of the g=4 groups).
+    The query-side probe ranking stays flat (queries are small by
+    contract). Together with q185 (D4) this closes the r8 verdict's
+    scale caveat everywhere it occurs: no assignment anywhere in the
+    dedup or retrieval pipelines scans all k centroids per vector.
+    Oracle restates the two-level rule at BOTH sites (training over
+    quantized ints, index build over raw doubles) plus the serve
+    path; the hash pins the exact behavior of both approximations
+    composed."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") >= 28) & (F.col("vec_id") < 36))
+    cents = SIM.spherical_kmeans_sums(
+        e, "vec_id", "embedding", k=16, n_iter=2,
+        assign_mode="hierarchical", probes=1,
+    )
+    return SIM.ivf_topk(
+        e, probes, "vec_id", "embedding",
+        n_centroids=16, nprobe=2, k=5, centroids=cents,
+        assign="hierarchical", assign_probes=2,
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3727,6 +3756,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q186_hierarchical_probe_planner": q186_hierarchical_probe_planner,
     "q187_hierarchical_assign_planned": q187_hierarchical_assign_planned,
     "q188_ivf_hierarchical_pipeline": q188_ivf_hierarchical_pipeline,
+    "q189_ivf_fully_hierarchical": q189_ivf_fully_hierarchical,
 }
 
 
@@ -8024,6 +8054,52 @@ TRAININGDATA_ORACLES["q188_ivf_hierarchical_pipeline"] = f"""
         ) AS rn
         FROM v CROSS JOIN s1 s
       ) WHERE rn = 1
+    ), qprobes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, s.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 's.ce')} DESC,
+                   s.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1 s
+        WHERE v.vec_id >= 28 AND v.vec_id < 36
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.query_id, a.match_id
+      FROM qprobes p JOIN assign a USING (cid)
+      WHERE a.match_id <> p.query_id
+    ), served AS (
+      SELECT c.query_id, c.match_id,
+             {_COS.replace('va', 'qq.e').replace('vb', 'm.e')} AS cos_sim
+      FROM cand c
+      JOIN v qq ON qq.vec_id = c.query_id
+      JOIN v m ON m.vec_id = c.match_id
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+      )::BIGINT AS rank FROM served
+    ) WHERE rank <= 5
+"""
+
+
+# q189: q188's chain with the index build (corpus->list assignment
+# over raw doubles) ALSO two-level; only the tiny query-side probe
+# ranking stays flat.
+TRAININGDATA_ORACLES["q189_ivf_fully_hierarchical"] = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v WHERE vec_id < 16
+    ), {_two_level_ctes("t", "v", "q", "s0", "s", 1)}, s1 AS (
+      SELECT a.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS ce
+      FROM t_a a JOIN v USING (vec_id) GROUP BY a.cid
+    ), {_two_level_ctes("x", "v", "e", "s1", "ce", 2)}, assign AS (
+      SELECT vec_id AS match_id, cid FROM x_a
     ), qprobes AS (
       SELECT vec_id AS query_id, cid FROM (
         SELECT v.vec_id, s.cid, row_number() OVER (
