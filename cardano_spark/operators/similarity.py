@@ -2718,7 +2718,7 @@ def hierarchical_assign_report(
         corpus, id_col, vec_col, k, g, n_iter, dim
     )
     lvl1 = ranked1.filter(F.col("_rn") <= probes).select(
-        "vid", "q", F.col("cid").alias("gid")
+        "vid", "q", "_qn", F.col("cid").alias("gid")
     )
     two = _hier_lvl2_argmax(lvl1, group_cents)
     return _hier_agreement_by_cluster(assign, two)
@@ -2742,30 +2742,42 @@ def _hier_model_ranked(
     ``ranked1`` (vid, q, cid, _rn))."""
     assign, sums = _kmeans_iterate(corpus, id_col, vec_col, k, n_iter, dim)
     assign = assign.localCheckpoint(eager=False)  # lvl-1 input + report
-    sums = sums.localCheckpoint(eager=False)  # grouped + group fan-out
+    # norms precomputed once per centroid/vector (bit-identical to
+    # inline cosine — hashes unaffected, half the fold work per pair)
+    sums = sums.withColumn("_n", norm(F.col("s"))).localCheckpoint(
+        eager=False
+    )  # grouped + group fan-out
     wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
     super_seeds = (
         sums.withColumn("_r", F.row_number().over(wk))
         .filter(F.col("_r") <= g)
-        .select(F.col("cid").alias("gcid"), F.col("s").alias("gs"))
+        .select(
+            F.col("cid").alias("gcid"),
+            F.col("s").alias("gs"),
+            F.col("_n").alias("_gn"),
+        )
         .localCheckpoint(eager=False)  # centroid-grouping + lvl-1
     )
     sscore = dot(F.col("q"), F.col("gs")) / (
-        norm(F.col("q")) * norm(F.col("gs"))
+        F.col("_qn") * F.col("_gn")
     )
     ss_as_seeds = super_seeds.select(
-        F.col("gcid").alias("cid"), F.col("gs")
+        F.col("gcid").alias("cid"), F.col("gs"), F.col("_gn")
     )
     # group the centroids themselves (k rows through the argmax)
     cent_groups = _assign_nearest(
-        sums.select(F.col("cid").alias("vid"), F.col("s").alias("q")),
+        sums.select(
+            F.col("cid").alias("vid"),
+            F.col("s").alias("q"),
+            F.col("_n").alias("_qn"),
+        ),
         ss_as_seeds,
         sscore,
         [],
     ).select(F.col("vid").alias("ccid"), F.col("cid").alias("gid"))
     group_cents = cent_groups.join(
         sums, cent_groups["ccid"] == sums["cid"]
-    ).select("gid", "cid", "s")
+    ).select("gid", "cid", "s", F.col("_n").alias("_cn"))
     # level 1: rank ALL g super-centroids per vector (a rank window
     # over the n*g scored frame — one slim row per (vector,
     # super-centroid), g is a small constant)
@@ -2774,8 +2786,9 @@ def _hier_model_ranked(
     )
     ranked1 = (
         assign.select("vid", "q")
+        .withColumn("_qn", norm(F.col("q")))
         .crossJoin(F.broadcast(ss_as_seeds))
-        .select("vid", "q", "cid", sscore.alias("_c"))
+        .select("vid", "q", "_qn", "cid", sscore.alias("_c"))
         .withColumn("_rn", F.row_number().over(wv))
     )
     return assign, group_cents, ranked1
@@ -2783,13 +2796,14 @@ def _hier_model_ranked(
 
 def _hier_lvl2_argmax(lvl1: DataFrame, group_cents: DataFrame) -> DataFrame:
     """Level 2 of the two-level report path: argmax within the probed
-    groups only. ``lvl1``: (vid, q, gid). Returns (vid, cid_two)."""
+    groups only. ``lvl1``: (vid, q, _qn, gid). Returns
+    (vid, cid_two)."""
     scored = lvl1.join(F.broadcast(group_cents), "gid").select(
         "vid",
         "cid",
         (
             dot(F.col("q"), F.col("s"))
-            / (norm(F.col("q")) * norm(F.col("s")))
+            / (F.col("_qn") * F.col("_cn"))
         ).alias("c"),
     )
     return (
@@ -2820,14 +2834,17 @@ def _hier_probe_grid_agreement(
     spark = assign.sparkSession
     sample1 = ranked1.filter(
         (F.col("vid") % sample_mod == 0) & (F.col("_rn") <= max_probes)
-    ).select("vid", "q", F.col("cid").alias("gid"), F.col("_rn").alias("_grn"))
+    ).select(
+        "vid", "q", "_qn",
+        F.col("cid").alias("gid"), F.col("_rn").alias("_grn"),
+    )
     cand = sample1.join(F.broadcast(group_cents), "gid").select(
         "vid",
         "_grn",
         F.col("cid"),
         (
             dot(F.col("q"), F.col("s"))
-            / (norm(F.col("q")) * norm(F.col("s")))
+            / (F.col("_qn") * F.col("_cn"))
         ).alias("c"),
     )
     grid = spark.range(1, max_probes + 1).select(
@@ -2971,7 +2988,7 @@ def hierarchical_assign_planned(
     lvl1 = (
         ranked1.crossJoin(F.broadcast(chosen))
         .filter(F.col("_rn") <= F.col("_p"))
-        .select("vid", "q", F.col("cid").alias("gid"))
+        .select("vid", "q", "_qn", F.col("cid").alias("gid"))
     )
     two = _hier_lvl2_argmax(lvl1, group_cents)
     return _hier_agreement_by_cluster(assign, two).crossJoin(
