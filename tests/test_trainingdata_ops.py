@@ -3333,6 +3333,36 @@ def test_two_level_assign_rejects_unknown_mode(spark):
         ).collect()
 
 
+def test_two_level_assign_with_full_probes_equals_flat_anywhere(spark):
+    """Exhaustiveness property: with probes >= g every group is
+    probed, so the two-level argmax ranges over ALL seeds and must
+    equal the flat path EXACTLY — on arbitrary (near-uniform real
+    fixture) data, not just structured geometry. Pins the tie-break
+    equivalence (max(struct(c,-cid)) vs per-group fan-out) and the
+    slice cap (slice(..., probes) with probes > |groups| returns all
+    groups, not an error)."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    flat = {
+        r.vec_id: (r.cluster_id, r.proto_rank, r.is_pruned)
+        for r in SIM.prototype_prune(
+            e, "vec_id", "embedding", k=16, n_iter=2
+        ).collect()
+    }
+    hier = {
+        r.vec_id: (r.cluster_id, r.proto_rank, r.is_pruned)
+        for r in SIM.prototype_prune(
+            e, "vec_id", "embedding", k=16, n_iter=2,
+            assign="hierarchical", probes=99,
+        ).collect()
+    }
+    assert len(flat) == 200 and hier == flat
+
+
 def test_probe_planner_chooses_one_on_structured_data(spark):
     """On coarse-structured data the sample ladder saturates at
     probes=1, so the planner's chosen flag lands on the SMALLEST
