@@ -1271,6 +1271,84 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_incremental(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """The ARRIVAL-BATCH form of :func:`semantic_dedup` — the
+    semantic arm of the incremental dedup family (q66's MinHash
+    discipline, q163's frozen-model discipline, composed): flag each
+    ARRIVING vector that near-duplicates (cosine > ``threshold``)
+    any same-cluster vector already in the corpus, or an earlier
+    arrival in the same batch (smaller id — arrival ids are monotone
+    by the watermark contract, so smaller id == earlier everywhere).
+
+    The centroid model is FROZEN (``centroids``: the (cid, centroid)
+    frame of :func:`spherical_kmeans_sums` or any trained codebook):
+    a 100 TB deployment cannot recluster per batch, and a frozen
+    model is what makes the flags STABLE — re-clustering would
+    retroactively move old vectors between clusters and change
+    already-shipped decisions. CONVERGENCE (pinned in pytest): with
+    the same centroids, the new rows' flags equal the batch
+    :func:`semantic_dedup` over the union, restricted to the batch —
+    exactly, not approximately.
+
+    Scale shape: the old side's assignment is written here as one
+    frozen-model argmax pass for self-containedness; in production
+    it is persisted state (each doc was assigned when IT arrived —
+    the ParquetMergeSink pattern of the corpus build), so the
+    recurring cost is |new| * k for assignment plus
+    |new| * cluster-occupancy for the pair probe — never an
+    old-side self-join, never a corpus rescan.
+
+    Returns (``vec_id``, ``cluster_id``, ``is_dup``) for the NEW
+    rows only, one row each, is_dup int64 0/1."""
+    seeds = centroids.select(
+        F.col("cid").cast("long").alias("cid"),
+        as_double(F.col("centroid")).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    score = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("v"),
+        ).withColumn("vn", norm(F.col("v")))
+
+    a_old = _assign_nearest(prep(old), seeds, score, ["v", "vn"])
+    # three consumers (both pair sides + the output flag join)
+    a_new = _assign_nearest(prep(new), seeds, score, ["v", "vn"]).localCheckpoint(
+        eager=False
+    )
+    earlier = a_old.unionByName(a_new)
+    b = a_new.select(
+        "cid",
+        F.col("vid").alias("b_vid"),
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    dups = (
+        earlier.join(b, "cid")
+        .filter(F.col("vid") < F.col("b_vid"))
+        .filter(
+            dot(F.col("v"), F.col("bv")) / (F.col("vn") * F.col("bn"))
+            > F.lit(float(threshold))
+        )
+        .select(F.col("b_vid").alias("vid"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return a_new.join(dups, "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        F.col("cid").alias("cluster_id"),
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+    )
+
+
 #: Johnson-Lindenstrauss projection planes: tables 0+1 of the
 #: existing sign-LSH family (16 x 64 doubles). Reusing the minted
 #: constants keeps every oracle literal stable (hashing.py's

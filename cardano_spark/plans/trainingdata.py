@@ -3591,6 +3591,33 @@ def q189_ivf_fully_hierarchical(
     )
 
 
+def q190_semantic_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrival-batch SemDeDup (similarity.semantic_dedup_incremental)
+    — the semantic arm the incremental dedup family lacked (q66 =
+    MinHash arm, q136 = its streaming twin, q163 = frozen-ANN-model
+    maintenance): vectors 250+ arrive against the 0..249 corpus;
+    each is flagged iff it near-duplicates (cosine > 0.25) a
+    same-cluster vector that is already in the corpus or an earlier
+    arrival (smaller id — the monotone-id watermark contract).
+    Cluster model FROZEN at q109's seed convention (the old slice's
+    first 8 ids), so decisions are stable under arrival and the
+    batch twin is exact: flags equal semantic_dedup over the union
+    restricted to the batch (pinned in pytest). Recurring cost
+    |new| * (k + cluster occupancy); the old side never self-joins."""
+    e = table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < 250)
+    new = e.filter(F.col("vec_id") >= 250)
+    cents = old.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    return SIM.semantic_dedup_incremental(
+        old, new, "vec_id", "embedding", cents, threshold=0.25
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3757,6 +3784,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q187_hierarchical_assign_planned": q187_hierarchical_assign_planned,
     "q188_ivf_hierarchical_pipeline": q188_ivf_hierarchical_pipeline,
     "q189_ivf_fully_hierarchical": q189_ivf_fully_hierarchical,
+    "q190_semantic_dedup_incremental": q190_semantic_dedup_incremental,
 }
 
 
@@ -8126,6 +8154,41 @@ TRAININGDATA_ORACLES["q189_ivf_fully_hierarchical"] = f"""
         PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
       )::BIGINT AS rank FROM served
     ) WHERE rank <= 5
+"""
+
+
+# q190: arrival-batch SemDeDup vs the frozen seed model — assignment
+# of ALL vectors to the old slice's first-8 seeds, pairs restricted
+# to (earlier, arrival) within a cluster; output is arrivals only.
+TRAININGDATA_ORACLES["q190_semantic_dedup_incremental"] = f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, e AS cv FROM ve WHERE vec_id < 8
+    ), a AS (
+      SELECT vec_id, cid FROM (
+        SELECT ve.vec_id, s.cid, row_number() OVER (
+          PARTITION BY ve.vec_id
+          ORDER BY {_COS.replace('va', 've.e').replace('vb', 's.cv')} DESC,
+                   s.cid ASC
+        ) AS rn
+        FROM ve CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id AND b.vec_id >= 250
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    )
+    SELECT av.vec_id,
+           av.cid::BIGINT AS cluster_id,
+           (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS is_dup
+    FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    WHERE av.vec_id >= 250
 """
 
 

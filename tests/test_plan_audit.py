@@ -60,6 +60,7 @@ BNL_BUDGET = {
     "q187_hierarchical_assign_planned": 7,  # planner chain + full-corpus lvl-1/lvl-2 + 1-row chosen
     "q188_ivf_hierarchical_pipeline": 2,  # IVF serve assigns (q36 shape); training fan-outs sit behind the model checkpoint
     "q189_ivf_fully_hierarchical": 3,  # two-level index build (sup + group fan-outs) + flat query-probe ranking
+    "q190_semantic_dedup_incremental": 1,  # old-side frozen-model argmax (q36 shape); the batch side sits behind its checkpoint
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

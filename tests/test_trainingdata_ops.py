@@ -3333,6 +3333,44 @@ def test_two_level_assign_rejects_unknown_mode(spark):
         ).collect()
 
 
+def test_semantic_dedup_incremental_converges_to_batch(spark):
+    """The q136 convergence discipline on the semantic arm: for ANY
+    id-ranged arrival split, semantic_dedup_incremental's flags for
+    the batch equal the batch semantic_dedup over the UNION (same
+    frozen centroids) restricted to the batch — exactly. Run on the
+    real near-uniform fixture where the 0.25 threshold genuinely
+    fires."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    ).localCheckpoint()
+    batch_all = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+            centroids=cents,
+        ).collect()
+    }
+    assert {v[1] for v in batch_all.values()} == {0, 1}  # non-trivial
+    for cut in (100, 250, 399):
+        old = e.filter(F.col("vec_id") < cut)
+        new = e.filter(F.col("vec_id") >= cut)
+        inc = {
+            r.vec_id: (r.cluster_id, r.is_dup)
+            for r in SIM.semantic_dedup_incremental(
+                old, new, "vec_id", "embedding", cents, threshold=0.25
+            ).collect()
+        }
+        want = {k: v for k, v in batch_all.items() if k >= cut}
+        assert inc == want, f"cut={cut}"
+
+
 def test_two_level_assign_with_full_probes_equals_flat_anywhere(spark):
     """Exhaustiveness property: with probes >= g every group is
     probed, so the two-level argmax ranges over ALL seeds and must
