@@ -484,6 +484,39 @@ ANN_AUTO_CROSSOVER = 96
 # exact by construction, recall 1.0.
 
 
+# Measured crossover for FLAT vs TWO-LEVEL centroid assignment
+# (BENCH_EXTENDED round 9 ladder, prototype_prune on checkpointed
+# replicas of the sf1 embeddings, local[32], auto-k clusters): the two
+# paths TIE at n = 20,000 (7.16 s vs 7.08 s), two-level wins 6.1x at
+# n = 80,000 and 20x at n = 320,000, flat measuring n^1.51 over the
+# 16x range. Below the tie point flat's single slim exchange beats
+# two-level's two (the fixed overhead dominates); above it the n*k
+# cosine term does. The tie point is where the rule flips — the same
+# measured-crossover discipline as ANN_AUTO_CROSSOVER/q175, pointed at
+# the assignment mode itself (r9 verdict task 2).
+ASSIGN_AUTO_CROSSOVER = 20_000
+
+
+def choose_assign_mode(
+    n_rows: int, crossover: int = ASSIGN_AUTO_CROSSOVER
+) -> str:
+    """The ``assign="auto"`` routing decision, exposed for testing:
+    ``"flat"`` (one broadcast-argmax exchange, exact) at or below the
+    measured crossover corpus size, ``"hierarchical"`` (two-level
+    coarse/fine, ~(1+probes)*sqrt(k) cosines/vector instead of k)
+    above it. Consumers (:func:`semantic_dedup`,
+    :func:`prototype_prune`, :func:`ivf_topk`) resolve the corpus
+    size with a single ``count()`` job — the q175/ann_topk
+    discipline: one driver-side scalar to pick the plan, never to
+    move data — or accept a caller-supplied ``n_rows`` when the
+    count is already known. The auto-k cluster-count rule is keyed
+    to the RESOLVED mode (see :func:`_auto_k_filter`): sqrt(n) under
+    flat, n^(2/3) under hierarchical — routing and sizing move
+    together or the pair-join term comes back (r9 verdict, What's
+    wrong #1)."""
+    return "flat" if n_rows <= crossover else "hierarchical"
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Measured per-query recall of an ANN result frame against exact
     ground truth (both in the ``(query_id, match_id, ...)`` contract
@@ -882,9 +915,15 @@ def ivf_topk(
     auto_k: bool = False,
     assign: str = "flat",
     assign_probes: int = 2,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     probe the ``nprobe`` nearest lists per query.
+
+    ``assign="auto"`` routes the index build's assignment mode from
+    the measured corpus-size crossover (:func:`choose_assign_mode`;
+    one ``count()`` job unless the caller supplies ``n_rows``), with
+    auto-k keyed to the resolved mode.
 
     ``assign="hierarchical"`` routes the CORPUS-side list assignment
     (the index BUILD — the n*k term that dominates at list counts
@@ -918,6 +957,9 @@ def ivf_topk(
     shuffles on the centroid id only, so each query compares against
     ~nprobe/n_centroids of the corpus.
     """
+    if assign == "auto":
+        n = corpus.count() if n_rows is None else n_rows
+        assign = choose_assign_mode(n)
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
@@ -927,7 +969,9 @@ def ivf_topk(
             as_double(F.col("centroid")).alias("cv"),
         ).withColumn("cn", norm(F.col("cv")))
     else:
-        seeds = _auto_k_filter(v, "vid", n_centroids, auto_k).select(
+        seeds = _auto_k_filter(
+            v, "vid", n_centroids, auto_k, mode=assign
+        ).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
 
@@ -1129,31 +1173,75 @@ def quantized_rerank_topk(
 
 
 
+def _autok_threshold(n: Column, k_floor: int, mode: str) -> Column:
+    """The auto-k cluster-count rule as an expression over the corpus
+    count ``n`` — the COST-BALANCE point of the two terms every
+    cluster-then-pair operator pays, which DEPENDS on the assignment
+    mode (r9 verdict, What's wrong #1):
+
+    - ``mode="flat"``: assignment costs ``n * k`` broadcast-argmax
+      cosines, within-cluster pair search ``~n^2 / k`` — balance at
+      ``k = sqrt(n)``, both terms n^1.5 (BENCH_EXTENDED round 8:
+      fixed k=8 is 13x super-linear at 10x data; sqrt-sized k
+      measures SUB-FLAT).
+    - ``mode="hierarchical"``: two-level assignment costs
+      ``~n * (1 + probes) * sqrt(k)`` (:func:`_two_level_assign`),
+      so sqrt(n) clusters would leave the pair join the binding
+      n^1.5 term — the balance moves to ``k = n^(2/3)``
+      (``n * sqrt(k) = n^2 / k`` at ``k^1.5 = n``), both terms
+      ~n^(4/3), cluster occupancy ``n/k = n^(1/3)`` (at n = 10^9:
+      k = 10^6 clusters of ~10^3 vectors — exactly the SemDeDup
+      paper's production occupancy band).
+
+    Engine determinism: sqrt is correctly rounded in IEEE754, so
+    both engines floor the same double. pow is NOT guaranteed
+    correctly rounded, so the n^(2/3) form is defined as the largest
+    integer b with ``b^3 <= n^2``, computed as a double ``pow`` seed
+    plus a one-step exact-int64 correction — identical in Spark and
+    DuckDB as long as pow lands within 1 of the true value (it is
+    within ulps). The int64 correction squares n, so it is guarded
+    to n <= 3e9 (n^2 < 2^63); beyond that the raw pow seed stands —
+    a regime no oracle runs at and where +/-1 cluster is noise."""
+    nl = n.cast("long")
+    if mode == "flat":
+        return F.greatest(
+            F.lit(k_floor).cast("long"),
+            F.floor(F.sqrt(n)).cast("long"),
+        )
+    if mode != "hierarchical":
+        raise ValueError(f"unknown auto-k mode: {mode!r}")
+    b = F.floor(
+        F.pow(n.cast("double"), F.lit(2.0) / F.lit(3.0))
+    ).cast("long")
+    nn = nl * nl
+    corrected = (
+        F.when((b + 1) * (b + 1) * (b + 1) <= nn, b + 1)
+        .when(b * b * b <= nn, b)
+        .otherwise(b - 1)
+    )
+    guarded = F.when(nl <= F.lit(3_000_000_000), corrected).otherwise(b)
+    return F.greatest(F.lit(k_floor).cast("long"), guarded)
+
+
 def _auto_k_filter(
-    v: DataFrame, id_field: str, k_floor: int, auto_k: bool
+    v: DataFrame,
+    id_field: str,
+    k_floor: int,
+    auto_k: bool,
+    mode: str = "flat",
 ) -> DataFrame:
     """Seed-selection filter: ``id < k_floor`` (the fixed-k form), or
-    ``id < greatest(k_floor, floor(sqrt(n)))`` with ``n`` counted
-    from the frame itself. sqrt is the COST-BALANCE point of the two
-    terms every cluster-then-pair operator pays — assignment is
-    ``n * k`` broadcast-argmax cosines, within-cluster pair search is
-    ``~n^2 / k`` — so ``k = sqrt(n)`` makes both ``n^1.5`` and the
-    whole operator quadratic-free (BENCH_EXTENDED round 8: fixed k=8
-    is 13x super-linear at 10x data; sqrt-sized k measures SUB-FLAT,
-    3.8 s at sf1 vs 5.7 s at sf0.1). At cluster-of-machines scale the
-    assignment term is further collapsed by hierarchical (two-level)
-    assignment — the known production refinement, out of scope here.
-    The count rides a broadcast 1-row frame, so the plan stays
-    collect-free and the oracle restates the threshold as a scalar
-    subquery; sqrt is correctly rounded in IEEE754, so both engines
-    floor the same double."""
+    ``id < greatest(k_floor, rule(n))`` with ``n`` counted from the
+    frame itself and the rule keyed to the ASSIGNMENT MODE —
+    ``sqrt(n)`` under flat, ``n^(2/3)`` under hierarchical (the
+    cost-balance derivation and the cross-engine determinism
+    argument live on :func:`_autok_threshold`; the oracle restates
+    whichever rule as a scalar subquery). The count rides a
+    broadcast 1-row frame, so the plan stays collect-free."""
     if not auto_k:
         return v.filter(F.col(id_field) < k_floor)
-    thr = v.agg(
-        F.greatest(
-            F.lit(k_floor).cast("long"),
-            F.floor(F.sqrt(F.count(F.lit(1)))).cast("long"),
-        ).alias("_thr")
+    thr = v.agg(F.count(F.lit(1)).alias("_n")).select(
+        _autok_threshold(F.col("_n"), k_floor, mode).alias("_thr")
     )
     return (
         v.crossJoin(F.broadcast(thr))
@@ -1172,6 +1260,7 @@ def semantic_dedup(
     auto_k: bool = False,
     assign: str = "flat",
     probes: int = 2,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then look
@@ -1207,9 +1296,18 @@ def semantic_dedup(
     half-pair predicate and the distinct-dup-id reduction keep the
     flag frame at most one row per vector.
 
+    ``assign="auto"`` routes flat-vs-hierarchical from the measured
+    crossover (:func:`choose_assign_mode` — one ``count()`` job, or
+    the caller's ``n_rows``); auto-k is keyed to the RESOLVED mode
+    (sqrt(n) flat, n^(2/3) hierarchical — :func:`_autok_threshold`),
+    so the routed plan is never left with a binding n^1.5 pair term.
+
     Returns (``vec_id``, ``cluster_id``, ``is_dup``) with one row per
     corpus vector and is_dup an int64 0/1.
     """
+    if assign == "auto":
+        n = corpus.count() if n_rows is None else n_rows
+        assign = choose_assign_mode(n)
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
@@ -1219,7 +1317,9 @@ def semantic_dedup(
             as_double(F.col("centroid")).alias("cv"),
         ).withColumn("cn", norm(F.col("cv")))
     else:
-        seeds = _auto_k_filter(v, "vid", n_centroids, auto_k).select(
+        seeds = _auto_k_filter(
+            v, "vid", n_centroids, auto_k, mode=assign
+        ).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
     if assign == "hierarchical":
@@ -1673,7 +1773,7 @@ def _kmeans_iterate(
     v = corpus.select(
         F.col(id_col).alias("vid"), quantize_double(F.col(vec_col)).alias("q")
     )
-    sums = _auto_k_filter(v, "vid", k, auto_k).select(
+    sums = _auto_k_filter(v, "vid", k, auto_k, mode=assign_mode).select(
         F.col("vid").alias("cid"), F.col("q").alias("s")
     )
     assign = None
@@ -2674,6 +2774,7 @@ def prototype_prune(
     auto_k: bool = False,
     assign: str = "flat",
     probes: int = 2,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SSL-prototypes pruning (Sorscher et al. 2022 "Beyond neural
     scaling laws", as operationalized by D4, Tirumala et al. 2023):
@@ -2704,14 +2805,20 @@ def prototype_prune(
     ``assign="hierarchical"`` runs every Lloyd iteration's
     assignment through the two-level coarse/fine path
     (:func:`_two_level_assign`) instead of the flat ``n * k``
-    argmax — with auto-k = sqrt(n) that collapses the pipeline's
-    n^1.5 assignment term to ~n * sqrt(k) * (1 + probes) / sqrt(g).
-    Approximate (agreement pinned on structured fixtures, measured
-    by q183/q186); the prototypicality scoring join below is
-    n * 1 either way.
+    argmax — ~(1 + probes) * sqrt(k) cosines per vector per pass
+    instead of k — and keys auto-k to the mode (k = n^(2/3) instead
+    of sqrt(n), :func:`_autok_threshold`), so the whole operator is
+    ~n^(4/3). ``assign="auto"`` routes the mode itself from the
+    measured crossover (:func:`choose_assign_mode`; one ``count()``
+    job unless ``n_rows`` is supplied). Approximate (agreement
+    pinned on structured fixtures, measured by q183/q186); the
+    prototypicality scoring join below is n * 1 either way.
 
     Returns (``vec_id``, ``cluster_id``, ``proto_rank``,
     ``is_pruned``) — one row per corpus vector, all int64."""
+    if assign == "auto":
+        n = corpus.count() if n_rows is None else n_rows
+        assign = choose_assign_mode(n)
     assign, sums = _kmeans_iterate(
         corpus, id_col, vec_col, k, n_iter, dim, auto_k=auto_k,
         assign_mode=assign, probes=probes,
@@ -3096,4 +3203,190 @@ def _hier_agreement_by_cluster(
             "n_vectors",
             "n_agree",
         )
+    )
+
+
+def plan_assign_mode(
+    corpus: DataFrame,
+    id_col: str,
+    k_floor: int = 8,
+    probes: int = 2,
+    crossover: int = ASSIGN_AUTO_CROSSOVER,
+) -> DataFrame:
+    """Assignment-mode planner report — the declarative twin of the
+    ``assign="auto"`` routing every cluster-then-X operator now does
+    (:func:`choose_assign_mode`): ONE row stating, for this corpus,
+    the measured-crossover decision and the cost model behind it.
+    The q186/q175 plan-from-measurement discipline pointed at the
+    mode itself (r9 verdict task 2): a deployment reads this report
+    before a 100 TB run the same way it reads q186's probe ladder.
+
+    Columns (one row, all int64 except the mode string):
+
+    - ``n_vectors`` — corpus count.
+    - ``crossover`` — the measured flat/two-level tie point
+      (:data:`ASSIGN_AUTO_CROSSOVER`, BENCH_EXTENDED r9 ladder).
+    - ``chosen_mode`` — ``'flat'`` iff n <= crossover (the exact
+      :func:`choose_assign_mode` rule, restated in-plan as a CASE —
+      the REPORT never collects; only the routing inside the
+      operators uses a count job).
+    - ``k_flat`` / ``k_hier`` — the auto-k rule under each mode
+      (sqrt(n) / n^(2/3), :func:`_autok_threshold`).
+    - ``g_hier`` — the two-level super-group count at k_hier.
+    - ``flat_cosines_per_vec`` = k under the CHOSEN mode's k rule if
+      flat were used: k_flat (what one assignment pass costs flat).
+    - ``twolevel_cosines_per_vec`` = g_hier + probes*ceil(k_hier/
+      g_hier) (what one two-level pass costs at the mode's own k).
+
+    Shape: a single count aggregate fanned into pure projections —
+    no joins, no second scan, no collect."""
+    n = corpus.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
+    kf = _autok_threshold(F.col("_n"), k_floor, "flat")
+    kh = _autok_threshold(F.col("_n"), k_floor, "hierarchical")
+    staged = n.select(
+        F.col("_n").alias("n_vectors"),
+        kf.alias("k_flat"),
+        kh.alias("k_hier"),
+    ).select(
+        "n_vectors",
+        "k_flat",
+        "k_hier",
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.sqrt(F.col("k_hier"))).cast("long"),
+        ).alias("g_hier"),
+    )
+    return staged.select(
+        "n_vectors",
+        F.lit(int(crossover)).cast("long").alias("crossover"),
+        F.when(
+            F.col("n_vectors") <= F.lit(int(crossover)), F.lit("flat")
+        )
+        .otherwise(F.lit("hierarchical"))
+        .alias("chosen_mode"),
+        "k_flat",
+        "k_hier",
+        "g_hier",
+        F.col("k_flat").alias("flat_cosines_per_vec"),
+        (
+            F.col("g_hier")
+            + F.lit(int(probes))
+            * F.floor(
+                (F.col("k_hier") + F.col("g_hier") - 1) / F.col("g_hier")
+            ).cast("long")
+        ).alias("twolevel_cosines_per_vec"),
+    )
+
+
+def plan_model_refresh(
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    target_num: int = 3,
+    target_den: int = 4,
+    sample_mod: int = 2,
+) -> DataFrame:
+    """Drift/refresh planner for a FROZEN cluster model (the q190 /
+    :func:`semantic_dedup_incremental` regime): decisions stay stable
+    because the model never moves — but nothing bounded how stale it
+    gets (r9 verdict, What's missing #3). This measures drift the
+    q186 way — agreement on a held-out deterministic sample — and
+    emits a re-cluster recommendation when it crosses the target.
+
+    Method: take the arrival sample ``vid % sample_mod == 0``;
+    assign it twice — once under the FROZEN centroids (raw-double
+    cosine, exactly the serving rule of
+    :func:`semantic_dedup_incremental`), once under a WARM-START
+    retrain (one Lloyd step FROM the frozen model over the sample:
+    re-estimate each frozen cluster's centroid as the exact integer
+    sum of its sampled members' quantized vectors — the
+    :func:`spherical_kmeans_assign` arithmetic, so the update is
+    bit-reproducible — then re-argmax the sample against the updated
+    sums). Warm-starting keeps cluster ids comparable (each updated
+    centroid is a frozen centroid's new position), so agreement is
+    plain id equality — no cluster matching problem. If arrivals
+    still look like the corpus the model was trained on, one Lloyd
+    step barely moves the centroids and agreement is high; drifted
+    arrivals drag centroids toward the new mass and assignments
+    flip. Clusters that catch no sampled arrival drop out of the
+    updated model (the Lloyd empty-cluster rule both engines share).
+
+    Cost is |new|-bounded BY CONSTRUCTION: |sample| * k cosines per
+    assignment pass, one k-row exact-sum aggregate, never a corpus
+    rescan, never an old-side join — the planner can run on every
+    arrival batch.
+
+    Returns one row per FROZEN cluster that received sampled
+    arrivals — (``cluster_id``, ``n_sample``, ``n_agree``) — with
+    the batch verdict attached to every row (the q187 broadcast
+    pattern): ``n_sample_total``, ``n_agree_total``, and
+    ``refresh_advised`` = 1 iff n_agree_total * target_den <
+    target_num * n_sample_total (integer compare, engine-exact).
+    All int64."""
+    sample = new.filter(
+        (F.col(id_col) % F.lit(int(sample_mod))) == 0
+    ).select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("v"),
+        quantize_double(F.col(vec_col)).alias("q"),
+    )
+    frozen = centroids.select(
+        F.col("cid").cast("long").alias("cid"),
+        as_double(F.col("centroid")).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    # frozen-model assignment of the sample (the serving rule);
+    # consumed by the update agg AND the agreement join — cut once
+    a_frozen = _assign_nearest(
+        sample,
+        frozen,
+        dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * F.col("cn")),
+        ["q"],
+    ).localCheckpoint(eager=False)
+    # one warm Lloyd step: exact integer sums of quantized members
+    updated = (
+        a_frozen.groupBy("cid")
+        .agg(*[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(64)])
+        .select(
+            "cid",
+            F.array(*[F.col(f"s{d}") for d in range(64)]).alias("s"),
+        )
+    )
+    a_new = _assign_nearest(
+        a_frozen.select("vid", F.col("q")),
+        updated.select("cid", "s"),
+        dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
+        [],
+    ).select("vid", F.col("cid").alias("cid_new"))
+    per = (
+        a_frozen.select("vid", "cid")
+        .join(a_new, "vid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum(
+                (F.col("cid_new") == F.col("cid")).cast("long")
+            ).alias("n_agree"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_sample").alias("n_sample_total"),
+        F.sum("n_agree").alias("n_agree_total"),
+    ).select(
+        "n_sample_total",
+        "n_agree_total",
+        (
+            F.col("n_agree_total") * F.lit(int(target_den))
+            < F.lit(int(target_num)) * F.col("n_sample_total")
+        )
+        .cast("long")
+        .alias("refresh_advised"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        F.col("cid").cast("long").alias("cluster_id"),
+        "n_sample",
+        "n_agree",
+        "n_sample_total",
+        "n_agree_total",
+        "refresh_advised",
     )

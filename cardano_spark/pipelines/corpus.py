@@ -595,7 +595,9 @@ class IncrementalCorpusAudit:
     n_after_paragraph: int = -1
     #: previously-exported survivors REMOVED by this run's
     #: late-decontamination retraction (``retract_benchmark``);
-    #: -1 when no retraction was requested
+    #: -1 STRICTLY when no retraction was requested — a requested
+    #: retraction that removes nothing (including against a
+    #: never-exported corpus) reports 0
     n_retracted: int = -1
 
 
@@ -702,10 +704,14 @@ def build_corpus_incremental(
     before the seen-fold the batch re-processes identically and the
     merges absorb re-presented rows; after it, the seen-digest probe
     drops the whole batch and only the watermark advances
-    (pinned by the torn-state replay test). Retraction's delete is
-    idempotent by key, and the delta exporter verifies its folded
-    manifest against a recompute — a torn retraction replays
-    cleanly."""
+    (pinned by the torn-state replay test). Retraction orders SHARD
+    DELTA FIRST, survivor delete second: retract ids derive from the
+    survivor state, so the reverse order would let a crash between
+    the two strand contaminated rows in the export (the replay would
+    re-derive an empty retract set). Both sides are idempotent by
+    key and the delta exporter verifies its folded manifest against
+    a recompute — a torn retraction replays cleanly from a crash at
+    either boundary (pinned by the torn-retraction replay test)."""
     from cardano_spark.sinks.merge import ParquetMergeSink
     from cardano_spark.watermark import ParquetWatermarkStore
 
@@ -794,12 +800,27 @@ def build_corpus_incremental(
     if n_arrived == 0:
         n_retracted = -1
         export = None
-        if retract_benchmark is not None and wm is not None:
-            # retraction-only pass: a benchmark arrived, no new docs
+        if retract_benchmark is not None and wm is None:
+            # retraction requested against a never-exported corpus:
+            # report 0, reserving -1 strictly for "not requested"
+            # (r9 ADVICE) — callers can tell a requested-but-empty
+            # retraction from none requested
+            n_retracted = 0
+        elif retract_benchmark is not None:
+            # retraction-only pass: a benchmark arrived, no new docs.
+            # Shard delta FIRST, survivor delete second (r9 ADVICE):
+            # retract_ids derive from the survivor state, so deleting
+            # survivors before the shards are fixed would make a
+            # replay after a crash in between re-derive an EMPTY
+            # retract set and strand contaminated rows in the export
+            # forever. Both operations are idempotent by key (a delta
+            # delete of absent keys folds to a no-op and the digest
+            # recompute agrees), so with this order a crash at either
+            # boundary replays to the converged state — pinned by the
+            # torn-retraction replay test.
             retract_ids = _retraction_ids()
             n_retracted = retract_ids.count()
             if n_retracted:
-                surv_sink.delete(retract_ids)
                 export = write_training_shards_delta(
                     _with_shard_key(surv_sink.read().limit(0)),
                     dest,
@@ -809,6 +830,7 @@ def build_corpus_incremental(
                         "_shard_key"
                     ),
                 )
+                surv_sink.delete(retract_ids)
         return IncrementalCorpusAudit(
             n_arrived=0, n_after_exact=0, n_after_neardup=0,
             n_after_decontam=0, n_after_quality=0,
@@ -967,10 +989,13 @@ def build_corpus_incremental(
     # only the watermark advances.
     if para_sink is not None and new_para_digests is not None:
         para_sink.merge(new_para_digests)
-    if retract_ids is not None and n_retracted:
-        surv_sink.delete(retract_ids)
-
-    survivors = surv_sink.read()
+    # NOTE the retraction's survivor delete runs AFTER the export
+    # delta below (r9 ADVICE): retract_ids derive from the survivor
+    # state, so deleting survivors before the shard delta lands would
+    # let a crash in between strand contaminated rows in the export —
+    # a replay would re-derive an empty retract set. The delta's
+    # delete_keys fold idempotently, so shards-first converges from a
+    # crash at either boundary (torn-retraction replay test).
 
     # export: first batch writes the corpus in full; every later batch
     # is |new|-bounded — the survivor corpus is APPEND-ONLY under the
@@ -983,7 +1008,7 @@ def build_corpus_incremental(
     # self-inverse and modular-sum subtraction together.
     if wm is None:
         export = write_training_shards_incremental(
-            _with_shard_key(survivors), dest, "_shard_key", n_shards
+            _with_shard_key(surv_sink.read()), dest, "_shard_key", n_shards
         )
     else:
         export = write_training_shards_delta(
@@ -997,6 +1022,11 @@ def build_corpus_incremental(
                 else None
             ),
         )
+    if retract_ids is not None and n_retracted:
+        surv_sink.delete(retract_ids)
+    # post-retraction state: the audit's survivor total must reflect
+    # the delete that just landed
+    survivors = surv_sink.read()
     new_wm = int(batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
     wm_store.upsert("corpus", new_wm)
     return IncrementalCorpusAudit(

@@ -113,6 +113,28 @@ def _plane_sql(plane: list[float]) -> str:
 _COS16 = _COS.replace("generate_series(1, 64)", "generate_series(1, 16)")
 
 
+def _autok23_scalar(src: str, k_floor: int = 8) -> str:
+    """Scalar subquery restating the HIERARCHICAL-regime auto-k rule
+    (similarity._autok_threshold, mode="hierarchical"): the largest
+    integer b with b^3 <= n^2 — i.e. floor(n^(2/3)), the cost-balance
+    cluster count when assignment is two-level (~n*sqrt(k)) and the
+    pair join is n^2/k (both terms ~n^(4/3)). Engine-identical by
+    construction: a double ``pow`` seed plus a one-step exact-int64
+    correction (pow is not guaranteed correctly rounded; the
+    correction is), guarded to n <= 3e9 where n*n fits int64 —
+    verified mismatch-free against the exact integer rule for every
+    n in 1..2e6 and at the guard boundary."""
+    return f"""greatest({k_floor}, (
+      SELECT CASE WHEN n <= 3000000000 THEN
+               CASE WHEN (b+1)*(b+1)*(b+1) <= n*n THEN b+1
+                    WHEN b*b*b <= n*n THEN b
+                    ELSE b-1 END
+             ELSE b END
+      FROM (SELECT count(*)::BIGINT AS n,
+                   floor(pow(count(*)::DOUBLE, 2.0/3.0))::BIGINT AS b
+            FROM {src})))"""
+
+
 def _jl_proj_sql(vec: str) -> str:
     """16-dim Johnson-Lindenstrauss projection of a DOUBLE[] column:
     component j = vec . JL_PLANES[j] as a sequential fold — the SQL
@@ -3380,18 +3402,27 @@ def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is its own query: dedup removes duplicate-driven density spikes,
     so the prototype ranking over survivors differs from q179's over
     the raw corpus — re-clustering after dedup IS the algorithm, not
-    two independent passes. Both stages AUTO-SIZE their cluster
-    count at the cost-balance point k = max(8, floor(sqrt(n))),
-    counted from the stage's own input (assignment costs n*k, pair
-    search n^2/k — sqrt makes both n^1.5; BENCH_EXTENDED round 8
-    measures fixed k=8 at 13x super-linear for 10x data and this
-    rule SUB-FLAT, 3.8 s at sf1 vs 5.7 s at sf0.1). Output
+    two independent passes. Both stages route their ASSIGNMENT MODE
+    from the measured size crossover (assign="auto",
+    similarity.choose_assign_mode: flat at or below n = 20,000,
+    two-level above — the r9 prototype_prune ladder's tie point) and
+    AUTO-SIZE their cluster count at the mode's cost-balance point
+    (sqrt(n) flat — assignment n*k vs pair search n^2/k, both n^1.5;
+    n^(2/3) hierarchical — n*sqrt(k) vs n^2/k, both n^(4/3)), each
+    counted from the stage's own input. At every oracle scale
+    (n <= 500 embeddings, survivors fewer) the rule resolves to FLAT
+    with k = sqrt(n), which is what this oracle restates — the
+    routing rule itself is pinned by q191's oracle-matched planner
+    report and the plan-shape tests; q185 pins the hierarchical
+    branch end-to-end. The mode decision is ONE count() job per
+    stage (the q175/ann_topk discipline; the survivor count doubles
+    as the stage-boundary checkpoint's materialization). Output
     all-integer; both stages and the auto-k scalar are restated in
     the oracle."""
     e = table(spark, sf_dir, "embeddings")
     sd = SIM.semantic_dedup(
         e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
-        auto_k=True,
+        auto_k=True, assign="auto",
     )
     # stage-boundary cut, same rationale as q185: the prototype
     # stage consumes its input ~4x; without this each consumption
@@ -3403,7 +3434,7 @@ def q180_d4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     return SIM.prototype_prune(
         survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4,
-        auto_k=True,
+        auto_k=True, assign="auto",
     )
 
 
@@ -3456,13 +3487,22 @@ def q185_d4_pipeline_hierarchical(
     cluster assignment AND every Lloyd iteration of the prototype
     stage's k-means assign each vector via g super-centroids then
     argmax within the `probes`=2 nearest groups — per-vector cost
-    g + probes*k/g ~ 3*sqrt(k) cosines instead of k. With the
-    auto-sized k = max(8, floor(sqrt(n))) this collapses the one
-    remaining n^1.5 term in the D4 plan to ~n^1.25 (the r8 verdict's
-    top task): at n = 10^9, k ~ 31623, flat assignment pays 31623
-    cosines/vector/pass; two-level pays ~533. g self-sizes at
-    max(2, floor(sqrt(k))) from each stage's own seed frame via a
-    broadcast 1-row count — no collect, no constants.
+    g + probes*k/g ~ 3*sqrt(k) cosines instead of k. Two-level
+    collapses the ASSIGNMENT term only (n*k -> ~n*sqrt(k)); under
+    the flat-era auto-k = sqrt(n) the SemDeDup within-cluster pair
+    join (~n^2/k) would STAY n^1.5 and become the binding term (r9
+    verdict, What's wrong #1 — the r9 revision of this docstring
+    overclaimed exactly that). So auto-k is keyed to the assignment
+    mode (similarity._autok_threshold): under hierarchical both
+    stages size k = max(8, n^(2/3)) — assignment ~n*sqrt(k) =
+    n^(4/3) AND pair join n^2/k = n^(4/3), the new balance point,
+    cluster occupancy n^(1/3) (at n = 10^9: k = 10^6 clusters of
+    ~10^3 vectors, the SemDeDup paper's production occupancy; flat
+    assignment there would pay 10^6 cosines/vector — two-level pays
+    ~3*10^3). g self-sizes at max(2, floor(sqrt(k))) from each
+    stage's own seed frame via a broadcast 1-row count — no collect,
+    no constants. Measured end-to-end on semantic_dedup itself (not
+    just the prototype stage): see BENCH_EXTENDED round 10's ladder.
 
     APPROXIMATE by construction (a vector's true nearest centroid
     can sit in a non-probed group) — the operator contract is the
@@ -3615,6 +3655,56 @@ def q190_semantic_dedup_incremental(
     )
     return SIM.semantic_dedup_incremental(
         old, new, "vec_id", "embedding", cents, threshold=0.25
+    )
+
+
+def q191_assign_mode_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assignment-mode planner report (similarity.plan_assign_mode)
+    — the declarative twin of the assign="auto" routing q180 now
+    runs through: one row stating, for this corpus, the measured
+    flat/two-level crossover decision (choose_assign_mode: flat at
+    or below n = 20,000 — the r9 prototype_prune ladder's tie
+    point), both auto-k rules (sqrt(n) flat, n^(2/3) hierarchical,
+    the mode-keyed cost-balance points), the derived super-group
+    count, and the per-vector cosine cost of one assignment pass
+    under each mode. The q186/q175 plan-from-measurement discipline
+    pointed at the mode itself (r9 verdict task 2); the report's
+    CASE restates the routing rule IN-PLAN, so this oracle hash
+    pins the exact rule the auto path executes. Single count
+    aggregate fanned into projections — no joins, no collect."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.plan_assign_mode(e, "vec_id", k_floor=8, probes=2)
+
+
+def q192_frozen_model_refresh_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drift/refresh planner for q190's frozen cluster model
+    (similarity.plan_model_refresh — r9 verdict task 4: frozen
+    models keep decisions stable but nothing measured how stale
+    they get). Same regime as q190: vectors 250+ arrive against the
+    0..249 corpus whose model froze at the first-8-ids seed
+    convention. The deterministic half-sample of arrivals
+    (vec_id % 2 = 0) is assigned twice — under the frozen centroids
+    (the serving rule) and under a one-Lloyd-step WARM-START retrain
+    over the sample (exact integer sums of quantized members, the
+    q113 arithmetic, so cluster ids stay comparable and the update
+    is bit-reproducible) — and the report recommends a re-cluster
+    when same-id agreement drops below 3/4 (integer compare). Cost
+    |sample| * k — |new|-bounded, never a corpus rescan, so it can
+    run on every arrival batch; pytest pins 'no refresh' on the
+    stable fixture and 'refresh' on a drifted one."""
+    e = table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") >= 250)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    return SIM.plan_model_refresh(
+        new, "vec_id", "embedding", cents,
+        target_num=3, target_den=4, sample_mod=2,
     )
 
 
@@ -3785,6 +3875,8 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q188_ivf_hierarchical_pipeline": q188_ivf_hierarchical_pipeline,
     "q189_ivf_fully_hierarchical": q189_ivf_fully_hierarchical,
     "q190_semantic_dedup_incremental": q190_semantic_dedup_incremental,
+    "q191_assign_mode_planner": q191_assign_mode_planner,
+    "q192_frozen_model_refresh_planner": q192_frozen_model_refresh_planner,
 }
 
 
@@ -8011,13 +8103,16 @@ def _two_level_ctes(
 # q185: q180's D4 chain with all three assignments (SemDeDup's, and
 # both Lloyd iterations of the prototype stage) restated through the
 # two-level CTE generator — the oracle pins the approximation's
-# exact behavior, not just its quality headline.
+# exact behavior, not just its quality headline. Auto-k here is the
+# HIERARCHICAL-regime rule (k = n^(2/3), _autok23_scalar): under
+# two-level assignment sqrt(n) clusters would leave the SemDeDup
+# pair join the binding n^1.5 term (r9 verdict, What's wrong #1).
 TRAININGDATA_ORACLES["q185_d4_pipeline_hierarchical"] = f"""
-    WITH ve AS (
+    WITH ve AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), dseeds AS (
       SELECT vec_id AS cid, e AS ce FROM ve
-      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM ve)))::BIGINT)
+      WHERE vec_id < {_autok23_scalar("ve")}
     ), {_two_level_ctes("d", "ve", "e", "dseeds", "ce", 2)}, av AS (
       SELECT a.vec_id, a.cid, v.e
       FROM d_a a JOIN ve v ON v.vec_id = a.vec_id
@@ -8025,14 +8120,14 @@ TRAININGDATA_ORACLES["q185_d4_pipeline_hierarchical"] = f"""
       SELECT DISTINCT b.vec_id
       FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
-    ), v AS (
+    ), v AS MATERIALIZED (
       SELECT ve.vec_id,
              list_transform(ve.e, x -> floor(x * 255.0)) AS q
       FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
       WHERE d.vec_id IS NULL
     ), s0 AS (
       SELECT vec_id AS cid, q AS s FROM v
-      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM v)))::BIGINT)
+      WHERE vec_id < {_autok23_scalar("v")}
     ), {_two_level_ctes("p0", "v", "q", "s0", "s", 2)}, s1 AS (
       SELECT a.cid,
              [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
@@ -8227,4 +8322,95 @@ TRAININGDATA_ORACLES["q184_paragraph_provenance_matrix"] = """
            count(*)::BIGINT AS n_dup_paras
     FROM flagged WHERE rn > 1
     GROUP BY ksrc, source
+"""
+
+
+# q191: the assignment-mode planner — the routing rule (flat at or
+# below the measured crossover), both mode-keyed auto-k rules, and
+# the per-pass cost model, all restated as one aggregate + scalar
+# subqueries. The crossover literal is interpolated from the SAME
+# Python constant the operators route on (ASSIGN_AUTO_CROSSOVER), so
+# plan and oracle cannot drift apart.
+TRAININGDATA_ORACLES["q191_assign_mode_planner"] = f"""
+    WITH v AS (
+      SELECT vec_id FROM embeddings
+    ), st AS (
+      SELECT count(*)::BIGINT AS n_vectors,
+             greatest(8, floor(sqrt(count(*)))::BIGINT) AS k_flat,
+             {_autok23_scalar("v")} AS k_hier
+      FROM v
+    ), gd AS (
+      SELECT *, greatest(2, floor(sqrt(k_hier))::BIGINT) AS g_hier
+      FROM st
+    )
+    SELECT n_vectors,
+           {SIM.ASSIGN_AUTO_CROSSOVER}::BIGINT AS crossover,
+           CASE WHEN n_vectors <= {SIM.ASSIGN_AUTO_CROSSOVER}
+                THEN 'flat' ELSE 'hierarchical' END AS chosen_mode,
+           k_flat,
+           k_hier,
+           g_hier,
+           k_flat AS flat_cosines_per_vec,
+           (g_hier + 2 * ((k_hier + g_hier - 1) // g_hier))::BIGINT
+             AS twolevel_cosines_per_vec
+    FROM gd
+"""
+
+
+# q192: frozen-vs-warm-retrain agreement on the deterministic arrival
+# half-sample — frozen assignment (raw-double cosine, the q190 serve
+# rule), one exact-integer-sum Lloyd step over the sample, re-argmax,
+# per-cluster agreement with the batch verdict broadcast onto every
+# row (the q187 pattern). Integer target compare.
+TRAININGDATA_ORACLES["q192_frozen_model_refresh_planner"] = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+    ), smp AS (
+      SELECT vec_id, e, q FROM v
+      WHERE vec_id >= 250 AND vec_id % 2 = 0
+    ), af AS (
+      SELECT vec_id, cid, q FROM (
+        SELECT s.vec_id, c.cid, s.q, row_number() OVER (
+          PARTITION BY s.vec_id
+          ORDER BY {_COS.replace('va', 's.e').replace('vb', 'c.ce')} DESC,
+                   c.cid ASC
+        ) AS rn
+        FROM smp s CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT cid,
+             [{", ".join(f"sum(q[{d + 1}])" for d in range(64))}] AS s
+      FROM af GROUP BY cid
+    ), an AS (
+      SELECT vec_id, cid AS cid_new FROM (
+        SELECT a.vec_id, u.cid, row_number() OVER (
+          PARTITION BY a.vec_id
+          ORDER BY {_COS.replace('va', 'a.q').replace('vb', 'u.s')} DESC,
+                   u.cid ASC
+        ) AS rn
+        FROM af a CROSS JOIN upd u
+      ) WHERE rn = 1
+    ), per AS (
+      SELECT af.cid, count(*) AS n_sample,
+             sum(CASE WHEN an.cid_new = af.cid THEN 1 ELSE 0 END)
+               AS n_agree
+      FROM af JOIN an USING (vec_id) GROUP BY af.cid
+    ), tot AS (
+      SELECT sum(n_sample) AS n_sample_total,
+             sum(n_agree) AS n_agree_total
+      FROM per
+    )
+    SELECT per.cid::BIGINT AS cluster_id,
+           n_sample::BIGINT AS n_sample,
+           n_agree::BIGINT AS n_agree,
+           n_sample_total::BIGINT AS n_sample_total,
+           n_agree_total::BIGINT AS n_agree_total,
+           (CASE WHEN n_agree_total * 4 < 3 * n_sample_total
+                 THEN 1 ELSE 0 END)::BIGINT AS refresh_advised
+    FROM per CROSS JOIN tot
 """

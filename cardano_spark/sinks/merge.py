@@ -294,23 +294,45 @@ class ParquetMergeSink:
         )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         remaining.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
-        # a bucket emptied by the delete writes no dir under tmp; swap
-        # handles that by leaving the old dir in place, so clear it
-        # explicitly first
-        for b in touched:
-            src = os.path.join(tmp, f"_bucket={b}")
-            if not os.path.isdir(src):
-                os.makedirs(src, exist_ok=True)  # empty bucket dir
-        self._swap_buckets(tmp, touched)
+        # a bucket emptied by the delete writes no dir under tmp:
+        # _swap_buckets removes the live dir outright (swap in
+        # nothing), so emptied buckets don't accumulate as empty
+        # placeholder dirs in the table root — read()/merge() treat a
+        # missing bucket dir and an empty one identically, and a
+        # later merge that re-touches the bucket recreates it
+        self._swap_buckets(tmp, touched, allow_empty=True)
 
-    def _swap_buckets(self, tmp: str, buckets: Sequence[int]) -> None:
+    def _swap_buckets(
+        self, tmp: str, buckets: Sequence[int], allow_empty: bool = False
+    ) -> None:
         """Atomically swap freshly-written bucket dirs from ``tmp``
-        into the table root (displaced buckets parked outside it)."""
+        into the table root (displaced buckets parked outside it).
+
+        ``allow_empty`` (the :meth:`delete` path): a touched bucket
+        with no dir under ``tmp`` was EMPTIED by the rewrite — remove
+        its live dir instead of leaving a stale or empty placeholder
+        (readers treat a missing bucket dir as empty; a later merge
+        recreates it). merge/compact never produce this case (every
+        bucket they touch carries at least the incoming rows), so
+        a missing src there is a contract violation, not a state."""
         for b in buckets:
             src = os.path.join(tmp, f"_bucket={b}")
             dst = self._bucket_dir(b)
             if not os.path.isdir(src):
-                continue  # pragma: no cover - bucket emptied is impossible
+                if not allow_empty:
+                    raise AssertionError(
+                        f"_swap_buckets: bucket {b} missing from {tmp} "
+                        "outside the delete path"
+                    )
+                if os.path.isdir(dst):
+                    # park-then-remove, same crash discipline as the
+                    # swap: a crash after the rename is recovered by
+                    # _recover_partial_swaps (dst missing -> restore;
+                    # the replayed delete then empties it again)
+                    old = self._old_dir(b)
+                    os.rename(dst, old)
+                    shutil.rmtree(old)
+                continue
             old = self._old_dir(b)  # parked OUTSIDE the table root
             if os.path.isdir(dst):
                 os.rename(dst, old)

@@ -74,6 +74,13 @@ def test_parquet_merge_sink_delete(spark, tmp_path):
     # delete everything: table reads back empty, then accepts merges
     sink.delete(spark.createDataFrame([(i, "x") for i in range(12)], SCHEMA))
     assert sink.read().count() == 0
+    # emptied buckets are REMOVED, not kept as empty placeholder dirs
+    # (r9 ADVICE): no _bucket=K dirs remain after a full delete
+    import os as _os
+
+    assert not [
+        d for d in _os.listdir(tmp_path / "t") if d.startswith("_bucket=")
+    ]
     sink.merge(spark.createDataFrame([(42, "back")], SCHEMA))
     assert {r.k for r in sink.read().collect()} == {42}
 
