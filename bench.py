@@ -48,6 +48,56 @@ HEADLINE = [
 ]
 
 
+def _prev_round_minima() -> dict[str, float]:
+    """Per-query minima from the newest committed BENCH_r{N}.json —
+    the load-contamination reference (r9 verdict finding #3). Times
+    are only ROUGHLY comparable across rounds (fresh data drops), so
+    consumers compare at a generous 2x, not equality."""
+    import re
+
+    best: tuple[int, str] | None = None
+    for name in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), name)
+    if best is None:
+        return {}
+    try:
+        with open(os.path.join(REPO, best[1])) as f:
+            doc = json.load(f)
+        # the driver wraps bench's JSON line under "parsed"
+        doc = doc.get("parsed", doc)
+        return {k: float(v) for k, v in doc["queries"].items()}
+    except (OSError, ValueError, KeyError, TypeError):
+        return {}
+
+
+#: ignore sample disagreement below this absolute time — 2x jitter on
+#: a 0.2 s query is scheduler noise, not machine load
+_NOISE_FLOOR_SEC = 0.5
+
+
+def _noisy(runs: list[float], prev_min: float | None) -> bool:
+    """Contamination heuristic (r9 verdict task 6): the committed
+    samples PROVED load contamination after the fact (q33
+    1.839/0.329) but could not arrest it. A query is suspect when its
+    TWO BEST samples disagree >2x above the noise floor, or its best
+    run is >2x the previous round's committed best — judging the two
+    best (not min/max) lets a retry EXONERATE a transient spike: the
+    spiked sample stays visible in "samples" but no longer votes."""
+    runs = sorted(runs)[:2]
+    lo, hi = min(runs), max(runs)
+    if hi >= _NOISE_FLOOR_SEC and hi > 2.0 * lo:
+        return True
+    if (
+        prev_min is not None
+        and lo > 2.0 * prev_min
+        and lo >= _NOISE_FLOOR_SEC
+    ):
+        return True
+    return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -66,14 +116,27 @@ def main() -> None:
     # best-of-N per query: the driver compares BENCH against BASELINE,
     # so squeeze out GC/JIT noise (N=2 keeps total under a minute)
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+    prev = _prev_round_minima()
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    contaminated: list[str] = []
     for name in names:
         runs = []
         for _ in range(repeat):
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.time() - t0, 3))
+        # self-arresting contamination check (r9 verdict task 6):
+        # a suspect query gets ONE extra pass — a transient load
+        # spike washes out and the min recovers; a query still noisy
+        # after the retry is named in "contaminated" so the artifact
+        # flags itself instead of needing a forensic idle rerun
+        if repeat > 1 and _noisy(runs, prev.get(name)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(round(time.time() - t0, 3))
+            if _noisy(runs, prev.get(name)):
+                contaminated.append(name)
         samples[name] = runs
         times[name] = min(runs)
 
@@ -92,6 +155,10 @@ def main() -> None:
             # (r8: 18.35 s driver vs 16.27 s idle)
             "runs": repeat,
             "samples": samples,
+            # queries still noisy AFTER the self-arrest retry — a
+            # non-empty list means this artifact's totals are
+            # load-contaminated and the named minima untrustworthy
+            "contaminated": contaminated,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

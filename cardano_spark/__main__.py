@@ -89,10 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--retract-benchmark",
         default=None,
         help="late-arriving eval-set parquet (text column): previously"
-        "-exported docs contaminated against it are key-deleted from "
-        "the survivor state and the shards via the delta exporter's "
-        "delete path; the arriving batch gates against the union "
-        "(incremental drop-mode only)",
+        "-exported docs contaminated against it are key-deleted (drop "
+        "mode) or re-cut and rewritten (cut mode) in the survivor "
+        "state and the shards via the delta exporter; the arriving "
+        "batch gates against the union (incremental only)",
     )
     corpus.add_argument("--neardup-threshold", type=float, default=0.8)
     corpus.add_argument("--contamination-max", type=float, default=0.5)

@@ -1149,8 +1149,18 @@ def decontaminate_spans(
             )
         )
 
+    # the benchmark's ids never survive the distinct below, so accept
+    # text-only benchmark frames (e.g. the retraction UNION, which
+    # deliberately drops ids from two clashing id spaces) by
+    # synthesizing a constant — values are identical for id-bearing
+    # benchmarks
     bench_wids = F.broadcast(
-        windows(bench, id_col).select("_wid").distinct()
+        windows(
+            bench.select(F.col(text_col)).withColumn(id_col, F.lit(0)),
+            id_col,
+        )
+        .select("_wid")
+        .distinct()
     )
     drops = (
         windows(docs, id_col)

@@ -673,29 +673,36 @@ def build_corpus_incremental(
     the whole corpus, so "incremental" would silently mean "stale";
     run the batch builder for those artifacts.
 
-    **Retraction** (``retract_benchmark``, r8 verdict task 4 — the
-    delete path of the delta exporter driven end-to-end): a
-    benchmark set that arrives AFTER documents were exported must
-    remove the now-contaminated ones. When given (drop-mode only),
-    the batch gates against the UNION of ``benchmark`` and
-    ``retract_benchmark`` (contamination against a shingle union is
-    not the max of the parts — gating against the union is what the
-    batch twin computes), previously-exported survivors whose
-    contamination against that union exceeds ``contamination_max``
-    are key-deleted from the survivor state
-    (``ParquetMergeSink.delete``) and from the shards — deletes and
-    the batch's inserts ride ONE
+    **Retraction** (``retract_benchmark``, r8 verdict task 4; cut
+    mode added per the r9 verdict): a benchmark set that arrives
+    AFTER documents were exported must remove (or re-cut) the
+    now-contaminated ones. The batch gates against the UNION of
+    ``benchmark`` and ``retract_benchmark`` (contamination against a
+    shingle union is not the max of the parts — gating against the
+    union is what the batch twin computes). In **drop mode**,
+    previously-exported survivors whose contamination against that
+    union exceeds ``contamination_max`` are key-deleted from the
+    survivor state (``ParquetMergeSink.delete``) and from the shards.
+    In **cut mode**, every previously-processed doc's PRE-cut
+    original (retained in ``_state/precut`` — span excision does not
+    compose, so re-cutting already-cut text would diverge from the
+    batch twin) is re-cut against the union and re-gated; rows whose
+    exported text changes are REWRITTEN (delta upsert), rows the
+    wider cut gates out are deleted, and rows the non-monotone
+    quality gate re-admits are inserted. Either way, retraction
+    deletes/rewrites and the batch's inserts ride ONE
     :func:`~cardano_spark.sinks.shards.write_training_shards_delta`
     call, exercising the manifest digest-fold's subtract path. The
     retraction SCAN is corpus-sized by necessity (a new benchmark
-    must be checked against every exported doc once) but is paid per
+    must be checked against every retained doc once) but is paid per
     benchmark arrival, not per batch; the shard WRITES stay
-    touched-shard-bounded. Convergence extends: the result equals
-    the batch build over the union corpus with
-    ``benchmark = old UNION retract`` (pinned in tests). Retracted
-    docs stay in the seen/band indexes — the batch twin runs dedup
-    BEFORE decontamination, so they still block later duplicates.
-    A retraction-only pass (zero new arrivals) is supported.
+    touched-shard-bounded (unchanged rows diff out). Convergence
+    extends: the result equals the batch build over the union corpus
+    with ``benchmark = old UNION retract`` in the SAME decontam mode
+    (pinned in tests). Retracted docs stay in the seen/band/precut
+    indexes — the batch twin runs dedup BEFORE decontamination, so
+    they still block later duplicates. A retraction-only pass (zero
+    new arrivals) is supported in both modes.
 
     CRASH SAFETY: every state table is a ``ParquetMergeSink`` (keyed,
     idempotent insert — the reference's ON CONFLICT DO NOTHING twin)
@@ -718,12 +725,6 @@ def build_corpus_incremental(
     if quality_rules not in (None, "gopher"):
         raise ValueError(f"unknown quality_rules: {quality_rules!r}")
     if retract_benchmark is not None:
-        if decontam_mode != "drop":
-            raise ValueError(
-                "retract_benchmark requires decontam_mode='drop' "
-                "(cut-mode retraction would rewrite exported rows, "
-                "not delete them)"
-            )
         # gate against the UNION: contamination vs a shingle union is
         # not the max of the parts, and the batch twin gates vs the
         # union — see the docstring's retraction contract
@@ -769,6 +770,23 @@ def build_corpus_incremental(
         if paragraph_dedup
         else None
     )
+    # cut mode keeps the PRE-cut originals of every post-dedup doc
+    # (growth-only, like seen/bands): span excision is NOT composable
+    # — cut(cut(t, A), B) != cut(t, A UNION B) in general (removal
+    # changes token adjacency, creating and destroying n-gram
+    # windows) — so a later retraction must re-cut ORIGINALS against
+    # the union to stay equal to the batch twin. Rows gated out after
+    # cutting are retained too: the quality score is not monotone in
+    # the cut, so a future union could re-admit them, exactly as the
+    # batch twin would.
+    precut_sink = (
+        ParquetMergeSink(
+            spark, f"{state}/precut", batch.schema, ["doc_id"]
+        )
+        if decontam_mode == "cut"
+        else None
+    )
+
     def _with_shard_key(frame):
         return frame.withColumn(
             "_shard_key",
@@ -797,6 +815,78 @@ def build_corpus_incremental(
             .localCheckpoint(eager=True)
         )
 
+    def _quality_gate(df):
+        """The shared post-decontam gate — the SAME expression for
+        arriving batches and for cut-mode re-evaluation (convergence
+        demands a single definition)."""
+        toks = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        qcond = (
+            TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
+        )
+        gate = (
+            (toks >= F.lit(int(min_tokens)))
+            & F.when(toks >= 1, qcond).otherwise(F.lit(False))
+        )
+        if quality_rules == "gopher":
+            _, gflags = CU.gopher_flag_columns(F.col("text"))
+            gate = gate & (gflags == F.lit(127))
+        return df.filter(gate)
+
+    def _cut_retraction_changes():
+        """Cut-mode retraction (r9 verdict task 7): re-cut every
+        PREVIOUSLY-processed pre-cut original against the unioned
+        benchmark, re-gate, and diff against the exported survivor
+        state. Returns (upsert_rows, delete_ids, n_affected):
+        ``upsert_rows`` are survivors whose exported text changes
+        (including docs the wider cut re-admits past the
+        non-monotone quality gate), ``delete_ids`` are exported docs
+        that no longer pass, ``n_affected`` counts previously-
+        exported rows rewritten or removed. The scan is corpus-sized
+        (a new benchmark must be checked against every retained doc
+        once, per benchmark arrival, not per batch); the shard
+        writes stay touched-shard-bounded because unchanged rows are
+        diffed out."""
+        pre = precut_sink.read()
+        if wm is not None:
+            # previously-processed docs only (replay safety: a torn
+            # run may have folded precut without advancing the
+            # watermark; those rows re-enter as the current batch)
+            pre = pre.filter(F.col("doc_id") <= wm)
+        cut = CU.decontaminate_spans(pre, benchmark, "doc_id", "text", n=8)
+        cols = pre.columns
+        recut = (
+            pre.drop("text")
+            .join(
+                cut.select("doc_id", F.col("cleaned_text").alias("text")),
+                "doc_id",
+            )
+            .select(*cols)
+        )
+        if "n_chars" in cols:
+            recut = recut.withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        new_surv = _quality_gate(recut)
+        old_surv = surv_sink.read().localCheckpoint(eager=False)
+        old_texts = old_surv.select(
+            "doc_id", F.col("text").alias("_old_text")
+        )
+        changed = (
+            new_surv.join(old_texts, "doc_id", "left")
+            .filter(~F.col("text").eqNullSafe(F.col("_old_text")))
+            .drop("_old_text")
+            .localCheckpoint(eager=True)
+        )
+        gone = (
+            old_surv.join(new_surv.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n_rewritten = changed.join(
+            old_texts.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+        return changed, gone, gone.count() + n_rewritten
+
     if n_arrived == 0:
         n_retracted = -1
         export = None
@@ -806,6 +896,25 @@ def build_corpus_incremental(
             # (r9 ADVICE) — callers can tell a requested-but-empty
             # retraction from none requested
             n_retracted = 0
+        elif retract_benchmark is not None and decontam_mode == "cut":
+            # retraction-only pass, cut mode: rewrite re-cut rows,
+            # delete rows the wider cut gates out — shard delta
+            # FIRST, survivor state second (the same crash-window
+            # argument as drop mode: the diff derives from
+            # precut + OLD survivor state, so mutating survivors
+            # before the shards are fixed would make a replay diff
+            # against already-updated state and strand the export)
+            changed, gone, n_retracted = _cut_retraction_changes()
+            if changed.count() or n_retracted:
+                export = write_training_shards_delta(
+                    _with_shard_key(changed),
+                    dest,
+                    "_shard_key",
+                    n_shards,
+                    delete_keys=_with_shard_key(gone).select("_shard_key"),
+                )
+                surv_sink.delete(gone)
+                surv_sink.merge(changed, mode="upsert")
         elif retract_benchmark is not None:
             # retraction-only pass: a benchmark arrived, no new docs.
             # Shard delta FIRST, survivor delete second (r9 ADVICE):
@@ -907,6 +1016,12 @@ def build_corpus_incremental(
     near_new = exact_new.join(dropped, "doc_id", "left_anti")
     n_near = near_new.count()
 
+    # cut mode: capture the PRE-cut originals before the excision
+    # rewrites `text` (folded into precut_sink below with the other
+    # growth-only state — the raw material every future retraction
+    # re-cuts)
+    precut_new = near_new if precut_sink is not None else None
+
     # decontamination (per-row vs the static benchmark — both modes
     # are |new|-bounded, so the batch/incremental convergence contract
     # holds for "cut" exactly as for "drop")
@@ -948,26 +1063,29 @@ def build_corpus_incremental(
 
     # quality gate (shared q30 formula + token floor; optional Gopher;
     # zero-token docs — possible after span excision — guarded out
-    # before the formula's division, same as the batch gate)
-    toks = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
-    qcond = TX.quality_score(F.col("text")) >= F.lit(float(min_quality))
-    gate = (
-        (toks >= F.lit(int(min_tokens)))
-        & F.when(toks >= 1, qcond).otherwise(F.lit(False))
-    )
-    if quality_rules == "gopher":
-        _, gflags = CU.gopher_flag_columns(F.col("text"))
-        gate = gate & (gflags == F.lit(127))
-    kept_new = near_new.filter(gate).localCheckpoint(eager=True)
+    # before the formula's division, same as the batch gate; the SAME
+    # _quality_gate definition re-evaluates cut-mode retractions)
+    kept_new = _quality_gate(near_new).localCheckpoint(eager=True)
     n_quality = kept_new.count()
 
-    # late-decontamination retraction: compute the contaminated ids
-    # against the PRE-batch survivor state (batch ids are > wm, so
-    # the sets are disjoint; batch rows were gated against the same
-    # unioned benchmark above)
+    # late-decontamination retraction: computed against the PRE-batch
+    # survivor state (batch ids are > wm, so the sets are disjoint;
+    # batch rows were gated against the same unioned benchmark above).
+    # Drop mode removes contaminated ids; cut mode re-cuts the stored
+    # ORIGINALS against the union and diffs (rewrites + removals +
+    # re-admissions).
     retract_ids = None
+    retract_changed = None
+    retract_gone = None
     n_retracted = -1
-    if retract_benchmark is not None:
+    if retract_benchmark is not None and decontam_mode == "cut":
+        if wm is not None:
+            retract_changed, retract_gone, n_retracted = (
+                _cut_retraction_changes()
+            )
+        else:
+            n_retracted = 0  # requested, but nothing exported yet
+    elif retract_benchmark is not None:
         retract_ids = _retraction_ids()
         n_retracted = retract_ids.count()
 
@@ -979,6 +1097,12 @@ def build_corpus_incremental(
     # the EXACT survivors (near-dup-dropped docs stay in the index —
     # the pairwise rule compares against every seen doc).
     surv_sink.merge(kept_new.drop("_digest"))
+    if precut_sink is not None and precut_new is not None:
+        # growth-only like bands: folds BEFORE the seen gate, so a
+        # replay that re-presents the batch re-merges idempotently
+        # and a replay gated out by `seen` has already retained the
+        # originals
+        precut_sink.merge(precut_new.drop("_digest"))
     band_sink.merge(DD.band_index(exact_new, "doc_id", shingles))
     seen_sink.merge(exact_new)
     # paragraph digests fold AFTER the seen gate like the other
@@ -1011,21 +1135,33 @@ def build_corpus_incremental(
             _with_shard_key(surv_sink.read()), dest, "_shard_key", n_shards
         )
     else:
+        inserts = kept_new.drop("_digest")
+        delete_keys = None
+        if retract_changed is not None:
+            # cut-mode retraction rides the SAME delta call: rewrites
+            # are upserts (same key replaces), removals are deletes
+            inserts = inserts.unionByName(retract_changed)
+            delete_keys = _with_shard_key(retract_gone).select(
+                "_shard_key"
+            )
+        elif retract_ids is not None and n_retracted:
+            delete_keys = _with_shard_key(retract_ids).select(
+                "_shard_key"
+            )
         export = write_training_shards_delta(
-            _with_shard_key(kept_new.drop("_digest")),
+            _with_shard_key(inserts),
             dest,
             "_shard_key",
             n_shards,
-            delete_keys=(
-                _with_shard_key(retract_ids).select("_shard_key")
-                if retract_ids is not None and n_retracted
-                else None
-            ),
+            delete_keys=delete_keys,
         )
-    if retract_ids is not None and n_retracted:
+    if retract_changed is not None:
+        surv_sink.delete(retract_gone)
+        surv_sink.merge(retract_changed, mode="upsert")
+    elif retract_ids is not None and n_retracted:
         surv_sink.delete(retract_ids)
     # post-retraction state: the audit's survivor total must reflect
-    # the delete that just landed
+    # the delete/rewrite that just landed
     survivors = surv_sink.read()
     new_wm = int(batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
     wm_store.upsert("corpus", new_wm)

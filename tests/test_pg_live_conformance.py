@@ -42,14 +42,36 @@ _AUTO_PORT = 54329
 _AUTO_DATA = "/tmp/cardano_spark_pg_data"
 
 
+_OWNER_MARKER = os.path.join(_AUTO_DATA, ".starter_pid")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False  # ESRCH: no such process — the starter is dead
+    except OSError:
+        # EPERM etc.: SOME process has the pid — treat as alive
+        # (conservative: never reap a server whose starter we cannot
+        # inspect)
+        return True
+
+
 def _autoprovision() -> str | None:
     """Start (or reuse) a throwaway local trust-auth cluster; return
     its admin DSN, or None when the environment cannot host one.
 
-    Lifecycle (r8 VERDICT finding #2): a server found ALREADY running
-    is reused and left up (someone else owns it); a server THIS
-    process starts is stopped again at interpreter exit via atexit —
-    no ``postgres -p 54329`` survives the run that started it."""
+    Lifecycle (r8 VERDICT finding #2, hardened per r9 finding #2): a
+    server THIS process starts records this pid in an OWNERSHIP
+    MARKER inside the data dir and is stopped at interpreter exit
+    via atexit. atexit cannot run under SIGKILL, so a running server
+    whose recorded starter is DEAD is a stale leftover of an
+    abnormal exit — the next autoprovision stops it and starts (and
+    owns) a fresh one, making "no postgres survives the run that
+    started it" hold within one startup even when the starting run
+    was killed. A running server with NO marker, or whose starter is
+    still alive, is someone else's — reused and left up."""
     if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
         return None
     as_root = hasattr(os, "geteuid") and os.geteuid() == 0
@@ -64,10 +86,26 @@ def _autoprovision() -> str | None:
             stderr=subprocess.DEVNULL, timeout=120,
         ).returncode
 
+    def _read_owner() -> int | None:
+        try:
+            with open(_OWNER_MARKER) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
     user = "postgres" if as_root else (os.environ.get("USER") or "postgres")
     dsn = f"postgresql://{user}@127.0.0.1:{_AUTO_PORT}/postgres"
     if run(f"pg_ctl -D {_AUTO_DATA} status") == 0:
-        return dsn  # already running (previous session) — not ours to stop
+        owner = _read_owner()
+        if owner is None or _pid_alive(owner):
+            return dsn  # externally started or owner alive — reuse
+        # stale: the starter died without its atexit (SIGKILL/tmux
+        # kill) — reap and fall through to a fresh, owned start
+        run(f"pg_ctl -D {_AUTO_DATA} -m fast stop")
+        try:
+            os.unlink(_OWNER_MARKER)
+        except OSError:
+            pass
     if not os.path.isdir(_AUTO_DATA):
         os.makedirs(_AUTO_DATA, exist_ok=True)
         if as_root:
@@ -80,11 +118,21 @@ def _autoprovision() -> str | None:
     )
     if ok != 0:
         return None
+    with open(_OWNER_MARKER, "w") as f:
+        f.write(str(os.getpid()))
     import atexit
 
-    atexit.register(
-        lambda: run(f"pg_ctl -D {_AUTO_DATA} -m fast stop")
-    )
+    def _stop_owned() -> None:
+        # only stop if WE still own it (a later reap/restart by
+        # another process rewrites the marker)
+        if _read_owner() == os.getpid():
+            run(f"pg_ctl -D {_AUTO_DATA} -m fast stop")
+            try:
+                os.unlink(_OWNER_MARKER)
+            except OSError:
+                pass
+
+    atexit.register(_stop_owned)
     return dsn
 
 
@@ -252,3 +300,32 @@ def test_schema_evolution_on_live_pg(pg_database):
     cur.execute("SELECT extract(epoch FROM block_time)::bigint FROM evo")
     assert cur.fetchone()[0] == 1714655632
     con.close()
+
+
+def test_stale_owner_server_is_reaped_on_next_autoprovision():
+    """r9 VERDICT finding #2: atexit does not run under SIGKILL, so a
+    killed run used to leave its postgres resident forever. The
+    ownership marker closes that hole: rewrite the marker to a pid
+    that is certainly dead, re-run _autoprovision, and the stale
+    server must be stopped and replaced by a fresh one OWNED by this
+    process (marker = our pid). Only meaningful for the
+    auto-provisioned cluster — skip under an external DSN."""
+    if os.environ.get("CARDANO_SPARK_PG_URL"):
+        pytest.skip("external server: lifecycle is not ours")
+    if not os.path.exists(_OWNER_MARKER):
+        pytest.skip("auto-provisioned server not owned by this run")
+    with open(_OWNER_MARKER) as f:
+        owner_before = int(f.read().strip())
+    assert owner_before == os.getpid()
+    # forge an abnormal exit: the recorded starter is dead
+    # (pid 2^22+1 is above this sandbox's pid_max — never alive)
+    dead = 4_194_305
+    assert not _pid_alive(dead)
+    with open(_OWNER_MARKER, "w") as f:
+        f.write(str(dead))
+    dsn = _autoprovision()
+    assert dsn is not None
+    # reaped and restarted: a fresh server is up, owned by US again
+    with open(_OWNER_MARKER) as f:
+        assert int(f.read().strip()) == os.getpid()
+    _PG.connect(dsn).close()

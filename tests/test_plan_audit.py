@@ -61,6 +61,7 @@ BNL_BUDGET = {
     "q188_ivf_hierarchical_pipeline": 2,  # IVF serve assigns (q36 shape); training fan-outs sit behind the model checkpoint
     "q189_ivf_fully_hierarchical": 3,  # two-level index build (sup + group fan-outs) + flat query-probe ranking
     "q190_semantic_dedup_incremental": 1,  # old-side frozen-model argmax (q36 shape); the batch side sits behind its checkpoint
+    "q192_frozen_model_refresh_planner": 3,  # frozen argmax (8-row centroids) + warm-retrained argmax (<=8-row sums) + 1-row totals broadcast
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

@@ -3487,3 +3487,140 @@ def test_paragraph_provenance_matrix_planted(spark):
     }
     assert set(out) == {("srcA", "srcB"), ("srcA", "srcA")}
     assert out[("srcA", "srcB")] == out[("srcA", "srcA")] > 0
+
+
+# --- assignment-mode routing + mode-keyed auto-k (r9 verdict 1+2) ---
+
+
+def test_choose_assign_mode_crossover():
+    """The routing boundary is the measured tie point: flat AT the
+    crossover, hierarchical strictly above."""
+    assert SIM.choose_assign_mode(SIM.ASSIGN_AUTO_CROSSOVER) == "flat"
+    assert (
+        SIM.choose_assign_mode(SIM.ASSIGN_AUTO_CROSSOVER + 1)
+        == "hierarchical"
+    )
+    assert SIM.choose_assign_mode(1) == "flat"
+    assert SIM.choose_assign_mode(10**9) == "hierarchical"
+
+
+def test_autok_threshold_hierarchical_matches_exact_integer_rule(spark):
+    """The n^(2/3) rule is DEFINED as the largest b with b^3 <= n^2;
+    the Spark expression (pow seed + one-step exact-int64 correction)
+    must hit it exactly for every n in the guarded range — including
+    perfect squares/cubes where a 1-ulp pow error would flip floor."""
+    ns = (
+        list(range(1, 2049))
+        + [k**3 for k in range(2, 30)]
+        + [k**2 for k in range(2, 64)]
+        + [10**4, 10**6, 10**8, 3_000_000_000]
+    )
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    out = df.select(
+        "n",
+        SIM._autok_threshold(F.col("n"), 1, "hierarchical").alias("k"),
+    ).collect()
+
+    def exact(n: int) -> int:
+        b = round(n ** (2.0 / 3.0))
+        while (b + 1) ** 3 <= n * n:
+            b += 1
+        while b * b * b > n * n:
+            b -= 1
+        return max(1, b)
+
+    for r in out:
+        assert r.k == exact(r.n), (r.n, r.k, exact(r.n))
+
+
+def test_assign_auto_routes_by_measured_crossover(spark):
+    """Value-level routing pin on the driver fixture, where the flat
+    and hierarchical paths genuinely differ (mode-keyed auto-k:
+    sqrt(500)=22 vs 500^(2/3)=62 clusters): assign='auto' below the
+    crossover reproduces flat exactly; forced above it (n_rows — the
+    caller-supplied count) it reproduces hierarchical exactly."""
+    from cardano_spark.catalog import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def run(**kw):
+        return {
+            r.vec_id: (r.cluster_id, r.is_dup)
+            for r in SIM.semantic_dedup(
+                e, "vec_id", "embedding", 8, 0.25, auto_k=True, **kw
+            ).collect()
+        }
+
+    flat = run()
+    hier = run(assign="hierarchical")
+    assert flat != hier  # the fixture discriminates the two paths
+    assert run(assign="auto") == flat  # n = 500 <= crossover
+    assert (
+        run(assign="auto", n_rows=SIM.ASSIGN_AUTO_CROSSOVER + 1) == hier
+    )
+
+
+def _refresh_vec(parts, dim=64):
+    v = [0.0] * dim
+    for i, x in parts:
+        v[i] = x
+    return v
+
+
+def test_plan_model_refresh_stable_advises_nothing(spark):
+    """Arrivals drawn from the distribution the frozen model was
+    trained on: the warm Lloyd step barely moves the centroids, every
+    sampled arrival keeps its cluster, refresh_advised = 0."""
+    cents = spark.createDataFrame(
+        [(0, _refresh_vec([(0, 1.0)])), (1, _refresh_vec([(1, 1.0)]))],
+        "cid long, centroid array<double>",
+    )
+    stable = spark.createDataFrame(
+        [
+            (100 + i, _refresh_vec([(i % 2, 1.0), (10 + i % 4, 0.05)]))
+            for i in range(8)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = SIM.plan_model_refresh(
+        stable, "vec_id", "embedding", cents, 3, 4, sample_mod=1
+    ).collect()
+    assert {(r.cluster_id, r.n_sample, r.n_agree) for r in rows} == {
+        (0, 4, 4),
+        (1, 4, 4),
+    }
+    assert all(r.refresh_advised == 0 for r in rows)
+    assert rows[0].n_sample_total == 8 and rows[0].n_agree_total == 8
+
+
+def test_plan_model_refresh_drifted_advises_refresh(spark):
+    """Drifted arrivals: new mass on a direction the frozen model has
+    no centroid for (pure axis-2 vectors tie-break into cluster 0)
+    drags cluster 0's warm-updated centroid away from its borderline
+    members, which flip to cluster 1 on re-assignment — agreement
+    6/10 < 3/4, refresh_advised = 1."""
+    cents = spark.createDataFrame(
+        [(0, _refresh_vec([(0, 1.0)])), (1, _refresh_vec([(1, 1.0)]))],
+        "cid long, centroid array<double>",
+    )
+    rows_in = []
+    i = 0
+    for _ in range(4):  # the drift: new mass orthogonal to the model
+        rows_in.append((200 + i, _refresh_vec([(2, 1.0)])))
+        i += 1
+    for _ in range(4):  # borderline cluster-0 members that will flip
+        rows_in.append((200 + i, _refresh_vec([(0, 0.6), (1, 0.55)])))
+        i += 1
+    for _ in range(2):  # cluster-1 members that stay
+        rows_in.append((200 + i, _refresh_vec([(1, 1.0)])))
+        i += 1
+    drift = spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<double>"
+    )
+    rows = SIM.plan_model_refresh(
+        drift, "vec_id", "embedding", cents, 3, 4, sample_mod=1
+    ).collect()
+    per = {r.cluster_id: (r.n_sample, r.n_agree) for r in rows}
+    assert per == {0: (8, 4), 1: (2, 2)}
+    assert all(r.refresh_advised == 1 for r in rows)
+    assert rows[0].n_sample_total == 10 and rows[0].n_agree_total == 6

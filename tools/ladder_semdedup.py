@@ -1,0 +1,82 @@
+"""Scaling ladder for semantic_dedup END-TO-END — the r10 evidence
+the r9 verdict asked for (task 1): the r9 ladder measured
+prototype_prune (no pair join), so the claim "the D4 plan is
+sub-n^1.5" was only proven for the ASSIGNMENT term. This measures
+the operator that owns the pair join, both arms:
+
+- flat + auto-k = sqrt(n)        (the old default; n^1.5 cost model)
+- hierarchical + auto-k = n^(2/3) (the r10 mode-keyed rule; n^(4/3))
+
+Recipe mirrors the r9 ladder: replicas of .scale/sf1's embeddings
+(20k rows) with shifted vec_ids, localCheckpointed so the timing is
+operator cost, not scan; best-of-2 on an idle machine.
+
+    python tools/ladder_semdedup.py [max_replicas]
+
+Prints one line per (n, arm) with the best wall time.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cardano_spark.operators import similarity as SIM  # noqa: E402
+from cardano_spark.session import get_spark  # noqa: E402
+
+SHIFT = 1_000_000_000
+
+
+def main() -> None:
+    max_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark("ladder-semdedup")
+    base = spark.read.parquet(".scale/sf1/embeddings.parquet")
+
+    def replicate(m: int):
+        df = base
+        for i in range(1, m):
+            df = df.unionByName(
+                base.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+            )
+        df = df.localCheckpoint(eager=True)
+        return df, df.count()
+
+    plan = [(1, ["flat", "hier"]), (4, ["flat", "hier"]), (16, ["hier"])]
+    for m, arms in plan:
+        if m > max_rep:
+            continue
+        d, n = replicate(m)
+        for arm in arms:
+            kw = (
+                dict(auto_k=True)
+                if arm == "flat"
+                else dict(auto_k=True, assign="hierarchical", probes=2)
+            )
+            times = []
+            for _ in range(2):
+                t = time.time()
+                out = SIM.semantic_dedup(
+                    d, "vec_id", "embedding", 8, 0.25, **kw
+                )
+                row = out.agg(
+                    F.sum("is_dup").alias("dups"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("cluster_id").alias("k"),
+                ).collect()[0]
+                times.append(time.time() - t)
+            print(
+                f"n={n} arm={arm} k={row.k} dups={row.dups} "
+                f"best={min(times):.2f}s samples="
+                f"{[round(x, 2) for x in times]}",
+                flush=True,
+            )
+        d.unpersist()
+
+
+if __name__ == "__main__":
+    main()
