@@ -1229,6 +1229,7 @@ def _auto_k_filter(
     k_floor: int,
     auto_k: bool,
     mode: str = "flat",
+    occupancy_cap: int | None = None,
 ) -> DataFrame:
     """Seed-selection filter: ``id < k_floor`` (the fixed-k form), or
     ``id < greatest(k_floor, rule(n))`` with ``n`` counted from the
@@ -1236,12 +1237,19 @@ def _auto_k_filter(
     ``sqrt(n)`` under flat, ``n^(2/3)`` under hierarchical (the
     cost-balance derivation and the cross-engine determinism
     argument live on :func:`_autok_threshold`; the oracle restates
-    whichever rule as a scalar subquery). The count rides a
-    broadcast 1-row frame, so the plan stays collect-free."""
+    whichever rule as a scalar subquery) — or, when
+    ``occupancy_cap`` is set, the occupancy rule ``ceil(n / cap)``
+    regardless of mode (:func:`_occupancy_threshold` — k ∝ n, the
+    form only a deeper assignment tree can afford). The count rides
+    a broadcast 1-row frame, so the plan stays collect-free."""
     if not auto_k:
         return v.filter(F.col(id_field) < k_floor)
+    if occupancy_cap is not None:
+        rule = _occupancy_threshold(F.col("_n"), k_floor, occupancy_cap)
+    else:
+        rule = _autok_threshold(F.col("_n"), k_floor, mode)
     thr = v.agg(F.count(F.lit(1)).alias("_n")).select(
-        _autok_threshold(F.col("_n"), k_floor, mode).alias("_thr")
+        rule.alias("_thr")
     )
     return (
         v.crossJoin(F.broadcast(thr))
@@ -1261,6 +1269,7 @@ def semantic_dedup(
     assign: str = "flat",
     probes: int = 2,
     n_rows: int | None = None,
+    occupancy_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then look
@@ -1301,6 +1310,10 @@ def semantic_dedup(
     the caller's ``n_rows``); auto-k is keyed to the RESOLVED mode
     (sqrt(n) flat, n^(2/3) hierarchical — :func:`_autok_threshold`),
     so the routed plan is never left with a binding n^1.5 pair term.
+    ``occupancy_cap`` switches auto-k to the k ∝ n occupancy rule
+    (:func:`_occupancy_threshold`: bounded clusters, LINEAR pair
+    join) — pair it with ``assign="hierarchical3"``
+    (:func:`_three_level_assign`), the tree depth that affords k ∝ n.
 
     Returns (``vec_id``, ``cluster_id``, ``is_dup``) with one row per
     corpus vector and is_dup an int64 0/1.
@@ -1318,7 +1331,12 @@ def semantic_dedup(
         ).withColumn("cn", norm(F.col("cv")))
     else:
         seeds = _auto_k_filter(
-            v, "vid", n_centroids, auto_k, mode=assign
+            v,
+            "vid",
+            n_centroids,
+            auto_k,
+            mode="hierarchical" if assign == "hierarchical3" else assign,
+            occupancy_cap=occupancy_cap,
         ).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
@@ -1327,6 +1345,12 @@ def semantic_dedup(
         # cosine recomputed inline by the helper — bit-identical to
         # the precomputed-norm form, the oracle restates both levels
         assigned = _two_level_assign(
+            v, "v", seeds.select("cid", "cv"), "cv", ["vn"], probes
+        ).localCheckpoint(eager=False)
+    elif assign == "hierarchical3":
+        # three-level coarse/mid/fine (the occupancy-capped k ∝ n
+        # regime's tree — see _three_level_assign)
+        assigned = _three_level_assign(
             v, "v", seeds.select("cid", "cv"), "cv", ["vn"], probes
         ).localCheckpoint(eager=False)
     elif assign == "flat":
@@ -3389,4 +3413,246 @@ def plan_model_refresh(
         "n_sample_total",
         "n_agree_total",
         "refresh_advised",
+    )
+
+
+def _occupancy_threshold(n: Column, k_floor: int, cap: int) -> Column:
+    """The OCCUPANCY-CAPPED auto-k rule: k = max(k_floor,
+    ceil(n / cap)) — the SemDeDup paper's production form stated
+    directly (clusters hold at most ~``cap`` vectors on average), vs
+    the balance-point forms of :func:`_autok_threshold`. k ∝ n makes
+    the within-cluster pair join LINEAR (n * cap) and — the property
+    the balance rules cannot give — keeps every per-cluster shuffle
+    partition O(1) FOREVER: cluster occupancy under k = n^(2/3) grows
+    as n^(1/3), so a 1000x corpus means 10x-heavier window partitions;
+    under the cap it never moves. The price is a bigger k, which only
+    a deeper-than-two assignment tree can afford
+    (:func:`_three_level_assign`). Integer-exact in both engines:
+    ceil division is (n + cap - 1) // cap."""
+    nl = n.cast("long")
+    c = F.lit(int(cap)).cast("long")
+    return F.greatest(
+        F.lit(k_floor).cast("long"),
+        F.floor((nl + c - F.lit(1)) / c).cast("long"),
+    )
+
+
+def _three_level_assign(
+    v: DataFrame,
+    vec_field: str,
+    seeds: DataFrame,
+    seed_field: str,
+    payload: list[str],
+    probes: int,
+) -> DataFrame:
+    """THREE-level coarse/mid/fine nearest-seed assignment — the
+    deeper tree the occupancy-capped regime needs (r9 verdict,
+    What's missing #1's k ∝ n alternative): with k ∝ n,
+    :func:`_two_level_assign`'s per-vector cost ~3*sqrt(k) is
+    ~sqrt(n) — n^1.5 total again. Splitting the tree once more makes
+    every level ~k^(1/3): per-vector cost
+    g2 + probes*(g1/g2) + probes*(k/g1) ≈ (1 + 2*probes) * k^(1/3)
+    with g1 = k^(2/3), g2 = sqrt(g1) = k^(1/3) — at k = 10^6 that is
+    ~500 cosines/vector vs two-level's ~3000 and flat's 10^6; total
+    assignment n^(1+1/3) at k ∝ n, with the pair join LINEAR.
+
+    Same contract as :func:`_two_level_assign` (drop-in:
+    (vid, vec, *payload, cid) out, smallest-cid tie-break at every
+    level). The g1/g2 splits self-derive from the seed count via
+    broadcast 1-row frames (g1 by the same exact-int64 n^(2/3) rule
+    as auto-k — :func:`_autok_threshold` — g2 = max(2,
+    floor(sqrt(g1)))); both seed GROUPINGS (seed -> mid, mid -> top)
+    are EXACT argmaxes — only the per-vector routing is approximate,
+    exactly the two-level contract, so the oracle restates all three
+    levels and the hash pins the approximation bit-for-bit.
+
+    Exchange shape: level-2 top-probes selection is the two-level
+    map-side-complete agg (all g2 scores of a vector come from one
+    input row). Level-1 candidates arrive via a broadcast join (a
+    vector's rows span partitions), so its top-probes agg exchanges
+    PARTIAL lists — bounded at probes * g1/g2 ≈ 2 * k^(1/3) slim
+    (score, gid) structs per vector, never k. The final argmax is the
+    :func:`_assign_nearest` partial-agg shape. The full seed frame is
+    broadcast once for the fine level (k rows — the same footprint
+    every IVF/two-level consumer already carries; at k beyond
+    broadcast range the fine level becomes a shuffle join on gid1,
+    out of scope at fixture SFs)."""
+    vv = v.select(
+        F.col("vid"), F.col(vec_field).alias("_q"), *payload
+    ).withColumn("_qn", norm(F.col("_q")))
+    sd = (
+        seeds.select(F.col("cid"), F.col(seed_field).alias("_s"))
+        .withColumn("_sn", norm(F.col("_s")))
+        .localCheckpoint(eager=False)
+    )
+    wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
+    ranked = sd.withColumn("_r", F.row_number().over(wk))
+    # g1 by the hierarchical-regime 2/3 rule over the SEED count,
+    # g2 = max(2, floor(sqrt(g1))): both ride ONE broadcast 1-row
+    # frame — collect-free, and the oracle restates both scalars
+    gs = sd.agg(F.count(F.lit(1)).alias("_n")).select(
+        _autok_threshold(F.col("_n"), 2, "hierarchical").alias("_g1")
+    ).select(
+        "_g1",
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.sqrt(F.col("_g1"))).cast("long"),
+        ).alias("_g2"),
+    )
+    sup1 = (
+        ranked.crossJoin(F.broadcast(gs))
+        .filter(F.col("_r") <= F.col("_g1"))
+        .select(
+            F.col("cid").alias("gid1"),
+            F.col("_s").alias("_g1s"),
+            F.col("_sn").alias("_g1n"),
+        )
+        .localCheckpoint(eager=False)  # grouped twice + level-1 scan
+    )
+    sup2 = (
+        ranked.crossJoin(F.broadcast(gs))
+        .filter(F.col("_r") <= F.col("_g2"))
+        .select(
+            F.col("cid").alias("gid2"),
+            F.col("_s").alias("_g2s"),
+            F.col("_sn").alias("_g2n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # EXACT groupings (the only approximation is per-vector routing):
+    # mid seeds under top seeds (g1 * g2, free) ...
+    g21 = _assign_nearest(
+        sup1.select(
+            F.col("gid1").alias("vid"),
+            F.col("_g1s").alias("_q"),
+            F.col("_g1n").alias("_qn"),
+        ),
+        sup2.select(
+            F.col("gid2").alias("cid"),
+            F.col("_g2s").alias("_s"),
+            F.col("_g2n").alias("_sn"),
+        ),
+        dot(F.col("_q"), F.col("_s")) / (F.col("_qn") * F.col("_sn")),
+        [],
+    ).select(F.col("vid").alias("gid1"), F.col("cid").alias("gid2"))
+    mid_seeds = g21.join(sup1, "gid1").select(
+        "gid2", "gid1", "_g1s", "_g1n"
+    ).localCheckpoint(eager=False)
+    # ... and every seed under mid seeds (k * g1 — the one-time model
+    # build; at k beyond ~10^5 route THIS argmax through
+    # _two_level_assign, out of scope at fixture SFs)
+    g10 = _assign_nearest(
+        sd.select(
+            F.col("cid").alias("vid"),
+            F.col("_s").alias("_q"),
+            F.col("_sn").alias("_qn"),
+        ),
+        sup1.select(
+            F.col("gid1").alias("cid"),
+            F.col("_g1s").alias("_s"),
+            F.col("_g1n").alias("_sn"),
+        ),
+        dot(F.col("_q"), F.col("_s")) / (F.col("_qn") * F.col("_sn")),
+        [],
+    ).select(F.col("vid").alias("_scid"), F.col("cid").alias("gid1"))
+    fine_seeds = g10.join(sd, g10["_scid"] == sd["cid"]).select(
+        "gid1", "cid", "_s", "_sn"
+    ).localCheckpoint(eager=False)
+    # level 2: top-probes TOP groups per vector — map-side-complete
+    # (all g2 scores of a vector emit from one input row)
+    l2 = (
+        vv.crossJoin(F.broadcast(sup2))
+        .select(
+            "vid",
+            "_q",
+            "_qn",
+            *payload,
+            F.col("gid2"),
+            (
+                dot(F.col("_q"), F.col("_g2s"))
+                / (F.col("_qn") * F.col("_g2n"))
+            ).alias("_c"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("_c")).alias("nc"), F.col("gid2"))
+                    )
+                ),
+                1,
+                probes,
+            ).alias("_top"),
+            F.first("_q").alias("_q"),
+            F.first("_qn").alias("_qn"),
+            *[F.first(p).alias(p) for p in payload],
+        )
+        .select(
+            "vid", "_q", "_qn", *payload,
+            F.explode("_top.gid2").alias("gid2"),
+        )
+    )
+    # level 1: top-probes MID groups among the kept TOP groups'
+    # members (broadcast join fan-out; partial-list exchange bounded
+    # at probes * g1/g2 structs per vector)
+    l1 = (
+        l2.join(F.broadcast(mid_seeds), "gid2")
+        .select(
+            "vid",
+            "_q",
+            "_qn",
+            *payload,
+            F.col("gid1"),
+            (
+                dot(F.col("_q"), F.col("_g1s"))
+                / (F.col("_qn") * F.col("_g1n"))
+            ).alias("_c"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("_c")).alias("nc"), F.col("gid1"))
+                    )
+                ),
+                1,
+                probes,
+            ).alias("_top"),
+            F.first("_q").alias("_q"),
+            F.first("_qn").alias("_qn"),
+            *[F.first(p).alias(p) for p in payload],
+        )
+        .select(
+            "vid", "_q", "_qn", *payload,
+            F.explode("_top.gid1").alias("gid1"),
+        )
+    )
+    # fine level: argmax within the kept MID groups' seeds
+    scored = l1.join(F.broadcast(fine_seeds), "gid1").select(
+        "vid",
+        *payload,
+        F.col("cid"),
+        (
+            dot(F.col("_q"), F.col("_s"))
+            / (F.col("_qn") * F.col("_sn"))
+        ).alias("c"),
+        F.col("_q"),
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))
+            ).alias("b"),
+            F.first("_q").alias(vec_field),
+            *[F.first(p).alias(p) for p in payload],
+        )
+        .select(
+            "vid",
+            vec_field,
+            *payload,
+            (-F.col("b.negcid")).cast("long").alias("cid"),
+        )
     )

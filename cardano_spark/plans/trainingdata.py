@@ -135,6 +135,17 @@ def _autok23_scalar(src: str, k_floor: int = 8) -> str:
             FROM {src})))"""
 
 
+def _occupancy_scalar(src: str, k_floor: int, cap: int) -> str:
+    """Scalar subquery restating the OCCUPANCY-CAPPED auto-k rule
+    (similarity._occupancy_threshold): k = max(k_floor,
+    ceil(n / cap)) — k ∝ n, clusters bounded at ~cap vectors, the
+    pair join linear. Integer ceil division, engine-exact."""
+    return (
+        f"greatest({k_floor}, (SELECT (count(*) + {cap - 1}) // {cap} "
+        f"FROM {src}))"
+    )
+
+
 def _jl_proj_sql(vec: str) -> str:
     """16-dim Johnson-Lindenstrauss projection of a DOUBLE[] column:
     component j = vec . JL_PLANES[j] as a sequential fold — the SQL
@@ -3708,6 +3719,33 @@ def q192_frozen_model_refresh_planner(
     )
 
 
+def q193_semantic_dedup_occupancy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup in the OCCUPANCY-CAPPED k ∝ n regime with a
+    THREE-level assignment tree — the r9 verdict's named alternative
+    for the last scale frontier ("cap cluster size with k ∝ n and a
+    deeper coarse tree"), built this round alongside the n^(2/3)
+    balance fix: auto-k = ceil(n / 16) (similarity.
+    _occupancy_threshold — clusters hold at most ~16 vectors at
+    every n, so the within-cluster pair join is LINEAR and the
+    per-cluster shuffle partitions are O(1) FOREVER, where even the
+    n^(2/3) rule lets occupancy grow as n^(1/3)), and assignment
+    routed coarse/mid/fine (similarity._three_level_assign:
+    g2 + 2*probes*k^(1/3) ≈ (1+2p)*k^(1/3) cosines/vector — at
+    k = 10^6 that is ~500 vs two-level's ~3000 and flat's 10^6).
+    APPROXIMATE at the routing levels only (both seed groupings are
+    exact argmaxes); the oracle restates all three levels and both
+    scalar rules, so the hash pins the approximation bit-for-bit.
+    At sf0.01 (n = 500): k = 32, g1 = 10, g2 = 3."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+        auto_k=True, assign="hierarchical3", probes=2,
+        occupancy_cap=16,
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3877,6 +3915,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q190_semantic_dedup_incremental": q190_semantic_dedup_incremental,
     "q191_assign_mode_planner": q191_assign_mode_planner,
     "q192_frozen_model_refresh_planner": q192_frozen_model_refresh_planner,
+    "q193_semantic_dedup_occupancy": q193_semantic_dedup_occupancy,
 }
 
 
@@ -8100,6 +8139,87 @@ def _two_level_ctes(
     )"""
 
 
+def _three_level_ctes(
+    tag: str,
+    v_cte: str,
+    v_vec: str,
+    s_cte: str,
+    s_vec: str,
+    probes: int,
+) -> str:
+    """CTE chain restating similarity._three_level_assign over vector
+    CTE ``{v_cte}(vec_id, {v_vec})`` and seed CTE
+    ``{s_cte}(cid, {s_vec})``: g1 mid seeds by the exact-int64
+    n^(2/3) rule over the seed count (floor 2), g2 = max(2,
+    floor(sqrt(g1))) top seeds; EXACT mid->top and seed->mid argmax
+    groupings; per-vector routing keeps ``probes`` top groups, then
+    ``probes`` mid groups among their members, then argmaxes over
+    the kept mid groups' seeds. Every tie resolves (score DESC, id
+    ASC) — the _assign_nearest contract at all three levels."""
+    g1 = _autok23_scalar(s_cte, 2)
+    g2 = f"""greatest(2, floor(sqrt({g1}))::BIGINT)"""
+    cos_mt = _COS.replace("va", "m.g1s").replace("vb", "t.g2s")
+    cos_sm = _COS.replace("va", f"s.{s_vec}").replace("vb", "m.g1s")
+    cos_vt = _COS.replace("va", f"v.{v_vec}").replace("vb", "t.g2s")
+    cos_vm = _COS.replace("va", f"v.{v_vec}").replace("vb", "m.g1s")
+    cos_vs = _COS.replace("va", f"v.{v_vec}").replace("vb", f"s.{s_vec}")
+    return f"""{tag}_rk AS (
+      SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM {s_cte}
+    ), {tag}_s1 AS (
+      SELECT cid AS gid1, {s_vec} AS g1s FROM {tag}_rk
+      WHERE rn <= {g1}
+    ), {tag}_s2 AS (
+      SELECT cid AS gid2, {s_vec} AS g2s FROM {tag}_rk
+      WHERE rn <= {g2}
+    ), {tag}_g21 AS (
+      SELECT gid1, gid2 FROM (
+        SELECT m.gid1, t.gid2, row_number() OVER (
+          PARTITION BY m.gid1
+          ORDER BY {cos_mt} DESC, t.gid2 ASC
+        ) AS rn
+        FROM {tag}_s1 m CROSS JOIN {tag}_s2 t
+      ) WHERE rn = 1
+    ), {tag}_g10 AS (
+      SELECT scid, gid1 FROM (
+        SELECT s.cid AS scid, m.gid1, row_number() OVER (
+          PARTITION BY s.cid
+          ORDER BY {cos_sm} DESC, m.gid1 ASC
+        ) AS rn
+        FROM {s_cte} s CROSS JOIN {tag}_s1 m
+      ) WHERE rn = 1
+    ), {tag}_l2 AS (
+      SELECT vec_id, gid2 FROM (
+        SELECT v.vec_id, t.gid2, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {cos_vt} DESC, t.gid2 ASC
+        ) AS rn
+        FROM {v_cte} v CROSS JOIN {tag}_s2 t
+      ) WHERE rn <= {probes}
+    ), {tag}_l1 AS (
+      SELECT vec_id, gid1 FROM (
+        SELECT l.vec_id, m.gid1, row_number() OVER (
+          PARTITION BY l.vec_id
+          ORDER BY {cos_vm} DESC, m.gid1 ASC
+        ) AS rn
+        FROM {tag}_l2 l
+        JOIN {v_cte} v USING (vec_id)
+        JOIN {tag}_g21 c ON c.gid2 = l.gid2
+        JOIN {tag}_s1 m ON m.gid1 = c.gid1
+      ) WHERE rn <= {probes}
+    ), {tag}_a AS (
+      SELECT vec_id, cid FROM (
+        SELECT l.vec_id, s.cid, row_number() OVER (
+          PARTITION BY l.vec_id
+          ORDER BY {cos_vs} DESC, s.cid ASC
+        ) AS rn
+        FROM {tag}_l1 l
+        JOIN {v_cte} v USING (vec_id)
+        JOIN {tag}_g10 g ON g.gid1 = l.gid1
+        JOIN {s_cte} s ON s.cid = g.scid
+      ) WHERE rn = 1
+    )"""
+
+
 # q185: q180's D4 chain with all three assignments (SemDeDup's, and
 # both Lloyd iterations of the prototype stage) restated through the
 # two-level CTE generator — the oracle pins the approximation's
@@ -8413,4 +8533,30 @@ TRAININGDATA_ORACLES["q192_frozen_model_refresh_planner"] = f"""
            (CASE WHEN n_agree_total * 4 < 3 * n_sample_total
                  THEN 1 ELSE 0 END)::BIGINT AS refresh_advised
     FROM per CROSS JOIN tot
+"""
+
+
+# q193: SemDeDup under occupancy-capped k = ceil(n/16) with the
+# three-level routing tree — seeds by the occupancy scalar, all
+# three assignment levels + both exact groupings restated by the
+# CTE generator, then the standard keep-first dup tail.
+TRAININGDATA_ORACLES["q193_semantic_dedup_occupancy"] = f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < {_occupancy_scalar("ve", 8, 16)}
+    ), {_three_level_ctes("t", "ve", "e", "seeds", "ce", 2)}, av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM t_a a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    )
+    SELECT av.vec_id,
+           av.cid::BIGINT AS cluster_id,
+           (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS is_dup
+    FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
 """

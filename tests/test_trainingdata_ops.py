@@ -3624,3 +3624,87 @@ def test_plan_model_refresh_drifted_advises_refresh(spark):
     assert per == {0: (8, 4), 1: (2, 2)}
     assert all(r.refresh_advised == 1 for r in rows)
     assert rows[0].n_sample_total == 10 and rows[0].n_agree_total == 6
+
+
+# --- occupancy-capped k + three-level assignment (r10 frontier) ---
+
+
+def test_occupancy_threshold_is_exact_ceil_division(spark):
+    ns = [1, 15, 16, 17, 500, 511, 512, 513, 10**6, 10**9]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    out = {
+        r.n: r.k
+        for r in df.select(
+            "n", SIM._occupancy_threshold(F.col("n"), 8, 16).alias("k")
+        ).collect()
+    }
+    for n in ns:
+        assert out[n] == max(8, -(-n // 16)), (n, out[n])
+
+
+def test_semantic_dedup_three_level_matches_flat_on_structured(spark):
+    """The three-level tree on structured data reproduces flat
+    EXACTLY (agreement floor 1.0) — the q185 discipline one level
+    deeper; the near-uniform driver fixture's partial-agreement
+    regime is pinned by q193's oracle hash instead."""
+    d = _structured_embeddings(spark)
+    flat = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            d, "vec_id", "embedding", n_centroids=4, threshold=0.9
+        ).collect()
+    }
+    three = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            d, "vec_id", "embedding", n_centroids=4, threshold=0.9,
+            assign="hierarchical3", probes=1,
+        ).collect()
+    }
+    assert len(three) == 16 and three == flat
+
+
+def test_three_level_assign_with_full_probes_equals_flat_anywhere(spark):
+    """Exhaustiveness property one level deeper than the two-level
+    twin: with probes >= g2 and >= g1 every top group and every mid
+    group is probed, the fine argmax ranges over ALL seeds, and the
+    result must equal flat EXACTLY on arbitrary (near-uniform real
+    fixture) data — pins the tie-break equivalence at all three
+    levels and the slice caps."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    flat = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            e, "vec_id", "embedding", n_centroids=16, threshold=0.25
+        ).collect()
+    }
+    three = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            e, "vec_id", "embedding", n_centroids=16, threshold=0.25,
+            assign="hierarchical3", probes=99,
+        ).collect()
+    }
+    assert len(flat) == 200 and three == flat
+
+
+def test_occupancy_cap_bounds_cluster_count(spark):
+    """k = ceil(n / cap): the q193 regime's cluster count tracks the
+    corpus linearly — 500 vectors at cap 16 give exactly 32 seed
+    clusters (non-empty count <= 32, seed ids < 32)."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    out = SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+        auto_k=True, assign="hierarchical3", probes=2,
+        occupancy_cap=16,
+    )
+    cids = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
+    assert max(cids) < 32 and len(cids) <= 32
