@@ -48,18 +48,42 @@ HEADLINE = [
 ]
 
 
+def _current_round() -> int | None:
+    """Active round per the window-history state file (maintained by
+    tools/update_window_history.py at round start). Used to keep
+    _prev_round_minima from comparing a round's bench runs against the
+    round's OWN artifact once the driver writes BENCH_r{N}.json
+    mid-round (r10 ADVICE): lo > 2*lo is never true, which would
+    silently neuter the contamination reference."""
+    try:
+        with open(
+            os.path.join(REPO, "cardano_spark", "plans", "window_history.json")
+        ) as f:
+            return int(json.load(f)["round"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def _prev_round_minima() -> dict[str, float]:
-    """Per-query minima from the newest committed BENCH_r{N}.json —
+    """Per-query minima from the newest PRIOR-round BENCH_r{N}.json —
     the load-contamination reference (r9 verdict finding #3). Times
     are only ROUGHLY comparable across rounds (fresh data drops), so
-    consumers compare at a generous 2x, not equality."""
+    consumers compare at a generous 2x, not equality. Artifacts from
+    the active round (N >= current) are excluded so re-runs within a
+    round never self-compare."""
     import re
 
+    cur = _current_round()
     best: tuple[int, str] | None = None
     for name in os.listdir(REPO):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), name)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if cur is not None and n >= cur:
+            continue
+        if best is None or n > best[0]:
+            best = (n, name)
     if best is None:
         return {}
     try:

@@ -3367,13 +3367,23 @@ def plan_model_refresh(
         dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * F.col("cn")),
         ["q"],
     ).localCheckpoint(eager=False)
-    # one warm Lloyd step: exact integer sums of quantized members
+    # one warm Lloyd step: exact integer sums of quantized members.
+    # Dimension-agnostic (r10 ADVICE: the old range(64) comprehension
+    # silently produced null components on non-64-dim input):
+    # posexplode -> per-(cid, dim) integer sum -> reassemble in dim
+    # order. |sample| * dim rows through one exchange — still
+    # |new|-bounded, and any ragged input surfaces as a ragged
+    # reassembled array (norm/dot then fail loudly) instead of nulls.
     updated = (
-        a_frozen.groupBy("cid")
-        .agg(*[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(64)])
-        .select(
-            "cid",
-            F.array(*[F.col(f"s{d}") for d in range(64)]).alias("s"),
+        a_frozen.select("cid", F.posexplode("q").alias("d", "qv"))
+        .groupBy("cid", "d")
+        .agg(F.sum("qv").alias("sv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "sv"))),
+                lambda x: x["sv"],
+            ).alias("s")
         )
     )
     a_new = _assign_nearest(

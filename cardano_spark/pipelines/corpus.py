@@ -868,6 +868,27 @@ def build_corpus_incremental(
             )
         new_surv = _quality_gate(recut)
         old_surv = surv_sink.read().localCheckpoint(eager=False)
+        # Coverage guard (r10 ADVICE, medium): the diff below treats
+        # any exported survivor ABSENT from new_surv as retracted. If
+        # the precut state doesn't cover the export — corpus built in
+        # drop mode then switched to cut, or exported before the
+        # precut state existed — every uncovered survivor would land
+        # in ``gone`` and the whole export would be silently deleted.
+        # Fail loudly instead: cut-mode retraction is only defined
+        # over survivors whose pre-cut original was retained.
+        n_uncovered = old_surv.join(
+            pre.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        if n_uncovered:
+            raise RuntimeError(
+                "cut-mode retraction: %d exported survivor(s) have no "
+                "retained pre-cut original in _state/precut (corpus "
+                "previously built with decontam_mode='drop', or "
+                "exported before cut mode existed). Refusing to diff: "
+                "uncovered survivors would be treated as retracted and "
+                "deleted. Rebuild the corpus in cut mode, or retract "
+                "with decontam_mode='drop'." % n_uncovered
+            )
         old_texts = old_surv.select(
             "doc_id", F.col("text").alias("_old_text")
         )

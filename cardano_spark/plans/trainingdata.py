@@ -7729,78 +7729,12 @@ TRAININGDATA_ORACLES["q179_d4_prototype_prune"] = f"""
 """
 
 
-# q180: D4 = q109's SemDeDup chain (raw-double cosine, keep-first)
-# feeding q179's prototype chain retrained over the survivors.
-TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
-    WITH ve AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-    ), dseeds AS (
-      SELECT vec_id AS cid, e AS ce FROM ve
-      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM ve)))::BIGINT)
-    ), dassign AS (
-      SELECT vec_id, cid FROM (
-        SELECT ve.vec_id, s.cid, row_number() OVER (
-          PARTITION BY ve.vec_id
-          ORDER BY {_COS.replace('va', 've.e').replace('vb', 's.ce')} DESC,
-                   s.cid ASC
-        ) AS rn
-        FROM ve CROSS JOIN dseeds s
-      ) WHERE rn = 1
-    ), av AS (
-      SELECT a.vec_id, a.cid, v.e
-      FROM dassign a JOIN ve v ON v.vec_id = a.vec_id
-    ), dups AS (
-      SELECT DISTINCT b.vec_id
-      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
-    ), v AS (
-      SELECT ve.vec_id,
-             list_transform(ve.e, x -> floor(x * 255.0)) AS q
-      FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
-      WHERE d.vec_id IS NULL
-    ), s0 AS (
-      SELECT vec_id AS cid, q AS s FROM v
-      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM v)))::BIGINT)
-    ), a0 AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, s0.cid, row_number() OVER (
-          PARTITION BY v.vec_id
-          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0.s')} DESC,
-                   s0.cid ASC
-        ) AS rn
-        FROM v CROSS JOIN s0
-      ) WHERE rn = 1
-    ), s1 AS (
-      SELECT a0.cid,
-             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
-      FROM a0 JOIN v USING (vec_id) GROUP BY a0.cid
-    ), a1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, s1.cid, row_number() OVER (
-          PARTITION BY v.vec_id
-          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1.s')} DESC,
-                   s1.cid ASC
-        ) AS rn
-        FROM v CROSS JOIN s1
-      ) WHERE rn = 1
-    ), scored AS (
-      SELECT a1.vec_id, a1.cid,
-             {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS pc
-      FROM a1 JOIN v USING (vec_id) JOIN s1 USING (cid)
-    ), ranked AS (
-      SELECT vec_id, cid,
-             row_number() OVER (PARTITION BY cid
-                                ORDER BY pc DESC, vec_id ASC) AS proto_rank,
-             count(*) OVER (PARTITION BY cid) AS n_c
-      FROM scored
-    )
-    SELECT vec_id,
-           cid::BIGINT AS cluster_id,
-           proto_rank::BIGINT AS proto_rank,
-           (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
-             AS is_pruned
-    FROM ranked
-"""
+# q180's oracle is assigned BELOW the two-level CTE generator
+# (_two_level_ctes) it now needs: since r11 it restates BOTH
+# assign="auto" branches with the same CASE-on-count(*) the Spark
+# side routes on (r10 ADVICE: the old flat-only restatement was
+# correct solely because every fixture sits at or below the
+# crossover — a larger SF would hash-mismatch with no code wrong).
 
 
 # q181: UniMax — the closed-form waterfill restated with the same
@@ -8256,6 +8190,116 @@ TRAININGDATA_ORACLES["q185_d4_pipeline_hierarchical"] = f"""
       SELECT a.vec_id, a.cid,
              {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS pc
       FROM p1_a a JOIN v USING (vec_id) JOIN s1 ON s1.cid = a.cid
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY pc DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n_c
+      FROM scored
+    )
+    SELECT vec_id,
+           cid::BIGINT AS cluster_id,
+           proto_rank::BIGINT AS proto_rank,
+           (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
+             AS is_pruned
+    FROM ranked
+"""
+
+
+# q180: D4 = q109's SemDeDup chain (raw-double cosine, keep-first)
+# feeding q179's prototype chain retrained over the survivors —
+# with BOTH assign="auto" branches restated and selected by the
+# SAME CASE-on-count(*) the Spark side routes on (r10 ADVICE: the
+# flat-only restatement held only because every fixture sits at or
+# below the 20,000-row crossover). Each stage keys its branch on
+# its OWN input count — embeddings for SemDeDup, survivors for the
+# prototype stage — exactly like the two assign="auto" count() jobs
+# in the query, so a mixed regime (big corpus, small survivor set)
+# is restated correctly too. The non-selected branch's CTEs still
+# evaluate in DuckDB (the filter is a scalar subquery, not a
+# plan-time constant) — acceptable: the oracle runs at fixture SFs.
+TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), dseedsf AS (
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM ve)))::BIGINT)
+    ), daf AS (
+      SELECT vec_id, cid FROM (
+        SELECT ve.vec_id, s.cid, row_number() OVER (
+          PARTITION BY ve.vec_id
+          ORDER BY {_COS.replace('va', 've.e').replace('vb', 's.ce')} DESC,
+                   s.cid ASC
+        ) AS rn
+        FROM ve CROSS JOIN dseedsf s
+      ) WHERE rn = 1
+    ), dseedsh AS (
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < {_autok23_scalar("ve")}
+    ), {_two_level_ctes("dh", "ve", "e", "dseedsh", "ce", 2)}, sel1 AS (
+      SELECT * FROM daf
+      WHERE (SELECT count(*) FROM ve) <= {SIM.ASSIGN_AUTO_CROSSOVER}
+      UNION ALL
+      SELECT * FROM dh_a
+      WHERE (SELECT count(*) FROM ve) > {SIM.ASSIGN_AUTO_CROSSOVER}
+    ), av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM sel1 a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    ), v AS MATERIALIZED (
+      SELECT ve.vec_id,
+             list_transform(ve.e, x -> floor(x * 255.0)) AS q
+      FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
+      WHERE d.vec_id IS NULL
+    ), s0f AS (
+      SELECT vec_id AS cid, q AS s FROM v
+      WHERE vec_id < greatest(8, floor(sqrt((SELECT count(*) FROM v)))::BIGINT)
+    ), a0f AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s0f.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's0f.s')} DESC,
+                   s0f.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s0f
+      ) WHERE rn = 1
+    ), s1f AS (
+      SELECT a0f.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM a0f JOIN v USING (vec_id) GROUP BY a0f.cid
+    ), a1f AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s1f.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.q').replace('vb', 's1f.s')} DESC,
+                   s1f.cid ASC
+        ) AS rn
+        FROM v CROSS JOIN s1f
+      ) WHERE rn = 1
+    ), scoredf AS (
+      SELECT a1f.vec_id, a1f.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1f.s')} AS pc
+      FROM a1f JOIN v USING (vec_id) JOIN s1f USING (cid)
+    ), s0h AS (
+      SELECT vec_id AS cid, q AS s FROM v
+      WHERE vec_id < {_autok23_scalar("v")}
+    ), {_two_level_ctes("p0h", "v", "q", "s0h", "s", 2)}, s1h AS (
+      SELECT a.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM p0h_a a JOIN v USING (vec_id) GROUP BY a.cid
+    ), {_two_level_ctes("p1h", "v", "q", "s1h", "s", 2)}, scoredh AS (
+      SELECT a.vec_id, a.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1h.s')} AS pc
+      FROM p1h_a a JOIN v USING (vec_id) JOIN s1h ON s1h.cid = a.cid
+    ), scored AS (
+      SELECT * FROM scoredf
+      WHERE (SELECT count(*) FROM v) <= {SIM.ASSIGN_AUTO_CROSSOVER}
+      UNION ALL
+      SELECT * FROM scoredh
+      WHERE (SELECT count(*) FROM v) > {SIM.ASSIGN_AUTO_CROSSOVER}
     ), ranked AS (
       SELECT vec_id, cid,
              row_number() OVER (PARTITION BY cid
