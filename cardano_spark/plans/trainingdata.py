@@ -3677,10 +3677,14 @@ def q191_assign_mode_planner(
     runs through: one row stating, for this corpus, the measured
     flat/two-level crossover decision (choose_assign_mode: flat at
     or below n = 20,000 — the r9 prototype_prune ladder's tie
-    point), both auto-k rules (sqrt(n) flat, n^(2/3) hierarchical,
-    the mode-keyed cost-balance points), the derived super-group
-    count, and the per-vector cosine cost of one assignment pass
-    under each mode. The q186/q175 plan-from-measurement discipline
+    point), ALL THREE regimes' auto-k rules (sqrt(n) flat, n^(2/3)
+    hierarchical, ceil(n/cap) occupancy — r10 verdict What's
+    missing #3 closed: the occupancy/three-level arm is priced in
+    the same row), the derived super-group counts, the per-vector
+    cosine cost of one assignment pass under each regime, and the
+    pair-join candidate-row model (n^1.5 / n^(4/3) / LINEAR n*cap —
+    the column that shows why a deployment pays the deeper tree).
+    The q186/q175 plan-from-measurement discipline
     pointed at the mode itself (r9 verdict task 2); the report's
     CASE restates the routing rule IN-PLAN, so this oracle hash
     pins the exact rule the auto path executes. Single count
@@ -3743,6 +3747,49 @@ def q193_semantic_dedup_occupancy(
         e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
         auto_k=True, assign="hierarchical3", probes=2,
         occupancy_cap=16,
+    )
+
+
+def q194_semantic_dedup_occupancy_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q193's occupancy-capped three-level SemDeDup with every
+    MODEL-BUILD term forced onto its beyond-crossover scale path —
+    the r10 verdict's one `weak` closed and pinned by hash (task 1:
+    "a q193 variant whose plan audit shows no full-k broadcast on
+    the fine level"). Three pieces of similarity._three_level_assign
+    grow with k, and k ∝ n is the occupancy regime's whole point;
+    each now has a scale-safe form, exercised HERE at fixture k so
+    the oracle pins its exact values:
+
+    - ``seed_route="twolevel"``: the seed->mid model-build grouping
+      routes through _two_level_assign (each seed keeps `probes`
+      top groups, argmaxes over their mids — k*(1+probes)*k^(1/3) ≈
+      k^(4/3) cosines instead of the exact k*g1 = k^(5/3)).
+      APPROXIMATE — value-changing, which is why this is its own
+      oracle-hashed query rather than a flag on q193 (production
+      auto-routes at similarity.SEED_ROUTE_CROSSOVER = 10^5 seeds).
+    - ``fine_broadcast_max=0``: the fine level joins the k-row seed
+      frame on gid1 as a SHUFFLE join (no executor holds the full
+      model — at the regime's own design point, k ≈ 10^6 64-dim
+      seeds ≈ 0.5 GB, a broadcast there was the plan's
+      scale-killer), and the g1-row mid frame likewise. Join
+      strategy only — the hash equality with the broadcast plan is
+      itself evidence the gate is value-neutral.
+    - Seed ranking is orderBy+limit (TakeOrderedAndProject:
+      per-partition top-g, one g-row merge) in BOTH q193 and q194
+      since r11 — never a row_number over one partition holding all
+      k seed rows.
+
+    At sf0.01 (n = 500): k = 32, g1 = 10, g2 = 3 — the routed
+    grouping differs from exact for any seed whose true mid sits
+    outside its 2 probed top groups, so the hash pins the
+    approximation bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+        auto_k=True, assign="hierarchical3", probes=2,
+        occupancy_cap=16, seed_route="twolevel", fine_broadcast_max=0,
     )
 
 
@@ -3916,6 +3963,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q191_assign_mode_planner": q191_assign_mode_planner,
     "q192_frozen_model_refresh_planner": q192_frozen_model_refresh_planner,
     "q193_semantic_dedup_occupancy": q193_semantic_dedup_occupancy,
+    "q194_semantic_dedup_occupancy_scaled": q194_semantic_dedup_occupancy_scaled,
 }
 
 
@@ -8080,23 +8128,63 @@ def _three_level_ctes(
     s_cte: str,
     s_vec: str,
     probes: int,
+    seed_route: str = "exact",
 ) -> str:
     """CTE chain restating similarity._three_level_assign over vector
     CTE ``{v_cte}(vec_id, {v_vec})`` and seed CTE
     ``{s_cte}(cid, {s_vec})``: g1 mid seeds by the exact-int64
     n^(2/3) rule over the seed count (floor 2), g2 = max(2,
-    floor(sqrt(g1))) top seeds; EXACT mid->top and seed->mid argmax
-    groupings; per-vector routing keeps ``probes`` top groups, then
-    ``probes`` mid groups among their members, then argmaxes over
-    the kept mid groups' seeds. Every tie resolves (score DESC, id
-    ASC) — the _assign_nearest contract at all three levels."""
+    floor(sqrt(g1))) top seeds; EXACT mid->top argmax grouping;
+    seed->mid grouping exact (``seed_route="exact"``) or routed
+    through the two-level rule (``seed_route="twolevel"`` — each
+    seed keeps its ``probes`` nearest top seeds, then argmaxes over
+    the kept top groups' mids, restating the
+    similarity.SEED_ROUTE_CROSSOVER scale path); per-vector routing
+    keeps ``probes`` top groups, then ``probes`` mid groups among
+    their members, then argmaxes over the kept mid groups' seeds.
+    Every tie resolves (score DESC, id ASC) — the _assign_nearest
+    contract at all levels."""
     g1 = _autok23_scalar(s_cte, 2)
     g2 = f"""greatest(2, floor(sqrt({g1}))::BIGINT)"""
     cos_mt = _COS.replace("va", "m.g1s").replace("vb", "t.g2s")
+    cos_st = _COS.replace("va", f"s.{s_vec}").replace("vb", "t.g2s")
     cos_sm = _COS.replace("va", f"s.{s_vec}").replace("vb", "m.g1s")
     cos_vt = _COS.replace("va", f"v.{v_vec}").replace("vb", "t.g2s")
     cos_vm = _COS.replace("va", f"v.{v_vec}").replace("vb", "m.g1s")
     cos_vs = _COS.replace("va", f"v.{v_vec}").replace("vb", f"s.{s_vec}")
+    if seed_route == "exact":
+        g10_cte = f"""{tag}_g10 AS (
+      SELECT scid, gid1 FROM (
+        SELECT s.cid AS scid, m.gid1, row_number() OVER (
+          PARTITION BY s.cid
+          ORDER BY {cos_sm} DESC, m.gid1 ASC
+        ) AS rn
+        FROM {s_cte} s CROSS JOIN {tag}_s1 m
+      ) WHERE rn = 1
+    )"""
+    elif seed_route == "twolevel":
+        g10_cte = f"""{tag}_r2 AS (
+      SELECT scid, gid2 FROM (
+        SELECT s.cid AS scid, t.gid2, row_number() OVER (
+          PARTITION BY s.cid
+          ORDER BY {cos_st} DESC, t.gid2 ASC
+        ) AS rn
+        FROM {s_cte} s CROSS JOIN {tag}_s2 t
+      ) WHERE rn <= {probes}
+    ), {tag}_g10 AS (
+      SELECT scid, gid1 FROM (
+        SELECT l.scid, m.gid1, row_number() OVER (
+          PARTITION BY l.scid
+          ORDER BY {cos_sm} DESC, m.gid1 ASC
+        ) AS rn
+        FROM {tag}_r2 l
+        JOIN {s_cte} s ON s.cid = l.scid
+        JOIN {tag}_g21 c ON c.gid2 = l.gid2
+        JOIN {tag}_s1 m ON m.gid1 = c.gid1
+      ) WHERE rn = 1
+    )"""
+    else:
+        raise ValueError(f"unknown seed_route: {seed_route!r}")
     return f"""{tag}_rk AS (
       SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM {s_cte}
     ), {tag}_s1 AS (
@@ -8113,15 +8201,7 @@ def _three_level_ctes(
         ) AS rn
         FROM {tag}_s1 m CROSS JOIN {tag}_s2 t
       ) WHERE rn = 1
-    ), {tag}_g10 AS (
-      SELECT scid, gid1 FROM (
-        SELECT s.cid AS scid, m.gid1, row_number() OVER (
-          PARTITION BY s.cid
-          ORDER BY {cos_sm} DESC, m.gid1 ASC
-        ) AS rn
-        FROM {s_cte} s CROSS JOIN {tag}_s1 m
-      ) WHERE rn = 1
-    ), {tag}_l2 AS (
+    ), {g10_cte}, {tag}_l2 AS (
       SELECT vec_id, gid2 FROM (
         SELECT v.vec_id, t.gid2, row_number() OVER (
           PARTITION BY v.vec_id
@@ -8490,22 +8570,40 @@ TRAININGDATA_ORACLES["q184_paragraph_provenance_matrix"] = """
 
 
 # q191: the assignment-mode planner — the routing rule (flat at or
-# below the measured crossover), both mode-keyed auto-k rules, and
-# the per-pass cost model, all restated as one aggregate + scalar
-# subqueries. The crossover literal is interpolated from the SAME
-# Python constant the operators route on (ASSIGN_AUTO_CROSSOVER), so
-# plan and oracle cannot drift apart.
+# below the measured crossover), all THREE regimes' auto-k rules
+# (sqrt(n) flat, n^(2/3) two-level, ceil(n/cap) occupancy), the
+# per-pass cosine cost under each, and the pair-join row model, all
+# restated as one aggregate + scalar subqueries. The crossover
+# literal is interpolated from the SAME Python constant the
+# operators route on (ASSIGN_AUTO_CROSSOVER), so plan and oracle
+# cannot drift apart. g1_occ restates the exact-int64 n^(2/3) rule
+# APPLIED TO k_occ (a value, not a table count — hence inline
+# rather than _autok23_scalar).
 TRAININGDATA_ORACLES["q191_assign_mode_planner"] = f"""
     WITH v AS (
       SELECT vec_id FROM embeddings
     ), st AS (
       SELECT count(*)::BIGINT AS n_vectors,
              greatest(8, floor(sqrt(count(*)))::BIGINT) AS k_flat,
-             {_autok23_scalar("v")} AS k_hier
+             {_autok23_scalar("v")} AS k_hier,
+             greatest(8, (count(*) + 15) // 16)::BIGINT AS k_occ
       FROM v
     ), gd AS (
-      SELECT *, greatest(2, floor(sqrt(k_hier))::BIGINT) AS g_hier
+      SELECT *,
+             greatest(2, floor(sqrt(k_hier))::BIGINT) AS g_hier,
+             floor(pow(k_occ::DOUBLE, 2.0/3.0))::BIGINT AS ob
       FROM st
+    ), oc AS (
+      SELECT *, greatest(2,
+        CASE WHEN k_occ <= 3000000000 THEN
+          CASE WHEN (ob+1)*(ob+1)*(ob+1) <= k_occ*k_occ THEN ob+1
+               WHEN ob*ob*ob <= k_occ*k_occ THEN ob
+               ELSE ob-1 END
+        ELSE ob END) AS g1_occ
+      FROM gd
+    ), og AS (
+      SELECT *, greatest(2, floor(sqrt(g1_occ))::BIGINT) AS g2_occ
+      FROM oc
     )
     SELECT n_vectors,
            {SIM.ASSIGN_AUTO_CROSSOVER}::BIGINT AS crossover,
@@ -8516,8 +8614,21 @@ TRAININGDATA_ORACLES["q191_assign_mode_planner"] = f"""
            g_hier,
            k_flat AS flat_cosines_per_vec,
            (g_hier + 2 * ((k_hier + g_hier - 1) // g_hier))::BIGINT
-             AS twolevel_cosines_per_vec
-    FROM gd
+             AS twolevel_cosines_per_vec,
+           16::BIGINT AS occupancy_cap,
+           k_occ,
+           g1_occ,
+           g2_occ,
+           (g2_occ + 2 * ((g1_occ + g2_occ - 1) // g2_occ)
+                   + 2 * ((k_occ + g1_occ - 1) // g1_occ))::BIGINT
+             AS threelevel_cosines_per_vec,
+           (n_vectors * ((n_vectors + k_flat - 1) // k_flat))::BIGINT
+             AS pair_rows_flat,
+           (n_vectors * ((n_vectors + k_hier - 1) // k_hier))::BIGINT
+             AS pair_rows_hier,
+           (n_vectors * ((n_vectors + k_occ - 1) // k_occ))::BIGINT
+             AS pair_rows_occ
+    FROM og
 """
 
 
@@ -8591,6 +8702,35 @@ TRAININGDATA_ORACLES["q193_semantic_dedup_occupancy"] = f"""
       SELECT vec_id AS cid, e AS ce FROM ve
       WHERE vec_id < {_occupancy_scalar("ve", 8, 16)}
     ), {_three_level_ctes("t", "ve", "e", "seeds", "ce", 2)}, av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM t_a a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    )
+    SELECT av.vec_id,
+           av.cid::BIGINT AS cluster_id,
+           (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS is_dup
+    FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+"""
+
+
+# q194: q193 with the seed->mid model-build grouping ROUTED through
+# the two-level rule (seed_route="twolevel" — the beyond-crossover
+# scale path, approximate hence its own hash) — the only
+# value-changing difference; the shuffle-join fine level and
+# TakeOrdered seed ranking it also forces are join-strategy-only and
+# share this restatement.
+TRAININGDATA_ORACLES["q194_semantic_dedup_occupancy_scaled"] = f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < {_occupancy_scalar("ve", 8, 16)}
+    ), {_three_level_ctes("t", "ve", "e", "seeds", "ce", 2,
+                          seed_route="twolevel")}, av AS (
       SELECT a.vec_id, a.cid, v.e
       FROM t_a a JOIN ve v ON v.vec_id = a.vec_id
     ), dups AS (

@@ -3693,6 +3693,136 @@ def test_three_level_assign_with_full_probes_equals_flat_anywhere(spark):
     assert len(flat) == 200 and three == flat
 
 
+def test_autok23_int_matches_exact_rule():
+    """_autok23_int is the driver-side twin of the in-plan
+    hierarchical auto-k rule: the largest b with b^3 <= n^2, floored.
+    Exhaustive at small n plus spot checks across the regime."""
+    for n in list(range(0, 2000)) + [10**4, 10**6, 123_456_789]:
+        got = SIM._autok23_int(n, 2)
+        b = 0
+        while (b + 1) ** 3 <= n * n:
+            b += 1
+        assert got == max(2, b), (n, got, b)
+
+
+def test_three_level_fine_gate_shuffle_join_value_neutral(spark):
+    """The r10 verdict's q193 `weak`, piece (a): with
+    fine_broadcast_max=0 the fine-level candidate join on gid1
+    carries NO forced broadcast hint (Catalyst/AQE then pick the
+    strategy from runtime statistics — the broadcast_if_small
+    contract; at k ≈ 10^6 the statistics say shuffle and no
+    executor holds the full k-row seed frame), where the default
+    in-gate plan pins ``rightHint=(strategy=broadcast)``; and the
+    two plans produce IDENTICAL assignments (join strategy is
+    value-neutral, so q193's oracle hash covers both paths). The
+    hint is asserted on the OPTIMIZED plan because the physical
+    strategy of an unhinted join at fixture scale legitimately
+    varies with stats (AQE broadcasts a provably-small side — that
+    is the point)."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    v = e.select(
+        F.col("vec_id").alias("vid"),
+        SIM.as_double(F.col("embedding")).alias("v"),
+    ).withColumn("vn", SIM.norm(F.col("v")))
+    seeds = v.filter(F.col("vid") < 32).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    a_def = SIM._three_level_assign(v, "v", seeds, "cv", ["vn"], 2)
+    a_gate = SIM._three_level_assign(
+        v, "v", seeds, "cv", ["vn"], 2, fine_broadcast_max=0
+    )
+    plan_def = a_def._jdf.queryExecution().optimizedPlan().toString()
+    plan_gate = a_gate._jdf.queryExecution().optimizedPlan().toString()
+
+    def gid1_join_lines(plan):
+        return [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "gid1" in ln
+        ]
+
+    assert any(
+        "strategy=broadcast" in ln for ln in gid1_join_lines(plan_def)
+    ), plan_def
+    assert gid1_join_lines(plan_gate) and all(
+        "strategy=broadcast" not in ln for ln in gid1_join_lines(plan_gate)
+    ), plan_gate
+    got_def = {(r.vid, r.cid) for r in a_def.collect()}
+    got_gate = {(r.vid, r.cid) for r in a_gate.collect()}
+    assert got_def == got_gate and len(got_def) == 500
+
+
+def test_three_level_seed_route_twolevel_full_probes_equals_exact(spark):
+    """The r10 verdict's q193 `weak`, piece (b): the two-level-routed
+    seed->mid model-build grouping is exhaustive at probes >= g2 —
+    every top group probed means every mid is a candidate, so the
+    routed grouping (and hence the whole dedup output) equals the
+    exact k*g1 argmax. The partial-probe approximation is pinned by
+    q194's oracle hash instead."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    kw = dict(
+        n_centroids=8, threshold=0.25, auto_k=True,
+        assign="hierarchical3", probes=99, occupancy_cap=16,
+    )
+    exact = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            e, "vec_id", "embedding", seed_route="exact", **kw
+        ).collect()
+    }
+    routed = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup(
+            e, "vec_id", "embedding", seed_route="twolevel", **kw
+        ).collect()
+    }
+    assert len(exact) == 300 and routed == exact
+
+
+def test_plan_assign_mode_three_regime_report(spark):
+    """The q191 planner prices ALL THREE regimes (r10 verdict,
+    What's missing #3): at n = 500 / cap 16 the report's scalars
+    must equal the operators' own rules (k_flat = sqrt, k_hier =
+    n^(2/3), k_occ = ceil(n/16), the three-level g1/g2 over k_occ),
+    the pair-row model must order flat > hier > occ-linear, and the
+    occupancy pair term must be exactly n * cap-bounded."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    r = SIM.plan_assign_mode(e, "vec_id", k_floor=8, probes=2).collect()
+    assert len(r) == 1
+    row = r[0]
+    n = row.n_vectors
+    assert row.chosen_mode == ("flat" if n <= 20_000 else "hierarchical")
+    assert row.k_flat == max(8, int(n**0.5))
+    assert row.k_hier == SIM._autok23_int(n, 8)
+    assert row.k_occ == max(8, -(-n // 16))
+    assert row.g1_occ == SIM._autok23_int(row.k_occ, 2)
+    assert row.g2_occ == max(2, int(row.g1_occ**0.5))
+    assert (
+        row.threelevel_cosines_per_vec
+        == row.g2_occ
+        + 2 * -(-row.g1_occ // row.g2_occ)
+        + 2 * -(-row.k_occ // row.g1_occ)
+    )
+    assert row.pair_rows_occ == n * -(-n // row.k_occ)
+    assert row.pair_rows_flat >= row.pair_rows_hier
+    # the hier > occ ordering is asymptotic (k_occ > k_hier only
+    # once ceil(n/cap) > n^(2/3), i.e. n > cap^3); what holds at
+    # EVERY n — the regime's point — is the linear occupancy bound
+    assert row.pair_rows_occ <= n * 16
+    if n > 16**3:
+        assert row.pair_rows_hier >= row.pair_rows_occ
+
+
 def test_occupancy_cap_bounds_cluster_count(spark):
     """k = ceil(n / cap): the q193 regime's cluster count tracks the
     corpus linearly — 500 vectors at cap 16 give exactly 32 seed
@@ -3708,3 +3838,85 @@ def test_occupancy_cap_bounds_cluster_count(spark):
     )
     cids = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
     assert max(cids) < 32 and len(cids) <= 32
+
+
+def test_semantic_dedup_serve_matches_incremental(spark):
+    """The production serving form (persisted assignments in, no
+    old-side argmax) equals semantic_dedup_incremental exactly when
+    the old side's assignments come from the same frozen model —
+    the q190 contract the corpus build's semantic stage relies on."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings")
+    old = e.filter(F.col("vec_id") < 250)
+    new = e.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400))
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    ref = {
+        (r.vec_id, r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup_incremental(
+            old, new, "vec_id", "embedding", centroids, 0.25
+        ).collect()
+    }
+    old_assigned = old.join(
+        SIM.assign_to_centroids(old, "vec_id", "embedding", centroids),
+        "vec_id",
+    ).select("vec_id", "cluster_id", "embedding")
+    got = {
+        (r.vec_id, r.cluster_id, r.is_dup)
+        for r in SIM.semantic_dedup_serve(
+            old_assigned, new, "vec_id", "embedding", centroids, 0.25
+        ).collect()
+    }
+    assert got == ref and len(got) == 150
+
+
+def test_warm_refresh_model_is_q192_candidate(spark):
+    """warm_refresh_model promotes EXACTLY the candidate
+    plan_model_refresh scores: re-serving the planner's half-sample
+    under the refreshed model reproduces the planner's own
+    warm-side assignment (agreement accounting consistent)."""
+    from cardano_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    e = table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 200)
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    report = SIM.plan_model_refresh(
+        e, "vec_id", "embedding", centroids
+    ).collect()
+    newm = SIM.warm_refresh_model(e, "vec_id", "embedding", centroids)
+    # clusters in the refreshed model == clusters that caught sampled
+    # arrivals (the Lloyd empty-cluster rule both sides share)
+    assert {r.cid for r in newm.collect()} == {
+        r.cluster_id for r in report
+    }
+    # the planner's total-agreement arithmetic is reproducible from
+    # the promoted model: assign the sample under it and compare to
+    # the frozen assignment
+    sample = e.filter(F.col("vec_id") % 2 == 0)
+    frozen_a = SIM.assign_to_centroids(
+        sample, "vec_id", "embedding", centroids
+    )
+    # quantized-sum model serves on the quantized sample — mirror the
+    # planner's warm side by scoring the QUANTIZED vectors
+    qs = sample.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(255.0)),
+        ).cast("array<double>").alias("embedding"),
+    )
+    warm_a = SIM.assign_to_centroids(qs, "vec_id", "embedding", newm)
+    agree = (
+        frozen_a.join(
+            warm_a.withColumnRenamed("cluster_id", "c2"), "vec_id"
+        )
+        .filter(F.col("cluster_id") == F.col("c2"))
+        .count()
+    )
+    assert agree == sum(r.n_agree for r in report)
+    assert sample.count() == sum(r.n_sample for r in report)

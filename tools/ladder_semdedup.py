@@ -6,13 +6,21 @@ the operator that owns the pair join, both arms:
 
 - flat + auto-k = sqrt(n)        (the old default; n^1.5 cost model)
 - hierarchical + auto-k = n^(2/3) (the r10 mode-keyed rule; n^(4/3))
+- occ (r11): occupancy_cap=16 + three-level tree (k ∝ n: pair join
+  LINEAR n*cap, assignment ≈ n*(1+2p)*k^(1/3) = n^(4/3) at k ∝ n)
+- occ-scaled (r11): occ with every model-build term forced onto its
+  beyond-crossover scale path (seed_route="twolevel",
+  fine_broadcast_max=0 — q194's configuration), the fixed-cap
+  ladder the r10 verdict's task 1 asks for
 
 Recipe mirrors the r9 ladder: replicas of .scale/sf1's embeddings
 (20k rows) with shifted vec_ids, localCheckpointed so the timing is
 operator cost, not scan; best-of-2 on an idle machine.
 
-    python tools/ladder_semdedup.py [max_replicas]
+    python tools/ladder_semdedup.py [max_replicas] [arms_csv]
 
+arms_csv filters which arms run (e.g. "occ,occ-scaled" for the r11
+fixed-cap ladder without re-running the r10 flat/hier one).
 Prints one line per (n, arm) with the best wall time.
 """
 
@@ -32,8 +40,22 @@ from cardano_spark.session import get_spark  # noqa: E402
 SHIFT = 1_000_000_000
 
 
+ARM_KW = {
+    "flat": dict(auto_k=True),
+    "hier": dict(auto_k=True, assign="hierarchical", probes=2),
+    "occ": dict(
+        auto_k=True, assign="hierarchical3", probes=2, occupancy_cap=16
+    ),
+    "occ-scaled": dict(
+        auto_k=True, assign="hierarchical3", probes=2, occupancy_cap=16,
+        seed_route="twolevel", fine_broadcast_max=0,
+    ),
+}
+
+
 def main() -> None:
     max_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("ladder-semdedup")
     base = spark.read.parquet(".scale/sf1/embeddings.parquet")
 
@@ -46,17 +68,21 @@ def main() -> None:
         df = df.localCheckpoint(eager=True)
         return df, df.count()
 
-    plan = [(1, ["flat", "hier"]), (4, ["flat", "hier"]), (16, ["hier"])]
+    plan = [
+        (1, ["flat", "hier", "occ", "occ-scaled"]),
+        (4, ["flat", "hier", "occ", "occ-scaled"]),
+        (16, ["hier", "occ", "occ-scaled"]),
+    ]
     for m, arms in plan:
         if m > max_rep:
             continue
+        if only is not None:
+            arms = [a for a in arms if a in only]
+        if not arms:
+            continue
         d, n = replicate(m)
         for arm in arms:
-            kw = (
-                dict(auto_k=True)
-                if arm == "flat"
-                else dict(auto_k=True, assign="hierarchical", probes=2)
-            )
+            kw = ARM_KW[arm]
             times = []
             for _ in range(2):
                 t = time.time()
