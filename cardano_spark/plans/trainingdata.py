@@ -3793,6 +3793,45 @@ def q194_semantic_dedup_occupancy_scaled(
     )
 
 
+def q195_semantic_refresh_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXECUTED model refresh, end-to-end as a query (r10 verdict,
+    What's missing #2 — q192 advised, nothing actuated; this is the
+    actuation pinned by oracle hash): freeze the q190 model (the old
+    slice's first-8 seeds), promote the warm-start Lloyd candidate
+    q192's planner scores (similarity.warm_refresh_model — exact
+    integer sums of the arrival half-sample's quantized vectors per
+    frozen cluster, empty clusters dropping out), then serve the
+    arrival batch under the NEW model exactly as the corpus build's
+    post-refresh path does: the old side re-assigned via
+    assign_to_centroids (the lazy state migration), arrivals
+    assigned and pair-probed through semantic_dedup_serve. Output =
+    (vec_id, cluster_id, is_dup) for arrivals under the refreshed
+    model — the "from-scratch frozen-model run on the new model"
+    the corpus refresh e2e test equates incremental state to. All
+    three phases (freeze, warm step, serve) restate in the oracle,
+    so the hash pins the executed refresh bit-for-bit. Cost shape:
+    |sample|*k warm step, (|old|+|new|)*k' migration+assignment
+    (k' = surviving clusters), |new|*occupancy pair probe."""
+    e = table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < 250)
+    new = e.filter(F.col("vec_id") >= 250)
+    frozen = old.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    warm = SIM.warm_refresh_model(
+        new, "vec_id", "embedding", frozen
+    ).localCheckpoint(eager=False)
+    old_assigned = old.join(
+        SIM.assign_to_centroids(old, "vec_id", "embedding", warm),
+        "vec_id",
+    ).select("vec_id", "cluster_id", "embedding")
+    return SIM.semantic_dedup_serve(
+        old_assigned, new, "vec_id", "embedding", warm, 0.25
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3964,6 +4003,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q192_frozen_model_refresh_planner": q192_frozen_model_refresh_planner,
     "q193_semantic_dedup_occupancy": q193_semantic_dedup_occupancy,
     "q194_semantic_dedup_occupancy_scaled": q194_semantic_dedup_occupancy_scaled,
+    "q195_semantic_refresh_apply": q195_semantic_refresh_apply,
 }
 
 
@@ -8393,6 +8433,62 @@ TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
            (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
              AS is_pruned
     FROM ranked
+"""
+
+
+# q195: the EXECUTED refresh — freeze (q190's first-8 seeds), warm
+# Lloyd step over the arrival half-sample (q192's candidate: exact
+# integer sums of quantized members per frozen cluster, empty
+# clusters drop), then serve old+new under the NEW model with the
+# q190 pair tail (arrivals only). Warm sums restate over the same
+# floor(x*255) quantization; every argmax ties (score DESC, cid ASC).
+TRAININGDATA_ORACLES["q195_semantic_refresh_apply"] = f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 255.0)) AS q
+      FROM embeddings
+    ), frozen AS (
+      SELECT vec_id AS cid, e AS cv FROM ve WHERE vec_id < 8
+    ), sample AS (
+      SELECT * FROM ve WHERE vec_id >= 250 AND vec_id % 2 = 0
+    ), fa AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, f.cid, row_number() OVER (
+          PARTITION BY s.vec_id
+          ORDER BY {_COS.replace('va', 's.e').replace('vb', 'f.cv')} DESC,
+                   f.cid ASC
+        ) AS rn
+        FROM sample s CROSS JOIN frozen f
+      ) WHERE rn = 1
+    ), warm AS (
+      SELECT fa.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS cv
+      FROM fa JOIN ve v USING (vec_id) GROUP BY fa.cid
+    ), aw AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, w.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {_COS.replace('va', 'v.e').replace('vb', 'w.cv')} DESC,
+                   w.cid ASC
+        ) AS rn
+        FROM ve v CROSS JOIN warm w
+      ) WHERE rn = 1
+    ), av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM aw a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id AND b.vec_id >= 250
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    )
+    SELECT av.vec_id,
+           av.cid::BIGINT AS cluster_id,
+           (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS is_dup
+    FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+    WHERE av.vec_id >= 250
 """
 
 

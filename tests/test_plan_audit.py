@@ -62,6 +62,7 @@ BNL_BUDGET = {
     "q189_ivf_fully_hierarchical": 3,  # two-level index build (sup + group fan-outs) + flat query-probe ranking
     "q190_semantic_dedup_incremental": 1,  # old-side frozen-model argmax (q36 shape); the batch side sits behind its checkpoint
     "q192_frozen_model_refresh_planner": 3,  # frozen argmax (8-row centroids) + warm-retrained argmax (<=8-row sums) + 1-row totals broadcast
+    "q195_semantic_refresh_apply": 1,  # serving argmax vs the <=8-row warm model (q190 shape); freeze/warm/migration argmaxes sit behind the model checkpoint
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-

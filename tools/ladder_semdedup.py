@@ -60,10 +60,31 @@ def main() -> None:
     base = spark.read.parquet(".scale/sf1/embeddings.parquet")
 
     def replicate(m: int):
+        # replicas get a deterministic per-replica vector PERTURBATION
+        # (not plain copies): identical vectors all argmax to the same
+        # seed, so copied replicas would collapse into replica-0's
+        # clusters and occupancy would grow m-fold — exactly the
+        # degenerate geometry the occupancy-capped arms exist to rule
+        # out. A small id-and-replica-keyed rotation spreads replica
+        # vectors across the (replica-0) seed set, so cluster
+        # occupancy tracks ~n/k as it would on real data.
         df = base
         for i in range(1, m):
             df = df.unionByName(
-                base.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+                base.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * SHIFT)
+                ).withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: x
+                        + F.lit(0.03 * i)
+                        * F.cos(
+                            (j + F.lit(i)) * F.lit(0.7)
+                            + F.col("vec_id") % 97
+                        ),
+                    ),
+                )
             )
         df = df.localCheckpoint(eager=True)
         return df, df.count()
