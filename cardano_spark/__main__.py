@@ -227,6 +227,15 @@ def build_parser() -> argparse.ArgumentParser:
         "an arrival as a semantic duplicate",
     )
     corpus.add_argument(
+        "--semantic-occupancy-cap",
+        type=int,
+        default=None,
+        help="batch only: run the semantic stage in the "
+        "occupancy-capped regime (k = ceil(n/cap) clusters, "
+        "three-level assignment tree, LINEAR within-cluster pair "
+        "join — the 100 TB form; see the q193/q194 operators)",
+    )
+    corpus.add_argument(
         "--semantic-refresh",
         choices=("off", "auto"),
         default="off",
@@ -422,6 +431,11 @@ def main(
                 "--semantic-refresh requires --incremental (batch mode "
                 "has no persisted model to refresh)"
             )
+        if args.semantic_occupancy_cap is not None and args.incremental:
+            build_parser().error(
+                "--semantic-occupancy-cap is batch-only (incremental "
+                "serving uses the frozen flat model)"
+            )
         docs = spark.read.parquet(args.src)
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
@@ -530,6 +544,7 @@ def main(
             export_format=args.export_format,
             embeddings=emb,
             semantic_threshold=args.semantic_threshold,
+            semantic_occupancy_cap=args.semantic_occupancy_cap,
         )
         splits = (
             "; splits " + ", ".join(

@@ -157,6 +157,7 @@ def build_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.25,
     semantic_centroids: DataFrame | None = None,
+    semantic_occupancy_cap: int | None = None,
 ) -> CorpusAudit:
     """Run the full corpus build over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars) and write the surviving
@@ -268,7 +269,10 @@ def build_corpus(
     ALSO what the incremental/batch convergence contract is stated
     under, since auto-k over different corpus sizes trains
     different models); when absent the stage self-seeds with
-    ``assign="auto"`` + mode-keyed auto-k, the q180 discipline.
+    ``assign="auto"`` + mode-keyed auto-k, the q180 discipline —
+    or, with ``semantic_occupancy_cap`` set, the q193/q194
+    occupancy regime (k = ceil(n/cap), three-level assignment tree,
+    LINEAR pair join): the form a 100 TB corpus build opts into.
 
     ``emit_attributes``: when True, write a per-INPUT-document
     attribute/provenance ledger under ``dest/_attributes`` (the
@@ -351,13 +355,27 @@ def build_corpus(
         # frozen model -> flat assignment (the exact serving rule of
         # the incremental twin, mode-independent of n — convergence
         # is stated under the same model AND the same argmax);
-        # self-seeded -> the q180 auto routing
+        # self-seeded -> the q180 auto routing, or the q193/q194
+        # occupancy regime (k = ceil(n/cap), three-level tree,
+        # LINEAR pair join — what a 100 TB corpus build opts into)
+        # when semantic_occupancy_cap is set
+        if semantic_centroids is not None:
+            assign = "flat"
+        elif semantic_occupancy_cap is not None:
+            assign = "hierarchical3"
+        else:
+            assign = "auto"
         flags = SIM.semantic_dedup(
             emb, "doc_id", "embedding", n_centroids=8,
             threshold=float(semantic_threshold),
             centroids=semantic_centroids,
             auto_k=semantic_centroids is None,
-            assign="flat" if semantic_centroids is not None else "auto",
+            assign=assign,
+            occupancy_cap=(
+                semantic_occupancy_cap
+                if semantic_centroids is None
+                else None
+            ),
         )
         near = near.join(
             flags.filter(F.col("is_dup") == 1).select(

@@ -163,6 +163,26 @@ def q182_stream_paragraph_dedup(
     return paragraph_dedup_stream(spark, sf_dir, n_arrival_files=3)
 
 
+def q196_stream_semantic_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q190's incremental semantic dedup as a REAL Structured
+    Streaming job (streaming/jobs.py::semantic_gate_stream):
+    embedding rows arrive in 3 file batches; each microbatch
+    assigns its arrivals under the FROZEN first-8-seed model and
+    pair-probes them against the accumulated assigned-blocker state
+    via semantic_dedup_serve (the corpus build's
+    ``_state/semantic_index`` serving loop, foreachBatch-carried).
+    Monotone arrival ids make the union of microbatch flag frames
+    equal the BATCH q190 exactly, so the oracle is q190's SQL
+    verbatim — stream/batch convergence completing the SEMANTIC arm
+    of the dedup matrix (exact: q48; near-dup: q136; paragraph:
+    q182; semantic: this). pytest pins equality at 1/3/5 files."""
+    from cardano_spark.streaming.jobs import semantic_gate_stream
+
+    return semantic_gate_stream(spark, sf_dir, threshold=0.25)
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "q34_stream_hourly_rollup": q34_stream_hourly_rollup,
     "q136_stream_neardup_gate": q136_stream_neardup_gate,
@@ -174,6 +194,7 @@ STREAMING_QUERIES: dict[str, QueryFn] = {
     "q77_stream_distinct_types": q77_stream_distinct_types,
     "q78_stream_watermark_tracker": q78_stream_watermark_tracker,
     "q182_stream_paragraph_dedup": q182_stream_paragraph_dedup,
+    "q196_stream_semantic_gate": q196_stream_semantic_gate,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -272,4 +293,11 @@ STREAMING_ORACLES["q182_stream_paragraph_dedup"] = _TDO[
 # accumulated streaming report must equal batch q163 exactly.
 STREAMING_ORACLES["q165_stream_ivf_maintenance"] = _TDO[
     "q163_ivf_incremental_report"
+]
+
+# semantic-arm stream/batch convergence: frozen-model serving over
+# monotone arrivals — the union of microbatch flag frames must equal
+# batch q190 exactly.
+STREAMING_ORACLES["q196_stream_semantic_gate"] = _TDO[
+    "q190_semantic_dedup_incremental"
 ]

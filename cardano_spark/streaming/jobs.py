@@ -888,6 +888,129 @@ def ivf_maintenance_stream(
     return SIM.ivf_maintenance_summary(sums, n_base, n_new)
 
 
+def semantic_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.25,
+    n_arrival_files: int = 3,
+) -> DataFrame:
+    """q190's incremental semantic dedup as a REAL Structured
+    Streaming job — the streaming twin that completes the semantic
+    arm of the dedup matrix (exact: q21/q48; near-dup:
+    q22/q66/q136; paragraph: q178/q182; semantic: q109/q190/the
+    corpus stage/THIS): embedding rows arrive as files; every
+    microbatch assigns its arrivals under the FROZEN centroid model
+    (the old slice's first-8 seeds — q190's convention) and
+    pair-probes them against the ACCUMULATED assigned-blocker state
+    carried across triggers via ``foreachBatch`` — exactly the
+    corpus build's ``_state/semantic_index`` serving loop
+    (:func:`~cardano_spark.operators.similarity.
+    semantic_dedup_serve`: the old side arrives pre-assigned, never
+    an old-side argmax, cost ∝ |batch| * (k + occupancy)).
+
+    CONVERGENCE CONTRACT (what the oracle checks): arrival ids are
+    monotone across id-ranged files, so a pair's larger side always
+    arrives with-or-after its smaller side, and the union of
+    microbatch flag frames equals the BATCH q190
+    (``semantic_dedup_incremental``) REGARDLESS of the arrival
+    batching. Oracle = q190's SQL verbatim; pytest additionally
+    pins equality at 1/3/5 arrival files.
+
+    A real deployment loads the persisted model + assignment index
+    (ParquetMergeSink — the corpus build's state tables) instead of
+    deriving them in-line; the id-ranged arrival re-write below is
+    the test-harness side only (the q136 discipline)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cardano_spark.catalog import table as _table
+    from cardano_spark.operators import similarity as SIM
+
+    e = _table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < 250)
+    new = e.filter(F.col("vec_id") >= 250)
+    cents = (
+        old.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    blockers = (
+        old.join(
+            SIM.assign_to_centroids(old, "vec_id", "embedding", cents),
+            "vec_id",
+        )
+        .select("vec_id", "cluster_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("is_dup", T.LongType()),
+        ]
+    )
+    cuts = _arrival_cuts(new, "vec_id", n_arrival_files)
+    if cuts is None:
+        # empty arrival slice: no flags
+        return spark.createDataFrame([], out_schema)
+    tmp = tempfile.mkdtemp(prefix="semantic_gate_stream_")
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = new.filter(
+            (F.col("vec_id") < hi)
+            & (F.col("vec_id") >= (lo if lo is not None else -(1 << 62)))
+        )
+        part.coalesce(1).write.parquet(os.path.join(tmp, f"arrival={i}"))
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(tmp + "/arrival=*")
+    )
+    state: dict = {"blockers": blockers, "flags": []}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        flags = SIM.semantic_dedup_serve(
+            state["blockers"], batch, "vec_id", "embedding", cents,
+            threshold,
+        ).localCheckpoint(eager=True)
+        state["flags"].append(flags)
+        # fold the batch's assignments forward: EVERY arrival blocks
+        # later ones (flagged or not — the batch twin's pair join
+        # ranges over all of them), the corpus stage's index fold
+        state["blockers"] = (
+            state["blockers"]
+            .unionByName(
+                flags.select(
+                    F.col("vec_id"), F.col("cluster_id")
+                ).join(
+                    batch.select("vec_id", "embedding"), "vec_id"
+                ).select("vec_id", "cluster_id", "embedding")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["flags"][0]
+    for f in state["flags"][1:]:
+        out = out.unionByName(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def paragraph_dedup_stream(
     spark: SparkSession,
     docs_dir: str,

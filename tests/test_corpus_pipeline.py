@@ -1713,3 +1713,40 @@ def test_cli_build_corpus_semantic_flags(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "after semantic dedup (model v1" in out
+
+
+def test_build_corpus_semantic_occupancy_regime(spark, tmp_path):
+    """semantic_occupancy_cap routes the batch semantic stage through
+    the q193/q194 occupancy machinery (k = ceil(n/cap), three-level
+    tree): the stage drops exactly what semantic_dedup with the same
+    parameters flags over the near survivors."""
+    from cardano_spark.operators import similarity as SIM
+
+    docs, emb = _sem_docs_and_embeddings(spark, SF_SMALL)
+    dest = str(tmp_path / "out")
+    audit = build_corpus(
+        spark, docs, dest,
+        neardup_rule="keep_first_pairwise",
+        embeddings=emb, semantic_occupancy_cap=16,
+        emit_attributes=True, n_shards=2,
+    )
+    assert audit.n_after_semantic != -1
+    ledger = spark.read.parquet(audit.attributes_path)
+    near_ids = ledger.filter(F.col("survived_neardup") == 1).select(
+        "doc_id"
+    )
+    flags = SIM.semantic_dedup(
+        near_ids.join(emb, "doc_id"), "doc_id", "embedding",
+        n_centroids=8, threshold=0.25, auto_k=True,
+        assign="hierarchical3", probes=2, occupancy_cap=16,
+    )
+    expect_dropped = {
+        r.vec_id for r in flags.filter(F.col("is_dup") == 1).collect()
+    }
+    sem_survivors = {
+        r.doc_id
+        for r in ledger.filter(F.col("survived_semantic") == 1)
+        .select("doc_id").collect()
+    }
+    near_set = {r.doc_id for r in near_ids.collect()}
+    assert sem_survivors == near_set - expect_dropped

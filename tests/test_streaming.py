@@ -834,3 +834,47 @@ def test_paragraph_dedup_stream_empty_arrivals(spark, empty_arrival_dir):
         ]
     finally:
         shutil.rmtree(pd_dir, ignore_errors=True)
+
+
+def test_semantic_gate_stream_batching_invariance(spark):
+    """Batching-invariance for the streaming SEMANTIC gate: the
+    union of microbatch flag frames equals the BATCH q190
+    (semantic_dedup_incremental) for ANY arrival split (1, 3, 5
+    files), flags are non-trivial, and each arrival is flagged
+    exactly once."""
+    from cardano_spark.plans.trainingdata import (
+        q190_semantic_dedup_incremental,
+    )
+    from cardano_spark.streaming.jobs import semantic_gate_stream
+    from tests.conftest import SF_SMALL
+
+    batch = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in q190_semantic_dedup_incremental(spark, SF_SMALL).collect()
+    }
+    for n_files in (1, 3, 5):
+        rows = semantic_gate_stream(
+            spark, SF_SMALL, n_arrival_files=n_files
+        ).collect()
+        got = {r.vec_id: (r.cluster_id, r.is_dup) for r in rows}
+        assert len(rows) == len(got), f"duplicate flag row at {n_files}"
+        assert got == batch, n_files
+    assert sum(v[1] for v in batch.values()) > 0
+    assert any(v[1] == 0 for v in batch.values())
+
+
+def test_semantic_gate_stream_empty_arrivals(spark, tmp_path):
+    """Quiet-watermark-window case for the semantic gate: no
+    vec_id >= 250 arrivals -> the empty flag frame with the stable
+    schema, not an IndexError on the cut derivation."""
+    from cardano_spark.catalog import table
+    from cardano_spark.streaming.jobs import semantic_gate_stream
+    from tests.conftest import SF_SMALL
+
+    d = str(tmp_path / "sem_empty")
+    table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 250
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = semantic_gate_stream(spark, d, n_arrival_files=3)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster_id", "is_dup"]
