@@ -1977,6 +1977,7 @@ def _kmeans_iterate(
     auto_k: bool = False,
     assign_mode: str = "flat",
     probes: int = 2,
+    occupancy_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop: (final assignment with quantized vectors
     attached, the sum-centroid frame that produced it).
@@ -1988,21 +1989,34 @@ def _kmeans_iterate(
     auto-k = sqrt(n) corpora where flat assignment makes the whole
     loop n^1.5. The trained model differs from the flat loop's (the
     approximation steers the Lloyd trajectory); consumers opt in and
-    pin agreement on structured fixtures (q185/q186)."""
+    pin agreement on structured fixtures (q185/q186).
+
+    ``assign_mode="hierarchical3"`` goes one level deeper
+    (:func:`_three_level_assign`) — the k ∝ n occupancy regime's
+    tree; pair it with ``occupancy_cap`` (auto-k = ceil(n/cap),
+    :func:`_occupancy_threshold`), the q193/q194 machinery applied
+    to the TRAINING loop."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    if assign_mode not in ("flat", "hierarchical"):
+    if assign_mode not in ("flat", "hierarchical", "hierarchical3"):
         raise ValueError(f"unknown assign_mode: {assign_mode!r}")
     v = corpus.select(
         F.col(id_col).alias("vid"), quantize_double(F.col(vec_col)).alias("q")
     )
-    sums = _auto_k_filter(v, "vid", k, auto_k, mode=assign_mode).select(
-        F.col("vid").alias("cid"), F.col("q").alias("s")
-    )
+    sums = _auto_k_filter(
+        v,
+        "vid",
+        k,
+        auto_k,
+        mode="hierarchical" if assign_mode == "hierarchical3" else assign_mode,
+        occupancy_cap=occupancy_cap,
+    ).select(F.col("vid").alias("cid"), F.col("q").alias("s"))
     assign = None
     for it in range(n_iter):
         if assign_mode == "hierarchical":
             assign = _two_level_assign(v, "q", sums, "s", [], probes)
+        elif assign_mode == "hierarchical3":
+            assign = _three_level_assign(v, "q", sums, "s", [], probes)
         else:
             assign = _assign_nearest(
                 v,
@@ -2998,6 +3012,7 @@ def prototype_prune(
     assign: str = "flat",
     probes: int = 2,
     n_rows: int | None = None,
+    occupancy_cap: int | None = None,
 ) -> DataFrame:
     """SSL-prototypes pruning (Sorscher et al. 2022 "Beyond neural
     scaling laws", as operationalized by D4, Tirumala et al. 2023):
@@ -3037,20 +3052,35 @@ def prototype_prune(
     pinned on structured fixtures, measured by q183/q186); the
     prototypicality scoring join below is n * 1 either way.
 
+    ``assign="hierarchical3"`` + ``occupancy_cap`` run the TRAINING
+    loop in the k ∝ n occupancy regime (q193/q194's machinery:
+    auto-k = ceil(n/cap), three-level assignment per Lloyd pass,
+    O(1) cluster occupancy so the rank window's partitions never
+    grow). In that regime the k-row model frame is NOT
+    broadcast-hinted for the scoring join — Catalyst/AQE pick the
+    strategy from statistics, the broadcast_if_small discipline
+    (at k ∝ n the model outgrows broadcast range by design).
+
     Returns (``vec_id``, ``cluster_id``, ``proto_rank``,
     ``is_pruned``) — one row per corpus vector, all int64."""
     if assign == "auto":
         n = corpus.count() if n_rows is None else n_rows
         assign = choose_assign_mode(n)
+    assign_mode_used = assign
     assign, sums = _kmeans_iterate(
         corpus, id_col, vec_col, k, n_iter, dim, auto_k=auto_k,
-        assign_mode=assign, probes=probes,
+        assign_mode=assign, probes=probes, occupancy_cap=occupancy_cap,
     )
     # the k-row model frame is consumed twice (the final assignment's
     # lineage AND the scoring join) — checkpoint it so the training
-    # subtree does not execute a second time through the join side
+    # subtree does not execute a second time through the join side.
+    # Broadcast hint only OUTSIDE the k ∝ n regime (there the model
+    # grows with the corpus — no forced hint, stats decide)
     sums = sums.localCheckpoint(eager=False)
-    scored = assign.join(F.broadcast(sums), "cid").withColumn(
+    sums_b = (
+        sums if assign_mode_used == "hierarchical3" else F.broadcast(sums)
+    )
+    scored = assign.join(sums_b, "cid").withColumn(
         "_pc",
         dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
     )

@@ -3832,6 +3832,44 @@ def q195_semantic_refresh_apply(
     )
 
 
+def q197_d4_pipeline_occupancy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The D4 pipeline in the OCCUPANCY-CAPPED k ∝ n regime —
+    completing the family across all three assignment regimes (q180
+    flat/auto, q185 two-level at k = n^(2/3), THIS at k = ceil(n/16)
+    with the three-level tree): SemDeDup's assignment AND every
+    Lloyd iteration of the prototype stage's k-means run through
+    similarity._three_level_assign under the occupancy auto-k rule,
+    each stage counting k from its own input. The regime's contract
+    end-to-end: LINEAR within-cluster pair join (occupancy ≤ ~cap),
+    O(1)-forever rank-window partitions in the prototype stage
+    (cluster occupancy never grows — even n^(2/3) lets it grow as
+    n^(1/3)), assignment ≈ (1+2·probes)·k^(1/3) cosines/vector, and
+    the k-row model frame is NOT broadcast-hinted for the scoring
+    join (at k ∝ n it outgrows broadcast range by design —
+    Catalyst/AQE decide). APPROXIMATE at the routing levels, exactly
+    the q193 contract, restated level-for-level in the oracle.
+    Stage-boundary checkpoint at the SemDeDup → prototype seam, the
+    q180/q185 rule."""
+    e = table(spark, sf_dir, "embeddings")
+    sd = SIM.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.25,
+        auto_k=True, assign="hierarchical3", probes=2,
+        occupancy_cap=16,
+    )
+    survivors = e.join(
+        sd.filter(F.col("is_dup") == 0).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    return SIM.prototype_prune(
+        survivors, "vec_id", "embedding", k=8, n_iter=2, prune_den=4,
+        auto_k=True, assign="hierarchical3", probes=2,
+        occupancy_cap=16,
+    )
+
+
 def q184_paragraph_provenance_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4004,6 +4042,7 @@ TRAININGDATA_QUERIES: dict[str, QueryFn] = {
     "q193_semantic_dedup_occupancy": q193_semantic_dedup_occupancy,
     "q194_semantic_dedup_occupancy_scaled": q194_semantic_dedup_occupancy_scaled,
     "q195_semantic_refresh_apply": q195_semantic_refresh_apply,
+    "q197_d4_pipeline_occupancy": q197_d4_pipeline_occupancy,
 }
 
 
@@ -8420,6 +8459,56 @@ TRAININGDATA_ORACLES["q180_d4_pipeline"] = f"""
       UNION ALL
       SELECT * FROM scoredh
       WHERE (SELECT count(*) FROM v) > {SIM.ASSIGN_AUTO_CROSSOVER}
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY pc DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n_c
+      FROM scored
+    )
+    SELECT vec_id,
+           cid::BIGINT AS cluster_id,
+           proto_rank::BIGINT AS proto_rank,
+           (CASE WHEN proto_rank <= n_c // 4 THEN 1 ELSE 0 END)::BIGINT
+             AS is_pruned
+    FROM ranked
+"""
+
+
+# q197: the D4 chain with all three assignments (SemDeDup's and both
+# Lloyd iterations of the prototype stage) restated through the
+# THREE-level CTE generator under the occupancy auto-k rule
+# (k = ceil(n/16) counted from each stage's own input) — q185's
+# oracle shape one regime over.
+TRAININGDATA_ORACLES["q197_d4_pipeline_occupancy"] = f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), dseeds AS (
+      SELECT vec_id AS cid, e AS ce FROM ve
+      WHERE vec_id < {_occupancy_scalar("ve", 8, 16)}
+    ), {_three_level_ctes("d", "ve", "e", "dseeds", "ce", 2)}, av AS (
+      SELECT a.vec_id, a.cid, v.e
+      FROM d_a a JOIN ve v ON v.vec_id = a.vec_id
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS.replace('va', 'a.e').replace('vb', 'b.e')} > 0.25
+    ), v AS MATERIALIZED (
+      SELECT ve.vec_id,
+             list_transform(ve.e, x -> floor(x * 255.0)) AS q
+      FROM ve LEFT JOIN dups d ON d.vec_id = ve.vec_id
+      WHERE d.vec_id IS NULL
+    ), s0 AS (
+      SELECT vec_id AS cid, q AS s FROM v
+      WHERE vec_id < {_occupancy_scalar("v", 8, 16)}
+    ), {_three_level_ctes("p0", "v", "q", "s0", "s", 2)}, s1 AS (
+      SELECT a.cid,
+             [{", ".join(f"sum(v.q[{d + 1}])" for d in range(64))}] AS s
+      FROM p0_a a JOIN v USING (vec_id) GROUP BY a.cid
+    ), {_three_level_ctes("p1", "v", "q", "s1", "s", 2)}, scored AS (
+      SELECT a.vec_id, a.cid,
+             {_COS.replace('va', 'v.q').replace('vb', 's1.s')} AS pc
+      FROM p1_a a JOIN v USING (vec_id) JOIN s1 ON s1.cid = a.cid
     ), ranked AS (
       SELECT vec_id, cid,
              row_number() OVER (PARTITION BY cid

@@ -1750,3 +1750,46 @@ def test_build_corpus_semantic_occupancy_regime(spark, tmp_path):
     }
     near_set = {r.doc_id for r in near_ids.collect()}
     assert sem_survivors == near_set - expect_dropped
+
+
+def test_incremental_semantic_model_init_self_heals(spark, tmp_path):
+    """A first batch whose docs have NO embedding rows cannot freeze
+    a model; the stage must no-op (nothing dropped, version still
+    unfrozen -> reported as served-under-1 with an empty model is
+    avoided: mv init writes nothing) and the FIRST batch that does
+    carry embeddings freezes the model — the quiet-start twin of the
+    refresh crash-ordering argument."""
+    from cardano_spark.pipelines.corpus import build_corpus_incremental
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+
+    def txt(i):
+        return " ".join(f"w{i}x{j}" for j in range(8))
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 / (1 + i), 1.0, 0.0, 0.0]) for i in range(20, 40)],
+        "doc_id long, embedding array<double>",
+    )
+    dest = str(tmp_path / "c")
+    kw = dict(min_quality=0.0, min_tokens=1, n_shards=2)
+    b1 = build_corpus_incremental(
+        spark, mk([(i, txt(i), "en", "a", 100) for i in range(20)]),
+        dest, embeddings=emb, **kw,
+    )
+    # no embeddings for batch-1 ids: stage judged nothing, dropped
+    # nothing
+    assert b1.n_after_semantic == b1.n_after_neardup
+    b2 = build_corpus_incremental(
+        spark, mk([(i, txt(i), "en", "a", 100) for i in range(20, 40)]),
+        dest, embeddings=emb, **kw,
+    )
+    # the first embedding-bearing batch froze the model (v1) and the
+    # near-identical directions dedup within the batch
+    assert b2.semantic_model_version == 1
+    model = spark.read.parquet(f"{dest}/_state/semantic_model")
+    assert model.count() > 0
+    assert b2.n_after_semantic < b2.n_after_neardup

@@ -63,6 +63,7 @@ BNL_BUDGET = {
     "q190_semantic_dedup_incremental": 1,  # old-side frozen-model argmax (q36 shape); the batch side sits behind its checkpoint
     "q192_frozen_model_refresh_planner": 3,  # frozen argmax (8-row centroids) + warm-retrained argmax (<=8-row sums) + 1-row totals broadcast
     "q195_semantic_refresh_apply": 1,  # serving argmax vs the <=8-row warm model (q190 shape); freeze/warm/migration argmaxes sit behind the model checkpoint
+    "q197_d4_pipeline_occupancy": 1,  # post-checkpoint three-level lvl-2 fan-out vs the g2-row (k^(1/9)-ish tiny) top frame; training fan-outs sit behind checkpoints
 }
 
 #: The Python boundary: exactly the multimodal decode family (Arrow-
