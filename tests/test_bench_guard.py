@@ -52,3 +52,47 @@ def test_prev_round_minima_reads_newest_bench_artifact():
     assert prev, "no BENCH_r*.json found in repo root"
     assert all(isinstance(v, float) for v in prev.values())
     assert "q01_pricing_summary" in prev
+
+
+def test_prev_round_minima_excludes_current_round_artifact():
+    """r10 ADVICE: once the driver writes BENCH_r{N}.json mid-round,
+    later bench runs in round N must NOT self-compare (lo > 2*lo is
+    never true — the contamination reference would silently die).
+    The active round comes from window_history.json; artifacts with
+    N >= it are skipped."""
+    cur = bench._current_round()
+    assert isinstance(cur, int) and cur >= 2, (
+        "window_history.json must carry the active round"
+    )
+    import re
+
+    prev_rounds = [
+        int(m.group(1))
+        for name in os.listdir(bench.REPO)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", name))
+    ]
+    assert prev_rounds, "no BENCH_r*.json found"
+    # whatever artifacts exist, the reference only uses N < current
+    eligible = [n for n in prev_rounds if n < cur]
+    if eligible:
+        assert bench._prev_round_minima(), "eligible artifact ignored"
+    # forge a current-round artifact and prove it is not consulted:
+    # the minima must be identical with and without it
+    import json
+
+    forged = os.path.join(bench.REPO, f"BENCH_r{cur}.json")
+    assert not os.path.exists(forged), (
+        "test precondition: current-round artifact should not be "
+        "committed mid-round"
+    )
+    before = bench._prev_round_minima()
+    try:
+        with open(forged, "w") as f:
+            json.dump(
+                {"queries": {"q01_pricing_summary": 0.000001}}, f
+            )
+        after = bench._prev_round_minima()
+    finally:
+        os.remove(forged)
+    assert after == before
+    assert after.get("q01_pricing_summary", 1.0) > 0.000001
