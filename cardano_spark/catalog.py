@@ -40,7 +40,39 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
+
+
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per
+    (path, mtime). Plain reads re-infer the schema from the footer on
+    EVERY call — pure driver-side latency repeated for each of the
+    ~200 registry queries times each bench/correctness invocation.
+    The cache stores only the inferred ``StructType`` (metadata, never
+    data — every execution still scans the parquet), keyed on mtime so
+    a rewritten file re-infers. Non-local paths (no ``os.stat``) fall
+    through to plain inference."""
+    try:
+        key = (path, os.stat(path).st_mtime)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
+def spread_narrow_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Re-exported from :mod:`cardano_spark.operators.skew` (input-
+    layout skew lives with the other skew tools); see that module."""
+    from cardano_spark.operators.skew import spread_narrow_input as _spread
+
+    return _spread(df, min_parts)
 
 
 _SIZE_CACHE: dict[str, int] = {}
@@ -99,7 +131,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 
     ensure_nanos_compat(spark)  # no-op for get_spark() sessions
 
-    df = spark.read.parquet(path)
+    df = _read_parquet(spark, path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         ts = F.timestamp_micros(F.expr("ts div 1000"))

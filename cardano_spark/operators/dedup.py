@@ -33,6 +33,7 @@ from cardano_spark.functions.hashing import (
     md5_long,
     minhash_sig,
 )
+from cardano_spark.operators.skew import spread_narrow_input
 
 
 def plan_lsh_bands(
@@ -405,7 +406,11 @@ def minhash_lsh_pairs(
     measured 17.0 s -> 6.5 s on q132 at sf0.1 (the 80/10/10 split
     keeps only ~34% of pairs cross-split).
     """
-    t = df.select(
+    # tokenization + per-token hashing run in the scan stage; spread
+    # an unsplittable narrow input first (guide §2.5; no-op on real
+    # multi-file layouts) so the checkpoint materializes in parallel
+    # and every downstream branch inherits the parallelism
+    t = spread_narrow_input(df).select(
         F.col(id_col).alias("_id"), shingles.alias("_sh")
     ).localCheckpoint(eager=False)
     sig = _sig_frame(t)

@@ -28,7 +28,7 @@ from cardano_spark.functions.hashing import (
     HYPERPLANES,
     fold_sum,
 )
-from cardano_spark.operators.skew import salted_join
+from cardano_spark.operators.skew import salted_join, spread_narrow_input
 
 
 def as_double(vec: Column) -> Column:
@@ -186,8 +186,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    # the |corpus| x |queries| dot products are the operator's whole
+    # cost and run in the corpus scan stage; spread an unsplittable
+    # narrow scan across cores (guide §2.5; no-op on real layouts)
+    c = spread_narrow_input(
+        corpus.select(
+            F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+        )
     ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
@@ -696,13 +701,25 @@ def neardup_topk_per_block(
     pairs a near-dup pass exists to skip. The bucket expression is
     deterministic fold math, so the DuckDB oracle reproduces the
     blocking bit-for-bit."""
-    t = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("block"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("n", norm(F.col("v")))
+    # norm + bucket hashing are per-row compute in the scan stage:
+    # spread an unsplittable narrow scan (guide §2.5), and pin the
+    # prepared frame once — it feeds BOTH sides of the self-join, so
+    # an unpinned plan scans and re-hashes the corpus twice (the
+    # q22/q109 multi-consumer rule).
+    t = (
+        spread_narrow_input(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(block_col).alias("block"),
+                as_double(F.col(vec_col)).alias("v"),
+            )
+        )
+        .withColumn("n", norm(F.col("v")))
+    )
     if lsh_prefilter:
-        t = t.withColumn("bkt", lsh_bucket(F.col("v")))
+        t = t.withColumn("bkt", lsh_bucket(F.col("v"))).localCheckpoint(
+            eager=False
+        )
         left = t.select(
             F.col("_id").alias("id_a"), "block", "bkt",
             F.col("v").alias("va"), F.col("n").alias("na"),
@@ -713,6 +730,7 @@ def neardup_topk_per_block(
         )
         joined = left.join(right, ["block", "bkt"])
     else:
+        t = t.localCheckpoint(eager=False)
         left = t.select(
             F.col("_id").alias("id_a"), "block", F.col("v").alias("va"), F.col("n").alias("na")
         )
@@ -1021,20 +1039,37 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
-    # corpus side: partial-agg argmax, 1 row per vector on the wire
+    # corpus side: partial-agg argmax, 1 row per vector on the wire.
+    # The vector and its norm are carried THROUGH the argmax (constant
+    # per vid, so ``first`` is deterministic — the _assign_nearest
+    # payload contract): the old plan re-scanned the corpus a second
+    # time (``mv``) and shuffle-joined it back onto the candidates —
+    # one whole corpus scan + exchange that disappears here
+    # (guide §2.4: remove shuffles outright). The assignment fan-out
+    # (n x k scored rows) is the operator's heavy compute, so its
+    # input is spread across cores when the scan layout is narrower
+    # than the session (single-row-group fixture files; no-op on
+    # production layouts — guide §2.5 input skew).
+    v_sp = spread_narrow_input(v)
     if assign == "hierarchical":
         assigned = _two_level_assign(
-            v, "v", seeds.select("cid", "cv"), "cv", [], assign_probes
-        ).select(F.col("vid").alias("match_id"), "cid")
+            v_sp, "v", seeds.select("cid", "cv"), "cv", ["vn"], assign_probes
+        )
     elif assign == "flat":
         assigned = _assign_nearest(
-            v,
+            v_sp,
             seeds,
             dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
-            [],
-        ).select(F.col("vid").alias("match_id"), "cid")
+            ["v", "vn"],
+        )
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
+    assigned = assigned.select(
+        F.col("vid").alias("match_id"),
+        "cid",
+        F.col("v").alias("mv"),
+        F.col("vn").alias("mn"),
+    )
     # query side: nprobe nearest lists via window top-k (tiny frame)
     w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
     probes = (
@@ -1043,21 +1078,25 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(F.col("vid").alias("query_id"), "cid")
     )
-    cand = (
-        probes.join(assigned, "cid")
-        .filter(F.col("match_id") != F.col("query_id"))
-        .select("query_id", "match_id")
-    )
+    # probe->list attach: the probe frame is |queries| x nprobe slim
+    # id rows (queries are small by the operator's contract), so it
+    # is BROADCAST onto the corpus-side assignment — the corpus is
+    # never shuffled for candidate generation. The old plan sort-
+    # merge-joined the two sides on cid: two exchanges plus a sort
+    # of every corpus assignment row (guide §3.1: broadcast the side
+    # you know is small; Catalyst's estimate after a window filter
+    # is too poor to pick this up on its own).
     # query vectors come from the (small-by-contract) queries frame —
     # NEVER from the corpus: broadcasting a corpus-derived frame here
     # would OOM the executors at scale even though ids overlap locally.
     qv = q.select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
     )
-    mv = v.select(F.col("vid").alias("match_id"), F.col("v").alias("mv"), F.col("vn").alias("mn"))
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(mv, "match_id")
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "match_id",

@@ -23,6 +23,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_narrow_input(
+    df: DataFrame,
+    min_parts: int | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Round-robin repartition applied ONLY when the physical input
+    yields fewer partitions than the session's parallelism — the
+    optimization guide's §2.5 "input skew: one huge unsplittable file
+    … repartition immediately after the read".
+
+    The driver's fixture tables are single-row-group parquet files:
+    parquet cannot split a row group, so every scan stage is ONE task
+    and all per-row compute downstream of the scan serializes on one
+    core no matter how many the session has. Callers wrap the
+    *compute-heavy* scan inputs (tokenization, hashing, vector math)
+    so that work spreads across cores. On production layouts (many
+    files / row groups per file) the gate sees partitions >=
+    parallelism and returns the frame untouched — no exchange is ever
+    added at the 100 TB design point, where an unconditional
+    ``repartition`` would be the accidental-shuffle anti-pattern of
+    guide §2.4.
+
+    Value-neutral by construction: round-robin placement feeds only
+    partition-order-insensitive consumers (aggregations, equi-joins,
+    keyed windows) in this repo; callers that depend on input order
+    must not use it.
+
+    ``by``: optional columns to HASH-partition on instead of round-
+    robin. Use when the downstream groupBy/window key has HIGH
+    cardinality relative to rows-per-task: a round-robin spread
+    leaves each task with mostly-unique keys, so the partial
+    aggregation stops collapsing and the next exchange carries ~raw
+    rows twice; hash-partitioning on the key makes the spread
+    exchange double as the aggregation's own exchange (guide §2.4 —
+    two operations keyed the same way share one exchange) and the
+    aggregate runs complete, no partial pass."""
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    if by:
+        return df.repartition(min_parts, *[F.col(c) for c in by])
+    return df.repartition(min_parts)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

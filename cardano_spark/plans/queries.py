@@ -40,6 +40,7 @@ from cardano_spark.operators.relational import (
     topk,
     with_running,
 )
+from cardano_spark.operators.skew import spread_narrow_input
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -54,7 +55,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. Catalyst pushes the shipdate filter and the 6-column
     projection into the parquet scan; partial aggregation happens
     map-side so the shuffle carries only group keys (4 groups)."""
-    l = table(spark, sf_dir, "lineitem")
+    # decimal partial aggregation is the query's heavy compute; spread
+    # the unsplittable single-row-group fixture scan so it uses every
+    # core (no-op on production multi-file layouts — guide §2.5). The
+    # shipdate predicate still reaches the scan: Catalyst pushes
+    # filters through Repartition (PushedFilters pinned in plans/r11).
+    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
     disc_price = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
     charge = disc_price * dec6(1 + F.col("l_tax"))
     out = (
@@ -89,7 +95,9 @@ def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:103-109). Aggregate FIRST (reduces lineitem to one row
     per part), broadcast-join the part dimension after, then
     TakeOrderedAndProject — no full sort."""
-    l = table(spark, sf_dir, "lineitem")
+    # per-part partial agg = the heavy map-side work; spread the
+    # unsplittable fixture scan (guide §2.5; no-op at scale)
+    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
     p = table(spark, sf_dir, "part")
     rev = (
         l.groupBy("l_partkey")
@@ -110,7 +118,10 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation/region are broadcast unconditionally (true dimensions);
     customer scales with SF, so its hint is size-gated
     (broadcast_if_small) and self-retires at cluster scale."""
-    l = table(spark, sf_dir, "lineitem")
+    # the per-order decimal partial agg over lineitem is the heavy
+    # map-side work; spread the unsplittable fixture scan so it uses
+    # every core (guide §2.5; no-op at scale)
+    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -237,6 +248,10 @@ def q10_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tx pipeline loops over each block's hashes
     (cardano_transactions_to_s3_pipeline.py:104-107). sort_array makes
     the list deterministic."""
+    # NOT spread (unlike q01/q03): the scan-stage work here is only a
+    # collect_list partial whose lists travel whole either way; an RR
+    # exchange first just fragments each order's list into per-task
+    # partials (measured net-negative at sf0.1, r11)
     l = table(spark, sf_dir, "lineitem")
     arr = l.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("parts")
@@ -253,7 +268,9 @@ def q11_flatten_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha2 surrogate ids instead of the reference's driver-side uuid4
     (cardano_transactions_utxo_dto.py:61-93) so retries/re-runs are
     idempotent (SURVEY §7)."""
-    l = table(spark, sf_dir, "lineitem")
+    # one sha2 per row is the whole query; spread the unsplittable
+    # fixture scan so the hashing uses every core (guide §2.5)
+    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
     return l.select(
         surrogate_id("l_orderkey", "l_linenumber").alias("id"),
         "l_orderkey",

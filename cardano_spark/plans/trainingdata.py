@@ -44,6 +44,7 @@ from cardano_spark.operators import dedup as DD
 from cardano_spark.operators import multimodal as MM
 from cardano_spark.operators import relational as REL
 from cardano_spark.operators import similarity as SIM
+from cardano_spark.operators.skew import spread_narrow_input
 from cardano_spark.plans.queries import QueryFn
 
 # --------------------------------------------------------------------------
@@ -252,7 +253,9 @@ def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q23_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash over the distinct-token hash set."""
-    d = table(spark, sf_dir, "documents")
+    # the per-token md5 + simhash folds are the whole query; spread
+    # the unsplittable fixture scan across cores (guide §2.5)
+    d = spread_narrow_input(table(spark, sf_dir, "documents"))
     hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
     return d.select("doc_id", DD.simhash(hashes).alias("simhash"))
 
@@ -448,7 +451,9 @@ def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language scorer with deterministic argmax
     (fixed lang order on ties)."""
-    d = table(spark, sf_dir, "documents")
+    # tokenize + 4 stopword-profile scores per doc; spread the
+    # unsplittable fixture scan across cores (guide §2.5)
+    d = spread_narrow_input(table(spark, sf_dir, "documents"))
     toks = TX.tokens(F.col("text"))
     scored = d.select(
         "doc_id",
@@ -500,7 +505,9 @@ def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q32_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
-    d = table(spark, sf_dir, "documents")
+    # per-token md5 + rolling-hash fold; spread the unsplittable
+    # fixture scan across cores (guide §2.5)
+    d = spread_narrow_input(table(spark, sf_dir, "documents"))
     hashes = DD.md5_long_arr(TX.tokens(F.col("text")))
     return d.select("doc_id", rolling_fingerprint(hashes).alias("fingerprint"))
 
@@ -513,7 +520,10 @@ def q32_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column -> Arrow-batched mapInPandas feature
     extraction (deterministic fake decode; see operators/multimodal)."""
-    d = table(spark, sf_dir, "documents")
+    # the Arrow-batched Python stage is the whole query; spread the
+    # unsplittable fixture scan so every Python worker gets a batch
+    # (guide §2.5 — otherwise ONE worker decodes every payload)
+    d = spread_narrow_input(table(spark, sf_dir, "documents"))
     return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
 
 
@@ -581,12 +591,18 @@ def q40_trainingdata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max of doubles) — never a float sum across rows.
     """
     d = table(spark, sf_dir, "documents")
-    canon = (
-        d.groupBy(F.md5(F.col("text")).alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # keep-lowest-id-per-content-hash as ONE window pass: the old
+    # groupBy(md5)+semi-join form scanned the corpus twice and paid
+    # two shuffles (digest agg + doc_id join); row_number over the
+    # digest does it with one scan and one shuffle (guide §2.4 —
+    # remove shuffles outright). Identical keep-set: doc_id is unique,
+    # so rn=1 ordered by doc_id IS the min(doc_id) row per digest.
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    kept = d.join(canon, "doc_id", "semi")
 
     toks = TX.tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")

@@ -39,7 +39,27 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTE-based; several operators here (LSH
+        # band self-joins, per-block pair scoring, window passes over
+        # slim id rows) carry huge COMPUTE fan-out per shuffled byte,
+        # and the default 1 MiB floor collapses their post-shuffle
+        # stages to one partition — one core does all the pair math
+        # (optimization guide §2.2/§2.5: byte-based coalescing cannot
+        # see compute skew). A lower floor keeps `parallelismFirst`
+        # coalescing proportional to bytes/parallelism while letting
+        # slim-row heavy-compute stages keep their cores at ANY
+        # cluster size; env-overridable for deployments whose shuffles
+        # are all genuinely byte-heavy.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow shuffled-hash join where its size conditions hold
+        # (guide §3.1/§9): sort-merge pays two sorts that a per-
+        # partition hash build skips; AQE still demotes to SMJ when a
+        # build side is too big, and broadcast joins are unaffected.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
