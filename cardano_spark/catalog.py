@@ -75,6 +75,66 @@ def spread_narrow_input(df: DataFrame, min_parts: int | None = None) -> DataFram
     return _spread(df, min_parts)
 
 
+#: Conservative stand-in for spark.sql.files.maxPartitionBytes (128
+#: MiB default). Deliberately NOT read from the session conf: parsing
+#: size strings duplicates Spark internals, and a deployment that
+#: RAISES the split size only makes this estimate conservative — the
+#: estimate overshoots the true partition count, the gate sees "wide
+#: enough" and no-ops, which is the safe direction at scale.
+_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def scan_partitions_estimate(sf_dir: str, name: str) -> int | None:
+    """Estimated scan partitions for one catalog table from file
+    stats alone — no Spark call, so the narrow-input gate costs
+    microseconds instead of the ~0.15-0.25 s driver-side physical
+    planning that ``df.rdd.getNumPartitions()`` spends per probe
+    (measured, r11 — the bench pays that on every query build).
+    ``max(n_files, bytes // maxSplit)`` bounds Spark's split packing
+    from below on BOTH axes: many small files each yield at least one
+    task, and big splittable files yield at least bytes/maxSplit.
+    Underestimating can only add a spread on a layout that was
+    already wide-ish; overestimating (the conservative direction, see
+    ``_MAX_SPLIT_BYTES``) no-ops the gate. None for non-local paths —
+    callers fall back to the exact probe."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    hit = _LAYOUT_CACHE.get(path)
+    if hit is None:
+        try:
+            if os.path.isdir(path):
+                sizes = [
+                    e.stat().st_size for e in os.scandir(path) if e.is_file()
+                ]
+                hit = (sum(sizes), max(1, len(sizes)))
+            else:
+                hit = (os.path.getsize(path), 1)
+        except OSError:
+            return None
+        _LAYOUT_CACHE[path] = hit
+    total, n_files = hit
+    return max(n_files, total // _MAX_SPLIT_BYTES)
+
+
+def narrow_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """:func:`table` + the narrow-input spread, gated by the
+    stat-based partition estimate above (plan-level call sites always
+    wrap a bare scan, so the estimate is exact enough and free)."""
+    from cardano_spark.operators.skew import spread_narrow_input as _spread
+
+    return _spread(
+        table(spark, sf_dir, name),
+        by=by,
+        est_parts=scan_partitions_estimate(sf_dir, name),
+    )
+
+
 _SIZE_CACHE: dict[str, int] = {}
 
 

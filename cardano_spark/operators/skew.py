@@ -27,6 +27,7 @@ def spread_narrow_input(
     df: DataFrame,
     min_parts: int | None = None,
     by: list[str] | None = None,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Round-robin repartition applied ONLY when the physical input
     yields fewer partitions than the session's parallelism — the
@@ -58,10 +59,21 @@ def spread_narrow_input(
     rows twice; hash-partitioning on the key makes the spread
     exchange double as the aggregation's own exchange (guide §2.4 —
     two operations keyed the same way share one exchange) and the
-    aggregate runs complete, no partial pass."""
+    aggregate runs complete, no partial pass.
+
+    ``est_parts``: caller-supplied partition estimate (e.g. from
+    ``catalog.scan_partitions_estimate`` — file stats, no Spark call).
+    The exact ``df.rdd.getNumPartitions()`` probe costs ~0.15-0.25 s
+    of driver-side physical planning PER CALL (measured, r11), which
+    the bench pays on every query build; callers that know their
+    input is a bare scan should pass the stat-based estimate instead.
+    Callers passing mid-plan frames (operators) must NOT estimate from
+    source files — a post-shuffle frame is already wide even when its
+    source is one file — and leave this None for the exact probe."""
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_parts:
+    n = est_parts if est_parts is not None else df.rdd.getNumPartitions()
+    if n >= min_parts:
         return df
     if by:
         return df.repartition(min_parts, *[F.col(c) for c in by])

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
-from cardano_spark.catalog import table, table_bytes
+from cardano_spark.catalog import narrow_table, table, table_bytes
 from cardano_spark.functions.scalars import (
     dec,
     dec6,
@@ -40,7 +40,6 @@ from cardano_spark.operators.relational import (
     topk,
     with_running,
 )
-from cardano_spark.operators.skew import spread_narrow_input
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -60,7 +59,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core (no-op on production multi-file layouts — guide §2.5). The
     # shipdate predicate still reaches the scan: Catalyst pushes
     # filters through Repartition (PushedFilters pinned in plans/r11).
-    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
+    l = narrow_table(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
     charge = disc_price * dec6(1 + F.col("l_tax"))
     out = (
@@ -95,9 +94,15 @@ def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:103-109). Aggregate FIRST (reduces lineitem to one row
     per part), broadcast-join the part dimension after, then
     TakeOrderedAndProject — no full sort."""
-    # per-part partial agg = the heavy map-side work; spread the
-    # unsplittable fixture scan (guide §2.5; no-op at scale)
-    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
+    # spread the unsplittable fixture scan KEYED on the groupBy column
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange): l_partkey is high-cardinality, so a round-robin
+    # spread would leave mostly-unique keys per task (partial agg
+    # barely collapses) and then pay the aggregation exchange AGAIN;
+    # hash-partitioning up front makes the spread exchange double as
+    # the aggregation's own. Interleaved A/B at sf0.1: min 2.24 s
+    # (RR) -> 1.15 s (keyed). No-op on production layouts (§2.5).
+    l = narrow_table(spark, sf_dir, "lineitem", by=["l_partkey"])
     p = table(spark, sf_dir, "part")
     rev = (
         l.groupBy("l_partkey")
@@ -118,10 +123,14 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation/region are broadcast unconditionally (true dimensions);
     customer scales with SF, so its hint is size-gated
     (broadcast_if_small) and self-retires at cluster scale."""
-    # the per-order decimal partial agg over lineitem is the heavy
-    # map-side work; spread the unsplittable fixture scan so it uses
-    # every core (guide §2.5; no-op at scale)
-    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
+    # spread the unsplittable fixture scan KEYED on l_orderkey (guide
+    # §2.4): the per-order aggregation below needs that partitioning
+    # anyway, so the spread exchange doubles as the aggregation's own
+    # — one exchange of raw slim rows instead of an RR exchange PLUS
+    # an agg exchange whose partials barely collapse (l_orderkey is
+    # high-cardinality). Interleaved A/B at sf0.1: median 9.2 s (RR,
+    # noisy window) -> 4.75 s, minima equal. No-op at scale (§2.5).
+    l = narrow_table(spark, sf_dir, "lineitem", by=["l_orderkey"])
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -270,7 +279,7 @@ def q11_flatten_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent (SURVEY §7)."""
     # one sha2 per row is the whole query; spread the unsplittable
     # fixture scan so the hashing uses every core (guide §2.5)
-    l = spread_narrow_input(table(spark, sf_dir, "lineitem"))
+    l = narrow_table(spark, sf_dir, "lineitem")
     return l.select(
         surrogate_id("l_orderkey", "l_linenumber").alias("id"),
         "l_orderkey",

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from cardano_spark.catalog import table
+from cardano_spark.catalog import narrow_table, table
 from cardano_spark.functions import text as TX
 from cardano_spark.functions.hashing import (
     HYPERPLANES,
@@ -44,7 +44,6 @@ from cardano_spark.operators import dedup as DD
 from cardano_spark.operators import multimodal as MM
 from cardano_spark.operators import relational as REL
 from cardano_spark.operators import similarity as SIM
-from cardano_spark.operators.skew import spread_narrow_input
 from cardano_spark.plans.queries import QueryFn
 
 # --------------------------------------------------------------------------
@@ -255,7 +254,7 @@ def q23_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash over the distinct-token hash set."""
     # the per-token md5 + simhash folds are the whole query; spread
     # the unsplittable fixture scan across cores (guide §2.5)
-    d = spread_narrow_input(table(spark, sf_dir, "documents"))
+    d = narrow_table(spark, sf_dir, "documents")
     hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
     return d.select("doc_id", DD.simhash(hashes).alias("simhash"))
 
@@ -453,7 +452,7 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed lang order on ties)."""
     # tokenize + 4 stopword-profile scores per doc; spread the
     # unsplittable fixture scan across cores (guide §2.5)
-    d = spread_narrow_input(table(spark, sf_dir, "documents"))
+    d = narrow_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     scored = d.select(
         "doc_id",
@@ -507,7 +506,7 @@ def q32_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
     # per-token md5 + rolling-hash fold; spread the unsplittable
     # fixture scan across cores (guide §2.5)
-    d = spread_narrow_input(table(spark, sf_dir, "documents"))
+    d = narrow_table(spark, sf_dir, "documents")
     hashes = DD.md5_long_arr(TX.tokens(F.col("text")))
     return d.select("doc_id", rolling_fingerprint(hashes).alias("fingerprint"))
 
@@ -523,7 +522,7 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow-batched Python stage is the whole query; spread the
     # unsplittable fixture scan so every Python worker gets a batch
     # (guide §2.5 — otherwise ONE worker decodes every payload)
-    d = spread_narrow_input(table(spark, sf_dir, "documents"))
+    d = narrow_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
 
 

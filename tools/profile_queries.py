@@ -46,8 +46,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         build_s = time.time() - t0
 
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
         t0 = time.time()
-        df._jdf.queryExecution().explainString("formatted")
+        df._jdf.queryExecution().explainString(mode)
         plan_s = time.time() - t0
 
         best, best_meta = None, {}
