@@ -88,6 +88,13 @@ def md5_long_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def md5_long_sexpr(expr: str) -> str:
+    """SPARK-SQL text twin of :func:`md5_long` (driver-latency fast
+    path — one ``F.expr`` instead of per-operator py4j round trips;
+    see operators/similarity.py's ``*_sexpr`` family)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def minhash_sig(hashes: Column, a: int, b: int) -> Column:
     """One MinHash signature value: min over the shingle-hash array of
     the permuted hash (a*(h%P)+b)%P."""
@@ -101,6 +108,14 @@ def minhash_sig_sql(hashes_expr: str, a: int, b: int) -> str:
     """DuckDB text twin of :func:`minhash_sig`."""
     return (
         f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({a} * (h % {POLY_MOD}) + {b}) % {POLY_MOD}))"
+    )
+
+
+def minhash_sig_sexpr(hashes_expr: str, a: int, b: int) -> str:
+    """SPARK-SQL text twin of :func:`minhash_sig`."""
+    return (
+        f"array_min(transform({hashes_expr}, "
         f"h -> ({a} * (h % {POLY_MOD}) + {b}) % {POLY_MOD}))"
     )
 

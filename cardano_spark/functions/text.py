@@ -54,6 +54,17 @@ def distinct_tokens_sql(expr: str) -> str:
     return f"list_distinct(string_split({expr}, ' '))"
 
 
+def tokens_sexpr(expr: str) -> str:
+    """SPARK-SQL text twin of :func:`tokens` (driver-latency fast
+    path; the ``*_sexpr`` convention of operators/similarity.py)."""
+    return f"split({expr}, ' ')"
+
+
+def distinct_tokens_sexpr(expr: str) -> str:
+    """SPARK-SQL text twin of :func:`distinct_tokens`."""
+    return f"array_distinct(split({expr}, ' '))"
+
+
 def ngram_shingles(text: Column, n: int) -> Column:
     """Distinct word n-gram shingles. Empty array when the document
     has fewer than n tokens (guards Spark's descending-``sequence``
@@ -114,6 +125,12 @@ def stopword_hits(toks: Column, lang: str) -> Column:
 def stopword_hits_sql(toks_expr: str, lang: str) -> str:
     lit = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
     return f"len(list_filter({toks_expr}, t -> list_contains({lit}, t)))"
+
+
+def stopword_hits_sexpr(toks_expr: str, lang: str) -> str:
+    """SPARK-SQL text twin of :func:`stopword_hits`."""
+    lit = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+    return f"size(filter({toks_expr}, t -> array_contains({lit}, t)))"
 
 
 def token_count_regex(text: Column) -> Column:

@@ -31,7 +31,9 @@ from cardano_spark.functions.hashing import (
     MINHASH_PERMS,
     SIMHASH_BITS,
     md5_long,
+    md5_long_sexpr,
     minhash_sig,
+    minhash_sig_sexpr,
 )
 from cardano_spark.operators.skew import spread_narrow_input
 
@@ -157,10 +159,16 @@ def _sig_frame(t: DataFrame) -> DataFrame:
     single flat projection, the md5 transform re-evaluates per
     permutation (Catalyst CSE does not share higher-order-function
     subtrees), which alone was ~30% of q22's wall time at sf0.1."""
-    return t.select("_id", md5_long_arr(F.col("_sh")).alias("_hs")).select(
+    # selectExpr text instead of Column ops: the 16 permutation folds
+    # cost ~1.4k py4j round trips built operator-wise (~0.4-0.8 s of
+    # driver latency per query build, guide §5); the SQL text is the
+    # same Catalyst expression in 2 round trips
+    return t.selectExpr(
+        "_id", f"transform(_sh, x -> {md5_long_sexpr('x')}) AS _hs"
+    ).selectExpr(
         "_id",
         *[
-            minhash_sig(F.col("_hs"), a, b).alias(f"sig{j}")
+            f"{minhash_sig_sexpr('_hs', a, b)} AS sig{j}"
             for j, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
@@ -183,28 +191,24 @@ def _banded_frame(
             f"banding {bands}x{rows_per_band} exceeds the "
             f"{len(MINHASH_PERMS)}-permutation signature"
         )
+    # one F.expr for the whole band-struct array (guide §5 driver
+    # latency — the Column build costs ~8 py4j round trips per
+    # signature column)
+    def band_struct(band: int) -> str:
+        cols = ", ".join(
+            f"CAST(sig{j} AS STRING)"
+            for j in range(band * rows_per_band, (band + 1) * rows_per_band)
+        )
+        return (
+            f"struct({band} AS band_idx, "
+            f"md5(concat_ws('|', {cols})) AS band_val)"
+        )
+
     return sig.select(
         "_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"sig{j}").cast("string")
-                                    for j in range(
-                                        band * rows_per_band,
-                                        (band + 1) * rows_per_band,
-                                    )
-                                ],
-                            )
-                        ).alias("band_val"),
-                    )
-                    for band in range(bands)
-                ]
+            F.expr(
+                "array(" + ", ".join(band_struct(b) for b in range(bands)) + ")"
             )
         ).alias("b"),
     ).select("_id", "b.band_idx", "b.band_val")
@@ -313,9 +317,11 @@ def _with_sig_vectors(pairs: DataFrame, sig: DataFrame) -> DataFrame:
     (id_a, id_b) pair frame — two slim joins, arrays of 16 longs."""
     sigv = sig.select(
         "_id",
-        F.array(*[F.col(f"sig{j}") for j in range(len(MINHASH_PERMS))]).alias(
-            "_sigv"
-        ),
+        F.expr(
+            "array("
+            + ", ".join(f"sig{j}" for j in range(len(MINHASH_PERMS)))
+            + ")"
+        ).alias("_sigv"),
     )
     return pairs.join(
         sigv.select(F.col("_id").alias("id_a"), F.col("_sigv").alias("_sa")),
@@ -330,16 +336,13 @@ def _sig_agreement() -> Column:
     """Estimated Jaccard from packed signature vectors _sa/_sb: the
     fraction of the 16 components that agree — the ONE definition
     both the est_prefilter gate and the estimator report use."""
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("_sa"),
-            F.col("_sb"),
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, m: acc + m,
+    return F.expr(
+        "CAST(aggregate(zip_with(_sa, _sb, "
+        "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, "
+        "(acc, m) -> acc + m) AS DOUBLE) / "
+        + repr(float(len(MINHASH_PERMS)))
+        + "D"
     )
-    return matches.cast("double") / F.lit(float(len(MINHASH_PERMS)))
 
 
 def minhash_lsh_pairs(
@@ -448,7 +451,27 @@ def md5_long_arr(arr: Column) -> Column:
     return F.transform(arr, md5_long)
 
 
-def simhash(hashes: Column) -> Column:
+def simhash_sexpr(hashes_expr: str) -> str:
+    """SPARK-SQL text twin of :func:`simhash` (one ``F.expr`` — the
+    nested-lambda Column build costs ~780 py4j round trips, guide §5
+    driver latency)."""
+    powers = "array(" + ", ".join(f"{1 << j}L" for j in range(SIMHASH_BITS)) + ")"
+    votes = (
+        f"aggregate({hashes_expr}, "
+        f"array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}), "
+        f"(acc, e) -> zip_with(acc, "
+        f"transform({powers}, p -> CASE WHEN (e & p) != 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), "
+        f"(x, y) -> x + y))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, {powers}, "
+        f"(v, p) -> CASE WHEN v > 0 THEN p ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def simhash(hashes: Column | str) -> Column:
     """SIMHASH_BITS-bit SimHash of a token-hash array: bit j is set
     when more element hashes have bit j set than not.
 
@@ -458,7 +481,12 @@ def simhash(hashes: Column) -> Column:
     the fingerprint. The naive per-bit version (SIMHASH_BITS separate
     ``aggregate`` calls) re-evaluates the element hashes once per bit
     -- measured 5.6s vs ~0.6s on 5k docs at sf0.1. Integer votes are
-    identical either way, so the DuckDB oracle is unchanged."""
+    identical either way, so the DuckDB oracle is unchanged.
+
+    String input is SQL text (usually a column name) and takes the
+    one-``F.expr`` fast path."""
+    if isinstance(hashes, str):
+        return F.expr(simhash_sexpr(hashes))
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
     votes = F.aggregate(
         hashes,

@@ -35,33 +35,102 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
+# --- Spark-SQL TEXT twins (driver-latency fast path, guide §5) -----
+#
+# Building these expressions Column-op-by-Column-op costs one py4j
+# round trip per operator call — measured 86 (norm) / 101 (dot) /
+# 3893 (lsh_bucket) round trips at ~0.3-0.5 ms each, i.e. up to
+# ~1.7 s of pure driver latency PER lsh_bucket construction, paid on
+# every query build. The same expression as ONE ``F.expr`` SQL string
+# costs 3 round trips. The text builders below produce the exact same
+# Catalyst operators (aggregate/zip_with/transform with double
+# literals that round-trip bit-exactly via repr + the ``D`` suffix),
+# so results are unchanged — only construction latency moves. The
+# ``*_sexpr`` suffix = Spark-SQL text (the existing ``*_sql`` twins
+# in functions/hashing.py are DuckDB-dialect oracle text).
+
+
+def _dlit(x: float) -> str:
+    """Double literal in Spark SQL text. ``repr`` emits the shortest
+    string that round-trips to the exact same IEEE754 double, and
+    Spark parses the ``D`` suffix via Java's ``Double.parseDouble``
+    (same round-trip guarantee) — verified exact for all 2053 plane /
+    codebook constants in this repo."""
+    return repr(float(x)) + "D"
+
+
+def dot_sexpr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def norm_sexpr(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+def cosine_sexpr(a: str, b: str) -> str:
+    return f"{dot_sexpr(a, b)} / ({norm_sexpr(a)} * {norm_sexpr(b)})"
+
+
+def plane_sexpr(plane: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in plane) + ")"
+
+
+def lsh_bucket_sexpr(vec: str, planes: list[list[float]] | None = None) -> str:
+    terms = [
+        f"(CASE WHEN {dot_sexpr(vec, plane_sexpr(plane))} > 0.0D "
+        f"THEN {2 ** j}L ELSE 0L END)"
+        for j, plane in enumerate(planes if planes is not None else HYPERPLANES)
+    ]
+    return "CAST(0 AS BIGINT) + " + " + ".join(terms)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product (order-deterministic).
 
     Deliberately the lambda-based ``aggregate``/``zip_with`` pair:
     an unrolled ``a[0]*b[0] + ...`` chain was measured 3-5x SLOWER
     here — the 129-node expression tree exceeds codegen method
     limits and falls back to per-node interpretation, while the
-    fold is a single tight evaluator loop over the array."""
+    fold is a single tight evaluator loop over the array.
+
+    String args are SQL text (usually a column name) and take the
+    one-``F.expr`` fast path — 3 py4j round trips instead of 101."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sexpr(a, b))
     return fold_sum(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0))
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(norm_sexpr(a))
     return F.sqrt(fold_sum(F.transform(a, lambda x: x * x), F.lit(0.0)))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sexpr(a, b))
     return dot(a, b) / (norm(a) * norm(b))
 
 
 def plane_lit(plane: list[float]) -> Column:
-    return F.array(*[F.lit(x) for x in plane])
+    return F.expr(plane_sexpr(plane))
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+def lsh_bucket(
+    vec: Column | str, planes: list[list[float]] | None = None
+) -> Column:
     """8-bit sign-LSH bucket: bit j = (vec . plane_j) > 0. ``planes``
     defaults to table 0 (HYPERPLANES); pass another entry of
-    HYPERPLANE_TABLES for multi-table probing."""
+    HYPERPLANE_TABLES for multi-table probing. String ``vec`` takes
+    the one-``F.expr`` fast path (3 py4j round trips vs 3893)."""
+    if isinstance(vec, str):
+        return F.expr(lsh_bucket_sexpr(vec, planes))
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes if planes is not None else HYPERPLANES):
         bucket = bucket + F.when(
@@ -108,28 +177,30 @@ def multitable_lsh_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
 
-    def bucket_rows(vec: Column) -> Column:
+    def bucket_rows(vec: str) -> Column:
+        # one F.expr for the whole n_tables-struct array: the
+        # per-table lsh_bucket built Column-op-wise costs ~3.9k py4j
+        # round trips EACH (guide §5 driver latency; see lsh_bucket)
         return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket(vec, planes).alias("bucket"),
-                    )
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({t} AS t, {lsh_bucket_sexpr(vec, planes)} AS bucket)"
                     for t, planes in enumerate(tables)
-                ]
+                )
+                + ")"
             )
         )
 
-    cb = c.select("match_id", bucket_rows(F.col("cv")).alias("b")).select(
+    cb = c.select("match_id", bucket_rows("cv").alias("b")).select(
         "match_id", "b.t", "b.bucket"
     )
-    qb = q.select("query_id", bucket_rows(F.col("qv")).alias("b")).select(
+    qb = q.select("query_id", bucket_rows("qv").alias("b")).select(
         "query_id", "b.t", "b.bucket"
     )
     if multiprobe == 1:
@@ -157,7 +228,7 @@ def multitable_lsh_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -185,7 +256,7 @@ def brute_force_topk(
     the exchange) so each pair costs one dot product, not three."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     # the |corpus| x |queries| dot products are the operator's whole
     # cost and run in the corpus scan stage; spread an unsplittable
     # narrow scan across cores (guide §2.5; no-op on real layouts)
@@ -193,13 +264,13 @@ def brute_force_topk(
         corpus.select(
             F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
         )
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -234,19 +305,19 @@ def _label_scored_pairs(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(label_col).alias("match_label"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     return c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).select(
         "query_id",
         "query_label",
         "match_id",
         "match_label",
         (F.col("match_label") == F.col("query_label")).alias("same_label"),
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+        (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
             "cos_sim"
         ),
     )
@@ -368,14 +439,14 @@ def semantic_decontaminate(
     product. For benchmark sets too large to broadcast, route both
     sides through the sign-LSH bucket join (lsh_topk) instead."""
     b = bench.select(as_double(F.col(vec_col)).alias("bv")).withColumn(
-        "bn", norm(F.col("bv"))
+        "bn", norm("bv")
     )
     c = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     scored = c.join(F.broadcast(b)).select(
         id_col,
-        (dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn"))).alias(
+        (dot("cv", "bv") / (F.col("cn") * F.col("bn"))).alias(
             "cos_sim"
         ),
     )
@@ -413,8 +484,8 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         )
-        .withColumn("bucket", lsh_bucket(F.col("qv")))
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("bucket", lsh_bucket("qv"))
+        .withColumn("qn", norm("qv"))
     )
     if multiprobe == 1:
         q = q.withColumn(
@@ -435,8 +506,8 @@ def lsh_topk(
         corpus.select(
             F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
         )
-        .withColumn("bucket", lsh_bucket(F.col("cv")))
-        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("bucket", lsh_bucket("cv"))
+        .withColumn("cn", norm("cv"))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -444,7 +515,7 @@ def lsh_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -714,10 +785,10 @@ def neardup_topk_per_block(
                 as_double(F.col(vec_col)).alias("v"),
             )
         )
-        .withColumn("n", norm(F.col("v")))
+        .withColumn("n", norm("v"))
     )
     if lsh_prefilter:
-        t = t.withColumn("bkt", lsh_bucket(F.col("v"))).localCheckpoint(
+        t = t.withColumn("bkt", lsh_bucket("v")).localCheckpoint(
             eager=False
         )
         left = t.select(
@@ -747,7 +818,7 @@ def neardup_topk_per_block(
             "block",
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias(
                 "cos_sim"
             ),
         )
@@ -835,14 +906,14 @@ def _two_level_assign(
     # so oracle hashes are unaffected.
     vv = v.select(
         F.col("vid"), F.col(vec_field).alias("_q"), *payload
-    ).withColumn("_qn", norm(F.col("_q")))
+    ).withColumn("_qn", norm("_q"))
     # the seed frame feeds THREE subtrees (super-seed ranking, seed
     # grouping, level-2 fan-out) — cut it once so the seeds' lineage
     # (e.g. a previous Lloyd iteration) does not execute three times
     # per call; k slim rows
     sd = (
         seeds.select(F.col("cid"), F.col(seed_field).alias("_s"))
-        .withColumn("_sn", norm(F.col("_s")))
+        .withColumn("_sn", norm("_s"))
         .localCheckpoint(eager=False)
     )
     wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
@@ -883,7 +954,7 @@ def _two_level_assign(
             F.col("_gs").alias("_s"),
             F.col("_gn").alias("_sn"),
         ),
-        dot(F.col("_q"), F.col("_s")) / (F.col("_qn") * F.col("_sn")),
+        dot("_q", "_s") / (F.col("_qn") * F.col("_sn")),
         [],
     ).select(F.col("vid").alias("_mcid"), F.col("cid").alias("gid"))
     group_seeds = cg.join(sd, cg["_mcid"] == sd["cid"]).select(
@@ -901,7 +972,7 @@ def _two_level_assign(
             *payload,
             F.col("gid"),
             (
-                dot(F.col("_q"), F.col("_gs"))
+                dot("_q", "_gs")
                 / (F.col("_qn") * F.col("_gn"))
             ).alias("_c"),
         )
@@ -934,7 +1005,7 @@ def _two_level_assign(
         *payload,
         F.col("cid"),
         (
-            dot(F.col("_q"), F.col("_s"))
+            dot("_q", "_s")
             / (F.col("_qn") * F.col("_sn"))
         ).alias("c"),
         F.col("_q"),
@@ -1016,12 +1087,12 @@ def ivf_topk(
         assign = choose_assign_mode(n)
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     if centroids is not None:
         seeds = centroids.select(
             F.col("cid").cast("long").alias("cid"),
             as_double(F.col("centroid")).alias("cv"),
-        ).withColumn("cn", norm(F.col("cv")))
+        ).withColumn("cn", norm("cv"))
     else:
         seeds = _auto_k_filter(
             v, "vid", n_centroids, auto_k, mode=assign
@@ -1033,12 +1104,12 @@ def ivf_topk(
         return df.crossJoin(F.broadcast(seeds)).select(
             F.col("vid"),
             F.col("cid"),
-            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("c"),
+            (dot("v", "cv") / (F.col("vn") * F.col("cn"))).alias("c"),
         )
 
     q = queries.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     # corpus side: partial-agg argmax, 1 row per vector on the wire.
     # The vector and its norm are carried THROUGH the argmax (constant
     # per vid, so ``first`` is deterministic — the _assign_nearest
@@ -1059,7 +1130,7 @@ def ivf_topk(
         assigned = _assign_nearest(
             v_sp,
             seeds,
-            dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+            dot("v", "cv") / (F.col("vn") * F.col("cn")),
             ["v", "vn"],
         )
     else:
@@ -1100,7 +1171,7 @@ def ivf_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("mv")) / (F.col("qn") * F.col("mn"))).alias(
+            (dot("qv", "mv") / (F.col("qn") * F.col("mn"))).alias(
                 "cos_sim"
             ),
         )
@@ -1198,7 +1269,7 @@ def quantized_rerank_topk(
         F.col(id_col).alias("query_id"),
         quantize(F.col(vec_col)).alias("qq"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("match_id"), quantize(F.col(vec_col)).alias("cq")
     )
@@ -1223,14 +1294,14 @@ def quantized_rerank_topk(
     )
     cv = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     rer = (
         cv.join(F.broadcast(short), "match_id")
         .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -1400,12 +1471,12 @@ def semantic_dedup(
         assign = choose_assign_mode(n)
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     if centroids is not None:
         seeds = centroids.select(
             F.col("cid").cast("long").alias("cid"),
             as_double(F.col("centroid")).alias("cv"),
-        ).withColumn("cn", norm(F.col("cv")))
+        ).withColumn("cn", norm("cv"))
     else:
         seeds = _auto_k_filter(
             v,
@@ -1439,7 +1510,7 @@ def semantic_dedup(
         assigned = _assign_nearest(
             v,
             seeds,
-            dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+            dot("v", "cv") / (F.col("vn") * F.col("cn")),
             ["v", "vn"],
         ).localCheckpoint(eager=False)
     else:
@@ -1460,7 +1531,7 @@ def semantic_dedup(
         a.join(b, "cid")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+            dot("av", "bv") / (F.col("an") * F.col("bn"))
             > F.lit(float(threshold))
         )
         .select(F.col("b_id").alias("vid"))
@@ -1516,14 +1587,14 @@ def semantic_dedup_incremental(
     seeds = centroids.select(
         F.col("cid").cast("long").alias("cid"),
         as_double(F.col("centroid")).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
-    score = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    ).withColumn("cn", norm("cv"))
+    score = dot("v", "cv") / (F.col("vn") * F.col("cn"))
 
     def prep(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col).alias("vid"),
             as_double(F.col(vec_col)).alias("v"),
-        ).withColumn("vn", norm(F.col("v")))
+        ).withColumn("vn", norm("v"))
 
     a_old = _assign_nearest(prep(old), seeds, score, ["v", "vn"])
     # three consumers (both pair sides + the output flag join)
@@ -1541,7 +1612,7 @@ def semantic_dedup_incremental(
         earlier.join(b, "cid")
         .filter(F.col("vid") < F.col("b_vid"))
         .filter(
-            dot(F.col("v"), F.col("bv")) / (F.col("vn") * F.col("bn"))
+            dot("v", "bv") / (F.col("vn") * F.col("bn"))
             > F.lit(float(threshold))
         )
         .select(F.col("b_vid").alias("vid"))
@@ -1570,14 +1641,14 @@ def assign_to_centroids(
     seeds = centroids.select(
         F.col("cid").cast("long").alias("cid"),
         as_double(F.col("centroid")).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     v = df.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     return _assign_nearest(
         v,
         seeds,
-        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        dot("v", "cv") / (F.col("vn") * F.col("cn")),
         [],
     ).select(F.col("vid").alias(id_col), F.col("cid").alias("cluster_id"))
 
@@ -1608,19 +1679,19 @@ def semantic_dedup_serve(
     seeds = centroids.select(
         F.col("cid").cast("long").alias("cid"),
         as_double(F.col("centroid")).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     a_old = old_assigned.select(
         F.col(id_col).alias("vid"),
         F.col("cluster_id").alias("cid"),
         as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     a_new = _assign_nearest(
         new.select(
             F.col(id_col).alias("vid"),
             as_double(F.col(vec_col)).alias("v"),
-        ).withColumn("vn", norm(F.col("v"))),
+        ).withColumn("vn", norm("v")),
         seeds,
-        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        dot("v", "cv") / (F.col("vn") * F.col("cn")),
         ["v", "vn"],
     ).localCheckpoint(eager=False)
     earlier = a_old.select("vid", "cid", "v", "vn").unionByName(
@@ -1636,7 +1707,7 @@ def semantic_dedup_serve(
         earlier.join(b, "cid")
         .filter(F.col("vid") < F.col("b_vid"))
         .filter(
-            dot(F.col("v"), F.col("bv")) / (F.col("vn") * F.col("bn"))
+            dot("v", "bv") / (F.col("vn") * F.col("bn"))
             > F.lit(float(threshold))
         )
         .select(F.col("b_vid").alias("vid"))
@@ -1689,11 +1760,11 @@ def warm_refresh_model(
     frozen = centroids.select(
         F.col("cid").cast("long").alias("cid"),
         as_double(F.col("centroid")).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     a = _assign_nearest(
         sample,
         frozen,
-        dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * F.col("cn")),
+        dot("v", "cv") / (norm("v") * F.col("cn")),
         ["q"],
     )
     return (
@@ -1719,10 +1790,19 @@ def warm_refresh_model(
 JL_PLANES = HYPERPLANE_TABLES[0] + HYPERPLANE_TABLES[1]
 
 
-def project_jl(vec: Column, planes: list[list[float]] | None = None) -> Column:
+def project_jl(vec: Column | str, planes: list[list[float]] | None = None) -> Column:
     """Dense random projection: 64-dim -> len(planes)-dim double
     array, component j = vec . plane_j (sequential fold, oracle-
-    exact)."""
+    exact). String ``vec`` takes the one-``F.expr`` fast path
+    (16 plane dots x ~360 py4j round trips otherwise)."""
+    if isinstance(vec, str):
+        return F.expr(
+            "array("
+            + ", ".join(
+                dot_sexpr(vec, plane_sexpr(p)) for p in (planes or JL_PLANES)
+            )
+            + ")"
+        )
     return F.array(
         *[dot(vec, plane_lit(p)) for p in (planes or JL_PLANES)]
     )
@@ -1759,14 +1839,14 @@ def projected_rerank_topk(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     q = q0.select(
-        "query_id", "qv", project_jl(F.col("qv"), pl).alias("qp")
-    ).withColumn("qn", norm(F.col("qv"))).withColumn("qpn", norm(F.col("qp")))
+        "query_id", "qv", project_jl("qv", pl).alias("qp")
+    ).withColumn("qn", norm("qv")).withColumn("qpn", norm("qp"))
     c0 = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
     )
     c = c0.select(
-        "match_id", project_jl(F.col("cv"), pl).alias("cp")
-    ).withColumn("cpn", norm(F.col("cp")))
+        "match_id", project_jl("cv", pl).alias("cp")
+    ).withColumn("cpn", norm("cp"))
     cand = (
         c.join(
             F.broadcast(q.select("query_id", "qp", "qpn")),
@@ -1775,7 +1855,7 @@ def projected_rerank_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qp"), F.col("cp")) / (F.col("qpn") * F.col("cpn"))).alias(
+            (dot("qp", "cp") / (F.col("qpn") * F.col("cpn"))).alias(
                 "proj_score"
             ),
         )
@@ -1788,14 +1868,14 @@ def projected_rerank_topk(
         .filter(F.col("_r") <= shortlist)
         .select("query_id", "match_id")
     )
-    cv = c0.withColumn("cn", norm(F.col("cv")))
+    cv = c0.withColumn("cn", norm("cv"))
     rer = (
         cv.join(F.broadcast(short), "match_id")
         .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -1918,8 +1998,8 @@ def assign_to_model(
     (:func:`_assign_nearest`, ties to smallest cid); cost ∝
     ``|df| × k``. Returns (``id_col``, cid)."""
     seeds = sums.select("cid", F.col("centroid").alias("s"))
-    cos = dot(F.col("q"), F.col("s")) / (
-        norm(F.col("q")) * norm(F.col("s"))
+    cos = dot("q", "s") / (
+        norm("q") * norm("s")
     )
     v = df.select(
         F.col(id_col).alias("vid"),
@@ -2060,18 +2140,20 @@ def _kmeans_iterate(
             assign = _assign_nearest(
                 v,
                 sums,
-                dot(F.col("q"), F.col("s"))
-                / (norm(F.col("q")) * norm(F.col("s"))),
+                dot("q", "s")
+                / (norm("q") * norm("s")),
                 ["q"],
             )
         if it < n_iter - 1:
-            sums = (
-                assign.groupBy("cid")
-                .agg(*[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)])
-                .select(
-                    "cid",
-                    F.array(*[F.col(f"s{d}") for d in range(dim)]).alias("s"),
-                )
+            # single array-of-aggregates expr: the per-dim
+            # agg + re-array built Column-op-wise costs ~6 py4j
+            # round trips x dim per iteration (guide §5)
+            sums = assign.groupBy("cid").agg(
+                F.expr(
+                    "array("
+                    + ", ".join(f"sum(q[{d}])" for d in range(dim))
+                    + ")"
+                ).alias("s")
             )
     return assign, sums
 
@@ -2278,17 +2360,17 @@ def pq_rerank_topk(
     ).select("query_id", "match_id")
     q = probes.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     rer = (
         c.join(F.broadcast(short), "match_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -2373,17 +2455,18 @@ def pq_codebook_trained(
             assigned.groupBy("m", "k")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.col("sv")[d]).alias(f"_s{d}") for d in range(dsub)],
+                F.expr(
+                    "array("
+                    + ", ".join(f"sum(sv[{d}])" for d in range(dsub))
+                    + ")"
+                ).alias("_s"),
             )
             .select(
                 "m",
                 "k",
-                F.array(
-                    *[
-                        F.expr(f"_s{d} div _n").cast("long")
-                        for d in range(dsub)
-                    ]
-                ).alias("cv"),
+                F.expr("transform(_s, x -> CAST(x div _n AS BIGINT))").alias(
+                    "cv"
+                ),
             )
             .localCheckpoint(eager=False)
         )
@@ -2523,12 +2606,12 @@ def ivfpq_topk(
     engine-identical end to end."""
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     if coarse is not None:
         seeds = coarse.select(
             F.col("cid").cast("long").alias("cid"),
             as_double(F.col("centroid")).alias("cv"),
-        ).withColumn("cn", norm(F.col("cv")))
+        ).withColumn("cn", norm("cv"))
     else:
         seeds = v.filter(F.col("vid") < n_coarse).select(
             F.col("vid").alias("cid"),
@@ -2539,20 +2622,20 @@ def ivfpq_topk(
     assign = _assign_nearest(
         v,
         seeds,
-        dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+        dot("v", "cv") / (F.col("vn") * F.col("cn")),
         [],
     ).select(F.col("vid").alias("match_id"), "cid")
     # probe -> nprobe nearest lists (tiny frame, window top-k)
     q = probes.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    ).withColumn("vn", norm("v"))
     wr = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
     routing = (
         q.crossJoin(F.broadcast(seeds))
         .select(
             "vid",
             "cid",
-            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("c"),
+            (dot("v", "cv") / (F.col("vn") * F.col("cn"))).alias("c"),
         )
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= nprobe)
@@ -2611,7 +2694,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("mv")) / (F.col("qn") * F.col("mn"))).alias(
+            (dot("qv", "mv") / (F.col("qn") * F.col("mn"))).alias(
                 "cos_sim"
             ),
         )
@@ -2673,18 +2756,16 @@ def _l2_kmeans_iterate(
                 assign.groupBy("cid")
                 .agg(
                     F.count(F.lit(1)).alias("_n"),
-                    *[
-                        F.sum(F.col("q")[d]).alias(f"_s{d}")
-                        for d in range(dim)
-                    ],
+                    F.expr(
+                        "array("
+                        + ", ".join(f"sum(q[{d}])" for d in range(dim))
+                        + ")"
+                    ).alias("_s"),
                 )
                 .select(
                     "cid",
-                    F.array(
-                        *[
-                            F.expr(f"_s{d} div _n").cast("long")
-                            for d in range(dim)
-                        ]
+                    F.expr(
+                        "transform(_s, x -> CAST(x div _n AS BIGINT))"
                     ).alias("s"),
                 )
                 .localCheckpoint(eager=False)
@@ -2825,17 +2906,17 @@ def ivfpq_residual_topk(
     )
     qv = probes.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     mv = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("mv")
-    ).withColumn("mn", norm(F.col("mv")))
+    ).withColumn("mn", norm("mv"))
     rer = (
         mv.join(F.broadcast(short), "match_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qv"), F.col("mv")) / (F.col("qn") * F.col("mn"))).alias(
+            (dot("qv", "mv") / (F.col("qn") * F.col("mn"))).alias(
                 "cos_sim"
             ),
         )
@@ -2904,7 +2985,7 @@ def mmr_rerank_topk(
     )
     v = corpus.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_e")
-    ).withColumn("_n", norm(F.col("_e")))
+    ).withColumn("_n", norm("_e"))
     a = cand.select("query_id", F.col("match_id").alias("m_a"))
     b = cand.select("query_id", F.col("match_id").alias("m_b"))
     psim = (
@@ -2921,7 +3002,7 @@ def mmr_rerank_topk(
             "m_a",
             "m_b",
             F.floor(
-                dot(F.col("_ea"), F.col("_eb"))
+                dot("_ea", "_eb")
                 / (F.col("_na") * F.col("_nb"))
                 * F.lit(1048576.0)
             )
@@ -3121,7 +3202,7 @@ def prototype_prune(
     )
     scored = assign.join(sums_b, "cid").withColumn(
         "_pc",
-        dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
+        dot("q", "s") / (norm("q") * norm("s")),
     )
     w = Window.partitionBy("cid").orderBy(
         F.col("_pc").desc(), F.col("vid").asc()
@@ -3221,7 +3302,7 @@ def _hier_model_ranked(
     assign = assign.localCheckpoint(eager=False)  # lvl-1 input + report
     # norms precomputed once per centroid/vector (bit-identical to
     # inline cosine — hashes unaffected, half the fold work per pair)
-    sums = sums.withColumn("_n", norm(F.col("s"))).localCheckpoint(
+    sums = sums.withColumn("_n", norm("s")).localCheckpoint(
         eager=False
     )  # grouped + group fan-out
     wk = Window.partitionBy().orderBy("cid")  # k rows — bounded
@@ -3235,7 +3316,7 @@ def _hier_model_ranked(
         )
         .localCheckpoint(eager=False)  # centroid-grouping + lvl-1
     )
-    sscore = dot(F.col("q"), F.col("gs")) / (
+    sscore = dot("q", "gs") / (
         F.col("_qn") * F.col("_gn")
     )
     ss_as_seeds = super_seeds.select(
@@ -3263,7 +3344,7 @@ def _hier_model_ranked(
     )
     ranked1 = (
         assign.select("vid", "q")
-        .withColumn("_qn", norm(F.col("q")))
+        .withColumn("_qn", norm("q"))
         .crossJoin(F.broadcast(ss_as_seeds))
         .select("vid", "q", "_qn", "cid", sscore.alias("_c"))
         .withColumn("_rn", F.row_number().over(wv))
@@ -3279,7 +3360,7 @@ def _hier_lvl2_argmax(lvl1: DataFrame, group_cents: DataFrame) -> DataFrame:
         "vid",
         "cid",
         (
-            dot(F.col("q"), F.col("s"))
+            dot("q", "s")
             / (F.col("_qn") * F.col("_cn"))
         ).alias("c"),
     )
@@ -3320,7 +3401,7 @@ def _hier_probe_grid_agreement(
         "_grn",
         F.col("cid"),
         (
-            dot(F.col("q"), F.col("s"))
+            dot("q", "s")
             / (F.col("_qn") * F.col("_cn"))
         ).alias("c"),
     )
@@ -3689,13 +3770,13 @@ def plan_model_refresh(
     frozen = centroids.select(
         F.col("cid").cast("long").alias("cid"),
         as_double(F.col("centroid")).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     # frozen-model assignment of the sample (the serving rule);
     # consumed by the update agg AND the agreement join — cut once
     a_frozen = _assign_nearest(
         sample,
         frozen,
-        dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * F.col("cn")),
+        dot("v", "cv") / (norm("v") * F.col("cn")),
         ["q"],
     ).localCheckpoint(eager=False)
     # one warm Lloyd step: exact integer sums of quantized members.
@@ -3720,7 +3801,7 @@ def plan_model_refresh(
     a_new = _assign_nearest(
         a_frozen.select("vid", F.col("q")),
         updated.select("cid", "s"),
-        dot(F.col("q"), F.col("s")) / (norm(F.col("q")) * norm(F.col("s"))),
+        dot("q", "s") / (norm("q") * norm("s")),
         [],
     ).select("vid", F.col("cid").alias("cid_new"))
     per = (
@@ -3844,10 +3925,10 @@ def _three_level_assign(
       oracle pins both paths."""
     vv = v.select(
         F.col("vid"), F.col(vec_field).alias("_q"), *payload
-    ).withColumn("_qn", norm(F.col("_q")))
+    ).withColumn("_qn", norm("_q"))
     sd = (
         seeds.select(F.col("cid"), F.col(seed_field).alias("_s"))
-        .withColumn("_sn", norm(F.col("_s")))
+        .withColumn("_sn", norm("_s"))
         .localCheckpoint(eager=False)
     )
     # ONE count() job resolves k driver-side (materializing the
@@ -3896,7 +3977,7 @@ def _three_level_assign(
             F.col("_g2s").alias("_s"),
             F.col("_g2n").alias("_sn"),
         ),
-        dot(F.col("_q"), F.col("_s")) / (F.col("_qn") * F.col("_sn")),
+        dot("_q", "_s") / (F.col("_qn") * F.col("_sn")),
         [],
     ).select(F.col("vid").alias("gid1"), F.col("cid").alias("gid2"))
     mid_seeds = g21.join(sup1, "gid1").select(
@@ -3921,7 +4002,7 @@ def _three_level_assign(
                 F.col("_g1s").alias("_s"),
                 F.col("_g1n").alias("_sn"),
             ),
-            dot(F.col("_q"), F.col("_s")) / (F.col("_qn") * F.col("_sn")),
+            dot("_q", "_s") / (F.col("_qn") * F.col("_sn")),
             [],
         ).select(F.col("vid").alias("_scid"), F.col("cid").alias("gid1"))
     elif seed_route == "twolevel":
@@ -3952,7 +4033,7 @@ def _three_level_assign(
             *payload,
             F.col("gid2"),
             (
-                dot(F.col("_q"), F.col("_g2s"))
+                dot("_q", "_g2s")
                 / (F.col("_qn") * F.col("_g2n"))
             ).alias("_c"),
         )
@@ -3993,7 +4074,7 @@ def _three_level_assign(
             *payload,
             F.col("gid1"),
             (
-                dot(F.col("_q"), F.col("_g1s"))
+                dot("_q", "_g1s")
                 / (F.col("_qn") * F.col("_g1n"))
             ).alias("_c"),
         )
@@ -4032,7 +4113,7 @@ def _three_level_assign(
         *payload,
         F.col("cid"),
         (
-            dot(F.col("_q"), F.col("_s"))
+            dot("_q", "_s")
             / (F.col("_qn") * F.col("_sn"))
         ).alias("c"),
         F.col("_q"),

@@ -34,6 +34,7 @@ from cardano_spark.functions.hashing import (
     hash_bucket,
     hash_bucket_sql,
     md5_long,
+    md5_long_sexpr,
     md5_long_sql,
     minhash_sig_sql,
     rolling_fingerprint,
@@ -255,14 +256,16 @@ def q23_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-token md5 + simhash folds are the whole query; spread
     # the unsplittable fixture scan across cores (guide §2.5)
     d = narrow_table(spark, sf_dir, "documents")
-    hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
+    # simhash over the hash array as ONE SQL-text expr (guide §5
+    # driver latency — the Column build costs ~840 py4j round trips)
+    hashes = f"transform({TX.distinct_tokens_sexpr('text')}, x -> {md5_long_sexpr('x')})"
     return d.select("doc_id", DD.simhash(hashes).alias("simhash"))
 
 
 def q24_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-band blocking + hamming <= 8."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    hashes = DD.md5_long_arr(TX.distinct_tokens(F.col("text")))
+    hashes = f"transform({TX.distinct_tokens_sexpr('text')}, x -> {md5_long_sexpr('x')})"
     withfp = d.select("doc_id", DD.simhash(hashes).alias("fp"))
     return DD.simhash_pairs(withfp, "doc_id", F.col("fp"), max_hamming=8)
 
@@ -457,7 +460,13 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         "lang",
-        *[TX.stopword_hits(toks, lg).cast("long").alias(f"s_{lg}") for lg in TX.LANGS],
+        *[
+            F.expr(
+                f"CAST({TX.stopword_hits_sexpr(TX.tokens_sexpr('text'), lg)}"
+                f" AS BIGINT) AS s_{lg}"
+            )
+            for lg in TX.LANGS
+        ],
     )
     best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
     pred = F.lit(None).cast("string")
@@ -621,7 +630,13 @@ def q40_trainingdata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n_tok.alias("n_tok"),
         quality.alias("quality"),
-        *[TX.stopword_hits(toks, lg).cast("long").alias(f"s_{lg}") for lg in TX.LANGS],
+        *[
+            F.expr(
+                f"CAST({TX.stopword_hits_sexpr(TX.tokens_sexpr('text'), lg)}"
+                f" AS BIGINT) AS s_{lg}"
+            )
+            for lg in TX.LANGS
+        ],
     )
     best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
     pred = F.lit(None).cast("string")
@@ -1713,7 +1728,10 @@ def q128_chunk_lang_consistency(
     scored = chunks.select(
         "doc_id",
         *[
-            TX.stopword_hits(F.col("_ct"), lg).cast("long").alias(f"s_{lg}")
+            F.expr(
+                f"CAST({TX.stopword_hits_sexpr('_ct', lg)} AS BIGINT)"
+                f" AS s_{lg}"
+            )
             for lg in TX.LANGS
         ],
     )
