@@ -413,7 +413,7 @@ def minhash_lsh_pairs(
     # an unsplittable narrow input first (guide §2.5; no-op on real
     # multi-file layouts) so the checkpoint materializes in parallel
     # and every downstream branch inherits the parallelism
-    t = spread_narrow_input(df).select(
+    t = spread_narrow_input(df, by=[id_col]).select(
         F.col(id_col).alias("_id"), shingles.alias("_sh")
     ).localCheckpoint(eager=False)
     sig = _sig_frame(t)

@@ -263,7 +263,8 @@ def brute_force_topk(
     c = spread_narrow_input(
         corpus.select(
             F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-        )
+        ),
+        by=["match_id"],
     ).withColumn("cn", norm("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
@@ -783,7 +784,8 @@ def neardup_topk_per_block(
                 F.col(id_col).alias("_id"),
                 F.col(block_col).alias("block"),
                 as_double(F.col(vec_col)).alias("v"),
-            )
+            ),
+            by=["_id"],
         )
         .withColumn("n", norm("v"))
     )
@@ -1121,7 +1123,7 @@ def ivf_topk(
     # input is spread across cores when the scan layout is narrower
     # than the session (single-row-group fixture files; no-op on
     # production layouts — guide §2.5 input skew).
-    v_sp = spread_narrow_input(v)
+    v_sp = spread_narrow_input(v, by=["vid"])
     if assign == "hierarchical":
         assigned = _two_level_assign(
             v_sp, "v", seeds.select("cid", "cv"), "cv", ["vn"], assign_probes

@@ -51,15 +51,27 @@ def spread_narrow_input(
     keyed windows) in this repo; callers that depend on input order
     must not use it.
 
-    ``by``: optional columns to HASH-partition on instead of round-
-    robin. Use when the downstream groupBy/window key has HIGH
-    cardinality relative to rows-per-task: a round-robin spread
-    leaves each task with mostly-unique keys, so the partial
-    aggregation stops collapsing and the next exchange carries ~raw
-    rows twice; hash-partitioning on the key makes the spread
-    exchange double as the aggregation's own exchange (guide §2.4 —
-    two operations keyed the same way share one exchange) and the
-    aggregate runs complete, no partial pass.
+    ``by``: columns to HASH-partition on instead of round-robin.
+    ALWAYS prefer a key when the frame has any high-cardinality
+    column (a unique id works even when nothing downstream groups by
+    it): a keyless round-robin repartition first SORTS its input
+    inside each task (``spark.sql.execution.sortBeforeRepartition``,
+    required for RR retry-determinism — guide §2.5), and on the
+    single-task narrow inputs this helper exists for, that pre-sort
+    is serial — measured 1.29 s -> 0.69 s (r11, full-width lineitem
+    sf0.1) just by switching the bare spread RR -> hash(l_orderkey).
+    Hash placement is also deterministic under retries by itself.
+    Two further effects when the key IS the downstream groupBy/window
+    key (high-cardinality case): a round-robin spread leaves each
+    task with mostly-unique keys, so the partial aggregation stops
+    collapsing and the next exchange carries ~raw rows twice;
+    hash-partitioning on the key makes the spread exchange double as
+    the aggregation's own exchange (guide §2.4 — two operations keyed
+    the same way share one exchange) and the aggregate runs complete,
+    no partial pass. Do NOT key on a low-cardinality column (fewer
+    distinct values than cores idles the rest). Round-robin remains
+    for frames with no usable key; such consumers must be
+    partition-order-insensitive.
 
     ``est_parts``: caller-supplied partition estimate (e.g. from
     ``catalog.scan_partitions_estimate`` — file stats, no Spark call).

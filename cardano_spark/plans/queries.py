@@ -59,7 +59,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core (no-op on production multi-file layouts — guide §2.5). The
     # shipdate predicate still reaches the scan: Catalyst pushes
     # filters through Repartition (PushedFilters pinned in plans/r11).
-    l = narrow_table(spark, sf_dir, "lineitem")
+    # Spread HASHES on a real column instead of round-robin: a keyless
+    # repartition first sorts its input inside the (single) scan task
+    # (spark.sql.execution.sortBeforeRepartition, needed for RR
+    # retry-determinism — guide §2.5); hashing a real key needs no
+    # sort and is deterministic under retries. A/B sf0.1: 1.29 s ->
+    # 0.69 s on the bare spread. The agg key (4 groups) is NOT a
+    # usable spread key — 4 partitions would idle 28 cores — so hash
+    # on l_extendedprice: high-cardinality AND already in the
+    # aggregation's input, so the scan's column pruning is unchanged
+    # (l_orderkey would widen ReadSchema; pinned in test_plan_shapes).
+    l = narrow_table(spark, sf_dir, "lineitem", by=["l_extendedprice"])
     disc_price = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
     charge = disc_price * dec6(1 + F.col("l_tax"))
     out = (
@@ -278,8 +288,10 @@ def q11_flatten_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cardano_transactions_utxo_dto.py:61-93) so retries/re-runs are
     idempotent (SURVEY §7)."""
     # one sha2 per row is the whole query; spread the unsplittable
-    # fixture scan so the hashing uses every core (guide §2.5)
-    l = narrow_table(spark, sf_dir, "lineitem")
+    # fixture scan so the hashing uses every core (guide §2.5),
+    # hashed on l_orderkey — keyless RR pays a single-task pre-sort
+    # (sortBeforeRepartition; see q01)
+    l = narrow_table(spark, sf_dir, "lineitem", by=["l_orderkey"])
     return l.select(
         surrogate_id("l_orderkey", "l_linenumber").alias("id"),
         "l_orderkey",

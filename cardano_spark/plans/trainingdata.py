@@ -255,7 +255,7 @@ def q23_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash over the distinct-token hash set."""
     # the per-token md5 + simhash folds are the whole query; spread
     # the unsplittable fixture scan across cores (guide §2.5)
-    d = narrow_table(spark, sf_dir, "documents")
+    d = narrow_table(spark, sf_dir, "documents", by=["doc_id"])
     # simhash over the hash array as ONE SQL-text expr (guide §5
     # driver latency — the Column build costs ~840 py4j round trips)
     hashes = f"transform({TX.distinct_tokens_sexpr('text')}, x -> {md5_long_sexpr('x')})"
@@ -455,7 +455,7 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed lang order on ties)."""
     # tokenize + 4 stopword-profile scores per doc; spread the
     # unsplittable fixture scan across cores (guide §2.5)
-    d = narrow_table(spark, sf_dir, "documents")
+    d = narrow_table(spark, sf_dir, "documents", by=["doc_id"])
     toks = TX.tokens(F.col("text"))
     scored = d.select(
         "doc_id",
@@ -515,7 +515,7 @@ def q32_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
     # per-token md5 + rolling-hash fold; spread the unsplittable
     # fixture scan across cores (guide §2.5)
-    d = narrow_table(spark, sf_dir, "documents")
+    d = narrow_table(spark, sf_dir, "documents", by=["doc_id"])
     hashes = DD.md5_long_arr(TX.tokens(F.col("text")))
     return d.select("doc_id", rolling_fingerprint(hashes).alias("fingerprint"))
 
@@ -531,7 +531,7 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow-batched Python stage is the whole query; spread the
     # unsplittable fixture scan so every Python worker gets a batch
     # (guide §2.5 — otherwise ONE worker decodes every payload)
-    d = narrow_table(spark, sf_dir, "documents")
+    d = narrow_table(spark, sf_dir, "documents", by=["doc_id"])
     return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
 
 
