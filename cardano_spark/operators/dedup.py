@@ -35,7 +35,6 @@ from cardano_spark.functions.hashing import (
     minhash_sig,
     minhash_sig_sexpr,
 )
-from cardano_spark.operators.skew import spread_narrow_input
 
 
 def plan_lsh_bands(
@@ -120,9 +119,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def jaccard(a: Column, b: Column) -> Column:
+def jaccard_sexpr(a: str, b: str) -> str:
+    """SQL-text twin of :func:`jaccard` (driver-latency fast path,
+    guide §1/§5). The intersection size appears twice exactly as the
+    Column form expands it (a reused Column object duplicates its
+    subtree in the Catalyst tree the same way)."""
+    inter = f"size(array_intersect({a}, {b}))"
+    return (
+        f"CAST({inter} AS DOUBLE) / "
+        f"CAST(size({a}) + size({b}) - {inter} AS DOUBLE)"
+    )
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
     """Exact Jaccard over two distinct-element arrays: one integer
-    intersection count, one IEEE division — deterministic everywhere."""
+    intersection count, one IEEE division — deterministic everywhere.
+    String args take the one-``F.expr`` fast path."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(jaccard_sexpr(a, b))
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return inter.cast("double") / union.cast("double")
@@ -302,11 +316,9 @@ def _candidate_pairs(
     wanted subset (a post-distinct filter would shuffle every
     candidate first — on dup-family-heavy corpora that exchange is
     quadratic in family size)."""
-    left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
-    right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val")
-    out = left.join(right, ["band_idx", "band_val"]).filter(
-        F.col("id_a") < F.col("id_b")
-    )
+    left = banded.selectExpr("_id AS id_a", "band_idx", "band_val")
+    right = banded.selectExpr("_id AS id_b", "band_idx", "band_val")
+    out = left.join(right, ["band_idx", "band_val"]).filter("id_a < id_b")
     if pre_distinct_filter is not None:
         out = out.filter(pre_distinct_filter)
     return out.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
@@ -348,7 +360,7 @@ def _sig_agreement() -> Column:
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
-    shingles: Column,
+    shingles: Column | str,
     threshold: float,
     est_prefilter: float | None = None,
     candidate_filter: Column | None = None,
@@ -409,13 +421,19 @@ def minhash_lsh_pairs(
     measured 17.0 s -> 6.5 s on q132 at sf0.1 (the 80/10/10 split
     keeps only ~34% of pairs cross-split).
     """
-    # tokenization + per-token hashing run in the scan stage; spread
-    # an unsplittable narrow input first (guide §2.5; no-op on real
-    # multi-file layouts) so the checkpoint materializes in parallel
-    # and every downstream branch inherits the parallelism
-    t = spread_narrow_input(df, by=[id_col]).select(
-        F.col(id_col).alias("_id"), shingles.alias("_sh")
-    ).localCheckpoint(eager=False)
+    # NOT spread (r11 re-measured, guide §1.6): a narrow-input spread
+    # of the raw frame was A/B'd net-NEGATIVE at both measured scales
+    # (sf0.1: 0.587 s unspread vs 0.764 spread; 10x derivation:
+    # 1.370 vs 2.306) — tokenize+hash into the checkpoint is cheaper
+    # serial than the extra exchange at any fixture size, and on
+    # production multi-row-group layouts the scan is already wide so
+    # a spread gate would no-op anyway.
+    if isinstance(shingles, str):
+        # SQL-text fast path (guide §1/§5 — see jaccard_sexpr)
+        t = df.selectExpr(f"{id_col} AS _id", f"({shingles}) AS _sh")
+    else:
+        t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+    t = t.localCheckpoint(eager=False)
     sig = _sig_frame(t)
     if est_prefilter is not None:
         # the slim (id, 16 longs) signature frame feeds THREE plan
@@ -432,17 +450,15 @@ def minhash_lsh_pairs(
             .filter(_sig_agreement() >= F.lit(float(est_prefilter)))
             .select("id_a", "id_b")
         )
-    sh_a = t.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = t.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    sh_a = t.selectExpr("_id AS id_a", "_sh AS sh_a")
+    sh_b = t.selectExpr("_id AS id_b", "_sh AS sh_b")
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        .selectExpr(
+            "id_a", "id_b", f"{jaccard_sexpr('sh_a', 'sh_b')} AS jaccard"
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {repr(float(threshold))}D")
     )
 
 

@@ -54,16 +54,16 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize the multimodal layout from the documents table:
     an opaque binary payload (utf-8 bytes of the text — a stand-in
     for real media bytes) plus a typed metadata struct."""
-    return df.select(
+    # (SQL-text construction, guide §1/§5; named_struct ≡ F.struct
+    # with those field names, CASE ≡ the when-chain — same values.)
+    return df.selectExpr(
         "doc_id",
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.struct(
-            F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-            .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-            .otherwise(F.lit("video/mp4"))
-            .alias("media_type"),
-            F.octet_length(F.col(text_col)).alias("declared_bytes"),
-        ).alias("meta"),
+        f"encode({text_col}, 'utf-8') AS payload",
+        "named_struct("
+        "'media_type', CASE WHEN doc_id % 3 = 0 THEN 'image/png'"
+        " WHEN doc_id % 3 = 1 THEN 'audio/wav'"
+        " ELSE 'video/mp4' END, "
+        f"'declared_bytes', octet_length({text_col})) AS meta",
     )
 
 

@@ -145,28 +145,27 @@ def asof_join_prev(
     row exists). Both inputs must share the ``on`` + ``order`` columns;
     ``left``'s other columns pass through.
     """
-    from pyspark.sql import Window as W
-
-    lt = left.withColumn("_side", F.lit(1))
-    rt = right.select(
-        *on, *order, *[F.col(c).alias(f"_carry_{c}") for c in carry]
-    ).withColumn("_side", F.lit(0))
+    # SQL-text construction (guide §1/§5 driver latency — the Column
+    # form cost ~600 py4j round trips per build, this ~40): identical
+    # Catalyst window (same frame, same ignore-nulls last, same
+    # ASC NULLS FIRST default ordering), results unchanged.
+    lt = left.selectExpr("*", "1 AS _side")
+    rt = right.selectExpr(
+        *on, *order, *[f"{c} AS _carry_{c}" for c in carry]
+    ).selectExpr("*", "0 AS _side")
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at identical order values so an
     # exactly-tied right row is still "earlier" for deterministic output
-    w = (
-        W.partitionBy(*on)
-        .orderBy(*[F.col(c) for c in order], F.col("_side"))
-        .rowsBetween(W.unboundedPreceding, -1)
+    over = (
+        f"OVER (PARTITION BY {', '.join(on)}"
+        f" ORDER BY {', '.join(order)}, _side"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    filled = unioned.select(
+    filled = unioned.selectExpr(
         "*",
-        *[
-            F.last(F.col(f"_carry_{c}"), ignorenulls=True).over(w).alias(f"prev_{c}")
-            for c in carry
-        ],
+        *[f"last(_carry_{c}, true) {over} AS prev_{c}" for c in carry],
     )
-    return filled.filter(F.col("_side") == 1).drop(
+    return filled.filter("_side = 1").drop(
         "_side", *[f"_carry_{c}" for c in carry]
     )
 
@@ -175,8 +174,8 @@ def range_join_count(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str],
-    left_point_us: Column,
-    right_point_us: Column,
+    left_point_us: Column | str,
+    right_point_us: Column | str,
     window_us: int,
     out: str = "n_in_range",
 ) -> DataFrame:
@@ -201,35 +200,41 @@ def range_join_count(
     attach counts to the wrong rows (pinned by
     test_range_join_count_survives_shuffled_input).
     """
-    lt = left.withColumn("_p", left_point_us).withColumn(
-        "_rid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
-    rt = right.select(
-        *on, right_point_us.alias("_q")
-    ).withColumn("_bin", F.floor(F.col("_q") / F.lit(window_us)))
-    probes = lt.withColumn(
-        "_bin",
-        F.explode(
-            F.array(
-                F.floor(F.col("_p") / F.lit(window_us)) - 1,
-                F.floor(F.col("_p") / F.lit(window_us)),
-            )
-        ),
+    # SQL-text construction where the args allow (guide §1/§5 driver
+    # latency); ``left_point_us``/``right_point_us`` as SQL text take
+    # the full fast path. Same Catalyst operators either way.
+    w_us = int(window_us)
+    if isinstance(left_point_us, str):
+        lt = left.selectExpr(
+            "*",
+            f"({left_point_us}) AS _p",
+            "monotonically_increasing_id() AS _rid",
+        ).localCheckpoint(eager=False)
+    else:
+        lt = left.withColumn("_p", left_point_us).withColumn(
+            "_rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+    if isinstance(right_point_us, str):
+        rt = right.selectExpr(*on, f"({right_point_us}) AS _q")
+    else:
+        rt = right.select(*on, right_point_us.alias("_q"))
+    rt = rt.selectExpr("*", f"FLOOR(_q / {w_us}) AS _bin")
+    probes = lt.selectExpr(
+        "*",
+        f"explode(array(FLOOR(_p / {w_us}) - 1,"
+        f" FLOOR(_p / {w_us}))) AS _bin",
     )
     # a right row's single bin meets each left row at most once, so no
     # pair dedup is needed after the 2-bin probe explode
     hits = (
         probes.join(rt, [*on, "_bin"], "inner")
-        .filter(
-            (F.col("_q") >= F.col("_p") - F.lit(window_us))
-            & (F.col("_q") < F.col("_p"))
-        )
+        .filter(f"(_q >= _p - {w_us}) AND (_q < _p)")
         .groupBy("_rid")
-        .agg(F.count("*").alias(out))
+        .agg(F.expr(f"count(*) AS {out}"))
     )
     return (
         lt.join(hits, "_rid", "left")
-        .withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+        .withColumn(out, F.expr(f"coalesce({out}, 0)"))
         .drop("_p", "_rid")
     )
 
@@ -238,12 +243,20 @@ def with_running(
     df: DataFrame,
     partition: Sequence[str],
     order: Sequence[str],
-    agg_col: Column,
+    agg_col: Column | str,
     out: str,
 ) -> DataFrame:
     """Running aggregate over an explicit total order. The aggregated
     expression should be exact-typed (decimal/long) so the result is
-    order-of-evaluation independent."""
+    order-of-evaluation independent. ``agg_col`` as SQL text takes the
+    text-construction fast path (guide §1/§5)."""
+    if isinstance(agg_col, str):
+        return df.selectExpr(
+            "*",
+            f"sum({agg_col}) OVER (PARTITION BY {', '.join(partition)}"
+            f" ORDER BY {', '.join(order)}"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {out}",
+        )
     from pyspark.sql import Window as W
 
     w = (

@@ -249,40 +249,53 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector. ``queries`` must be small:
     it is broadcast and the corpus is scanned exactly once. Norms are
     computed per vector BEFORE the join (carried as a column through
-    the exchange) so each pair costs one dot product, not three."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm("qv"))
+    the exchange) so each pair costs one dot product, not three.
+
+    ``est_parts``: bare-scan callers pass the file-stat partition
+    estimate so the narrow-input gate skips the driver-side ``df.rdd``
+    planning probe per build (guide §1/§5; see minhash_lsh_pairs).
+
+    Construction is SQL-text-first (``selectExpr`` / text filters /
+    window-in-expr): the Column-by-Column form cost ~510 py4j round
+    trips per build (measured r11; ~0.3-0.5 ms each of pure driver
+    latency) vs ~60 for the text form — same Catalyst operators
+    (CollapseProject inlines the aliased cast exactly as withColumn
+    did), so results and plan shape are unchanged (guide §1/§5)."""
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"CAST({vec_col} AS ARRAY<DOUBLE>) AS qv",
+        f"{norm_sexpr(f'CAST({vec_col} AS ARRAY<DOUBLE>)')} AS qn",
+    )
     # the |corpus| x |queries| dot products are the operator's whole
     # cost and run in the corpus scan stage; spread an unsplittable
     # narrow scan across cores (guide §2.5; no-op on real layouts)
     c = spread_narrow_input(
-        corpus.select(
-            F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+        corpus.selectExpr(
+            f"{id_col} AS match_id", f"CAST({vec_col} AS ARRAY<DOUBLE>) AS cv"
         ),
         by=["match_id"],
-    ).withColumn("cn", norm("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .select(
-            "query_id",
-            "match_id",
-            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
-                "cos_sim"
-            ),
-        )
+        est_parts=est_parts,
+    ).selectExpr("match_id", "cv", f"{norm_sexpr('cv')} AS cn")
+    scored = c.join(
+        F.broadcast(q), F.expr("query_id != match_id")
+    ).selectExpr(
+        "query_id",
+        "match_id",
+        f"{dot_sexpr('qv', 'cv')} / (qn * cn) AS cos_sim",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("match_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    return scored.selectExpr(
+        "query_id",
+        "match_id",
+        "cos_sim",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos_sim DESC, match_id ASC) AS rank",
+    ).filter(f"rank <= {int(k)}").selectExpr(
+        "query_id", "match_id", "cos_sim", "CAST(rank AS BIGINT) AS rank"
     )
 
 
@@ -747,6 +760,7 @@ def neardup_topk_per_block(
     k: int,
     n_salts: int = 16,
     lsh_prefilter: bool = False,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: within each block (e.g. a cluster
     label), the k highest-cosine pairs. Per-vector norms are computed
@@ -777,66 +791,59 @@ def neardup_topk_per_block(
     # spread an unsplittable narrow scan (guide §2.5), and pin the
     # prepared frame once — it feeds BOTH sides of the self-join, so
     # an unpinned plan scans and re-hashes the corpus twice (the
-    # q22/q109 multi-consumer rule).
-    t = (
-        spread_narrow_input(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(block_col).alias("block"),
-                as_double(F.col(vec_col)).alias("v"),
-            ),
-            by=["_id"],
-        )
-        .withColumn("n", norm("v"))
-    )
+    # q22/q109 multi-consumer rule). ``est_parts``: see
+    # minhash_lsh_pairs — skips the driver-side probe for bare-scan
+    # callers (guide §1/§5).
+    # (SQL-text construction, guide §1/§5 — see brute_force_topk:
+    # ~890 py4j round trips per build in the Column form, ~160 here;
+    # same Catalyst operators, results unchanged.)
+    t = spread_narrow_input(
+        df.selectExpr(
+            f"{id_col} AS _id",
+            f"{block_col} AS block",
+            f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v",
+        ),
+        by=["_id"],
+        est_parts=est_parts,
+    ).selectExpr("_id", "block", "v", f"{norm_sexpr('v')} AS n")
     if lsh_prefilter:
-        t = t.withColumn("bkt", lsh_bucket("v")).localCheckpoint(
-            eager=False
-        )
-        left = t.select(
-            F.col("_id").alias("id_a"), "block", "bkt",
-            F.col("v").alias("va"), F.col("n").alias("na"),
-        )
-        right = t.select(
-            F.col("_id").alias("id_b"), "block", "bkt",
-            F.col("v").alias("vb"), F.col("n").alias("nb"),
-        )
+        t = t.selectExpr(
+            "_id", "block", "v", "n", f"{lsh_bucket_sexpr('v')} AS bkt"
+        ).localCheckpoint(eager=False)
+        left = t.selectExpr("_id AS id_a", "block", "bkt", "v AS va", "n AS na")
+        right = t.selectExpr("_id AS id_b", "block", "bkt", "v AS vb", "n AS nb")
         joined = left.join(right, ["block", "bkt"])
     else:
         t = t.localCheckpoint(eager=False)
-        left = t.select(
-            F.col("_id").alias("id_a"), "block", F.col("v").alias("va"), F.col("n").alias("na")
-        )
-        right = t.select(
-            F.col("_id").alias("id_b"), "block", F.col("v").alias("vb"), F.col("n").alias("nb")
-        )
+        left = t.selectExpr("_id AS id_a", "block", "v AS va", "n AS na")
+        right = t.selectExpr("_id AS id_b", "block", "v AS vb", "n AS nb")
         joined = salted_join(
             left, right, "block", salt_source=F.col("id_a"), n_salts=n_salts
         )
-    pairs = (
-        joined
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+    pairs = joined.filter("id_a < id_b").selectExpr(
+        "block",
+        "id_a",
+        "id_b",
+        f"{dot_sexpr('va', 'vb')} / (na * nb) AS cos_sim",
+    )
+    return (
+        pairs.selectExpr(
             "block",
             "id_a",
             "id_b",
-            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
+            "cos_sim",
+            "row_number() OVER (PARTITION BY block"
+            " ORDER BY cos_sim DESC, id_a ASC, id_b ASC) AS rank",
         )
-    )
-    w = Window.partitionBy("block").orderBy(
-        F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("block", "id_a", "id_b", "cos_sim", F.col("rank").cast("long").alias("rank"))
+        .filter(f"rank <= {int(k)}")
+        .selectExpr(
+            "block", "id_a", "id_b", "cos_sim", "CAST(rank AS BIGINT) AS rank"
+        )
     )
 
 
 def _assign_nearest(
-    v: DataFrame, seeds: DataFrame, score: Column, payload: list[str]
+    v: DataFrame, seeds: DataFrame, score: Column | str, payload: list[str]
 ) -> DataFrame:
     """Broadcast-argmax nearest-seed assignment — the ONE definition
     of the shape ivf_topk, semantic_dedup and the k-means iterate all
@@ -848,16 +855,25 @@ def _assign_nearest(
     ASC`` restates; changing the tie-break HERE is the only way to
     change it anywhere. ``payload`` columns of ``v`` (constant per
     vid across the seed fan-out, so ``first`` is deterministic) are
-    carried through. Returns (vid, *payload, cid)."""
+    carried through. Returns (vid, *payload, cid).
+
+    ``score`` as SQL text takes the text-construction fast path
+    (guide §1/§5 driver latency — see brute_force_topk): same
+    Catalyst operators (``named_struct`` ≡ ``F.struct`` with those
+    field names; struct max compares fields in order either way), so
+    results are unchanged."""
+    paired = v.crossJoin(F.broadcast(seeds))
+    if isinstance(score, str):
+        paired = paired.selectExpr("vid", "cid", f"({score}) AS c", *payload)
+    else:
+        paired = paired.select("vid", "cid", score.alias("c"), *payload)
     return (
-        v.crossJoin(F.broadcast(seeds))
-        .select("vid", "cid", score.alias("c"), *payload)
-        .groupBy("vid")
+        paired.groupBy("vid")
         .agg(
-            F.max(F.struct(F.col("c"), (-F.col("cid")).alias("negcid"))).alias("b"),
-            *[F.first(p).alias(p) for p in payload],
+            F.expr("max(named_struct('c', c, 'negcid', -cid)) AS b"),
+            *[F.expr(f"first({p}) AS {p}") for p in payload],
         )
-        .select("vid", *payload, (-F.col("b.negcid")).cast("long").alias("cid"))
+        .selectExpr("vid", *payload, "CAST(-b.negcid AS BIGINT) AS cid")
     )
 
 
@@ -1043,6 +1059,7 @@ def ivf_topk(
     assign: str = "flat",
     assign_probes: int = 2,
     n_rows: int | None = None,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     probe the ``nprobe`` nearest lists per query.
@@ -1087,31 +1104,38 @@ def ivf_topk(
     if assign == "auto":
         n = corpus.count() if n_rows is None else n_rows
         assign = choose_assign_mode(n)
-    v = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm("v"))
+    # SQL-text construction throughout (guide §1/§5 driver latency —
+    # see brute_force_topk): ~1150 py4j round trips per build in the
+    # Column form, ~250 in the text form; CollapseProject makes the
+    # selectExpr plans identical to the old select+withColumn chains.
+    cast_vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    v = corpus.selectExpr(
+        f"{id_col} AS vid",
+        f"{cast_vec} AS v",
+        f"{norm_sexpr(cast_vec)} AS vn",
+    )
     if centroids is not None:
-        seeds = centroids.select(
-            F.col("cid").cast("long").alias("cid"),
-            as_double(F.col("centroid")).alias("cv"),
-        ).withColumn("cn", norm("cv"))
+        cast_cent = "CAST(centroid AS ARRAY<DOUBLE>)"
+        seeds = centroids.selectExpr(
+            "CAST(cid AS BIGINT) AS cid",
+            f"{cast_cent} AS cv",
+            f"{norm_sexpr(cast_cent)} AS cn",
+        )
     else:
         seeds = _auto_k_filter(
             v, "vid", n_centroids, auto_k, mode=assign
-        ).select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
-        )
+        ).selectExpr("vid AS cid", "v AS cv", "vn AS cn")
 
     def scored_against_seeds(df: DataFrame) -> DataFrame:
-        return df.crossJoin(F.broadcast(seeds)).select(
-            F.col("vid"),
-            F.col("cid"),
-            (dot("v", "cv") / (F.col("vn") * F.col("cn"))).alias("c"),
+        return df.crossJoin(F.broadcast(seeds)).selectExpr(
+            "vid", "cid", f"{dot_sexpr('v', 'cv')} / (vn * cn) AS c"
         )
 
-    q = queries.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm("v"))
+    q = queries.selectExpr(
+        f"{id_col} AS vid",
+        f"{cast_vec} AS v",
+        f"{norm_sexpr(cast_vec)} AS vn",
+    )
     # corpus side: partial-agg argmax, 1 row per vector on the wire.
     # The vector and its norm are carried THROUGH the argmax (constant
     # per vid, so ``first`` is deterministic — the _assign_nearest
@@ -1123,7 +1147,9 @@ def ivf_topk(
     # input is spread across cores when the scan layout is narrower
     # than the session (single-row-group fixture files; no-op on
     # production layouts — guide §2.5 input skew).
-    v_sp = spread_narrow_input(v, by=["vid"])
+    # ``est_parts``: bare-scan callers skip the driver-side ``df.rdd``
+    # probe (guide §1/§5; see minhash_lsh_pairs)
+    v_sp = spread_narrow_input(v, by=["vid"], est_parts=est_parts)
     if assign == "hierarchical":
         assigned = _two_level_assign(
             v_sp, "v", seeds.select("cid", "cv"), "cv", ["vn"], assign_probes
@@ -1132,24 +1158,25 @@ def ivf_topk(
         assigned = _assign_nearest(
             v_sp,
             seeds,
-            dot("v", "cv") / (F.col("vn") * F.col("cn")),
+            f"{dot_sexpr('v', 'cv')} / (vn * cn)",
             ["v", "vn"],
         )
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
-    assigned = assigned.select(
-        F.col("vid").alias("match_id"),
-        "cid",
-        F.col("v").alias("mv"),
-        F.col("vn").alias("mn"),
+    assigned = assigned.selectExpr(
+        "vid AS match_id", "cid", "v AS mv", "vn AS mn"
     )
     # query side: nprobe nearest lists via window top-k (tiny frame)
-    w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("cid"))
     probes = (
         scored_against_seeds(q)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("vid").alias("query_id"), "cid")
+        .selectExpr(
+            "vid",
+            "cid",
+            "row_number() OVER (PARTITION BY vid"
+            " ORDER BY c DESC, cid ASC) AS rn",
+        )
+        .filter(f"rn <= {int(nprobe)}")
+        .selectExpr("vid AS query_id", "cid")
     )
     # probe->list attach: the probe frame is |queries| x nprobe slim
     # id rows (queries are small by the operator's contract), so it
@@ -1162,28 +1189,29 @@ def ivf_topk(
     # query vectors come from the (small-by-contract) queries frame —
     # NEVER from the corpus: broadcasting a corpus-derived frame here
     # would OOM the executors at scale even though ids overlap locally.
-    qv = q.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
-    )
+    qv = q.selectExpr("vid AS query_id", "v AS qv", "vn AS qn")
     scored = (
         F.broadcast(probes)
         .join(assigned, "cid")
-        .filter(F.col("match_id") != F.col("query_id"))
+        .filter("match_id != query_id")
         .join(F.broadcast(qv), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "match_id",
-            (dot("qv", "mv") / (F.col("qn") * F.col("mn"))).alias(
-                "cos_sim"
-            ),
+            f"{dot_sexpr('qv', 'mv')} / (qn * mn) AS cos_sim",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "match_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        scored.selectExpr(
+            "query_id",
+            "match_id",
+            "cos_sim",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos_sim DESC, match_id ASC) AS rank",
+        )
+        .filter(f"rank <= {int(k)}")
+        .selectExpr(
+            "query_id", "match_id", "cos_sim", "CAST(rank AS BIGINT) AS rank"
         )
     )
 

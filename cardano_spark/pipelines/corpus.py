@@ -106,7 +106,7 @@ def _drop_neardup(
     pairs = DD.minhash_lsh_pairs(
         docs,
         "doc_id",
-        TX.distinct_tokens(F.coalesce(F.col("text"), F.lit(""))),
+        TX.distinct_tokens_sexpr("coalesce(text, '')"),
         threshold=threshold,
     )
     if rule == "keep_first_pairwise":
@@ -491,7 +491,7 @@ def build_corpus(
             pairs = DD.minhash_lsh_pairs(
                 kept,
                 "doc_id",
-                TX.distinct_tokens(F.coalesce(F.col("text"), F.lit(""))),
+                TX.distinct_tokens_sexpr("coalesce(text, '')"),
                 threshold=neardup_threshold,
             )
             comp = DD.connected_components(

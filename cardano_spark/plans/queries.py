@@ -54,48 +54,51 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. Catalyst pushes the shipdate filter and the 6-column
     projection into the parquet scan; partial aggregation happens
     map-side so the shuffle carries only group keys (4 groups)."""
-    # decimal partial aggregation is the query's heavy compute; spread
-    # the unsplittable single-row-group fixture scan so it uses every
-    # core (no-op on production multi-file layouts — guide §2.5). The
-    # shipdate predicate still reaches the scan: Catalyst pushes
-    # filters through Repartition (PushedFilters pinned in plans/r11).
-    # Spread HASHES on a real column instead of round-robin: a keyless
-    # repartition first sorts its input inside the (single) scan task
-    # (spark.sql.execution.sortBeforeRepartition, needed for RR
-    # retry-determinism — guide §2.5); hashing a real key needs no
-    # sort and is deterministic under retries. A/B sf0.1: 1.29 s ->
-    # 0.69 s on the bare spread. The agg key (4 groups) is NOT a
-    # usable spread key — 4 partitions would idle 28 cores — so hash
-    # on l_extendedprice: high-cardinality AND already in the
-    # aggregation's input, so the scan's column pruning is unchanged
-    # (l_orderkey would widen ReadSchema; pinned in test_plan_shapes).
-    l = narrow_table(spark, sf_dir, "lineitem", by=["l_extendedprice"])
-    disc_price = dec("l_extendedprice") * dec6(1 - F.col("l_discount"))
-    charge = disc_price * dec6(1 + F.col("l_tax"))
+    # SQL-text construction (guide §1/§5 driver latency): the Column
+    # form cost ~700 py4j round trips per build, this form ~40 — same
+    # Catalyst expressions (identical casts/literals), results
+    # unchanged.
+    # NOT spread (r11 re-measured, guide §1.6): the 4-group partial
+    # aggregation collapses map-side, so the agg exchange is tiny
+    # either way and a spread pays a full-row exchange only to
+    # parallelize decimal math — interleaved A/B at sf0.1: 1.019 s
+    # (no spread) vs 1.261 s (keyed spread). Contrast q02/q03, whose
+    # high-cardinality agg keys make the exchange unavoidable — there
+    # the keyed spread doubles as the agg's own exchange and wins.
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = (
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST((1 - l_discount) AS DECIMAL(9,6))"
+    )
+    charge = f"({disc_price}) * CAST((1 + l_tax) AS DECIMAL(9,6))"
     out = (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        l.filter("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
-            F.count("*").alias("count_order"),
+            F.expr("sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty"),
+            F.expr(
+                "sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+                " AS sum_base_price"
+            ),
+            F.expr(f"sum({disc_price}) AS sum_disc_price"),
+            F.expr(f"sum({charge}) AS sum_charge"),
+            F.expr("count(*) AS count_order"),
         )
     )
     # Final decimal -> double cast: sums stay exact (decimal) through the
     # aggregation, and one correctly-rounded conversion at the end keeps
     # the oracle comparison engine-agnostic (pandas float64 both sides).
-    return out.select(
+    xd = "CAST(CAST({0} AS STRING) AS DOUBLE)"
+    return out.selectExpr(
         "l_returnflag",
         "l_linestatus",
-        exact_double(F.col("sum_qty")).alias("sum_qty"),
-        exact_double(F.col("sum_base_price")).alias("sum_base_price"),
-        exact_double(F.col("sum_disc_price")).alias("sum_disc_price"),
-        exact_double(F.col("sum_charge")).alias("sum_charge"),
+        xd.format("sum_qty") + " AS sum_qty",
+        xd.format("sum_base_price") + " AS sum_base_price",
+        xd.format("sum_disc_price") + " AS sum_disc_price",
+        xd.format("sum_charge") + " AS sum_charge",
         "count_order",
-        (exact_double(F.col("sum_qty")) / F.col("count_order")).alias("avg_qty"),
-        (exact_double(F.col("sum_base_price")) / F.col("count_order")).alias("avg_price"),
+        xd.format("sum_qty") + " / count_order AS avg_qty",
+        xd.format("sum_base_price") + " / count_order AS avg_price",
     )
 
 
@@ -112,16 +115,26 @@ def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-partitioning up front makes the spread exchange double as
     # the aggregation's own. Interleaved A/B at sf0.1: min 2.24 s
     # (RR) -> 1.15 s (keyed). No-op on production layouts (§2.5).
+    # (SQL-text construction, guide §1/§5 — see q01.)
     l = narrow_table(spark, sf_dir, "lineitem", by=["l_partkey"])
     p = table(spark, sf_dir, "part")
     rev = (
         l.groupBy("l_partkey")
-        .agg(F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            F.expr(
+                "sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST((1 - l_discount) AS DECIMAL(9,6))) AS revenue"
+            )
+        )
         .join(
             broadcast_if_small(p, size_bytes=table_bytes(sf_dir, "part")),
-            F.col("l_partkey") == F.col("p_partkey"),
+            F.expr("l_partkey = p_partkey"),
         )
-        .select("p_partkey", "p_name", exact_double(F.col("revenue")).alias("revenue"))
+        .selectExpr(
+            "p_partkey",
+            "p_name",
+            "CAST(CAST(revenue AS STRING) AS DOUBLE) AS revenue",
+        )
     )
     return topk(rev, [F.desc("revenue"), F.asc("p_partkey")], 10)
 
@@ -151,28 +164,32 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders), countDistinct becomes a plain count (one orderkey per
     # row post-collapse), and the final group-by shuffles 25 groups.
     # Decimal sums re-associate exactly, so values are unchanged.
+    # (SQL-text construction, guide §1/§5 — see q01.)
     per_order = l.groupBy("l_orderkey").agg(
-        F.sum(dec("l_extendedprice") * dec6(1 - F.col("l_discount"))).alias("o_rev"),
-        F.count("*").alias("o_items"),
+        F.expr(
+            "sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST((1 - l_discount) AS DECIMAL(9,6))) AS o_rev"
+        ),
+        F.expr("count(*) AS o_items"),
     )
     return (
-        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.expr("l_orderkey = o_orderkey"))
         .join(
             broadcast_if_small(c, size_bytes=table_bytes(sf_dir, "customer")),
-            F.col("o_custkey") == F.col("c_custkey"),
+            F.expr("o_custkey = c_custkey"),
         )
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("o_rev")).alias("revenue_dec"),
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_items")).alias("n_items"),
+            F.expr("sum(o_rev) AS revenue_dec"),
+            F.expr("count(*) AS n_orders"),
+            F.expr("sum(o_items) AS n_items"),
         )
-        .select(
+        .selectExpr(
             "r_name",
             "n_name",
-            exact_double(F.col("revenue_dec")).alias("revenue"),
+            "CAST(CAST(revenue_dec AS STRING) AS DOUBLE) AS revenue",
             "n_orders",
             "n_items",
         )
@@ -185,10 +202,10 @@ def q04_stale_orders_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL). Here: orders none of whose lineitems shipped after a date."""
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+        "l_shipdate > CAST('1998-06-01' AS TIMESTAMP)"
     )
     gap = missing_children(
-        o, l.select(F.col("l_orderkey").alias("o_orderkey")), ["o_orderkey"]
+        o, l.selectExpr("l_orderkey AS o_orderkey"), ["o_orderkey"]
     )
     return gap.select("o_orderkey", "o_orderdate", "o_orderstatus")
 
@@ -246,11 +263,11 @@ def q09_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     with INSERT-if-absent semantics — existing rows win, matching
     ``ON CONFLICT (pk) DO NOTHING`` (cardano_block_dao.py:145)."""
     e = table(spark, sf_dir, "events")
-    existing = e.filter(F.col("ts") < F.lit("2024-03-01").cast("timestamp")).select(
+    existing = e.filter("ts < CAST('2024-03-01' AS TIMESTAMP)").select(
         "event_id", "value"
     )
-    incoming = e.filter(F.col("ts") >= F.lit("2024-02-01").cast("timestamp")).select(
-        "event_id", (F.col("value") * 2).alias("value")
+    incoming = e.filter("ts >= CAST('2024-02-01' AS TIMESTAMP)").selectExpr(
+        "event_id", "value * 2 AS value"
     )
     return insert_if_absent(existing, incoming, ["event_id"])
 
@@ -292,12 +309,15 @@ def q11_flatten_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed on l_orderkey — keyless RR pays a single-task pre-sort
     # (sortBeforeRepartition; see q01)
     l = narrow_table(spark, sf_dir, "lineitem", by=["l_orderkey"])
-    return l.select(
-        surrogate_id("l_orderkey", "l_linenumber").alias("id"),
+    # (SQL-text construction, guide §1/§5 — see q01.)
+    return l.selectExpr(
+        "sha2(concat_ws('|', CAST(l_orderkey AS STRING),"
+        " CAST(l_linenumber AS STRING)), 256) AS id",
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        exact_double(dec("l_quantity")).alias("quantity"),
+        "CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING)"
+        " AS DOUBLE) AS quantity",
     )
 
 
@@ -308,20 +328,22 @@ def q11_flatten_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q12_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running decimal sum per customer over a total order."""
+    # (SQL-text construction, guide §1/§5 — see q01; both window
+    # expressions share one Window operator exactly as before.)
     o = table(spark, sf_dir, "orders")
     out = with_running(
         o,
         ["o_custkey"],
         ["o_orderdate", "o_orderkey"],
-        dec("o_totalprice"),
+        "CAST(o_totalprice AS DECIMAL(18,2))",
         "running_spend",
     )
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return out.withColumn("order_seq", F.row_number().over(w)).select(
+    return out.selectExpr(
         "o_custkey",
         "o_orderkey",
-        F.col("order_seq").cast("long").alias("order_seq"),
-        exact_double(F.col("running_spend")).alias("running_spend"),
+        "CAST(row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq",
+        "CAST(CAST(running_spend AS STRING) AS DOUBLE) AS running_spend",
     )
 
 
@@ -345,33 +367,47 @@ def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark tables are the batch analogue of streaming state).
     lag + conditional cumsum — one shuffle on user_id, both window
     functions share the same sort."""
+    # (SQL-text construction, guide §1/§5 — see q01; the lag and the
+    # conditional cumsum share one window sort exactly as before.)
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(
-        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
-    ).otherwise(F.lit(0))
-    sessions = e.withColumn(
-        "session_seq",
-        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    over = "PARTITION BY user_id ORDER BY ts, event_id"
+    gap_us = (
+        f"unix_micros(ts) - unix_micros(lag(ts) OVER ({over}))"
+    )
+    new_session = (
+        f"CASE WHEN (({gap_us}) IS NULL) OR (({gap_us}) > {1800 * 1_000_000})"
+        " THEN 1 ELSE 0 END"
+    )
+    sessions = e.selectExpr(
+        "*",
+        f"sum({new_session}) OVER ({over}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS session_seq",
     )
     return sessions.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
-        exact_double(F.sum(dec("value"))).alias("session_value"),
+        F.expr("min(ts) AS session_start"),
+        F.expr("max(ts) AS session_end"),
+        F.expr("count(*) AS n_events"),
+        F.expr(
+            "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING)"
+            " AS DOUBLE) AS session_value"
+        ),
     )
 
 
 def q15_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregate (hypertable-rollup style)."""
+    # (SQL-text construction, guide §1/§5 — see q01.)
     e = table(spark, sf_dir, "events")
     return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        F.expr("date_trunc('hour', ts) AS hour"), F.col("event_type")
     ).agg(
-        F.count("*").alias("n"),
-        exact_double(F.sum(dec("value"))).alias("total_value"),
-        F.countDistinct("user_id").alias("n_users"),
+        F.expr("count(*) AS n"),
+        F.expr(
+            "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING)"
+            " AS DOUBLE) AS total_value"
+        ),
+        F.expr("count(DISTINCT user_id) AS n_users"),
     )
 
 
@@ -501,8 +537,8 @@ def q38_asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
-    views = e.filter(F.col("event_type") == "view").drop("event_type")
+    clicks = e.filter("event_type = 'click'").drop("event_type")
+    views = e.filter("event_type = 'view'").drop("event_type")
     joined = asof_join_prev(
         clicks,
         views,
@@ -510,12 +546,12 @@ def q38_asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=["ts", "event_id"],
         carry=["event_id", "ts"],
     )
-    return joined.select(
-        F.col("event_id").alias("click_id"),
+    return joined.selectExpr(
+        "event_id AS click_id",
         "user_id",
-        F.col("ts").alias("click_ts"),
-        F.col("prev_event_id").alias("prev_view_id"),
-        F.col("prev_ts").alias("prev_view_ts"),
+        "ts AS click_ts",
+        "prev_event_id AS prev_view_id",
+        "prev_ts AS prev_view_ts",
     )
 
 
@@ -530,22 +566,19 @@ def q39_range_join_clicks_before_error(
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    errors = e.filter(F.col("event_type") == "error").drop("event_type")
-    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
+    errors = e.filter("event_type = 'error'").drop("event_type")
+    clicks = e.filter("event_type = 'click'").drop("event_type")
     counted = range_join_count(
         errors,
         clicks,
         on=["user_id"],
-        left_point_us=F.unix_micros(F.col("ts")),
-        right_point_us=F.unix_micros(F.col("ts")),
+        left_point_us="unix_micros(ts)",
+        right_point_us="unix_micros(ts)",
         window_us=600 * 1_000_000,
         out="n_clicks",
     )
-    return counted.select(
-        F.col("event_id").alias("err_id"),
-        "user_id",
-        F.col("ts").alias("err_ts"),
-        "n_clicks",
+    return counted.selectExpr(
+        "event_id AS err_id", "user_id", "ts AS err_ts", "n_clicks"
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from cardano_spark.catalog import narrow_table, table
+from cardano_spark.catalog import narrow_table, scan_partitions_estimate, table
 from cardano_spark.functions import text as TX
 from cardano_spark.functions.hashing import (
     HYPERPLANES,
@@ -244,7 +244,7 @@ def q22_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
         d,
         "doc_id",
-        TX.distinct_tokens(F.col("text")),
+        TX.distinct_tokens_sexpr("text"),
         threshold=0.8,
         bands=bands,
         rows_per_band=rows_per_band,
@@ -290,7 +290,8 @@ def q26_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket blocking exactly."""
     e = table(spark, sf_dir, "embeddings")
     return SIM.neardup_topk_per_block(
-        e, "vec_id", "embedding", "label", k=5, lsh_prefilter=True
+        e, "vec_id", "embedding", "label", k=5, lsh_prefilter=True,
+        est_parts=scan_partitions_estimate(sf_dir, "embeddings"),
     )
 
 
@@ -304,7 +305,10 @@ def q27_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan, no shuffle of the corpus)."""
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 8)
-    return SIM.brute_force_topk(e, probes, "vec_id", "embedding", k=10)
+    return SIM.brute_force_topk(
+        e, probes, "vec_id", "embedding", k=10,
+        est_parts=scan_partitions_estimate(sf_dir, "embeddings"),
+    )
 
 
 def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,7 +348,8 @@ def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 8)
     return SIM.ivf_topk(
-        e, probes, "vec_id", "embedding", n_centroids=10, nprobe=2, k=5
+        e, probes, "vec_id", "embedding", n_centroids=10, nprobe=2, k=5,
+        est_parts=scan_partitions_estimate(sf_dir, "embeddings"),
     )
 
 
@@ -454,26 +459,30 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language scorer with deterministic argmax
     (fixed lang order on ties)."""
     # tokenize + 4 stopword-profile scores per doc; spread the
-    # unsplittable fixture scan across cores (guide §2.5)
+    # unsplittable fixture scan across cores (guide §2.5).
+    # SQL-text construction (guide §1/§5): the Column argmax chain
+    # cost ~870 py4j round trips per build, this form ~60; the
+    # flattened CASE checks langs in the same order the nested
+    # when/otherwise chain did, so the winner (and every value) is
+    # unchanged.
     d = narrow_table(spark, sf_dir, "documents", by=["doc_id"])
-    toks = TX.tokens(F.col("text"))
-    scored = d.select(
+    scored = d.selectExpr(
         "doc_id",
         "lang",
         *[
-            F.expr(
-                f"CAST({TX.stopword_hits_sexpr(TX.tokens_sexpr('text'), lg)}"
-                f" AS BIGINT) AS s_{lg}"
-            )
+            f"CAST({TX.stopword_hits_sexpr(TX.tokens_sexpr('text'), lg)}"
+            f" AS BIGINT) AS s_{lg}"
             for lg in TX.LANGS
         ],
     )
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
-    pred = F.lit(None).cast("string")
-    for lg in reversed(TX.LANGS):
-        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
-    return scored.select(
-        "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score")
+    best_t = "greatest(" + ", ".join(f"s_{lg}" for lg in TX.LANGS) + ")"
+    pred_t = (
+        "CASE "
+        + " ".join(f"WHEN s_{lg} = {best_t} THEN '{lg}'" for lg in TX.LANGS)
+        + " ELSE CAST(NULL AS STRING) END"
+    )
+    return scored.selectExpr(
+        "doc_id", "lang", f"{pred_t} AS pred_lang", f"{best_t} AS best_score"
     )
 
 
@@ -528,10 +537,13 @@ def q32_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column -> Arrow-batched mapInPandas feature
     extraction (deterministic fake decode; see operators/multimodal)."""
-    # the Arrow-batched Python stage is the whole query; spread the
-    # unsplittable fixture scan so every Python worker gets a batch
-    # (guide §2.5 — otherwise ONE worker decodes every payload)
-    d = narrow_table(spark, sf_dir, "documents", by=["doc_id"])
+    # NOT spread (r11 re-measured, guide §1.6): the fake decode is a
+    # len+md5 per blob — cheap enough that one Python worker beats
+    # paying an exchange plus 32 Arrow worker round-trips. A/B:
+    # 0.332 s (no spread) vs 0.626 s (keyed spread) at sf0.1, 0.600
+    # vs 1.217 at the 10x derivation. Compute-heavy per-row stages
+    # (q23's simhash folds: 0.331 spread vs 0.583 not) keep theirs.
+    d = table(spark, sf_dir, "documents")
     return MM.extract_features(MM.attach_payload(d), deterministic_fake=True)
 
 
@@ -605,51 +617,59 @@ def q40_trainingdata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest does it with one scan and one shuffle (guide §2.4 —
     # remove shuffles outright). Identical keep-set: doc_id is unique,
     # so rn=1 ordered by doc_id IS the min(doc_id) row per digest.
-    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    kept = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # Construction is SQL text throughout (guide §1/§5 driver latency
+    # — the Column form cost ~1650 py4j round trips per build, this
+    # form ~120; same Catalyst expressions, results unchanged).
+    kept = d.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY md5(text)"
+        " ORDER BY doc_id) AS _rn",
+    ).filter("_rn = 1")
 
-    toks = TX.tokens(F.col("text"))
-    n_tok = F.size(toks).cast("long")
-    n_chars = F.length(F.col("text")).cast("long")
-    punct = TX.punct_count(F.col("text")).cast("long")
-    stop_ratio = TX.stopword_hits(toks, "en").cast("long").cast("double") / n_tok.cast(
-        "double"
+    toks_t = TX.tokens_sexpr("text")
+    n_tok_t = f"CAST(size({toks_t}) AS BIGINT)"
+    stop_ratio_t = (
+        f"CAST(CAST({TX.stopword_hits_sexpr(toks_t, 'en')} AS BIGINT)"
+        f" AS DOUBLE) / CAST({n_tok_t} AS DOUBLE)"
     )
+    punct_t = (
+        "CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"
+    )
+    n_chars_t = "CAST(length(text) AS BIGINT)"
     # identical operation order to q30 so the per-row doubles match
-    quality = (
-        F.lit(0.5) * stop_ratio
-        + F.lit(0.3) * (F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0))
-        + F.lit(0.2) * (F.lit(1.0) - punct.cast("double") / n_chars.cast("double"))
+    quality_t = (
+        f"0.5D * ({stop_ratio_t}) "
+        f"+ 0.3D * (CAST(least({n_tok_t}, 100) AS DOUBLE) / 100.0D) "
+        f"+ 0.2D * (1.0D - CAST({punct_t} AS DOUBLE)"
+        f" / CAST({n_chars_t} AS DOUBLE))"
     )
-    staged = kept.select(
+    staged = kept.selectExpr(
         "lang",
         "source",
-        n_tok.alias("n_tok"),
-        quality.alias("quality"),
+        f"{n_tok_t} AS n_tok",
+        f"{quality_t} AS quality",
         *[
-            F.expr(
-                f"CAST({TX.stopword_hits_sexpr(TX.tokens_sexpr('text'), lg)}"
-                f" AS BIGINT) AS s_{lg}"
-            )
+            f"CAST({TX.stopword_hits_sexpr(toks_t, lg)}"
+            f" AS BIGINT) AS s_{lg}"
             for lg in TX.LANGS
         ],
     )
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANGS])
-    pred = F.lit(None).cast("string")
-    for lg in reversed(TX.LANGS):
-        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    best_t = "greatest(" + ", ".join(f"s_{lg}" for lg in TX.LANGS) + ")"
+    pred_t = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lg} = {best_t} THEN '{lg}'" for lg in TX.LANGS
+        )
+        + " ELSE CAST(NULL AS STRING) END"
+    )
     return (
-        staged.filter((pred == F.col("lang")) & (F.col("quality") >= 0.40))
+        staged.filter(f"(({pred_t}) = lang) AND (quality >= 0.4D)")
         .groupBy("lang", "source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.min("quality").alias("min_quality"),
-            F.max("quality").alias("max_quality"),
+            F.expr("count(*) AS n_docs"),
+            F.expr("sum(n_tok) AS total_tokens"),
+            F.expr("min(quality) AS min_quality"),
+            F.expr("max(quality) AS max_quality"),
         )
     )
 
@@ -1296,7 +1316,7 @@ def q135_clean_eval_carveout(
     pairs = DD.minhash_lsh_pairs(
         d,
         "doc_id",
-        TX.distinct_tokens(F.col("text")),
+        TX.distinct_tokens_sexpr("text"),
         threshold=0.8,
         candidate_filter=(is_train_a & is_test_b)
         | (is_test_a & is_train_b),
@@ -1922,7 +1942,7 @@ def q132_split_leakage_audit(
     pairs = DD.minhash_lsh_pairs(
         d,
         "doc_id",
-        TX.distinct_tokens(F.col("text")),
+        TX.distinct_tokens_sexpr("text"),
         threshold=0.8,
         candidate_filter=split_of(F.col("id_a")) != split_of(F.col("id_b")),
     )
@@ -2001,7 +2021,7 @@ def q116_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~59 s)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
     pairs = DD.minhash_lsh_pairs(
-        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+        d, "doc_id", TX.distinct_tokens_sexpr("text"), threshold=0.8
     ).select("id_a", "id_b")
     return REL.triangle_counts(pairs, "id_a", "id_b")
 
@@ -2132,7 +2152,7 @@ def q137_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (retry/re-run/repartition stable)."""
     d = table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(
-        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+        d, "doc_id", TX.distinct_tokens_sexpr("text"), threshold=0.8
     )
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     comp = DD.connected_components(d.select("doc_id"), edges, id_col="doc_id")
@@ -2279,7 +2299,7 @@ def q141_cross_source_neardup_matrix(
     dependent, the exact-integer discipline makes it order-free."""
     d = table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(
-        d, "doc_id", TX.distinct_tokens(F.col("text")), threshold=0.8
+        d, "doc_id", TX.distinct_tokens_sexpr("text"), threshold=0.8
     )
     src = d.select("doc_id", "source")
     j = (
@@ -2450,7 +2470,7 @@ def q150_split_leakage_summary(
     pairs = DD.minhash_lsh_pairs(
         d,
         "doc_id",
-        TX.distinct_tokens(F.col("text")),
+        TX.distinct_tokens_sexpr("text"),
         threshold=0.8,
         candidate_filter=split_of(F.col("id_a")) != split_of(F.col("id_b")),
     )
