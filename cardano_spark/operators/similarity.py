@@ -1499,14 +1499,22 @@ def semantic_dedup(
     if assign == "auto":
         n = corpus.count() if n_rows is None else n_rows
         assign = choose_assign_mode(n)
-    v = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm("v"))
+    # SQL-text construction (guide §1/§5 driver latency — see
+    # brute_force_topk); CollapseProject makes these selectExpr plans
+    # identical to the old select+withColumn chains.
+    cast_vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    v = corpus.selectExpr(
+        f"{id_col} AS vid",
+        f"{cast_vec} AS v",
+        f"{norm_sexpr(cast_vec)} AS vn",
+    )
     if centroids is not None:
-        seeds = centroids.select(
-            F.col("cid").cast("long").alias("cid"),
-            as_double(F.col("centroid")).alias("cv"),
-        ).withColumn("cn", norm("cv"))
+        cast_cent = "CAST(centroid AS ARRAY<DOUBLE>)"
+        seeds = centroids.selectExpr(
+            "CAST(cid AS BIGINT) AS cid",
+            f"{cast_cent} AS cv",
+            f"{norm_sexpr(cast_cent)} AS cn",
+        )
     else:
         seeds = _auto_k_filter(
             v,
@@ -1515,9 +1523,7 @@ def semantic_dedup(
             auto_k,
             mode="hierarchical" if assign == "hierarchical3" else assign,
             occupancy_cap=occupancy_cap,
-        ).select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
-        )
+        ).selectExpr("vid AS cid", "v AS cv", "vn AS cn")
     if assign == "hierarchical":
         # two-level coarse/fine assignment (q183's path wired in):
         # cosine recomputed inline by the helper — bit-identical to
@@ -1540,40 +1546,30 @@ def semantic_dedup(
         assigned = _assign_nearest(
             v,
             seeds,
-            dot("v", "cv") / (F.col("vn") * F.col("cn")),
+            f"{dot_sexpr('v', 'cv')} / (vn * cn)",
             ["v", "vn"],
         ).localCheckpoint(eager=False)
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
-    a = assigned.select(
-        F.col("cid"),
-        F.col("vid").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("vn").alias("an"),
-    )
-    b = assigned.select(
-        F.col("cid"),
-        F.col("vid").alias("b_id"),
-        F.col("v").alias("bv"),
-        F.col("vn").alias("bn"),
-    )
+    a = assigned.selectExpr("cid", "vid AS a_id", "v AS av", "vn AS an")
+    b = assigned.selectExpr("cid", "vid AS b_id", "v AS bv", "vn AS bn")
     dups = (
         a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter("a_id < b_id")
         .filter(
-            dot("av", "bv") / (F.col("an") * F.col("bn"))
-            > F.lit(float(threshold))
+            f"{dot_sexpr('av', 'bv')} / (an * bn)"
+            f" > {repr(float(threshold))}D"
         )
-        .select(F.col("b_id").alias("vid"))
+        .selectExpr("b_id AS vid")
         .distinct()
-        .withColumn("_dup", F.lit(1))
+        .selectExpr("vid", "1 AS _dup")
     )
     return (
         assigned.join(dups, "vid", "left")
-        .select(
-            F.col("vid").alias("vec_id"),
-            F.col("cid").alias("cluster_id"),
-            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+        .selectExpr(
+            "vid AS vec_id",
+            "cid AS cluster_id",
+            "CAST(coalesce(_dup, 0) AS BIGINT) AS is_dup",
         )
     )
 

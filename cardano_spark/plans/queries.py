@@ -284,11 +284,14 @@ def q10_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tx pipeline loops over each block's hashes
     (cardano_transactions_to_s3_pipeline.py:104-107). sort_array makes
     the list deterministic."""
-    # NOT spread (unlike q01/q03): the scan-stage work here is only a
-    # collect_list partial whose lists travel whole either way; an RR
-    # exchange first just fragments each order's list into per-task
-    # partials (measured net-negative at sf0.1, r11)
-    l = table(spark, sf_dir, "lineitem")
+    # Spread KEYED on l_orderkey (r11 re-measured, guide §2.4): the
+    # batch-1 A/B that rejected a spread here used ROUND-ROBIN, which
+    # fragments each order's list into per-task partials; hashing on
+    # the agg key instead makes the spread exchange double as the
+    # aggregation's own and the collect_list runs complete, no merge
+    # — A/B sf0.1: 0.627 s (keyed) vs 0.761 s (unspread). sort_array
+    # keeps the output value-independent of arrival order either way.
+    l = narrow_table(spark, sf_dir, "lineitem", by=["l_orderkey"])
     arr = l.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )
