@@ -83,7 +83,7 @@ def spread_narrow_input(df: DataFrame, min_parts: int | None = None) -> DataFram
 #: enough" and no-ops, which is the safe direction at scale.
 _MAX_SPLIT_BYTES = 128 * 1024 * 1024
 
-_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
 
 
 def scan_partitions_estimate(sf_dir: str, name: str) -> int | None:
@@ -98,9 +98,16 @@ def scan_partitions_estimate(sf_dir: str, name: str) -> int | None:
     Underestimating can only add a spread on a layout that was
     already wide-ish; overestimating (the conservative direction, see
     ``_MAX_SPLIT_BYTES``) no-ops the gate. None for non-local paths —
-    callers fall back to the exact probe."""
+    callers fall back to the exact probe. Keyed on (path, mtime) like
+    ``_SCHEMA_CACHE`` so a regenerated fixture re-stats (r11 verdict
+    #4; for directories the mtime tracks file adds/renames, the common
+    rewrite shape)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    hit = _LAYOUT_CACHE.get(path)
+    try:
+        key = (path, os.stat(path).st_mtime)
+    except OSError:
+        return None
+    hit = _LAYOUT_CACHE.get(key)
     if hit is None:
         try:
             if os.path.isdir(path):
@@ -112,7 +119,7 @@ def scan_partitions_estimate(sf_dir: str, name: str) -> int | None:
                 hit = (os.path.getsize(path), 1)
         except OSError:
             return None
-        _LAYOUT_CACHE[path] = hit
+        _LAYOUT_CACHE[key] = hit
     total, n_files = hit
     return max(n_files, total // _MAX_SPLIT_BYTES)
 
@@ -135,7 +142,7 @@ def narrow_table(
     )
 
 
-_SIZE_CACHE: dict[str, int] = {}
+_SIZE_CACHE: dict[tuple[str, float], int] = {}
 
 
 def table_bytes(sf_dir: str, name: str) -> int | None:
@@ -144,9 +151,15 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
     os.stat, no Spark job, no file-listing round trip; None when the
     path is not a local file/dir (object stores report size through
     their own catalog — callers then fall back to scan_bytes or, at
-    worst, to AQE's runtime statistics)."""
+    worst, to AQE's runtime statistics). (path, mtime)-keyed like
+    ``_SCHEMA_CACHE``/``_LAYOUT_CACHE`` so a regenerated fixture
+    re-stats."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    hit = _SIZE_CACHE.get(path)
+    try:
+        key = (path, os.stat(path).st_mtime)
+    except OSError:
+        return None
+    hit = _SIZE_CACHE.get(key)
     if hit is not None:
         return hit
     try:
@@ -158,7 +171,7 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
             total = os.path.getsize(path)
     except OSError:
         return None
-    _SIZE_CACHE[path] = total
+    _SIZE_CACHE[key] = total
     return total
 
 

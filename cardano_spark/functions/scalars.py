@@ -20,9 +20,29 @@ DuckDB. That means
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_SAFE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def sql_ident(name: str) -> str:
+    """A caller-supplied column NAME made safe for embedding in the
+    SQL-text fast paths (selectExpr / F.expr / OVER strings).
+
+    Plain ``[A-Za-z_][A-Za-z0-9_]*`` names pass through byte-unchanged
+    (so every existing call site generates identical SQL and identical
+    plans); anything else — spaces, hyphens, quotes — is backtick-
+    quoted with interior backticks doubled, restoring the names the
+    old ``F.col`` construction accepted (r11 ADVICE #1). Parameters
+    documented as SQL TEXT (expressions, points, shingle builders)
+    stay raw by contract and must NOT be routed through this."""
+    if _SAFE_IDENT.match(name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 #: modulus / multiplier for the portable polynomial rolling hash
 #: (re-expressible in any SQL dialect with 64-bit ints: products stay

@@ -35,6 +35,8 @@ from cardano_spark.functions.hashing import (
     minhash_sig,
     minhash_sig_sexpr,
 )
+from cardano_spark.functions.scalars import sql_ident
+from cardano_spark.operators.similarity import _dlit
 
 
 def plan_lsh_bands(
@@ -429,8 +431,9 @@ def minhash_lsh_pairs(
     # production multi-row-group layouts the scan is already wide so
     # a spread gate would no-op anyway.
     if isinstance(shingles, str):
-        # SQL-text fast path (guide §1/§5 — see jaccard_sexpr)
-        t = df.selectExpr(f"{id_col} AS _id", f"({shingles}) AS _sh")
+        # SQL-text fast path (guide §1/§5 — see jaccard_sexpr);
+        # ``shingles`` is raw SQL by contract, the id is a NAME
+        t = df.selectExpr(f"{sql_ident(id_col)} AS _id", f"({shingles}) AS _sh")
     else:
         t = df.select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
     t = t.localCheckpoint(eager=False)
@@ -458,7 +461,7 @@ def minhash_lsh_pairs(
         .selectExpr(
             "id_a", "id_b", f"{jaccard_sexpr('sh_a', 'sh_b')} AS jaccard"
         )
-        .filter(f"jaccard >= {repr(float(threshold))}D")
+        .filter(f"jaccard >= {_dlit(threshold)}")
     )
 
 

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cardano_spark.functions.scalars import sql_ident
+
 #: bytes per synthetic "frame" — stands in for a media codec's frame/
 #: chunk structure so the fan-out shape (1 blob -> N frames) is real.
 FRAME_BYTES = 256
@@ -56,6 +58,7 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     for real media bytes) plus a typed metadata struct."""
     # (SQL-text construction, guide §1/§5; named_struct ≡ F.struct
     # with those field names, CASE ≡ the when-chain — same values.)
+    text_col = sql_ident(text_col)
     return df.selectExpr(
         "doc_id",
         f"encode({text_col}, 'utf-8') AS payload",

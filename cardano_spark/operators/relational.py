@@ -15,6 +15,8 @@ from urllib.parse import urlparse
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cardano_spark.functions.scalars import sql_ident
+
 #: Default ceiling (bytes of on-disk parquet) under which a join side
 #: may be FORCE-broadcast. Compressed parquet expands ~3-4x in memory,
 #: so 64 MiB on disk is ~a quarter-GiB materialized on every executor —
@@ -149,21 +151,29 @@ def asof_join_prev(
     # form cost ~600 py4j round trips per build, this ~40): identical
     # Catalyst window (same frame, same ignore-nulls last, same
     # ASC NULLS FIRST default ordering), results unchanged.
+    on_q = [sql_ident(c) for c in on]
+    order_q = [sql_ident(c) for c in order]
     lt = left.selectExpr("*", "1 AS _side")
     rt = right.selectExpr(
-        *on, *order, *[f"{c} AS _carry_{c}" for c in carry]
+        *on_q,
+        *order_q,
+        *[f"{sql_ident(c)} AS {sql_ident(f'_carry_{c}')}" for c in carry],
     ).selectExpr("*", "0 AS _side")
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at identical order values so an
     # exactly-tied right row is still "earlier" for deterministic output
     over = (
-        f"OVER (PARTITION BY {', '.join(on)}"
-        f" ORDER BY {', '.join(order)}, _side"
+        f"OVER (PARTITION BY {', '.join(on_q)}"
+        f" ORDER BY {', '.join(order_q)}, _side"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
     filled = unioned.selectExpr(
         "*",
-        *[f"last(_carry_{c}, true) {over} AS prev_{c}" for c in carry],
+        *[
+            f"last({sql_ident(f'_carry_{c}')}, true) {over}"
+            f" AS {sql_ident(f'prev_{c}')}"
+            for c in carry
+        ],
     )
     return filled.filter("_side = 1").drop(
         "_side", *[f"_carry_{c}" for c in carry]
@@ -230,11 +240,11 @@ def range_join_count(
         probes.join(rt, [*on, "_bin"], "inner")
         .filter(f"(_q >= _p - {w_us}) AND (_q < _p)")
         .groupBy("_rid")
-        .agg(F.expr(f"count(*) AS {out}"))
+        .agg(F.expr(f"count(*) AS {sql_ident(out)}"))
     )
     return (
         lt.join(hits, "_rid", "left")
-        .withColumn(out, F.expr(f"coalesce({out}, 0)"))
+        .withColumn(out, F.expr(f"coalesce({sql_ident(out)}, 0)"))
         .drop("_p", "_rid")
     )
 
@@ -251,11 +261,15 @@ def with_running(
     order-of-evaluation independent. ``agg_col`` as SQL text takes the
     text-construction fast path (guide §1/§5)."""
     if isinstance(agg_col, str):
+        # ``agg_col`` is raw SQL by contract; partition/order/out are
+        # column NAMES and get the identifier guard
         return df.selectExpr(
             "*",
-            f"sum({agg_col}) OVER (PARTITION BY {', '.join(partition)}"
-            f" ORDER BY {', '.join(order)}"
-            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {out}",
+            f"sum({agg_col}) OVER"
+            f" (PARTITION BY {', '.join(sql_ident(c) for c in partition)}"
+            f" ORDER BY {', '.join(sql_ident(c) for c in order)}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" AS {sql_ident(out)}",
         )
     from pyspark.sql import Window as W
 

@@ -28,6 +28,7 @@ from cardano_spark.functions.hashing import (
     HYPERPLANES,
     fold_sum,
 )
+from cardano_spark.functions.scalars import sql_ident
 from cardano_spark.operators.skew import salted_join, spread_narrow_input
 
 
@@ -55,8 +56,18 @@ def _dlit(x: float) -> str:
     string that round-trips to the exact same IEEE754 double, and
     Spark parses the ``D`` suffix via Java's ``Double.parseDouble``
     (same round-trip guarantee) — verified exact for all 2053 plane /
-    codebook constants in this repo."""
-    return repr(float(x)) + "D"
+    codebook constants in this repo. Non-finite doubles have no
+    ``D``-suffix literal form (``infD``/``nanD`` is a parse error, and
+    the old ``F.lit`` path accepted them — r11 ADVICE #2), so they
+    emit the cast form Spark defines for them."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def dot_sexpr(a: str, b: str) -> str:
@@ -266,6 +277,7 @@ def brute_force_topk(
     latency) vs ~60 for the text form — same Catalyst operators
     (CollapseProject inlines the aliased cast exactly as withColumn
     did), so results and plan shape are unchanged (guide §1/§5)."""
+    id_col, vec_col = sql_ident(id_col), sql_ident(vec_col)
     q = queries.selectExpr(
         f"{id_col} AS query_id",
         f"CAST({vec_col} AS ARRAY<DOUBLE>) AS qv",
@@ -797,6 +809,8 @@ def neardup_topk_per_block(
     # (SQL-text construction, guide §1/§5 — see brute_force_topk:
     # ~890 py4j round trips per build in the Column form, ~160 here;
     # same Catalyst operators, results unchanged.)
+    id_col, vec_col = sql_ident(id_col), sql_ident(vec_col)
+    block_col = sql_ident(block_col)
     t = spread_narrow_input(
         df.selectExpr(
             f"{id_col} AS _id",
@@ -1108,6 +1122,7 @@ def ivf_topk(
     # see brute_force_topk): ~1150 py4j round trips per build in the
     # Column form, ~250 in the text form; CollapseProject makes the
     # selectExpr plans identical to the old select+withColumn chains.
+    id_col, vec_col = sql_ident(id_col), sql_ident(vec_col)
     cast_vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     v = corpus.selectExpr(
         f"{id_col} AS vid",
@@ -1502,6 +1517,7 @@ def semantic_dedup(
     # SQL-text construction (guide §1/§5 driver latency — see
     # brute_force_topk); CollapseProject makes these selectExpr plans
     # identical to the old select+withColumn chains.
+    id_col, vec_col = sql_ident(id_col), sql_ident(vec_col)
     cast_vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     v = corpus.selectExpr(
         f"{id_col} AS vid",
@@ -1558,7 +1574,7 @@ def semantic_dedup(
         .filter("a_id < b_id")
         .filter(
             f"{dot_sexpr('av', 'bv')} / (an * bn)"
-            f" > {repr(float(threshold))}D"
+            f" > {_dlit(threshold)}"
         )
         .selectExpr("b_id AS vid")
         .distinct()
