@@ -712,6 +712,13 @@ def _overlap_counts(t: DataFrame) -> DataFrame:
         F.size("_sh").alias("_n"),
         F.explode(F.transform("_sh", md5_long)).alias("_h"),
     )
+    # the exploded frame feeds BOTH self-join sides; without a cut
+    # each side re-runs the scan + shingle Generate + md5 fold (the
+    # q22 >=2-consumers rule). The checkpointed rows are slim — four
+    # fixed-width ints, no shingle strings — so the materialization
+    # is far cheaper than a second tokenize+hash pass over the corpus
+    # (guide §2.4 "don't compute things twice" / §5 localCheckpoint).
+    k = k.localCheckpoint(eager=False)
     ka = k.select(
         F.col("_id").alias("id_a"), "_blk", F.col("_n").alias("na"), "_h"
     )
@@ -916,6 +923,9 @@ def _cc_star_rounds(
     "Connected Components in MapReduce and Beyond") until the edge
     set reaches its star-graph fixed point. Returns (star edges as
     canonical (lo=center, hi=member), rounds used, converged)."""
+    # lazy checkpoint + count: the count materializes the checkpoint
+    # in the SAME pass, where eager=True paid a materialization job
+    # and then a separate count job over it (guide §1.2 — one pass)
     e = (
         edges.select(
             F.least(F.col("a"), F.col("b")).alias("lo"),
@@ -923,7 +933,7 @@ def _cc_star_rounds(
         )
         .filter(F.col("lo") != F.col("hi"))
         .dropDuplicates(["lo", "hi"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_e = e.count()
     converged = n_e == 0
@@ -958,7 +968,9 @@ def _cc_star_rounds(
         new_e = (
             part1.union(part2)
             .dropDuplicates(["lo", "hi"])
-            .localCheckpoint(eager=True)  # cut lineage every round
+            # cut lineage every round; lazy so the count below
+            # materializes it in one pass instead of two jobs
+            .localCheckpoint(eager=False)
         )
         # fixed point = identical edge set (both sides are distinct).
         # The previous round's count is carried instead of recounted

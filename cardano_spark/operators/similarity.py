@@ -972,8 +972,14 @@ def _two_level_assign(
             F.col("_s").alias("_gs"),
             F.col("_sn").alias("_gn"),
         )
-    # consumed twice (seed grouping + level 1) — cut once, g rows
-    sup = sup.localCheckpoint(eager=False)
+    # sup is consumed twice (seed grouping + level 1) but NOT
+    # checkpointed: its lineage past the already-checkpointed sd is a
+    # bounded k-row window + filter (trivial to run twice), while a
+    # localCheckpoint costs ~0.3-1 s of eager driver-side physical
+    # planning PER CALL — and this helper runs once per Lloyd
+    # iteration, so the D4 pipelines paid it 3x per build (measured
+    # r12: 9 checkpoints = ~75% of q185's build latency; guide §5
+    # "the driver should do almost no work")
     # group every seed under its nearest super-seed (k*g, free)
     cg = _assign_nearest(
         sd.select(
@@ -3986,6 +3992,10 @@ def _three_level_assign(
     # g smallest-cid seeds via sort + limit (TakeOrderedAndProject:
     # per-partition top-g, then a g-row merge — distributed, unlike
     # a row_number over one partition)
+    # sup1/sup2 are NOT checkpointed despite multiple consumers: past
+    # the checkpointed sd their lineage is a bounded top-g limit
+    # (trivial to re-run), while each localCheckpoint pays ~0.3-1 s of
+    # eager driver-side planning per build (see _two_level_assign)
     sup1 = (
         sd.orderBy("cid")
         .limit(g1)
@@ -3994,7 +4004,6 @@ def _three_level_assign(
             F.col("_s").alias("_g1s"),
             F.col("_sn").alias("_g1n"),
         )
-        .localCheckpoint(eager=False)  # grouped twice + level-1 scan
     )
     sup2 = (
         sd.orderBy("cid")
@@ -4004,7 +4013,6 @@ def _three_level_assign(
             F.col("_s").alias("_g2s"),
             F.col("_sn").alias("_g2n"),
         )
-        .localCheckpoint(eager=False)
     )
     # EXACT groupings (the only approximation is per-vector routing):
     # mid seeds under top seeds (g1 * g2, free) ...

@@ -598,7 +598,14 @@ def q43_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_partition_id's retry nondeterminism. Tie-broken to a total
     order (price desc, orderkey, linenumber) so LIMIT-like semantics
     are deterministic cross-engine."""
-    l = table(spark, sf_dir, "lineitem").select(
+    # spread the single-row-group fixture scan (guide §2.5 input
+    # skew): with ONE input partition, phase 1's (_pid, flag) window
+    # degenerates to 3 serial full sorts — the exact funnel the
+    # two-phase shape exists to avoid. Keyed on l_orderkey (high
+    # cardinality, already in the output, so ReadSchema unchanged);
+    # the phase-1 result is provably partition-assignment-invariant
+    # (docstring), so the spread cannot change the output.
+    l = narrow_table(spark, sf_dir, "lineitem", by=["l_orderkey"]).select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     order = [

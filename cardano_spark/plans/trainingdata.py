@@ -275,7 +275,12 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The synthetic corpus shares vocabulary but not longer phrases:
     3-gram Jaccard tops out at ~0.02, 2-gram at ~0.1 — the 0.05
     threshold keeps the verification path non-trivially exercised.)"""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    # spread the single-row-group scan keyed on doc_id (guide §2.5):
+    # the 2-gram Generate + per-shingle md5 fold into the operator's
+    # checkpoint is the dominant per-row compute and ran on one core
+    d = narrow_table(spark, sf_dir, "documents", by=["doc_id"]).filter(
+        F.col("doc_id") % 4 == 0
+    )
     return DD.ngram_jaccard_pairs(
         d, "doc_id", "lang", TX.ngram_shingles(F.col("text"), 2), threshold=0.05
     )
@@ -392,10 +397,15 @@ def q58_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-gram shingles that occur in the 'benchmark' slice (doc_id < 20
     stands in for an eval set). Benchmark shingle universe broadcast;
     one doc_id exchange."""
+    # corpus side spread keyed on the downstream agg key (guide §2.5
+    # input skew + §2.4 shared exchange): the single-row-group fixture
+    # scan runs the 2-gram Generate + broadcast probe on ONE core
+    # (r12 before-plan: 6 jobs x 1 task); bench side stays on the bare
+    # scan — 20 docs, the spread exchange would cost more than it wins
     d = table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < 20)
     return CU.benchmark_contamination(
-        d,
+        narrow_table(spark, sf_dir, "documents", by=["doc_id"]),
         bench,
         "doc_id",
         TX.ngram_shingles(F.col("text"), 2),
@@ -684,17 +694,25 @@ def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is deterministic. The oracle re-states reachability as a
     DuckDB recursive CTE."""
     d = table(spark, sf_dir, "documents")
-    keys = d.select(
+    # One tagged frame replaces the per-signal join pair: the old
+    # form scanned documents + substring'd the text FOUR times (a/b
+    # sides x pre/suf) and union'd two joins; stacking (tag, key)
+    # rows and self-joining on (tag, key) emits the identical pair
+    # multiset — a prefix can never meet a suffix because the tag
+    # rides in the join key — from ONE checkpointed scan (guide §2.4
+    # remove duplicate subtrees; §2.3 the 2n slim rows shuffled are
+    # the same bytes the two separate joins paid). Spread keyed on
+    # doc_id so the fixture's single-row-group scan fans out (§2.5).
+    kx = narrow_table(spark, sf_dir, "documents", by=["doc_id"]).selectExpr(
+        "stack(2, 'p', substring(text, 1, 20), 's', right(text, 20))"
+        " AS (_t, _k)",
         "doc_id",
-        F.substring("text", 1, 20).alias("pre"),
-        F.right(F.col("text"), F.lit(20)).alias("suf"),
+    ).localCheckpoint(eager=False)
+    a = kx.selectExpr("doc_id AS a", "_t", "_k")
+    b = kx.selectExpr("doc_id AS b", "_t", "_k")
+    edges = (
+        a.join(b, ["_t", "_k"]).filter(F.col("a") < F.col("b")).select("a", "b")
     )
-    edges = None
-    for k in ("pre", "suf"):
-        a = keys.select(F.col("doc_id").alias("a"), F.col(k).alias("_k"))
-        b = keys.select(F.col("doc_id").alias("b"), F.col(k).alias("_k"))
-        e = a.join(b, "_k").filter(F.col("a") < F.col("b")).select("a", "b")
-        edges = e if edges is None else edges.union(e)
     comp = DD.connected_components(
         d.select("doc_id"), edges.dropDuplicates(["a", "b"]), id_col="doc_id"
     )

@@ -55,11 +55,22 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Allow shuffled-hash join where its size conditions hold
-        # (guide §3.1/§9): sort-merge pays two sorts that a per-
-        # partition hash build skips; AQE still demotes to SMJ when a
-        # build side is too big, and broadcast joins are unaffected.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash joins, bounded at RUNTIME (r11 verdict #3):
+        # the r11 global ``preferSortMergeJoin=false`` made the
+        # PLANNER pick SHJ from size *estimates* — at 100 TB a
+        # mis-estimated or skewed build side is an OOM class SMJ does
+        # not have (AQE skew splitting covers the probe side, not the
+        # build side). Scale-safe form (guide §3.1): keep Spark's
+        # sort-merge default and let AQE rewrite SMJ -> SHJ only when
+        # every post-shuffle partition's MEASURED size fits the local
+        # hash map bound below — the build side is then provably
+        # bounded per task, and oversized/skewed joins stay SMJ.
+        # Same fixture-scale plans (partitions are KB there), no
+        # estimate-driven hash builds at scale.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -1,8 +1,21 @@
 """Every declared query must hash-match its DuckDB oracle at sf0.001
 — the same comparison the driver applies at sf0.01 (row count, sorted
-column names, order-insensitive canonical value hash)."""
+column names, order-insensitive canonical value hash).
+
+The Spark side of all 197 cases is computed ONCE, concurrently, in a
+session-scoped fixture (guide §2.6 "overlap independent jobs": the
+queries are independent, the builders are pure — no session-conf
+mutation, no temp views — and Spark's scheduler happily back-fills
+executors across jobs). The per-query tests then just compare. This
+is what lets the driver's pytest run finish inside its time budget
+(r11 verdict, What's wrong #1): the serial sweep paid one-job-at-a-
+time scheduling gaps for every case (before/after wall times in
+OPTIMIZATION_r12.md)."""
 
 from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -27,9 +40,28 @@ def test_no_orphan_oracles():
     assert not orphans, f"oracles without query: {orphans}"
 
 
+@pytest.fixture(scope="session")
+def spark_results(spark):
+    """name -> pandas DataFrame (or the exception the query raised,
+    re-raised inside that query's own test for a clean report)."""
+
+    def run(name):
+        try:
+            return QUERIES[name](spark, SF_SMALL).toPandas()
+        except Exception as exc:  # noqa: BLE001 — reported per-test
+            return exc
+
+    workers = min(12, os.cpu_count() or 8)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        names = sorted(QUERIES)
+        return dict(zip(names, pool.map(run, names)))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_SMALL).toPandas()
+def test_query_matches_oracle(name, spark_results, duck):
+    sdf = spark_results[name]
+    if isinstance(sdf, Exception):
+        raise sdf
     if name not in ORACLES:
         assert len(sdf) >= 0
         return
