@@ -326,19 +326,32 @@ def build_corpus(
             docs = docs.withColumn(
                 "n_chars", F.length("text").cast("long")
             )
+        docs = docs.localCheckpoint(eager=False)
         n_paragraph = docs.count()
         stage_ids.append(("paragraph", docs.select("doc_id")))
 
+    # Stage frames are lazily checkpointed and the audit count
+    # materializes each one (the _cc_star_rounds one-pass discipline):
+    # without the cut, every stage count and every downstream
+    # consumer (next stage, split exports, attribute ledger) re-ran
+    # the WHOLE prior chain — quadratic in pipeline depth (guide
+    # §1.2/§5; measured r12: 7 counts = 3.6 s of a 5.4 s sf0.001
+    # build). Counts are plan-independent, so the audit values are
+    # bit-identical.
     # 1. exact dedup: keep the smallest id per content digest
     canonical = DD.exact_dedup_groups(docs, "doc_id", "text").select(
         F.col("canonical_id").alias("doc_id")
     )
-    exact = docs.join(canonical, "doc_id", "left_semi")
+    exact = docs.join(canonical, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     n_exact = exact.count()
     stage_ids.append(("exact", exact.select("doc_id")))
 
     # 2. near-dup dedup (detect -> cluster -> elect -> apply)
-    near = _drop_neardup(exact, neardup_threshold, neardup_rule)
+    near = _drop_neardup(exact, neardup_threshold, neardup_rule).localCheckpoint(
+        eager=False
+    )
     n_near = near.count()
     stage_ids.append(("neardup", near.select("doc_id")))
 
@@ -384,6 +397,7 @@ def build_corpus(
             "doc_id",
             "left_anti",
         )
+        near = near.localCheckpoint(eager=False)
         n_semantic = near.count()
         stage_ids.append(("semantic", near.select("doc_id")))
 
@@ -427,6 +441,7 @@ def build_corpus(
                 F.col("contamination") <= F.lit(float(contamination_max))
             ).select("doc_id")
             near = near.join(clean_ids, "doc_id", "left_semi")
+    near = near.localCheckpoint(eager=False)
     n_decontam = near.count()
     stage_ids.append(("decontam", near.select("doc_id")))
 
@@ -448,7 +463,7 @@ def build_corpus(
     if quality_rules == "gopher":
         _, gflags = CU.gopher_flag_columns(F.col("text"))
         gate = gate & (gflags == F.lit(127))
-    kept = near.filter(gate)
+    kept = near.filter(gate).localCheckpoint(eager=False)
     n_quality = kept.count()
     stage_ids.append(("quality", kept.select("doc_id")))
 
@@ -468,6 +483,8 @@ def build_corpus(
             .select("doc_id")
         )
         kept = kept.join(chosen, "doc_id", "left_semi")
+    if target is not None:
+        kept = kept.localCheckpoint(eager=False)
     n_select = kept.count()
     stage_ids.append(("select", kept.select("doc_id")))
 
@@ -478,6 +495,8 @@ def build_corpus(
             kept, "doc_id", toks_b, k=int(token_budget_points)
         ).select("doc_id")
         kept = kept.join(picked, "doc_id", "left_semi")
+    if token_budget_points is not None:
+        kept = kept.localCheckpoint(eager=False)
     n_budget = kept.count()
     stage_ids.append(("budget", kept.select("doc_id")))
 
@@ -862,7 +881,10 @@ def build_corpus_incremental(
     batch = new_docs if wm is None else new_docs.filter(F.col("doc_id") > wm)
     if normalize:
         batch = batch.withColumn("text", CU.normalize_text(F.col("text")))
-    batch = batch.localCheckpoint(eager=True)
+    # lazy + count = one pass (the count materializes the cut; the
+    # batch lineage is a literal-watermark filter over the caller's
+    # frame, so nothing it reads can change before the count)
+    batch = batch.localCheckpoint(eager=False)
     n_arrived = batch.count()
 
     shingles = TX.distinct_tokens(F.coalesce(F.col("text"), F.lit("")))
@@ -1178,7 +1200,7 @@ def build_corpus_incremental(
             batch = batch.withColumn(
                 "n_chars", F.length("text").cast("long")
             )
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.localCheckpoint(eager=False)
         n_paragraph = batch.count()
 
     seen = seen_sink.read()
@@ -1195,7 +1217,7 @@ def build_corpus_incremental(
         seen_dig,
         in_batch["_digest"].eqNullSafe(seen_dig["_seen_digest"]),
         "left_anti",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_exact = exact_new.count()
 
     # near-dup: probe the persisted band index, drop the later side of

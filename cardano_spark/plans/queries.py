@@ -589,34 +589,40 @@ def q43_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 line items per return flag by price, TWO-PHASE: the
     group key has only 3 distinct values, so the single-window form
     (round 1-3) funneled the whole table into 3 sort tasks — 33 TB
-    per core at the 100 TB target. Phase 1 takes each INPUT
-    partition's top-3 per flag (window keyed by (spark_partition_id,
-    flag): P*|groups| parallel small sorts); phase 2 runs the real
-    window over the <= 3*P*|groups| survivors. The union of
-    per-partition top-3s provably contains every global top-3 for ANY
-    partition assignment, so the result is invariant to
-    spark_partition_id's retry nondeterminism. Tie-broken to a total
-    order (price desc, orderkey, linenumber) so LIMIT-like semantics
-    are deterministic cross-engine."""
-    # spread the single-row-group fixture scan (guide §2.5 input
-    # skew): with ONE input partition, phase 1's (_pid, flag) window
-    # degenerates to 3 serial full sorts — the exact funnel the
-    # two-phase shape exists to avoid. Keyed on l_orderkey (high
-    # cardinality, already in the output, so ReadSchema unchanged);
-    # the phase-1 result is provably partition-assignment-invariant
-    # (docstring), so the spread cannot change the output.
-    l = narrow_table(spark, sf_dir, "lineitem", by=["l_orderkey"]).select(
+    per core at the 100 TB target. Phase 1 takes each BUCKET's top-3
+    per flag (window keyed by (hash-bucket, flag): B*|groups|
+    parallel small sorts); phase 2 runs the real window over the
+    <= 3*B*|groups| survivors. The union of per-bucket top-3s
+    provably contains every global top-3 for ANY row-to-bucket map,
+    so the result is bucket-count-independent. r12 change (guide
+    §2.5): the bucket was ``spark_partition_id()``, which inherits
+    the INPUT layout — on the single-row-group fixture that is ONE
+    pid, i.e. 3 serial full sorts, the exact funnel this shape
+    exists to avoid. A deterministic ``pmod(xxhash64(key), B)``
+    bucket makes phase 1's own exchange do the distribution at any
+    layout (no extra spread exchange), is retry-deterministic
+    (guide §2.5's rand() warning), and B = 4x parallelism scales
+    with the session. Tie-broken to a total order (price desc,
+    orderkey, linenumber) so LIMIT-like semantics are deterministic
+    cross-engine."""
+    l = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
     order = [
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     ]
-    w1 = W.partitionBy("_pid", "l_returnflag").orderBy(*order)
+    w1 = W.partitionBy("_bkt", "l_returnflag").orderBy(*order)
     cand = (
-        l.withColumn("_pid", F.spark_partition_id())
+        l.withColumn(
+            "_bkt",
+            F.pmod(
+                F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_buckets)
+            ),
+        )
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= 3)
-        .drop("_pid", "rn")
+        .drop("_bkt", "rn")
     )
     w2 = W.partitionBy("l_returnflag").orderBy(*order)
     return (

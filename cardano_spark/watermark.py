@@ -65,9 +65,20 @@ class ParquetWatermarkStore(Generic[W]):
 
     def upsert(self, table: str, value: W) -> None:
         """Append one status row (K5). PK-duplicate appends are
-        harmless because reads take max()."""
+        harmless because reads take max().
+
+        The row is built as a JVM LocalRelation (range + literals),
+        not ``createDataFrame([...])``: writing a pickled-Python-RDD-
+        rooted frame runs the write task through the Python runner —
+        measured ~5.8 s PER 1-ROW APPEND on this sandbox vs 0.26 s
+        for the literal form (r12; guide §5 "the driver should do
+        almost no data work") — and every pipeline step pays this."""
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        row_df = self.spark.createDataFrame([(table, value, now)], self.schema)
+        row_df = self.spark.range(1).select(
+            F.lit(table).alias("table"),
+            F.lit(value).cast(self.schema[1].dataType).alias(self.wm_col),
+            F.lit(now).cast(T.TimestampType()).alias("created_at"),
+        )
         row_df.coalesce(1).write.mode("append").parquet(self.path)
 
 

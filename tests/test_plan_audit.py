@@ -55,11 +55,11 @@ BNL_BUDGET = {
     # two-level wiring (r9): every BNL below is a broadcast fan-out
     # against a bounded frame — g super-seeds, k-row group_cents, the
     # max_probes-row grid, or a 1-row chosen/auto-k threshold
-    "q185_d4_pipeline_hierarchical": 2,  # post-checkpoint stage: lvl-1 sup + lvl-2 group fan-outs
+    "q185_d4_pipeline_hierarchical": 4,  # lvl-1 sup + lvl-2 group fan-outs, x2 since r12: the tiny sup frames are no longer checkpointed (r12 build-latency cut), so both consumers' bounded fan-outs appear inline
     "q186_hierarchical_probe_planner": 3,  # sample lvl-1 + candidate fan-out + probes grid
     "q187_hierarchical_assign_planned": 7,  # planner chain + full-corpus lvl-1/lvl-2 + 1-row chosen
     "q188_ivf_hierarchical_pipeline": 2,  # IVF serve assigns (q36 shape); training fan-outs sit behind the model checkpoint
-    "q189_ivf_fully_hierarchical": 3,  # two-level index build (sup + group fan-outs) + flat query-probe ranking
+    "q189_ivf_fully_hierarchical": 5,  # two-level index build (sup + group fan-outs, inline x2 since the r12 sup-checkpoint removal) + flat query-probe ranking
     "q190_semantic_dedup_incremental": 1,  # old-side frozen-model argmax (q36 shape); the batch side sits behind its checkpoint
     "q192_frozen_model_refresh_planner": 3,  # frozen argmax (8-row centroids) + warm-retrained argmax (<=8-row sums) + 1-row totals broadcast
     "q195_semantic_refresh_apply": 1,  # serving argmax vs the <=8-row warm model (q190 shape); freeze/warm/migration argmaxes sit behind the model checkpoint

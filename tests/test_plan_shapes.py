@@ -81,15 +81,16 @@ def test_q42_vocab_topk_partial_agg_then_take_ordered(spark):
 
 
 def test_q43_topn_per_group_two_phase(spark):
-    """Two-phase per-group top-k: phase 1 pre-prunes per INPUT
-    partition (window keyed by (_pid, flag) — P*|groups| parallel
-    small sorts), phase 2 windows the survivors. The single-window
-    form funneled the whole table into |groups|=3 sort tasks — the
-    pin is that BOTH windows exist and the first is keyed by the
-    partition id."""
+    """Two-phase per-group top-k: phase 1 pre-prunes per hash BUCKET
+    (window keyed by (_bkt, flag) — B*|groups| parallel small sorts,
+    layout-independent since r12), phase 2 windows the survivors.
+    The single-window form funneled the whole table into |groups|=3
+    sort tasks — the pin is that BOTH windows exist and the first is
+    keyed by the deterministic bucket."""
     plan = _plan(spark, "q43_topn_per_group")
     assert plan.count("Exchange") == 2  # phase-1 key + group key
-    assert "_pid" in plan  # pre-prune window keyed by partition id
+    assert "_bkt" in plan  # pre-prune window keyed by hash bucket
+    assert "xxhash64" in plan  # deterministic, not spark_partition_id
     assert "WindowGroupLimit" in plan or "Window" in plan
 
 
