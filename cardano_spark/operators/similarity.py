@@ -974,12 +974,12 @@ def _two_level_assign(
         )
     # sup is consumed twice (seed grouping + level 1) but NOT
     # checkpointed: its lineage past the already-checkpointed sd is a
-    # bounded k-row window + filter (trivial to run twice), while a
-    # localCheckpoint costs ~0.3-1 s of eager driver-side physical
-    # planning PER CALL — and this helper runs once per Lloyd
-    # iteration, so the D4 pipelines paid it 3x per build (measured
-    # r12: 9 checkpoints = ~75% of q185's build latency; guide §5
-    # "the driver should do almost no work")
+    # bounded k-row window + filter (trivial to run twice), while the
+    # localCheckpoint paid an eager driver-side planning round-trip
+    # per build, once per Lloyd iteration (r12 A/B at idle: wash on
+    # wall time; the removal drops 3 checkpoint jobs per D4 build and
+    # its py4j planning latency, which balloons under driver
+    # contention — guide §5 "the driver should do almost no work")
     # group every seed under its nearest super-seed (k*g, free)
     cg = _assign_nearest(
         sd.select(
